@@ -1,0 +1,80 @@
+"""Register parquet tables from a scale-factor directory as temp views.
+
+The reference never owns a catalog — it hands SQL to a remote DBMS that has
+one (reference src/query.rs:90-91). Here Spark is the DBMS, so the analogue
+is registering the parquet files as named relations. ``spark.read.parquet``
+keeps the scan lazy/columnar: filters and projections written against these
+views reach the parquet reader as PushedFilters/ReadSchema.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: table names the driver generates at every scale factor (TESTDATA.md)
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one table; normalizes the ``events`` nanosecond timestamp.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects outright. We read it as raw int64 epoch-ns
+    (``nanosAsLong``) and surface BOTH representations: ``ts`` as a
+    microsecond TIMESTAMP_NTZ (the data is µs-granular; ns remainder is 0)
+    and ``ts_ns`` as the exact epoch-ns long — the same dual representation
+    the reference uses for precision>=7 timestamps (SURVEY §1: ns kept as
+    INT64 because the engine's native timestamp is µs).
+    """
+    path = table_path(sf_dir, name)
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.read.parquet(path)
+        if dict(raw.dtypes).get("ts") == "bigint":
+            return raw.select(
+                "event_id",
+                F.expr("CAST(timestamp_micros(ts div 1000) AS timestamp_ntz)").alias("ts"),
+                F.col("ts").alias("ts_ns"),
+                "user_id",
+                "event_type",
+                "value",
+                "props",
+            )
+        return raw
+    return spark.read.parquet(path)
+
+
+def register_tables(
+    spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    """Create one temp view per parquet table; returns the DataFrames.
+
+    Missing files are skipped so callers can register partial directories.
+    """
+    out: dict[str, DataFrame] = {}
+    for name in tables:
+        path = table_path(sf_dir, name)
+        if not os.path.exists(path):
+            continue
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

@@ -1,0 +1,513 @@
+"""Relational operator inventory (SURVEY §2.1).
+
+The reference delegates every relational operator to the remote DBMS
+(reference src/query.rs:90-91); the Spark-native inversion is that these
+queries ARE the engine. Each query is written with the DataFrame API (or
+parameterized spark.sql) so Catalyst plans it; the DuckDB oracle is the
+independent ANSI-SQL statement of the same semantics.
+
+Determinism conventions (both sides):
+- double aggregates: per-row double arithmetic -> CAST to DECIMAL(18,6)
+  (exact, order-insensitive sum) -> final CAST to DOUBLE. Summation order
+  can then never change a bit.
+- LIMIT always under a total order (unique-key tiebreaks).
+- identical aliases and column order on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from odbc2parquet_spark.catalog import load_table
+from odbc2parquet_spark.queries import query
+
+
+def _dec(col):
+    """Exact-sum intermediate: double expr -> DECIMAL(18,6)."""
+    return col.cast("decimal(18,6)")
+
+
+def _sum_d(col, alias):
+    """SUM over exact decimals, surfaced as DOUBLE."""
+    return F.sum(_dec(col)).cast("double").alias(alias)
+
+
+# --- aggregation: the flagship (TPC-H Q1 shape, SURVEY §5 port strategy) ---
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-02 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _sum_d(F.col("l_quantity"), "sum_qty"),
+            _sum_d(F.col("l_extendedprice"), "sum_base_price"),
+            _sum_d(disc_price, "sum_disc_price"),
+            _sum_d(charge, "sum_charge"),
+            (F.sum(_dec(F.col("l_quantity"))).cast("double") / F.count("*")).alias("avg_qty"),
+            (F.sum(_dec(F.col("l_extendedprice"))).cast("double") / F.count("*")).alias(
+                "avg_price"
+            ),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --- projection + filter with parquet pushdown ---
+
+@query(
+    "q_filter_pushdown",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_quantity < 3 AND l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+    """,
+)
+def q_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_quantity") < 3)
+        & (F.col("l_shipdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp_ntz"))
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+
+
+# --- positional ? parameter binding (reference src/query.rs:63-66) ---
+
+@query(
+    "q_param_binding",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > 450000.0 AND o_orderstatus = 'F'
+    """,
+)
+def q_param_binding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the reference binds CLI strings as positional ODBC params; Spark 4's
+    # parameterized SQL is the same contract.
+    return spark.sql(
+        f"""
+        SELECT o_orderkey, o_totalprice
+        FROM parquet.`{sf_dir}/orders.parquet`
+        WHERE o_totalprice > ? AND o_orderstatus = ?
+        """,
+        args=[450000.0, "F"],
+    )
+
+
+# --- joins ---
+
+@query(
+    "q_join_revenue_topn",
+    oracle="""
+    SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS orderdate,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderdate < TIMESTAMP '2000-03-15 00:00:00'
+    GROUP BY o.o_orderkey, CAST(o.o_orderdate AS DATE)
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q_join_revenue_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        c.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(o, c.c_custkey == o.o_custkey)
+        .filter(F.col("o_orderdate") < F.lit("2000-03-15 00:00:00").cast("timestamp_ntz"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", F.col("o_orderdate").cast("date").alias("orderdate"))
+        .agg(_sum_d(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q_semi_join",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 49
+    )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 49)
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q_anti_join",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS customers_without_orders
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("customers_without_orders"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "q_broadcast_dims",
+    oracle="""
+    SELECT r.r_name, n.n_name, COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    ORDER BY r.r_name, n.n_name
+    """,
+)
+def q_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # dimension tables are tiny at every SF -> explicit broadcast so the fact
+    # scan never shuffles (at 100 TB this is the difference between a
+    # map-side join and a full exchange of the customer table).
+    c = load_table(spark, sf_dir, "customer")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            _sum_d(F.col("c_acctbal"), "total_acctbal"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+@query(
+    "q_outer_join",
+    oracle="""
+    SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+    FROM customer c
+    LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+    ORDER BY c.c_custkey
+    """,
+)
+def q_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .orderBy("c_custkey")
+    )
+
+
+# --- window functions ---
+
+@query(
+    "q_window_topk_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey
+               ) AS rn
+        FROM orders
+    )
+    WHERE rn <= 3
+    """,
+)
+def q_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@query(
+    "q_window_running_sum",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_value,
+           LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+    FROM events
+    """,
+)
+def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(_dec(F.col("value")))
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("double")
+        .alias("running_value"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+
+
+# --- grouping sets / rollup / cube ---
+
+@query(
+    "q_rollup",
+    oracle="""
+    SELECT r_name, n_name, COUNT(*) AS n
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(load_table(spark, sf_dir, "region"))
+    joined = c.join(n, c.c_nationkey == n.n_nationkey).join(r, n.n_regionkey == r.r_regionkey)
+    return joined.rollup("r_name", "n_name").agg(F.count("*").alias("n"))
+
+
+@query(
+    "q_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(_sum_d(F.col("l_quantity"), "sum_qty"))
+
+
+@query(
+    "q_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("__gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM __gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+# --- sort / limit / distinct / set ops ---
+
+@query(
+    "q_orderby_limit",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 20
+    """,
+)
+def q_orderby_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    # Spark plans this as TakeOrderedAndProject: per-partition top-K, then a
+    # K-merge on the driver — no global sort at any scale.
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.desc("l_extendedprice"), "l_orderkey", "l_linenumber")
+        .limit(20)
+    )
+
+
+@query(
+    "q_distinct_count",
+    oracle="""
+    SELECT COUNT(DISTINCT l_partkey) AS distinct_parts,
+           COUNT(DISTINCT l_suppkey) AS distinct_supps,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    """,
+)
+def q_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_partkey").alias("distinct_parts"),
+        F.countDistinct("l_suppkey").alias("distinct_supps"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@query(
+    "q_set_intersect",
+    oracle="""
+    SELECT c_custkey AS custkey FROM customer
+    INTERSECT
+    SELECT o_custkey AS custkey FROM orders
+    """,
+)
+def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    o = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    return c.intersect(o)
+
+
+@query(
+    "q_set_except",
+    oracle="""
+    SELECT c_custkey AS custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS custkey FROM orders
+    """,
+)
+def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    o = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    return c.exceptAll(o).distinct()
+
+
+@query(
+    "q_union_all",
+    oracle="""
+    SELECT k, src, COUNT(*) AS n FROM (
+        SELECT l_orderkey AS k, 'li' AS src FROM lineitem
+        UNION ALL
+        SELECT o_orderkey AS k, 'ord' AS src FROM orders
+    ) GROUP BY k, src HAVING COUNT(*) > 4 ORDER BY k, src
+    """,
+)
+def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k"), F.lit("li").alias("src")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), F.lit("ord").alias("src")
+    )
+    return (
+        li.unionAll(o)
+        .groupBy("k", "src")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 4)
+        .orderBy("k", "src")
+    )
+
+
+# --- scalar functions (string/date/math/conditional) ---
+
+@query(
+    "q_scalar_functions",
+    oracle="""
+    SELECT o_orderkey,
+           UPPER(o_orderpriority) AS pri_upper,
+           SUBSTRING(o_orderpriority, 1, 1) AS pri_code,
+           LENGTH(o_orderstatus) AS status_len,
+           EXTRACT(YEAR FROM o_orderdate) AS order_year,
+           EXTRACT(MONTH FROM o_orderdate) AS order_month,
+           ABS(o_totalprice) AS abs_price,
+           FLOOR(o_totalprice) AS floor_price,
+           CEIL(o_totalprice) AS ceil_price,
+           CASE WHEN o_totalprice > 250000 THEN 'big' ELSE 'small' END AS size_class,
+           COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS status_or_open
+    FROM orders
+    WHERE o_orderkey <= 500
+    """,
+)
+def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 500)
+    return o.select(
+        "o_orderkey",
+        F.upper("o_orderpriority").alias("pri_upper"),
+        F.substring("o_orderpriority", 1, 1).alias("pri_code"),
+        F.length("o_orderstatus").alias("status_len"),
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.month("o_orderdate").cast("long").alias("order_month"),
+        F.abs("o_totalprice").alias("abs_price"),
+        F.floor("o_totalprice").cast("double").alias("floor_price"),
+        F.ceil("o_totalprice").cast("double").alias("ceil_price"),
+        F.when(F.col("o_totalprice") > 250000, "big").otherwise("small").alias("size_class"),
+        F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("open")).alias("status_or_open"),
+    )
+
+
+# --- correlated scalar subquery / HAVING ---
+
+@query(
+    "q_having_subquery",
+    oracle="""
+    SELECT l_suppkey, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+    FROM lineitem
+    GROUP BY l_suppkey
+    HAVING SUM(CAST(l_extendedprice AS DECIMAL(18,6))) >
+           (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,6))) / COUNT(*) FROM orders)
+    ORDER BY l_suppkey
+    """,
+)
+def q_having_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # threshold kept in exact decimal on both sides (DuckDB AVG(decimal)
+    # returns DOUBLE, so the oracle spells avg as SUM/COUNT to stay exact —
+    # a boundary row must compare identically in both engines).
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    threshold_df = o.agg(
+        (F.sum(_dec(F.col("o_totalprice"))) / F.count("*")).alias("t")
+    )
+    return (
+        li.groupBy("l_suppkey")
+        .agg(F.sum(_dec(F.col("l_extendedprice"))).alias("total_dec"))
+        .join(F.broadcast(threshold_df))
+        .filter(F.col("total_dec") > F.col("t"))
+        .select("l_suppkey", F.col("total_dec").cast("double").alias("total"))
+        .orderBy("l_suppkey")
+    )

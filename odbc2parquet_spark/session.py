@@ -1,0 +1,48 @@
+"""SparkSession construction.
+
+Local test/bench runs use ``local[$SPARK_GRAFT_CPUS]``; on a real cluster the
+same builder is used without the master override (spark-submit supplies it).
+Every knob here is chosen for the 100 TB target, then scaled down by env for
+local runs:
+
+- AQE on (runtime coalescing, skew-join splitting) — at 1000 executors the
+  static shuffle-partition guess is always wrong somewhere.
+- shuffle partitions default to cores locally; a cluster run should set
+  ``spark.sql.shuffle.partitions`` ~ 2-3x total cores (AQE coalesces down).
+- Arrow enabled: every pandas_udf / toPandas boundary is Arrow-batched.
+- session timezone pinned UTC so timestamp semantics are deterministic and
+  match the reference's instant-normalization behavior
+  (reference src/query/timestamp_tz.rs:92-108 normalizes to UTC).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "odbc2parquet_spark", master: str | None = None) -> SparkSession:
+    """Build (or fetch) the session. ``master=None`` -> local[$SPARK_GRAFT_CPUS]."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    if master is None:
+        master = f"local[{cpus}]"
+    if master.startswith("local"):
+        builder = (
+            builder.master(master)
+            .config("spark.sql.shuffle.partitions", cpus)
+            .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        )
+    return builder.getOrCreate()
