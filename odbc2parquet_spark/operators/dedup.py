@@ -1,0 +1,238 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale notes (the point of doing this on Spark):
+
+- Exact dedup is one hash-groupBy: shuffle keyed by content hash, partial
+  aggregation map-side. Works at any scale; skew only if one document is
+  duplicated millions of times (AQE skew-join handles the join-back).
+- MinHash+LSH is the linear-time near-dup path: shingle -> k min-hashes ->
+  band keys -> equi-join on band key. No quadratic candidate generation;
+  the only shuffles are the shingle distinct, the signature groupBy, and
+  the band self-join. Band-key skew (a band shared by millions of docs)
+  is the classic failure: cap bucket sizes before pairing.
+- All-pairs n-gram Jaccard is quadratic — kept as the *verification*
+  operator over LSH candidates or bounded subsets, never the scale path.
+- Hash functions are md5-derived (not Spark's murmur3) so the DuckDB
+  oracle can compute the exact same signatures.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------- exact
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Group by content hash; one row per distinct content.
+
+    Returns (content_hash, n_copies, keep_id) — keep-first policy
+    (min id wins). Drop rows with n_copies>1 joined back to prune.
+    """
+    return docs.groupBy(F.md5(F.col(text_col)).alias("content_hash")).agg(
+        F.count("*").alias("n_copies"), F.min(id_col).alias("keep_id")
+    )
+
+
+def drop_exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep only the first (min-id) copy of each distinct text."""
+    keepers = exact_duplicates(docs, text_col, id_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return docs.join(keepers, id_col, "left_semi")
+
+
+# ------------------------------------------------------------- shingles
+
+
+def word_shingles(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Distinct n-word shingles per document: (id, g).
+
+    Built-ins only: split + transform over an index sequence + explode.
+    The distinct is a shuffle on (id, g) — unavoidable for set semantics,
+    partially aggregated map-side.
+    """
+    ws = F.split(F.col(text_col), " ")
+    parts = [f"ws[i - 1 + {k}]" for k in range(n)]
+    shingle_expr = (
+        f"transform(sequence(1, greatest(size(ws) - {n - 1}, 0)), "
+        f"i -> concat_ws(' ', {', '.join(parts)}))"
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"), ws.alias("ws"))
+        .select("id", F.explode(F.expr(shingle_expr)).alias("g"))
+        .distinct()
+    )
+
+
+# ------------------------------------------------------- n-gram Jaccard
+
+
+def jaccard_pairs(shingles: DataFrame, threshold: float) -> DataFrame:
+    """All-pairs Jaccard over a (id, g) shingle set.
+
+    Quadratic in documents-per-shared-shingle: use only on bounded inputs
+    or LSH candidate neighborhoods. Returns (id_a, id_b, common, n_a, n_b)
+    filtered to jaccard >= threshold; the division is int/int -> double,
+    bit-identical in any engine.
+    """
+    sizes = shingles.groupBy("id").agg(F.count("*").alias("n"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    inter = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(
+            F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")) >= F.lit(threshold)
+        )
+        .select("id_a", "id_b", "common", "n_a", "n_b")
+    )
+
+
+# --------------------------------------------------------- MinHash+LSH
+
+
+def _minhash_expr(j: int) -> F.Column:
+    """Deterministic hash family: h_j(g) = int64(md5(j || '|' || g)[:15]).
+
+    md5 (not murmur) so external engines reproduce it; 15 hex digits fit a
+    positive int64.
+    """
+    return F.conv(F.substring(F.md5(F.concat(F.lit(f"{j}|"), F.col("g"))), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
+def minhash_signatures(shingles: DataFrame, num_hashes: int = 8) -> DataFrame:
+    """(id, mh0..mh{k-1}) — one groupBy, k min-aggregates, map-side partials."""
+    aggs = [F.min(_minhash_expr(j)).alias(f"mh{j}") for j in range(num_hashes)]
+    return shingles.groupBy("id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 4, rows_per_band: int = 2, max_bucket: int = 1000
+) -> DataFrame:
+    """Band the signature, equi-join on band key, emit distinct id pairs.
+
+    ``max_bucket`` caps degenerate buckets (a band key shared by huge doc
+    counts would explode quadratically — the classic LSH skew failure at
+    scale; capped buckets are dropped, trading recall for boundedness).
+    """
+    melted = None
+    for b in range(bands):
+        cols = [f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
+        part = signatures.select(
+            "id", F.lit(b).alias("band"), F.concat_ws("_", *cols).alias("key")
+        )
+        melted = part if melted is None else melted.unionAll(part)
+    sizes = melted.groupBy("band", "key").agg(F.count("*").alias("bucket_n"))
+    bounded = melted.join(
+        sizes.filter(F.col("bucket_n") <= max_bucket), ["band", "key"], "left_semi"
+    )
+    a = bounded.alias("a")
+    b = bounded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_near_duplicates(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 8,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    shingle_words: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Full near-dup pipeline: shingle -> sign -> band -> candidates ->
+    exact-Jaccard verify (verification joins shingles only for candidate
+    pairs, so the quadratic step is bounded by LSH recall)."""
+    sh = word_shingles(docs, shingle_words, text_col, id_col)
+    sig = minhash_signatures(sh, num_hashes)
+    cand = lsh_candidate_pairs(sig, bands, rows_per_band)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("id").alias("id_a"), "g")
+    b = sh.select(F.col("id").alias("id_b"), "g")
+    common = (
+        cand.join(a, "id_a")
+        .join(b, ["id_b", "g"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        common.join(sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b")), "id_b")
+        .filter(
+            F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")) >= F.lit(threshold)
+        )
+        .select("id_a", "id_b", "common", "n_a", "n_b")
+    )
+
+
+# -------------------------------------------------------------- SimHash
+
+
+def _word_hash32() -> F.Column:
+    """Deterministic 32-bit word hash from md5 (oracle-reproducible)."""
+    return F.conv(F.substring(F.md5(F.col("w")), 1, 8), 16, 10).cast("long")
+
+
+def simhash(docs: DataFrame, bits: int = 32, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Unweighted SimHash over distinct words: (id, simhash).
+
+    bit_i(doc) = majority sign over words of bit i of h(word); the integer
+    signature packs the bits. One explode + one groupBy with ``bits``
+    conditional sums — map-side combinable, no joins.
+    """
+    words = (
+        docs.select(F.col(id_col).alias("id"), F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .distinct()
+        .withColumn("h", _word_hash32())
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(1 << i)) != 0, F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"s{i}")
+        for i in range(bits)
+    ]
+    sums = words.groupBy("id").agg(*bit_sums)
+    sig = None
+    for i in range(bits):
+        term = F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return sums.select("id", sig.cast("long").alias("simhash"))
+
+
+def simhash_near_pairs(sig: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Pairs within ``max_hamming`` bits.
+
+    Implemented all-pairs for bounded inputs; the scale path buckets on
+    signature bytes first (pigeonhole: <=k differing bits means some
+    (k+1)-way byte split collides) — same join shape as LSH banding.
+    """
+    a = sig.select(F.col("id").alias("id_a"), F.col("simhash").alias("sig_a"))
+    b = sig.select(F.col("id").alias("id_b"), F.col("simhash").alias("sig_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,117 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata,
+decoded via Arrow-batched Pandas UDFs.
+
+The pattern for image/audio/video at 100 TB: the payload travels as a
+``binary`` column next to typed metadata; decode/feature-extract runs as
+``mapInPandas`` so each task processes Arrow record batches (no per-row
+Python), and partitioning/pushdown operate on the metadata columns only —
+the binary column is never read unless selected.
+
+This container ships no codec libraries, so the codec call itself is
+STUBBED: ``decode_features`` tries the real decoder import (PIL) and falls
+back to a deterministic fake derived from the byte stream. The Spark-side
+plumbing — schema, batch iteration, UDF signature, column pruning — is the
+real thing and is what the tests/oracle verify.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: output schema of the decoder — what a real image decode would produce.
+FEATURE_SCHEMA = (
+    "doc_id long, n_bytes long, fake_width int, fake_height int, "
+    "fake_channels int, checksum long"
+)
+
+
+def attach_binary(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Simulate a multimodal table: payload as opaque binary + metadata.
+
+    On real data this is the ingestion shape: (id, payload binary,
+    mime string, n_bytes long).
+    """
+    payload = F.encode(F.col(text_col), "utf-8")
+    return docs.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+    )
+
+
+def _decode_real(payload: bytes) -> tuple[int, int, int]:
+    """The real decoder hook. Raises if no codec library is present."""
+    try:
+        from PIL import Image  # noqa: F401  (not installed in this container)
+    except ImportError as exc:  # pragma: no cover - always taken here
+        raise NotImplementedError(
+            "no codec library in this environment; using deterministic fake"
+        ) from exc
+    raise NotImplementedError("real decode path not exercised in tests")
+
+
+def _decode_fake(payload: bytes) -> tuple[int, int, int, int]:
+    """Deterministic stand-in: 'dimensions' derived from the byte stream.
+
+    Pure arithmetic on length and byte sum, so the oracle can verify the
+    full mapInPandas plumbing end-to-end without a codec.
+    """
+    n = len(payload)
+    checksum = sum(payload) % 1_000_000_007
+    return n % 640 + 1, (n * 7) % 480 + 1, 3, checksum
+
+
+def decode_features(binary_df: DataFrame) -> DataFrame:
+    """mapInPandas decode: Arrow batches in, feature columns out.
+
+    Column pruning matters: the plan reads only (doc_id, payload); metadata
+    columns not consumed by the UDF are dropped before the Python boundary.
+    """
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    w, h, c = _decode_real(payload)
+                    checksum = -1
+                except NotImplementedError:
+                    w, h, c, checksum = _decode_fake(payload)
+                rows.append((doc_id, len(payload), w, h, c, checksum))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "n_bytes",
+                    "fake_width",
+                    "fake_height",
+                    "fake_channels",
+                    "checksum",
+                ],
+            )
+
+    return binary_df.select("doc_id", "payload").mapInPandas(decode_batches, FEATURE_SCHEMA)
+
+
+def frame_sample(binary_df: DataFrame, every_n_bytes: int = 97) -> DataFrame:
+    """'Frame sampling' stub: pick every Nth byte as a frame marker.
+
+    Stands in for video frame extraction; shows the explode-to-frames
+    shape (one row per sampled frame) with deterministic content.
+    """
+    # NB: Spark's sequence(1, 0) yields a DESCENDING [1, 0], not an empty
+    # array — payloads shorter than the stride must short-circuit.
+    frames = F.expr(
+        f"CASE WHEN n_bytes < {every_n_bytes} THEN array() ELSE "
+        f"transform(sequence(1, int(n_bytes div {every_n_bytes})), "
+        f"i -> struct(CAST(i AS BIGINT) AS frame_no, "
+        f"ascii(substring(decode(payload, 'utf-8'), (i - 1) * {every_n_bytes} + 1, 1)) AS byte_val)) END"
+    )
+    return binary_df.select("doc_id", F.explode(frames).alias("f")).select(
+        "doc_id", F.col("f.frame_no").alias("frame_no"), F.col("f.byte_val").alias("byte_val")
+    )

@@ -1,0 +1,127 @@
+"""Embedding similarity search: brute-force baseline + LSH scale path.
+
+The embedding column is ``array<float>``; all arithmetic is element-cast to
+double and folded with built-in higher-order functions (zip_with/aggregate)
+— JVM-side, no Python in the hot path.
+
+Scale notes:
+- Brute-force top-k is a cross join: correct baseline, O(Q x N). Fine when
+  Q is small (a probe set) or N fits a broadcast; it broadcasts the query
+  side so the corpus never shuffles.
+- Random-hyperplane LSH assigns each vector a b-bit signature in one
+  narrow projection pass (no shuffle at all); bucket join replaces the
+  cross join. Hyperplanes are md5-derived constants — deterministic
+  across runs and engines.
+- Exact-cosine outputs are rounded to 4 decimals before ranking/filtering
+  so independent engines (different summation order, same values) agree.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def _fold_sum(arr: F.Column) -> F.Column:
+    """Left-fold sum of a double array (deterministic order)."""
+    return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def dot(a: F.Column, b: F.Column) -> F.Column:
+    return _fold_sum(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")))
+
+
+def norm_sq(a: F.Column) -> F.Column:
+    return _fold_sum(F.transform(a, lambda x: x.cast("double") * x.cast("double")))
+
+
+def cosine(a: F.Column, b: F.Column) -> F.Column:
+    return dot(a, b) / F.sqrt(norm_sq(a) * norm_sq(b))
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k per query vector.
+
+    Broadcasts the (small) query side; corpus partitioning untouched —
+    at 100 TB the corpus streams through map tasks, each scoring against
+    the in-memory probe set, then a per-query top-k (window over rounded
+    cosine with id tiebreak for determinism).
+    """
+    q = F.broadcast(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    )
+    v = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec"))
+    scored = (
+        v.join(q, F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos4", F.round(cosine(F.col("qvec"), F.col("nvec")), 4))
+        .select("query_id", "neighbor_id", "cos4")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos4"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("cos4").cast("decimal(8,4)").alias("cosine4"),
+            "rank",
+        )
+    )
+
+
+def hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-1, 1).
+
+    Components derive from md5(f"{plane}:{dim}") — reproducible anywhere
+    (the DuckDB oracle embeds the same literals).
+    """
+    planes = []
+    for j in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = int(hashlib.md5(f"{j}:{d}".encode()).hexdigest()[:8], 16)
+            row.append(h / float(2**31) - 1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_signatures(
+    vectors: DataFrame,
+    n_planes: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """b-bit random-hyperplane signature per vector: (vec_id, sig).
+
+    One narrow projection pass, no shuffle; signatures feed a bucket
+    equi-join (same shape as MinHash banding) in place of a cross join.
+    """
+    planes = hyperplanes(n_planes, dim)
+    sig = None
+    for j, plane in enumerate(planes):
+        pl = F.array(*[F.lit(x) for x in plane])
+        d = dot(F.col(vec_col), pl)
+        bit = F.when(d > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    return vectors.select(F.col(id_col).alias("vec_id"), sig.cast("long").alias("sig"))
+
+
+def lsh_bucket_pairs(signatures: DataFrame, prefix_bits: int = 8) -> DataFrame:
+    """Candidate pairs sharing a signature prefix bucket."""
+    mask = (1 << prefix_bits) - 1
+    bucketed = signatures.withColumn("bucket", F.col("sig").bitwiseAND(F.lit(mask)))
+    a = bucketed.select(F.col("vec_id").alias("id_a"), F.col("bucket"))
+    b = bucketed.select(F.col("vec_id").alias("id_b"), F.col("bucket"))
+    return a.join(b, ["bucket"]).filter(F.col("id_a") < F.col("id_b")).select(
+        "id_a", "id_b", "bucket"
+    )

@@ -1,1 +1,222 @@
-"""Placeholder — populated in this round."""
+"""Deduplication queries over ``documents`` — oracle-checked.
+
+Thin wrappers over operators/dedup.py with fixed parameters; the DuckDB
+oracles restate the full pipelines (shingling, md5 hash family, banding,
+Jaccard verification) independently, so a hash match certifies every step.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from odbc2parquet_spark.catalog import load_table
+from odbc2parquet_spark.operators import dedup as D
+from odbc2parquet_spark.queries import query
+
+# shared oracle CTE: distinct 3-word shingles per document
+_SHINGLES_CTE = """
+w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents{where}),
+sh AS (
+    SELECT DISTINCT doc_id AS id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+    FROM w, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)
+)"""
+
+
+def _minhash_min(j: int) -> str:
+    return (
+        f"MIN(CAST('0x' || substring(md5('{j}|' || g), 1, 15) AS BIGINT)) AS mh{j}"
+    )
+
+
+@query(
+    "dd_exact",
+    oracle="""
+    SELECT md5(text) AS content_hash, COUNT(*) AS n_copies, MIN(doc_id) AS keep_id
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def dd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one hash-groupBy (the 100 TB path — shuffle on content
+    hash with map-side partial aggregation)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.exact_duplicates(docs)
+
+
+@query(
+    "dd_ngram_jaccard",
+    oracle="WITH "
+    + _SHINGLES_CTE.format(where=" WHERE doc_id < 200")
+    + """,
+    sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+    inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS common
+        FROM sh a JOIN sh b ON a.g = b.g AND a.id < b.id
+        GROUP BY a.id, b.id
+    )
+    SELECT id_a, id_b, common, sa.n AS n_a, sb.n AS n_b
+    FROM inter
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE common / (sa.n + sb.n - common) >= 0.5
+    """,
+)
+def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs 3-word-shingle Jaccard on a bounded slice (quadratic —
+    the verification operator, not the scale path; see dd_minhash_lsh)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return D.jaccard_pairs(D.word_shingles(docs, 3), threshold=0.5)
+
+
+@query(
+    "dd_minhash_signatures",
+    oracle="WITH "
+    + _SHINGLES_CTE.format(where="")
+    + f"""
+    SELECT id AS doc_id, {', '.join(_minhash_min(j) for j in range(8))}
+    FROM sh GROUP BY id
+    """,
+)
+def dd_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (k=8, md5 hash family) — one shuffle, k min-aggs."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = D.minhash_signatures(D.word_shingles(docs, 3), num_hashes=8)
+    return sig.select(F.col("id").alias("doc_id"), *[f"mh{j}" for j in range(8)])
+
+
+@query(
+    "dd_minhash_lsh",
+    oracle="WITH "
+    + _SHINGLES_CTE.format(where="")
+    + f""",
+    sig AS (
+        SELECT id, {', '.join(_minhash_min(j) for j in range(8))}
+        FROM sh GROUP BY id
+    ),
+    bands AS (
+        SELECT id, 0 AS band, mh0 || '_' || mh1 AS key FROM sig
+        UNION ALL SELECT id, 1, mh2 || '_' || mh3 FROM sig
+        UNION ALL SELECT id, 2, mh4 || '_' || mh5 FROM sig
+        UNION ALL SELECT id, 3, mh6 || '_' || mh7 FROM sig
+    ),
+    cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+    ),
+    sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+    common AS (
+        SELECT c.id_a, c.id_b, COUNT(*) AS common
+        FROM cand c
+        JOIN sh a ON a.id = c.id_a
+        JOIN sh b ON b.id = c.id_b AND b.g = a.g
+        GROUP BY c.id_a, c.id_b
+    )
+    SELECT id_a, id_b, common, sa.n AS n_a, sb.n AS n_b
+    FROM common
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE common / (sa.n + sb.n - common) >= 0.5
+    """,
+)
+def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full near-dup scale pipeline: shingle -> minhash -> LSH bands ->
+    candidates -> exact-Jaccard verify (linear-time candidate generation)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_near_duplicates(docs, threshold=0.5)
+
+
+def _simhash_bit_sums_sql(bits: int = 32) -> str:
+    terms = [
+        f"SUM(CASE WHEN (h & {1 << i}) != 0 THEN 1 ELSE -1 END) AS s{i}" for i in range(bits)
+    ]
+    return ", ".join(terms)
+
+
+_SIMHASH_CTE = (
+    """
+    words AS (
+        SELECT DISTINCT doc_id AS id, w
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE w != ''
+    ),
+    hashed AS (
+        SELECT id, CAST('0x' || substring(md5(w), 1, 8) AS BIGINT) AS h FROM words
+    ),
+    sums AS (SELECT id, """
+    + _simhash_bit_sums_sql()
+    + """ FROM hashed GROUP BY id),
+    sig AS (
+        SELECT id, """
+    + " + ".join(f"(CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(32))
+    + """ AS simhash FROM sums
+    )"""
+)
+
+
+@query(
+    "dd_simhash",
+    oracle="WITH " + _SIMHASH_CTE + " SELECT id AS doc_id, simhash FROM sig",
+)
+def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit unweighted SimHash per document (majority sign per bit over
+    md5 word hashes) — one explode + one groupBy, no joins."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash(docs).select(F.col("id").alias("doc_id"), "simhash")
+
+
+@query(
+    "dd_simhash_pairs",
+    oracle="WITH "
+    + _SIMHASH_CTE
+    + """
+    SELECT a.id AS id_a, b.id AS id_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sig a JOIN sig b ON a.id < b.id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+    """,
+)
+def dd_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance <= 6 (all-pairs on the
+    bounded doc set; the scale path buckets signature bytes first)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_near_pairs(D.simhash(docs), max_hamming=6)
+
+
+@query(
+    "dd_embedding_cosine",
+    oracle="""
+    WITH n AS (
+        SELECT vec_id,
+               list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nsq,
+               embedding
+        FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           CAST(ROUND(
+               list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+               / SQRT(a.nsq * b.nsq), 4) AS DECIMAL(8,4)) AS cosine4
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE ROUND(
+               list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+               / SQRT(a.nsq * b.nsq), 4) >= 0.4
+    """,
+)
+def dd_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup: pairs with cosine >= 0.4 (rounded to 4 decimals
+    so independent engines agree bit-for-bit). All-pairs here; the scale
+    path is sim_lsh_* bucketing."""
+    from odbc2parquet_spark.operators.similarity import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine4", F.round(cosine(F.col("ea"), F.col("eb")), 4))
+        .filter(F.col("cosine4") >= 0.4)
+        .select("id_a", "id_b", F.col("cosine4").cast("decimal(8,4)").alias("cosine4"))
+    )

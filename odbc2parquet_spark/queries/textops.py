@@ -1,1 +1,148 @@
-"""Placeholder — populated in this round."""
+"""Text-analysis queries over ``documents`` — oracle-checked.
+
+Wrappers over operators/text.py and operators/multimodal.py. All ratios are
+int/int double divisions and all hashes md5-derived, so DuckDB reproduces
+every value bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from odbc2parquet_spark.catalog import load_table
+from odbc2parquet_spark.operators import multimodal as M
+from odbc2parquet_spark.operators import text as X
+from odbc2parquet_spark.queries import query
+
+
+@query(
+    "tx_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           len(list_filter(string_split(text, ' '), w -> w != '')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '{X.TOKEN_RE}')) AS n_re_tokens,
+           length(text) AS n_chars
+    FROM documents
+    """,
+)
+def tx_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + regex (BPE-ish) token counting (built-ins only)."""
+    return X.token_stats(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "tx_quality_scores",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id,
+               len(list_filter(string_split(text, ' '), w -> w != '')) AS n_words,
+               length(text) AS n_chars,
+               length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+               len(list_filter(string_split(text, ' '),
+                   w -> w IN ('the','a','and','of','to','in','is'))) AS n_stop
+        FROM documents
+    )
+    SELECT doc_id, n_words, n_chars,
+           n_alpha / n_chars AS alpha_ratio,
+           n_stop / n_words AS stop_ratio,
+           (n_chars - (n_words - 1)) / n_words AS mean_word_len,
+           (CASE WHEN n_words >= 10 THEN 0.25 ELSE 0.0 END)
+           + (n_alpha / n_chars) * 0.25
+           + (n_stop / n_words) * 0.25
+           + (CASE WHEN (n_chars - (n_words - 1)) / n_words >= 3
+                    AND (n_chars - (n_words - 1)) / n_words <= 10
+              THEN 0.25 ELSE 0.0 END) AS quality_score
+    FROM base
+    """,
+)
+def tx_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style quality signals + composite score."""
+    return X.quality_scores(load_table(spark, sf_dir, "documents"))
+
+
+def _lang_hits_sql(lang: str) -> str:
+    markers = ", ".join(f"'{m}'" for m in X.LANG_MARKERS[lang])
+    return (
+        f"len(list_filter(list_filter(string_split(text, ' '), w -> w != ''), "
+        f"w -> w IN ({markers}))) AS hits_{lang}"
+    )
+
+
+@query(
+    "tx_language_id",
+    oracle="WITH scored AS (SELECT doc_id, "
+    + ", ".join(_lang_hits_sql(lang) for lang in sorted(X.LANG_MARKERS))
+    + """ FROM documents)
+    SELECT doc_id,
+           CASE WHEN greatest(hits_de, hits_en, hits_es, hits_fr) = 0 THEN 'und'
+                WHEN hits_de >= hits_en AND hits_de >= hits_es AND hits_de >= hits_fr THEN 'de'
+                WHEN hits_en >= hits_es AND hits_en >= hits_fr THEN 'en'
+                WHEN hits_es >= hits_fr THEN 'es'
+                ELSE 'fr' END AS pred_lang,
+           greatest(hits_de, hits_en, hits_es, hits_fr) AS marker_hits,
+           hits_de, hits_en, hits_es, hits_fr
+    FROM scored
+    """,
+)
+def tx_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID, deterministic argmax (first max in
+    language-code order wins)."""
+    return X.language_id(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "tx_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                   list_transform(list_filter(string_split(text, ' '), w -> w != ''),
+                       w -> CAST('0x' || substring(md5(w), 1, 6) AS BIGINT))),
+               (acc, h) -> (acc * 31 + h) % 1000000007) AS fingerprint,
+           len(list_filter(string_split(text, ' '), w -> w != '')) AS n_words
+    FROM documents
+    """,
+)
+def tx_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive polynomial rolling fingerprint over the word
+    sequence (left fold, overflow-free in int64)."""
+    return X.fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "mm_decode_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_bytes,
+           CAST(length(text) % 640 + 1 AS INTEGER) AS fake_width,
+           CAST((length(text) * 7) % 480 + 1 AS INTEGER) AS fake_height,
+           3 AS fake_channels,
+           CAST(list_sum(list_transform(generate_series(1, length(text)),
+                i -> ascii(substring(text, i, 1)))) % 1000000007 AS BIGINT) AS checksum
+    FROM documents
+    WHERE doc_id < 200
+    """,
+)
+def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: opaque binary payload -> mapInPandas decode
+    (Arrow batches; codec stubbed deterministically — the oracle recomputes
+    the fake decode arithmetically from the ASCII source text)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return M.decode_features(M.attach_binary(docs))
+
+
+@query(
+    "mm_frame_sample",
+    oracle="""
+    SELECT doc_id, i AS frame_no,
+           ascii(substring(text, (i - 1) * 97 + 1, 1)) AS byte_val
+    FROM documents, UNNEST(generate_series(1, length(text) // 97)) AS t(i)
+    WHERE doc_id < 200
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling stub: every-97th-byte markers from the binary payload
+    (the explode-to-frames shape of video sampling)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return M.frame_sample(M.attach_binary(docs), every_n_bytes=97)
