@@ -1,0 +1,111 @@
+"""Benchmark: headline queries + transfer workload at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Query set: the scale-path operators (no all-pairs quadratics — those are
+verification operators, exercised at sf0.01 by the correctness gate).
+Each query is fully materialized through the noop sink (no driver collect),
+so the measured time is plan execution, not result transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+#: headline set: relational core + type mapping + scale-path extensions
+HEADLINE = [
+    "q1_pricing_summary",
+    "q_filter_pushdown",
+    "q_join_revenue_topn",
+    "q_semi_join",
+    "q_broadcast_dims",
+    "q_window_topk_per_group",
+    "q_window_running_sum",
+    "q_rollup",
+    "q_orderby_limit",
+    "q_distinct_count",
+    "tm_decimal_matrix",
+    "tm_time_of_day",
+    "dd_exact",
+    "dd_minhash_signatures",
+    "dd_minhash_lsh",
+    "dd_simhash",
+    "sim_lsh_signatures",
+    "sim_bruteforce_topk",
+    "tx_token_stats",
+    "tx_quality_scores",
+    "tx_language_id",
+    "tx_fingerprint",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from odbc2parquet_spark.queries import QUERIES
+    from odbc2parquet_spark.session import get_spark
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+
+    # transfer workload (BASELINE.md): typed read -> §1 casts -> zstd parquet
+    from pyspark.sql import functions as F
+
+    from odbc2parquet_spark.catalog import load_table
+
+    with tempfile.TemporaryDirectory() as tmp:
+        t0 = time.time()
+        li = load_table(spark, sf_dir, "lineitem")
+        typed = li.select(
+            "l_orderkey",
+            "l_partkey",
+            "l_suppkey",
+            "l_linenumber",
+            F.col("l_quantity").cast("decimal(9,0)").alias("l_quantity"),
+            F.col("l_extendedprice").cast("decimal(13,2)").alias("l_extendedprice"),
+            F.col("l_discount").cast("decimal(4,2)").alias("l_discount"),
+            F.col("l_tax").cast("decimal(4,2)").alias("l_tax"),
+            "l_returnflag",
+            "l_linestatus",
+            F.col("l_shipdate").cast("date").alias("l_shipdate"),
+        )
+        typed.write.mode("overwrite").option("compression", "zstd").parquet(
+            os.path.join(tmp, "transfer")
+        )
+        timings["transfer_lineitem"] = round(time.time() - t0, 3)
+
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

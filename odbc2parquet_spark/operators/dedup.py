@@ -55,9 +55,12 @@ def word_shingles(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: s
     """
     ws = F.split(F.col(text_col), " ")
     parts = [f"ws[i - 1 + {k}]" for k in range(n)]
+    # NB: Spark's sequence(1, 0) yields DESCENDING [1, 0], not empty —
+    # short documents must short-circuit to an empty shingle set.
     shingle_expr = (
-        f"transform(sequence(1, greatest(size(ws) - {n - 1}, 0)), "
-        f"i -> concat_ws(' ', {', '.join(parts)}))"
+        f"CASE WHEN size(ws) < {n} THEN array() ELSE "
+        f"transform(sequence(1, size(ws) - {n - 1}), "
+        f"i -> concat_ws(' ', {', '.join(parts)})) END"
     )
     return (
         docs.select(F.col(id_col).alias("id"), ws.alias("ws"))

@@ -1,4 +1,4 @@
-"""Query parameter binding.
+r"""Query parameter binding.
 
 The reference binds CLI-supplied strings as positional ODBC ``?`` parameters
 (reference src/query.rs:63-66, src/main.rs:226-234) and, for the ``exec``

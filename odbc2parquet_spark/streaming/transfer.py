@@ -1,0 +1,85 @@
+"""Streaming analogues of the transfer pipeline.
+
+The reference is strictly batch, but its execution model — fetch a batch,
+write a row group, repeat, bounded memory (reference
+src/query/conversion_strategy.rs:123-137, README.md:8 "only holds one batch
+at a time") — is exactly a Structured Streaming micro-batch pipeline. These
+operators are the scale-out generalization: new files land in a source
+directory, get transformed and appended to the sink incrementally with
+exactly-once file-sink semantics (Spark's commit-log equivalent of the
+reference's tempfile-until-finalized CurrentFile, current_file.rs:14-80).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def stream_transfer(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    out_path: str,
+    checkpoint: str,
+    transform=None,
+    trigger_available_now: bool = True,
+):
+    """Incremental parquet -> parquet transfer (micro-batched).
+
+    ``availableNow`` processes the current backlog then stops — the batch
+    CLI semantics — while the same query with a processing-time trigger is
+    the continuous-ingest deployment. Returns the StreamingQuery.
+    """
+    src = spark.readStream.schema(schema).parquet(source_dir)
+    if transform is not None:
+        src = transform(src)
+    writer = (
+        src.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_event_counts(events: DataFrame, window: str = "5 minutes", watermark: str = "10 minutes") -> DataFrame:
+    """Watermarked tumbling-window aggregate over the event stream.
+
+    Late rows beyond the watermark are dropped and state is bounded —
+    the property that keeps a 100 TB/day stream's state finite.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sessionized_counts(events: DataFrame, gap: str = "10 minutes", watermark: str = "30 minutes") -> DataFrame:
+    """Session windows per user: built-in session_window (gap-based),
+    the stateful-operator shape for per-entity streaks."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )

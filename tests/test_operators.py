@@ -1,0 +1,129 @@
+"""Extension operators: dedup / similarity / text / multimodal semantics
+on small synthetic inputs with known answers."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from odbc2parquet_spark.operators import dedup as D
+from odbc2parquet_spark.operators import multimodal as M
+from odbc2parquet_spark.operators import similarity as S
+from odbc2parquet_spark.operators import text as X
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat"),  # near dup of 1
+        (4, "completely different words entirely here now friends"),
+        (5, "short"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_duplicates(docs):
+    dups = {r.keep_id: r.n_copies for r in D.exact_duplicates(docs).collect()}
+    assert dups[1] == 2  # docs 1,2 identical, keep min id
+    assert dups[3] == 1
+    kept = sorted(r.doc_id for r in D.drop_exact_duplicates(docs).collect())
+    assert kept == [1, 3, 4, 5]
+
+
+def test_word_shingles(docs):
+    sh = D.word_shingles(docs.filter("doc_id = 5"), 3).collect()
+    assert sh == []  # fewer words than shingle width -> no shingles
+    sh1 = {r.g for r in D.word_shingles(docs.filter("doc_id = 1"), 3).collect()}
+    assert "the quick brown" in sh1 and len(sh1) == 7
+
+
+def test_jaccard_pairs_finds_near_dup(docs):
+    pairs = D.jaccard_pairs(D.word_shingles(docs, 3), threshold=0.5).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 2) in got  # identical
+    assert (1, 3) in got and (2, 3) in got  # near dup (6/8 shingles shared)
+    assert all(4 not in p and 5 not in p for p in got)
+
+
+def test_minhash_lsh_pipeline(docs):
+    out = D.minhash_near_duplicates(docs, threshold=0.5)
+    got = {(r.id_a, r.id_b) for r in out.collect()}
+    assert (1, 2) in got  # identical docs always collide in every band
+    assert all(4 not in p for p in got)
+
+
+def test_simhash_identical_and_distance(docs):
+    sig = {r.id: r.simhash for r in D.simhash(docs).collect()}
+    assert sig[1] == sig[2]  # identical text -> identical signature
+    pairs = {(r.id_a, r.id_b): r.hamming for r in D.simhash_near_pairs(D.simhash(docs), 32).collect()}
+    assert pairs[(1, 2)] == 0
+    # near-dup differs in fewer bits than the unrelated doc
+    assert pairs[(1, 3)] < pairs[(1, 4)]
+
+
+def test_brute_force_topk_self_similarity(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = S.brute_force_topk(emb, emb.filter("vec_id = 1"), k=3).collect()
+    order = [r.neighbor_id for r in sorted(out, key=lambda r: r.rank)]
+    assert order == [2, 3, 4]  # by cosine: ~0.994, 0.0, -1.0
+    assert float(out[0].cosine4) == pytest.approx(0.9939, abs=1e-4)
+
+
+def test_lsh_signature_deterministic(spark):
+    rows = [(1, [0.5] * 64), (2, [0.5] * 64), (3, [-0.5] * 64)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    sig = {r.vec_id: r.sig for r in S.lsh_signatures(emb, 16, 64).collect()}
+    assert sig[1] == sig[2]  # identical vectors -> identical signature
+    assert sig[1] != sig[3]  # opposite vector flips every plane's sign
+    assert sig[1] ^ sig[3] == (1 << 16) - 1
+
+
+def test_token_stats_and_quality(docs):
+    st = {r.doc_id: r for r in X.token_stats(docs).collect()}
+    assert st[1].n_ws_tokens == 9
+    assert st[5].n_ws_tokens == 1
+    q = {r.doc_id: r for r in X.quality_scores(docs).collect()}
+    assert q[1].stop_ratio == pytest.approx(2 / 9)
+    assert 0.0 <= q[1].quality_score <= 1.0
+
+
+def test_language_id_markers(spark):
+    rows = [
+        (1, "the cat and the dog of the house"),
+        (2, "der hund und die katze ist da"),
+        (3, "xyzzy plugh qwerty"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r.pred_lang for r in X.language_id(docs).collect()}
+    assert out[1] == "en"
+    assert out[2] == "de"
+    assert out[3] == "und"
+
+
+def test_fingerprint_order_sensitive(spark):
+    rows = [(1, "alpha beta gamma"), (2, "gamma beta alpha"), (3, "alpha beta gamma")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    fp = {r.doc_id: r.fingerprint for r in X.fingerprints(docs).collect()}
+    assert fp[1] == fp[3]
+    assert fp[1] != fp[2]  # permuted words -> different fingerprint
+
+
+def test_multimodal_decode_plumbing(docs):
+    feats = {r.doc_id: r for r in M.decode_features(M.attach_binary(docs)).collect()}
+    payload = b"the quick brown fox jumps over the lazy dog"
+    assert feats[1].n_bytes == len(payload)
+    assert feats[1].fake_width == len(payload) % 640 + 1
+    assert feats[1].fake_channels == 3
+    # checksum is the byte sum — deterministic across runs
+    assert feats[1].checksum == sum(payload)
+
+
+def test_frame_sample_short_payload_empty(docs):
+    frames = M.frame_sample(M.attach_binary(docs.filter("doc_id = 5")), 97).collect()
+    assert frames == []
