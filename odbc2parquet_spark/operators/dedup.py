@@ -103,20 +103,25 @@ def jaccard_pairs(shingles: DataFrame, threshold: float) -> DataFrame:
 # --------------------------------------------------------- MinHash+LSH
 
 
-def _minhash_expr(j: int) -> F.Column:
-    """Deterministic hash family: h_j(g) = int64(md5(j || '|' || g)[:15]).
-
-    md5 (not murmur) so external engines reproduce it; 15 hex digits fit a
-    positive int64.
-    """
-    return F.conv(F.substring(F.md5(F.concat(F.lit(f"{j}|"), F.col("g"))), 1, 15), 16, 10).cast(
-        "long"
-    )
+MINHASH_MOD = 1 << 60
 
 
 def minhash_signatures(shingles: DataFrame, num_hashes: int = 8) -> DataFrame:
-    """(id, mh0..mh{k-1}) — one groupBy, k min-aggregates, map-side partials."""
-    aggs = [F.min(_minhash_expr(j)).alias(f"mh{j}") for j in range(num_hashes)]
+    """(id, mh0..mh{k-1}) — one groupBy, k min-aggregates, map-side partials.
+
+    Hash family via the two-hash composition (Kirsch-Mitzenmacher):
+    h_j(g) = (h1 + j*h2) mod 2^60 with h1/h2 the two 15-hex-digit halves of
+    a SINGLE md5(g) — one digest per shingle instead of k, md5 so external
+    engines reproduce it, and everything fits a positive int64
+    (max h1 + 7*h2 < 2^63).
+    """
+    hexd = F.md5(F.col("g"))
+    h1 = F.conv(F.substring(hexd, 1, 15), 16, 10).cast("long")
+    h2 = F.conv(F.substring(hexd, 16, 15), 16, 10).cast("long")
+    aggs = [
+        F.min((h1 + F.lit(j) * h2) % F.lit(MINHASH_MOD)).alias(f"mh{j}")
+        for j in range(num_hashes)
+    ]
     return shingles.groupBy("id").agg(*aggs)
 
 

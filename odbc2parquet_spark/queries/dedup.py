@@ -24,9 +24,11 @@ sh AS (
 
 
 def _minhash_min(j: int) -> str:
-    return (
-        f"MIN(CAST('0x' || substring(md5('{j}|' || g), 1, 15) AS BIGINT)) AS mh{j}"
-    )
+    """Two-hash family h_j = (h1 + j*h2) mod 2^60 from one md5 per shingle
+    (mirrors operators/dedup.minhash_signatures)."""
+    h1 = "CAST('0x' || substring(md5(g), 1, 15) AS BIGINT)"
+    h2 = "CAST('0x' || substring(md5(g), 16, 15) AS BIGINT)"
+    return f"MIN(({h1} + {j} * {h2}) % {1 << 60}) AS mh{j}"
 
 
 @query(
