@@ -18,7 +18,7 @@ Scale notes (the point of doing this on Spark):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # ---------------------------------------------------------------- exact
@@ -128,33 +128,47 @@ def minhash_signatures(shingles: DataFrame, num_hashes: int = 8) -> DataFrame:
 def lsh_candidate_pairs(
     signatures: DataFrame, bands: int = 4, rows_per_band: int = 2, max_bucket: int = 1000
 ) -> DataFrame:
-    """Band the signature, equi-join on band key, emit distinct id pairs.
+    """Band the signature, bucket on band key, emit distinct id pairs.
+
+    One-shuffle plan: the signature row is melted to ``bands`` (band, key)
+    rows via a single explode (NOT a union — union branches would each
+    recompute the signature aggregation), shuffled once on (band, key),
+    where a window count drops degenerate buckets and a collect_list +
+    double-explode expands pairs locally. No self-join: the old
+    join-on-band-key shape shuffled the melted set three times (size agg,
+    semi-join, self-join) and recomputed the signature subtree per branch.
 
     ``max_bucket`` caps degenerate buckets (a band key shared by huge doc
     counts would explode quadratically — the classic LSH skew failure at
     scale; capped buckets are dropped, trading recall for boundedness).
+    The window count runs BEFORE collect_list so a mega-bucket spills in
+    WindowExec instead of ballooning an aggregation buffer.
     """
-    melted = None
-    for b in range(bands):
-        cols = [f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
-        part = signatures.select(
-            "id", F.lit(b).alias("band"), F.concat_ws("_", *cols).alias("key")
+    entries = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "_", *[f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
+            ).alias("key"),
         )
-        melted = part if melted is None else melted.unionAll(part)
-    sizes = melted.groupBy("band", "key").agg(F.count("*").alias("bucket_n"))
-    bounded = melted.join(
-        sizes.filter(F.col("bucket_n") <= max_bucket), ["band", "key"], "left_semi"
+        for b in range(bands)
+    ]
+    melted = signatures.select(
+        "id", F.explode(F.array(*entries)).alias("bk")
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    w = Window.partitionBy("band", "key")
+    bounded = (
+        melted.withColumn("bucket_n", F.count("*").over(w))
+        .filter(F.col("bucket_n") <= max_bucket)
+        .drop("bucket_n")
     )
-    a = bounded.alias("a")
-    b = bounded.alias("b")
+    # same (band, key) partitioning as the window -> no second shuffle
+    buckets = bounded.groupBy("band", "key").agg(F.collect_list("id").alias("ids"))
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        buckets.filter(F.size("ids") >= 2)
+        .select(F.explode("ids").alias("id_a"), "ids")
+        .select("id_a", F.explode("ids").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
         .distinct()
     )
 
