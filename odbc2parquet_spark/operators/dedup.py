@@ -244,16 +244,76 @@ def simhash(docs: DataFrame, bits: int = 32, text_col: str = "text", id_col: str
 
 
 def simhash_near_pairs(sig: DataFrame, max_hamming: int = 6) -> DataFrame:
-    """Pairs within ``max_hamming`` bits.
+    """Pairs within ``max_hamming`` bits — all-pairs VERIFICATION operator.
 
-    Implemented all-pairs for bounded inputs; the scale path buckets on
-    signature bytes first (pigeonhole: <=k differing bits means some
-    (k+1)-way byte split collides) — same join shape as LSH banding.
+    Quadratic; use on bounded inputs only. The scale path is
+    :func:`simhash_banded_pairs`.
     """
     a = sig.select(F.col("id").alias("id_a"), F.col("simhash").alias("sig_a"))
     b = sig.select(F.col("id").alias("id_b"), F.col("simhash").alias("sig_b"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def simhash_banded_pairs(
+    sig: DataFrame,
+    max_hamming: int = 6,
+    bits: int = 32,
+    bands: int = 8,
+    max_bucket: int = 10000,
+) -> DataFrame:
+    """SimHash scale path: pigeonhole banding instead of all-pairs.
+
+    If two signatures differ in <= max_hamming bits and the signature is
+    split into ``bands`` > max_hamming contiguous slices, at least one
+    slice is bit-identical — so bucketing each slice and pairing within
+    buckets finds EVERY pair within the radius (exact, not probabilistic,
+    given bands >= max_hamming+1). Same single-shuffle shape as
+    :func:`lsh_candidate_pairs`: explode band slices, window-cap buckets,
+    collect_list + double-explode, then one hash-join back to signatures
+    to verify true hamming distance.
+    """
+    if bands <= max_hamming:
+        raise ValueError(
+            f"bands={bands} must exceed max_hamming={max_hamming} for the "
+            "pigeonhole guarantee"
+        )
+    band_bits = bits // bands
+    entries = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("simhash"), b * band_bits)
+            .bitwiseAND(F.lit((1 << band_bits) - 1))
+            .alias("key"),
+        )
+        for b in range(bands)
+    ]
+    melted = sig.select("id", F.explode(F.array(*entries)).alias("bk")).select(
+        "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    w = Window.partitionBy("band", "key")
+    bounded = (
+        melted.withColumn("bucket_n", F.count("*").over(w))
+        .filter(F.col("bucket_n") <= max_bucket)
+        .drop("bucket_n")
+    )
+    buckets = bounded.groupBy("band", "key").agg(F.collect_list("id").alias("ids"))
+    cand = (
+        buckets.filter(F.size("ids") >= 2)
+        .select(F.explode("ids").alias("id_a"), "ids")
+        .select("id_a", F.explode("ids").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .distinct()
+    )
+    a = sig.select(F.col("id").alias("id_a"), F.col("simhash").alias("sig_a"))
+    b = sig.select(F.col("id").alias("id_b"), F.col("simhash").alias("sig_b"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
         .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")

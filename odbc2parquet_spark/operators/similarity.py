@@ -125,3 +125,152 @@ def lsh_bucket_pairs(signatures: DataFrame, prefix_bits: int = 8) -> DataFrame:
     return a.join(b, ["bucket"]).filter(F.col("id_a") < F.col("id_b")).select(
         "id_a", "id_b", "bucket"
     )
+
+
+# ------------------------------------------------------------------ IVF
+#
+# Inverted-file index: partition the corpus into cells around coarse
+# centroids; a query scores only the vectors in its ``nprobe`` nearest
+# cells. At 100 TB the assignment is one broadcast-map pass (centroids are
+# tiny), the cell layout is a disk partitioning (write the corpus
+# partitioned by centroid_id -> partition pruning serves each probe), and
+# search touches nprobe/k_cells of the data instead of all of it.
+
+
+def ivf_seed_centroids(vectors: DataFrame, k_cells: int = 16, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Deterministic seed centroids: the ``k_cells`` lowest-id vectors.
+
+    No RNG so any engine reproduces the index bit-for-bit; refine with
+    :func:`ivf_refine_centroids` (Lloyd steps) when quality matters more
+    than reproducibility.
+    """
+    return vectors.orderBy(id_col).limit(k_cells).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centroid")
+    )
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, centroid_id, cos4): each vector's nearest centroid.
+
+    Broadcast the centroids (tiny) against the corpus — a map-side join,
+    the corpus never shuffles; the argmax is a per-vector window over
+    k_cells rows with rounded-cosine + id tiebreak for determinism.
+    """
+    c = F.broadcast(centroids)
+    scored = vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")).join(
+        c
+    ).withColumn("cos4", F.round(cosine(F.col("v"), F.col("centroid")), 4))
+    w = W.partitionBy("vec_id").orderBy(F.desc("cos4"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("vec_id", "centroid_id", F.col("cos4").cast("decimal(8,4)").alias("cos4"))
+    )
+
+
+def ivf_refine_centroids(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    iterations: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd refinement: mean of assigned vectors per cell, ``iterations``
+    times. Each step is one broadcast assign + one posexplode/groupBy
+    average (shuffle keyed on (centroid, dim) — k_cells*dim groups, tiny).
+    Spark-only (iterative; no SQL oracle)."""
+    cur = centroids
+    for _ in range(iterations):
+        assigned = ivf_assign(vectors, cur, id_col, vec_col).join(
+            vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")),
+            "vec_id",
+        )
+        means = (
+            assigned.select("centroid_id", F.posexplode("v").alias("pos", "x"))
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("centroid_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select(
+                "centroid_id",
+                F.transform(F.col("pm"), lambda s: s.getField("m").cast("float")).alias(
+                    "centroid"
+                ),
+            )
+        )
+        cur = means
+    return cur
+
+
+def ivf_search(
+    vectors: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    nprobe: int = 4,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score each query against its ``nprobe`` nearest
+    cells only.
+
+    Plan shape at scale: corpus->cell assignment is the (cachable /
+    disk-partitionable) index; probes (queries x nprobe, small) broadcast
+    against it, so the only corpus-sized operation is one semi-join-like
+    broadcast filter + per-query top-k window.
+    """
+    assign = ivf_assign(vectors, centroids, id_col, vec_col).select(
+        F.col("vec_id").alias("neighbor_id"), "centroid_id"
+    )
+    qprobe = (
+        ivf_probe_cells(queries, centroids, nprobe, id_col, vec_col)
+        .select("query_id", "centroid_id")
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    v = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec"))
+    cand = (
+        assign.join(F.broadcast(qprobe), "centroid_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+    )
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(v, "neighbor_id")
+        .withColumn("cos4", F.round(cosine(F.col("qvec"), F.col("nvec")), 4))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos4"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("cos4").cast("decimal(8,4)").alias("cosine4"),
+            "rank",
+        )
+    )
+
+
+def ivf_probe_cells(
+    queries: DataFrame,
+    centroids: DataFrame,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, centroid_id, rank): each query's nprobe nearest cells."""
+    c = F.broadcast(centroids)
+    scored = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    ).join(c).withColumn("cos4", F.round(cosine(F.col("qv"), F.col("centroid")), 4))
+    w = W.partitionBy("query_id").orderBy(F.desc("cos4"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= nprobe)
+        .select("query_id", "centroid_id", "rank")
+    )

