@@ -43,6 +43,16 @@ DEFAULT_BATCH_SIZE_ROWS = 65_535  # batch_size_limit.rs:6-15
 DEFAULT_BATCH_MEMORY_BYTES = 2 * 1024**3  # 2 GiB
 
 
+#: reference encoding names (enum_args.rs:72-97) -> pyarrow encoding names
+COLUMN_ENCODINGS = {
+    "plain": "PLAIN",
+    "delta-binary-packed": "DELTA_BINARY_PACKED",
+    "delta-byte-array": "DELTA_BYTE_ARRAY",
+    "delta-length-byte-array": "DELTA_LENGTH_BYTE_ARRAY",
+    "rle": "RLE",
+}
+
+
 @dataclass
 class SinkOptions:
     compression: str = "zstd"  # reference default (enum_args.rs:56-59)
@@ -53,6 +63,12 @@ class SinkOptions:
     suffix_length: int = 2  # width of _NN suffix (parquet_writer.rs:232-250)
     no_empty_file: bool = False
     single_file: bool = False  # CLI-parity: exactly one .par file
+    #: ``{column: encoding}`` with reference encoding names
+    #: (``COLUMN:ENCODING`` pairs, enum_args.rs:72-97). Spark's writer can't
+    #: set per-column encodings, so this routes through the distributed
+    #: pyarrow sink (one file per task via mapInArrow — still no driver
+    #: materialization).
+    column_encodings: dict[str, str] | None = None
 
 
 def rows_per_batch(opts: SinkOptions, bytes_per_row: int) -> int:
@@ -87,6 +103,14 @@ def write_parquet(df: DataFrame, path: str, opts: SinkOptions | None = None) -> 
     bpr = estimate_bytes_per_row(df.schema)
     batch_rows = rows_per_batch(opts, bpr)
 
+    if opts.column_encodings:
+        if file_mode:
+            raise ValueError(
+                "column_encodings requires directory mode (the pyarrow sink); "
+                "splitting/single_file flags are file-mode only"
+            )
+        return _write_with_encodings(df, path, opts, batch_rows)
+
     writer = df.write.mode("overwrite").option("compression", opts.compression)
 
     if not file_mode:
@@ -113,6 +137,10 @@ def write_parquet(df: DataFrame, path: str, opts: SinkOptions | None = None) -> 
     w.parquet(staging)
 
     parts = sorted(glob.glob(os.path.join(staging, "part-*")))
+    return _finalize_parts(parts, path, opts, staging)
+
+
+def _finalize_parts(parts: list[str], path: str, opts: SinkOptions, staging: str) -> list[str]:
     produced: list[str] = []
     try:
         if len(parts) <= 1 and not (opts.row_groups_per_file or opts.file_size_threshold):
@@ -129,3 +157,71 @@ def write_parquet(df: DataFrame, path: str, opts: SinkOptions | None = None) -> 
     finally:
         shutil.rmtree(staging, ignore_errors=True)
     return produced
+
+
+def _write_with_encodings(
+    df: DataFrame, path: str, opts: SinkOptions, batch_rows: int
+) -> list[str]:
+    """Distributed pyarrow sink honoring per-column encodings (A13,
+    enum_args.rs:72-97).
+
+    Spark's parquet writer exposes no per-column encoding knob, so each
+    task streams its Arrow batches straight into its own file through a
+    pyarrow ParquetWriter (``mapInArrow`` — no shuffle, no driver
+    materialization, one file per partition like a normal distributed
+    write). Tasks write to a tmp name and rename on close, approximating
+    the reference's tempfile-until-finalized commit
+    (src/query/current_file.rs:14-80).
+    """
+    unknown = {
+        c: e for c, e in opts.column_encodings.items() if e not in COLUMN_ENCODINGS
+    }
+    if unknown:
+        raise ValueError(
+            f"unknown column encodings {unknown}; valid: {sorted(COLUMN_ENCODINGS)}"
+        )
+    missing = set(opts.column_encodings) - set(df.columns)
+    if missing:
+        raise ValueError(f"column_encodings for absent columns: {sorted(missing)}")
+
+    encodings = {c: COLUMN_ENCODINGS[e] for c, e in opts.column_encodings.items()}
+    # pyarrow requires dictionary off for explicitly-encoded columns
+    dict_cols = [c for c in df.columns if c not in encodings]
+    compression = opts.compression
+    out_dir = path
+    os.makedirs(out_dir, exist_ok=True)
+    for stale in glob.glob(os.path.join(out_dir, "part-*")):
+        os.remove(stale)
+
+    def write_partition(batches):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        final = os.path.join(out_dir, f"part-{pid:05d}.parquet")
+        tmp = final + ".tmp"
+        writer = None
+        try:
+            for batch in batches:
+                if writer is None:
+                    writer = pq.ParquetWriter(
+                        tmp,
+                        batch.schema,
+                        compression=compression,
+                        use_dictionary=dict_cols,
+                        column_encoding=encodings,
+                    )
+                writer.write_batch(batch)
+            if writer is not None:
+                writer.close()
+                os.replace(tmp, final)
+                yield pa.RecordBatch.from_pylist(
+                    [{"file": final}], schema=pa.schema([("file", pa.string())])
+                )
+        finally:
+            if writer is not None and os.path.exists(tmp):
+                os.remove(tmp)
+
+    files = df.mapInArrow(write_partition, "file string").collect()
+    return sorted(r.file for r in files)

@@ -103,3 +103,38 @@ def test_stdout_sink_unsupported_documented(engine):
     # the sink API takes paths only, so there's nothing to assert beyond
     # the write_parquet contract.
     assert callable(write_parquet)
+
+
+def test_column_encodings_distributed_sink(spark, tmp_path):
+    from odbc2parquet_spark.sinks.parquet_sink import write_parquet
+
+    df = spark.range(0, 5000, 1, 3).selectExpr("id", "cast(id as string) as s")
+    out = str(tmp_path / "enc")
+    files = write_parquet(
+        df, out, SinkOptions(column_encodings={"id": "delta-binary-packed"})
+    )
+    assert len(files) == 3
+    rg = pq.ParquetFile(files[0]).metadata.row_group(0)
+    by_col = {rg.column(i).path_in_schema: rg.column(i) for i in range(2)}
+    assert "DELTA_BINARY_PACKED" in by_col["id"].encodings
+    assert by_col["id"].compression == "ZSTD"
+    assert "RLE_DICTIONARY" in by_col["s"].encodings  # untouched column
+    back = spark.read.parquet(out)
+    assert back.count() == 5000
+    assert back.selectExpr("sum(id)").first()[0] == sum(range(5000))
+
+
+def test_column_encodings_validation(spark, tmp_path):
+    from odbc2parquet_spark.sinks.parquet_sink import write_parquet
+
+    df = spark.range(10)
+    with pytest.raises(ValueError, match="unknown column encodings"):
+        write_parquet(df, str(tmp_path / "x"), SinkOptions(column_encodings={"id": "bogus"}))
+    with pytest.raises(ValueError, match="absent columns"):
+        write_parquet(df, str(tmp_path / "y"), SinkOptions(column_encodings={"nope": "rle"}))
+    with pytest.raises(ValueError, match="directory mode"):
+        write_parquet(
+            df,
+            str(tmp_path / "z"),
+            SinkOptions(single_file=True, column_encodings={"id": "rle"}),
+        )
