@@ -44,3 +44,4 @@ from odbc2parquet_spark.queries import typemap  # noqa: E402,F401
 from odbc2parquet_spark.queries import dedup  # noqa: E402,F401
 from odbc2parquet_spark.queries import similarity  # noqa: E402,F401
 from odbc2parquet_spark.queries import textops  # noqa: E402,F401
+from odbc2parquet_spark.queries import events  # noqa: E402,F401

@@ -41,3 +41,52 @@ def test_sessionized_counts(spark, sf_dir):
     rows = out.collect()
     assert sum(r.n_events for r in rows) == ev.count()
     assert all(r.session_end > r.session_start for r in rows)
+
+
+def test_running_user_totals_state_across_batches(spark, tmp_path):
+    """applyInPandasWithState: state must persist across availableNow runs
+    (the checkpointed state store survives query restarts)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import types as T
+
+    from odbc2parquet_spark.streaming.stateful import running_user_totals
+
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+    schema = T.StructType(
+        [T.StructField("user_id", T.LongType()), T.StructField("value", T.DoubleType())]
+    )
+
+    def run_batch(rows, subdir):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / subdir)
+        )
+        stream = spark.readStream.schema(schema).option(
+            "recursiveFileLookup", "true"
+        ).parquet(str(src))
+        q = (
+            running_user_totals(stream)
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_batch([(1, 10.0), (1, 5.0), (2, 1.0)], "b1")
+    run_batch([(1, 2.0), (3, 7.0)], "b2")
+
+    res = spark.read.parquet(str(out))
+    latest = (
+        res.groupBy("user_id")
+        .agg(F.max("n_events").alias("n"), F.max("total_value").alias("tot"))
+        .collect()
+    )
+    got = {r.user_id: (r.n, r.tot) for r in latest}
+    assert got[1] == (3, 17.0)  # 2 events batch1 + 1 in batch2, state carried
+    assert got[2] == (1, 1.0)
+    assert got[3] == (1, 7.0)
