@@ -1,0 +1,80 @@
+"""Join strategies for scale: skew salting and bucketed co-location.
+
+AQE's skew-join split (on in session.py) handles most skew at runtime by
+splitting oversized partitions; these helpers cover the two cases it can't:
+
+- ``salted_join``: one key so hot that even a split partition's *build* side
+  explodes (e.g. joining events to a dimension where 40% of rows share one
+  key). Salting multiplies the small side by ``salt`` and spreads the big
+  side's hot key across ``salt`` reducers — bounded memory per task by
+  construction, at the cost of replicating the small side.
+- ``write_bucketed`` / bucketed reads: repeated big-big joins on a stable
+  key (fact-to-fact). Pre-bucketing both sides on the join key turns every
+  subsequent join into a zero-shuffle sort-merge — pay the shuffle once at
+  write time, never again. At 100 TB this is the difference between an
+  hours-long exchange and a local merge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    how: str = "inner",
+    salt: int = 16,
+    distribute_by: str | None = None,
+) -> DataFrame:
+    """Equi-join with the big side's hot keys spread across ``salt`` buckets.
+
+    The big side gets a deterministic salt from ``distribute_by`` (a
+    high-cardinality column; defaults to a hash of the whole row) so one
+    join key lands in ``salt`` different reducers; the small side is
+    replicated once per salt value (explode of a ``salt``-element array —
+    rows x salt, fine for dimension-sized inputs). Result equals
+    ``big.join(small, key, how)`` exactly.
+
+    Supported ``how``: inner / left — the shapes where the small side is a
+    lookup table. (Right/full would need the small side un-duplicated on
+    no-match; use the plain join + AQE there.)
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    dist = F.col(distribute_by) if distribute_by else F.hash(*[F.col(c) for c in big.columns])
+    b = big.withColumn("__salt", F.pmod(F.hash(dist), F.lit(salt)))
+    s = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    out = b.join(s, [key, "__salt"], how)
+    return out.drop("__salt")
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    buckets: int = 32,
+    sort: bool = True,
+) -> None:
+    """Persist ``df`` as a bucketed (and bucket-sorted) managed table.
+
+    Both sides of a recurring join bucketed with the SAME (key, buckets)
+    join with no Exchange — Catalyst sees the matching output partitioning
+    and plans a local sort-merge (and skips even the sort when
+    ``sort=True``).
+    """
+    w = df.write.mode("overwrite").bucketBy(buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    w.saveAsTable(table)
+
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, key: str, how: str = "inner"
+) -> DataFrame:
+    """Join two same-bucketed tables — zero-shuffle when bucket specs match."""
+    return spark.table(left_table).join(spark.table(right_table), key, how)

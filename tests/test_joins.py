@@ -1,0 +1,62 @@
+"""Scale join strategies: salting correctness + bucketed zero-shuffle."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from odbc2parquet_spark.operators.joins import bucketed_join, salted_join, write_bucketed
+
+
+def _explain(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_salted_join_equals_plain_join(spark):
+    # skewed big side: 90% of rows share key 1
+    big = spark.range(0, 10000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(1)).otherwise(F.col("id") % 100).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    small = spark.range(0, 100).select(F.col("id").alias("k"), (F.col("id") * 2).alias("dim"))
+    plain = big.join(small, "k").groupBy().agg(
+        F.count("*").alias("n"), F.sum("payload").alias("sp"), F.sum("dim").alias("sd")
+    ).first()
+    salted = salted_join(big, small, "k", salt=8).groupBy().agg(
+        F.count("*").alias("n"), F.sum("payload").alias("sp"), F.sum("dim").alias("sd")
+    ).first()
+    assert (plain.n, plain.sp, plain.sd) == (salted.n, salted.sp, salted.sd)
+
+
+def test_salted_left_join_keeps_unmatched(spark):
+    big = spark.range(0, 100).select((F.col("id") % 7).alias("k"), F.col("id").alias("p"))
+    small = spark.range(0, 3).select(F.col("id").alias("k"), F.lit("x").alias("d"))
+    plain = big.join(small, "k", "left")
+    salted = salted_join(big, small, "k", how="left", salt=4)
+    assert salted.count() == plain.count()
+    assert salted.filter(F.col("d").isNull()).count() == plain.filter(F.col("d").isNull()).count()
+
+
+def test_salted_join_rejects_unsupported_how(spark):
+    df = spark.range(1).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError):
+        salted_join(df, df, "k", how="full")
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    left = spark.range(0, 5000).select(F.col("id").alias("k"), (F.col("id") * 3).alias("a"))
+    right = spark.range(0, 5000).select(F.col("id").alias("k"), (F.col("id") * 5).alias("b"))
+    write_bucketed(left, "t_bleft", "k", buckets=8)
+    write_bucketed(right, "t_bright", "k", buckets=8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(spark, "t_bleft", "t_bright", "k")
+        plan = _explain(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # co-located: no shuffle either side
+        assert joined.count() == 5000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_bleft")
+        spark.sql("DROP TABLE IF EXISTS t_bright")
