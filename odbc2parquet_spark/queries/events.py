@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from odbc2parquet_spark.catalog import load_table
+from odbc2parquet_spark.operators.asof import asof_join
 from odbc2parquet_spark.queries import query
 from odbc2parquet_spark.streaming.transfer import (
     sessionized_counts,
@@ -86,4 +87,47 @@ def ev_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_seconds(F.col("session_start").cast("timestamp")).alias("session_start"),
         F.unix_seconds(F.col("session_end").cast("timestamp")).alias("session_end"),
         "n_events",
+    )
+
+
+@query(
+    "ev_asof_last_purchase",
+    oracle="""
+    WITH clicks AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+        SELECT user_id, ts, MAX(value) AS purchase_value
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id, ts
+    )
+    SELECT c.event_id,
+           c.user_id,
+           epoch_us(c.ts) AS ts_us,
+           epoch_us(p.ts) AS r_ts_us,
+           p.purchase_value AS r_purchase_value
+    FROM clicks c ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+)
+def ev_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click + the user's most recent purchase at or
+    before it. Spark lacks the operator; operators/asof.py builds it as a
+    union + one shuffle/sort + running last_value — sort-merge cost, no
+    time-overlap fan-out. The oracle is DuckDB's NATIVE ASOF JOIN, so the
+    two independent formulations must agree row-for-row."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    out = asof_join(clicks, purchases, key="user_id", left_ts="ts", right_ts="ts")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.unix_micros(F.col("r_ts").cast("timestamp")).alias("r_ts_us"),
+        "r_purchase_value",
     )

@@ -60,3 +60,23 @@ def test_bucketed_join_has_no_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_bleft")
         spark.sql("DROP TABLE IF EXISTS t_bright")
+
+
+def test_asof_join_semantics(spark):
+    from odbc2parquet_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 5, "c"), (2, 15, "d")],
+        ["k", "ts", "tag"],
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 18, 200.0), (2, 99, 300.0)], ["k", "ts", "v"]
+    )
+    out = {
+        r.tag: (r.r_ts, r.r_v)
+        for r in asof_join(left, right, "k", "ts", "ts").collect()
+    }
+    assert out["a"] == (10, 100.0)  # equal ts matches (<= semantics)
+    assert out["b"] == (18, 200.0)  # latest at-or-before wins
+    assert out["c"] == (None, None)  # nothing at-or-before -> nulls
+    assert out["d"] == (None, None)  # right exists but only later
