@@ -131,3 +131,36 @@ def ev_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.col("r_ts").cast("timestamp")).alias("r_ts_us"),
         "r_purchase_value",
     )
+
+
+def _bands() -> list[tuple[int, float, float]]:
+    """20 deterministic, overlapping value bands over [0, 500)."""
+    return [
+        (i, float((i * 37) % 450), float((i * 37) % 450 + 30 + (i % 7) * 10))
+        for i in range(20)
+    ]
+
+
+_BANDS_SQL = ", ".join(f"({b}, {lo}, {hi})" for b, lo, hi in _bands())
+
+
+@query(
+    "ev_range_join_bands",
+    oracle=f"""
+    WITH bands(band_id, lo, hi) AS (VALUES {_BANDS_SQL})
+    SELECT e.event_id, b.band_id, e.value
+    FROM events e JOIN bands b
+      ON e.value >= b.lo AND e.value < b.hi
+    """,
+)
+def ev_range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join of events to overlapping value bands. The
+    oracle is the naive theta join (fine at sf0.01); the Spark side runs
+    operators/ranges.range_join's binned equi-join — a hash match proves
+    the binned plan loses/duplicates nothing."""
+    from odbc2parquet_spark.operators.ranges import range_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    bands = spark.createDataFrame(_bands(), ["band_id", "lo", "hi"])
+    out = range_join(ev, bands, "value", "lo", "hi", bin_width=50.0)
+    return out.select("event_id", "band_id", "value")

@@ -511,3 +511,99 @@ def q_having_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_suppkey", F.col("total_dec").cast("double").alias("total"))
         .orderBy("l_suppkey")
     )
+
+
+# --- correlated EXISTS / NOT EXISTS ---
+
+@query(
+    "q_exists_correlated",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+                        AND o.o_totalprice < 50000)
+    ORDER BY c_custkey
+    """,
+)
+def q_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS/NOT EXISTS — planned as a semi-join plus an
+    anti-join on the correlation key (what Catalyst rewrites the subqueries
+    to anyway; spelled directly so the join strategy is explicit)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    big = o.filter(F.col("o_totalprice") > 400000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    cheap_f = o.filter(
+        (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") < 50000)
+    ).select(F.col("o_custkey").alias("c_custkey"))
+    return (
+        c.join(big, "c_custkey", "left_semi")
+        .join(cheap_f, "c_custkey", "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+# --- scalar subquery in the SELECT list ---
+
+@query(
+    "q_scalar_subquery",
+    oracle="""
+    SELECT n_name,
+           (SELECT COUNT(*) FROM customer c JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+            WHERE n2.n_name = n.n_name) AS n_customers
+    FROM nation n
+    ORDER BY n_name
+    """,
+)
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row scalar subquery -> broadcast left join against the
+    pre-aggregated subquery result (the decorrelated form)."""
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    counts = c.groupBy("c_nationkey").agg(F.count("*").alias("cnt"))
+    return (
+        n.join(F.broadcast(counts), n.n_nationkey == counts.c_nationkey, "left")
+        .select("n_name", F.coalesce(F.col("cnt"), F.lit(0)).alias("n_customers"))
+        .orderBy("n_name")
+    )
+
+
+# --- pivot / conditional aggregation ---
+
+@query(
+    "q_pivot_status",
+    oracle="""
+    SELECT o_custkey,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_partial,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS filled_value
+    FROM orders
+    GROUP BY o_custkey
+    ORDER BY o_custkey
+    """,
+)
+def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot via conditional aggregation (one pass, map-side combinable —
+    the scale-safe spelling of df.groupBy().pivot() with known keys)."""
+    o = load_table(spark, sf_dir, "orders")
+    def cnt(status):
+        return F.count(F.when(F.col("o_orderstatus") == status, 1))
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            cnt("O").alias("n_open"),
+            cnt("F").alias("n_filled"),
+            cnt("P").alias("n_partial"),
+            F.sum(
+                F.when(F.col("o_orderstatus") == "F", _dec(F.col("o_totalprice")))
+            ).cast("double").alias("filled_value"),
+        )
+        .orderBy("o_custkey")
+    )

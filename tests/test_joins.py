@@ -80,3 +80,16 @@ def test_asof_join_semantics(spark):
     assert out["b"] == (18, 200.0)  # latest at-or-before wins
     assert out["c"] == (None, None)  # nothing at-or-before -> nulls
     assert out["d"] == (None, None)  # right exists but only later
+
+
+def test_range_join_edges(spark):
+    from odbc2parquet_spark.operators.ranges import range_join
+
+    pts = spark.createDataFrame([(1, 0.0), (2, 9.999), (3, 10.0), (4, 25.0)], ["pid", "v"])
+    iv = spark.createDataFrame([(100, 0.0, 10.0), (200, 5.0, 30.0)], ["iid", "lo", "hi"])
+    out = {(r.pid, r.iid) for r in range_join(pts, iv, "v", "lo", "hi", 10.0).collect()}
+    # half-open: v=10.0 not in [0,10), but in [5,30)
+    assert out == {(1, 100), (2, 100), (2, 200), (3, 200), (4, 200)}
+    left = range_join(pts.union(spark.createDataFrame([(5, 99.0)], ["pid", "v"])),
+                      iv, "v", "lo", "hi", 10.0, how="left")
+    assert left.filter("pid = 5").first().iid is None
