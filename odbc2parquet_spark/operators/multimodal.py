@@ -115,3 +115,61 @@ def frame_sample(binary_df: DataFrame, every_n_bytes: int = 97) -> DataFrame:
     return binary_df.select("doc_id", F.explode(frames).alias("f")).select(
         "doc_id", F.col("f.frame_no").alias("frame_no"), F.col("f.byte_val").alias("byte_val")
     )
+
+
+#: resize output: metadata + the resized payload itself (binary travels on)
+RESIZE_SCHEMA = (
+    "doc_id long, out_width int, out_height int, out_n_bytes long, "
+    "out_checksum long, resized binary"
+)
+
+
+def _resize_fake(payload: bytes, target: int) -> bytes:
+    """Deterministic stand-in for pixel resampling: cycle the byte stream
+    to the target buffer size (floor-cycles + prefix)."""
+    if not payload:
+        return b"\x00" * target
+    reps = target // len(payload) + 1
+    return (payload * reps)[:target]
+
+
+def resize_images(
+    binary_df: DataFrame, target_w: int = 16, target_h: int = 12, channels: int = 3
+) -> DataFrame:
+    """'Resize' each binary payload to a fixed target_w x target_h buffer.
+
+    Real pipeline shape: mapInPandas over (id, payload) with the resized
+    payload returned as a binary column (so downstream stages keep
+    operating on columnar binary) plus verifiable metadata. The pixel
+    resample itself is stubbed (no codec libs here): tries PIL, falls back
+    to deterministic byte-cycling the oracle can recompute.
+    """
+    target = target_w * target_h * channels
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                payload = bytes(payload)
+                try:
+                    _decode_real(payload)  # raises NotImplementedError here
+                    raise AssertionError("real resize path unreachable in tests")
+                except NotImplementedError:
+                    resized = _resize_fake(payload, target)
+                checksum = sum(resized) % 1_000_000_007
+                rows.append(
+                    (doc_id, target_w, target_h, target, checksum, bytearray(resized))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "out_width",
+                    "out_height",
+                    "out_n_bytes",
+                    "out_checksum",
+                    "resized",
+                ],
+            )
+
+    return binary_df.select("doc_id", "payload").mapInPandas(run, RESIZE_SCHEMA)

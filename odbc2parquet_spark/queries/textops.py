@@ -146,3 +146,35 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the explode-to-frames shape of video sampling)."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     return M.frame_sample(M.attach_binary(docs), every_n_bytes=97)
+
+
+@query(
+    "mm_resize",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, text, length(text) AS n FROM documents WHERE doc_id < 200
+    ),
+    s AS (
+        SELECT doc_id, n,
+               list_sum(list_transform(generate_series(1, n),
+                        i -> ascii(substring(text, i, 1)))) AS total,
+               CASE WHEN 576 % n = 0 THEN 0 ELSE
+                   list_sum(list_transform(generate_series(1, 576 % n),
+                            i -> ascii(substring(text, i, 1))))
+               END AS prefix
+        FROM d
+    )
+    SELECT doc_id, 16 AS out_width, 12 AS out_height,
+           CAST(576 AS BIGINT) AS out_n_bytes,
+           CAST(((576 // n) * total + prefix) % 1000000007 AS BIGINT) AS out_checksum
+    FROM s
+    """,
+)
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing: binary in -> resized binary out via mapInPandas
+    (resample stubbed as deterministic byte-cycling; the oracle recomputes
+    the cycled checksum arithmetically). The resized binary column is
+    dropped for hashing but is the real output of the operator."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    out = M.resize_images(M.attach_binary(docs), 16, 12, 3)
+    return out.select("doc_id", "out_width", "out_height", "out_n_bytes", "out_checksum")

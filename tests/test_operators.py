@@ -180,3 +180,14 @@ def test_ivf_refine_centroids_moves_to_mean(spark):
     ref = {r.centroid_id: r.centroid for r in S.ivf_refine_centroids(vecs, seed, 1).collect()}
     assert ref[0] == pytest.approx([0.9, 0.1], abs=1e-6)
     assert ref[1] == pytest.approx([0.1, 0.9], abs=1e-6)
+
+
+def test_resize_images_binary_roundtrip(docs):
+    out = M.resize_images(M.attach_binary(docs), 4, 3, 3).collect()
+    assert all(len(bytes(r.resized)) == 36 for r in out)
+    by_id = {r.doc_id: r for r in out}
+    src = {r.doc_id: r.text.encode() for r in docs.collect()}
+    for i, payload in src.items():
+        expect = (payload * (36 // len(payload) + 1))[:36]
+        assert bytes(by_id[i].resized) == expect
+        assert by_id[i].out_checksum == sum(expect) % 1_000_000_007
