@@ -1,0 +1,87 @@
+"""Plan invariants for every registered query — the scale contract.
+
+A query that silently plans a CartesianProduct/BroadcastNestedLoopJoin (or
+drops filter pushdown) would still pass value checks at sf0.01 but die at
+100 TB; these tests pin the physical plan shape itself.
+"""
+
+import pytest
+
+from odbc2parquet_spark.queries import QUERIES
+
+#: intentional all-pairs/theta operators — quadratic by design, documented
+#: as verification-only (never the scale path).
+ALL_PAIRS_OK = {
+    "dd_ngram_jaccard",      # bounded-slice verification
+    "dd_simhash_pairs",      # all-pairs verification (dd_simhash_banded is the scale path)
+    "dd_embedding_cosine",   # all-pairs verification (sim_lsh_* / sim_ivf_* scale paths)
+    "sim_bruteforce_topk",   # exactness baseline: broadcast probes BY DESIGN
+    "q_scalar_functions",    # no join at all; harmless
+}
+
+#: broadcast cross-joins against a BOUNDED side (scalar aggregate or the
+#: k_cells centroid set) — linear in the big input, correct at any scale.
+BOUNDED_CROSS_OK = {
+    "q_having_subquery",  # 1-row scalar threshold broadcast
+    "sim_ivf_assign",     # corpus x 16 centroids (the assign pass itself)
+    "sim_ivf_topk",       # same centroid scoring inside the search
+}
+ALL_PAIRS_OK |= BOUNDED_CROSS_OK
+
+#: queries whose dimension joins must broadcast (small side < threshold)
+MUST_BROADCAST = ["q_broadcast_dims", "q_join_revenue_topn"]
+
+#: queries whose scan must carry pushed filters
+MUST_PUSH = ["q_filter_pushdown", "q_param_binding", "q_exists_correlated"]
+
+
+def _formatted(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    return {name: _formatted(fn(spark, sf_dir)) for name, fn in QUERIES.items()}
+
+
+def test_no_unintended_quadratic_joins(plans):
+    offenders = {
+        name
+        for name, plan in plans.items()
+        if name not in ALL_PAIRS_OK
+        and ("CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan)
+    }
+    assert not offenders, f"quadratic join shapes appeared in: {sorted(offenders)}"
+
+
+def test_dimension_joins_broadcast(plans):
+    for name in MUST_BROADCAST:
+        assert "BroadcastHashJoin" in plans[name], f"{name} lost its broadcast join"
+
+
+def test_ivf_broadcasts_centroids(plans):
+    # centroid scoring must broadcast the (tiny) centroid side, never
+    # shuffle the corpus
+    assert "BroadcastExchange" in plans["sim_ivf_assign"]
+
+
+def test_filters_reach_parquet_scan(plans):
+    for name in MUST_PUSH:
+        plan = plans[name]
+        assert "PushedFilters: [" in plan and "PushedFilters: []" not in plan.replace(
+            "PushedFilters: [],", "PushedFilters: []"
+        ), f"{name} lost filter pushdown"
+
+
+def test_no_collect_based_plans(plans):
+    # every registered query must be a single distributed plan — a query
+    # built via driver-side collect would show up as a LocalTableScan root
+    for name, plan in plans.items():
+        first_node = next(
+            (l for l in plan.splitlines() if l.strip().startswith("(1)")), ""
+        )
+        assert "LocalTableScan" not in first_node, f"{name} materializes on the driver"
