@@ -38,12 +38,21 @@ HEADLINE = [
     "dd_minhash_signatures",
     "dd_minhash_lsh",
     "dd_simhash",
+    "dd_simhash_banded",
     "sim_lsh_signatures",
     "sim_bruteforce_topk",
+    "sim_ivf_assign",
+    "sim_ivf_topk",
     "tx_token_stats",
     "tx_quality_scores",
     "tx_language_id",
     "tx_fingerprint",
+    "ev_windowed_counts",
+    "ev_sessionized",
+    "ev_asof_last_purchase",
+    "ev_range_join_bands",
+    "mm_decode_features",
+    "mm_resize",
 ]
 
 

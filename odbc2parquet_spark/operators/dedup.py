@@ -292,8 +292,11 @@ def simhash_banded_pairs(
         )
         for b in range(bands)
     ]
-    melted = sig.select("id", F.explode(F.array(*entries)).alias("bk")).select(
-        "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    # carry the signature into the bucket rows: pairs come out with both
+    # sigs attached, so the hamming verify is a narrow map — no join back,
+    # and the signature subtree is computed exactly once.
+    melted = sig.select("id", "simhash", F.explode(F.array(*entries)).alias("bk")).select(
+        "id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
     w = Window.partitionBy("band", "key")
     bounded = (
@@ -301,20 +304,18 @@ def simhash_banded_pairs(
         .filter(F.col("bucket_n") <= max_bucket)
         .drop("bucket_n")
     )
-    buckets = bounded.groupBy("band", "key").agg(F.collect_list("id").alias("ids"))
-    cand = (
-        buckets.filter(F.size("ids") >= 2)
-        .select(F.explode("ids").alias("id_a"), "ids")
-        .select("id_a", F.explode("ids").alias("id_b"))
-        .filter(F.col("id_a") < F.col("id_b"))
-        .distinct()
+    buckets = bounded.groupBy("band", "key").agg(
+        F.collect_list(F.struct("id", "simhash")).alias("members")
     )
-    a = sig.select(F.col("id").alias("id_a"), F.col("simhash").alias("sig_a"))
-    b = sig.select(F.col("id").alias("id_b"), F.col("simhash").alias("sig_b"))
     return (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
-        .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        buckets.filter(F.size("members") >= 2)
+        .select(F.explode("members").alias("a"), "members")
+        .select("a", F.explode("members").alias("b"))
+        .filter(F.col("a.id") < F.col("b.id"))
+        .withColumn(
+            "hamming", F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+        )
+        .filter(F.col("hamming") <= max_hamming)  # narrow, BEFORE the distinct shuffle
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "hamming")
+        .distinct()
     )

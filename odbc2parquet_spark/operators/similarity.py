@@ -54,15 +54,32 @@ def brute_force_topk(
     Broadcasts the (small) query side; corpus partitioning untouched —
     at 100 TB the corpus streams through map tasks, each scoring against
     the in-memory probe set, then a per-query top-k (window over rounded
-    cosine with id tiebreak for determinism).
+    cosine with id tiebreak for determinism). Norms are computed once per
+    row BEFORE the cross-scoring, so each pair costs one fold (the dot),
+    not three.
     """
     q = F.broadcast(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            norm_sq(F.col(vec_col)).alias("qnsq"),
+        )
     )
-    v = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec"))
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nvec"),
+        norm_sq(F.col(vec_col)).alias("nnsq"),
+    )
     scored = (
         v.join(q, F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos4", F.round(cosine(F.col("qvec"), F.col("nvec")), 4))
+        .withColumn(
+            "cos4",
+            F.round(
+                dot(F.col("qvec"), F.col("nvec"))
+                / F.sqrt(F.col("qnsq") * F.col("nnsq")),
+                4,
+            ),
+        )
         .select("query_id", "neighbor_id", "cos4")
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos4"), F.asc("neighbor_id"))
@@ -160,11 +177,19 @@ def ivf_assign(
     Broadcast the centroids (tiny) against the corpus — a map-side join,
     the corpus never shuffles; the argmax is a per-vector window over
     k_cells rows with rounded-cosine + id tiebreak for determinism.
+    Norms computed once per row before the cross: one fold per pair.
     """
-    c = F.broadcast(centroids)
-    scored = vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")).join(
-        c
-    ).withColumn("cos4", F.round(cosine(F.col("v"), F.col("centroid")), 4))
+    c = F.broadcast(centroids.withColumn("csq", norm_sq(F.col("centroid"))))
+    scored = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("v"),
+        norm_sq(F.col(vec_col)).alias("vsq"),
+    ).join(c).withColumn(
+        "cos4",
+        F.round(
+            dot(F.col("v"), F.col("centroid")) / F.sqrt(F.col("vsq") * F.col("csq")), 4
+        ),
+    )
     w = W.partitionBy("vec_id").orderBy(F.desc("cos4"), F.asc("centroid_id"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))
@@ -242,7 +267,8 @@ def ivf_search(
         cand.join(F.broadcast(q), "query_id")
         .join(v, "neighbor_id")
         .withColumn("cos4", F.round(cosine(F.col("qvec"), F.col("nvec")), 4))
-    )
+    )  # candidate set is already nprobe/k_cells of the corpus; per-pair
+    # norm folds are acceptable here (queries are few)
     w = W.partitionBy("query_id").orderBy(F.desc("cos4"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
