@@ -246,3 +246,44 @@ def dd_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine4") >= 0.4)
         .select("id_a", "id_b", F.col("cosine4").cast("decimal(8,4)").alias("cosine4"))
     )
+
+
+@query(
+    "dd_dup_clusters",
+    oracle="""
+    WITH RECURSIVE n AS (
+        SELECT vec_id,
+               list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nsq,
+               embedding
+        FROM embeddings
+    ),
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM n a JOIN n b ON a.vec_id < b.vec_id
+        WHERE ROUND(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                     x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                    / SQRT(a.nsq * b.nsq), 4) >= 0.4
+    ),
+    sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+    cc(id, label) AS (
+        SELECT vec_id, vec_id FROM embeddings
+        UNION
+        SELECT s.dst, c.label FROM cc c JOIN sym s ON s.src = c.id
+    )
+    SELECT id, MIN(label) AS cluster_id, (id = MIN(label)) AS is_canonical
+    FROM cc GROUP BY id
+    """,
+)
+def dd_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs -> duplicate CLUSTERS via iterative min-label
+    propagation (operators/graph.connected_components) with min-id keeper
+    marking. The oracle recomputes components with a recursive CTE — two
+    utterly different fixpoint engines must agree on every label."""
+    from odbc2parquet_spark.operators.graph import duplicate_clusters
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = dd_embedding_cosine(spark, sf_dir).select("id_a", "id_b")
+    nodes = emb.select(F.col("vec_id").alias("id"))
+    return duplicate_clusters(nodes, pairs)

@@ -191,3 +191,19 @@ def test_resize_images_binary_roundtrip(docs):
         expect = (payload * (36 // len(payload) + 1))[:36]
         assert bytes(by_id[i].resized) == expect
         assert by_id[i].out_checksum == sum(expect) % 1_000_000_007
+
+
+def test_connected_components_chain_and_isolate(spark):
+    from odbc2parquet_spark.operators.graph import connected_components, duplicate_clusters
+
+    nodes = spark.createDataFrame([(i,) for i in range(7)], ["id"])
+    # chain 0-1-2-3 (diameter > 1 forces multiple propagation rounds),
+    # pair 4-5, isolate 6
+    edges = spark.createDataFrame(
+        [(1, 0), (1, 2), (2, 3), (4, 5)], ["id_a", "id_b"]
+    )
+    cc = {r.id: r.component for r in connected_components(nodes, edges).collect()}
+    assert cc == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4, 6: 6}
+    cl = {r.id: (r.cluster_id, r.is_canonical)
+          for r in duplicate_clusters(nodes, edges).collect()}
+    assert cl[0] == (0, True) and cl[3] == (0, False) and cl[6] == (6, True)
