@@ -1,0 +1,67 @@
+"""Hierarchical time rollups (hypertable-style continuous aggregates).
+
+The scale pattern for time-series retention: maintain the finest bucket
+(e.g. 5 min) incrementally, and compute every coarser granularity FROM the
+next finer one — sum-of-sums and sum-of-counts re-aggregate exactly, so
+the hourly rollup reads 12 rows per key instead of raw events, and the
+daily reads 24. At 100 TB of events the raw scan happens once; every
+dashboard granularity above it is a cascade over already-tiny aggregates.
+
+Exactness: partial sums are DECIMAL, so re-aggregation is bit-identical
+to aggregating the raw events directly (floats would drift by summation
+order) — the property the oracle checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: supported bucket widths, seconds
+GRANULARITIES = {"5 minutes": 300, "1 hour": 3600, "1 day": 86400}
+
+
+def bucket_aggregate(
+    events: DataFrame,
+    width: str = "5 minutes",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Finest-level aggregate from raw events: (bucket_start, key, n, sum)."""
+    secs = GRANULARITIES[width]
+    bucket = (F.unix_seconds(F.col(ts_col).cast("timestamp")) / secs).cast("long") * secs
+    return events.groupBy(
+        bucket.alias("bucket_start"), F.col(key_col).alias("key")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col(value_col).cast("decimal(18,6)")).alias("sum_value"),
+    )
+
+
+def coarsen(agg: DataFrame, to_width: str) -> DataFrame:
+    """Re-aggregate a finer rollup into a coarser one — reads the rollup,
+    never the raw events. Exact because n/sum_value re-aggregate."""
+    secs = GRANULARITIES[to_width]
+    bucket = (F.col("bucket_start") / secs).cast("long") * secs
+    return agg.groupBy(bucket.alias("bucket_start"), "key").agg(
+        F.sum("n").alias("n"),
+        F.sum("sum_value").alias("sum_value"),
+    )
+
+
+def rollup_cascade(
+    events: DataFrame,
+    widths: tuple[str, ...] = ("5 minutes", "1 hour", "1 day"),
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> dict[str, DataFrame]:
+    """All granularities, each computed from the previous level."""
+    out: dict[str, DataFrame] = {}
+    cur = bucket_aggregate(events, widths[0], ts_col, key_col, value_col)
+    out[widths[0]] = cur
+    for w in widths[1:]:
+        cur = coarsen(cur, w)
+        out[w] = cur
+    return out

@@ -164,3 +164,29 @@ def ev_range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = spark.createDataFrame(_bands(), ["band_id", "lo", "hi"])
     out = range_join(ev, bands, "value", "lo", "hi", bin_width=50.0)
     return out.select("event_id", "band_id", "value")
+
+
+@query(
+    "ev_rollup_daily",
+    oracle="""
+    SELECT CAST(FLOOR(epoch(ts) / 86400) * 86400 AS BIGINT) AS bucket_start,
+           event_type AS key,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def ev_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: the daily rollup is computed
+    from the hourly, which is computed from the 5-minute, which alone reads
+    raw events (operators/rollup.rollup_cascade). The oracle aggregates the
+    raw events directly — a hash match proves the cascade re-aggregates
+    EXACTLY (decimal partials, no float drift)."""
+    from odbc2parquet_spark.operators.rollup import rollup_cascade
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = rollup_cascade(ev)["1 day"]
+    return daily.select(
+        "bucket_start", "key", "n", F.col("sum_value").cast("double").alias("total")
+    )

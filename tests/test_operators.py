@@ -207,3 +207,15 @@ def test_connected_components_chain_and_isolate(spark):
     cl = {r.id: (r.cluster_id, r.is_canonical)
           for r in duplicate_clusters(nodes, edges).collect()}
     assert cl[0] == (0, True) and cl[3] == (0, False) and cl[6] == (6, True)
+
+
+def test_rollup_cascade_matches_direct(spark, sf_dir):
+    from odbc2parquet_spark.catalog import load_table
+    from odbc2parquet_spark.operators.rollup import bucket_aggregate, rollup_cascade
+
+    ev = load_table(spark, sf_dir, "events")
+    cascade_hourly = rollup_cascade(ev)["1 hour"]
+    direct_hourly = bucket_aggregate(ev, "1 hour")
+    a = {(r.bucket_start, r.key): (r.n, r.sum_value) for r in cascade_hourly.collect()}
+    b = {(r.bucket_start, r.key): (r.n, r.sum_value) for r in direct_hourly.collect()}
+    assert a == b  # re-aggregation is exact, level by level
