@@ -1,0 +1,222 @@
+"""CLI parity with the reference's subcommands (reference src/main.rs:49-78).
+
+    python -m odbc2parquet_spark query  [opts] OUT.par SQL [params...]
+    python -m odbc2parquet_spark insert [opts] IN.par TABLE
+    python -m odbc2parquet_spark exec   [opts] IN.par STATEMENT
+    python -m odbc2parquet_spark list-drivers
+    python -m odbc2parquet_spark list-data-sources
+    python -m odbc2parquet_spark completions
+
+Where the reference connects via ODBC (DSN / connection string,
+src/connection.rs:36-88), this engine's sources are either a JDBC URL
+(``--jdbc-url``; Spark reads through the driver with pushdown) or a
+directory of parquet tables registered as views (``--tables-dir`` — Spark
+IS the DBMS). SQL text is taken verbatim, ``?`` params bind positionally
+(src/query.rs:63-66 -> spark.sql args), ``-`` reads the statement from
+stdin (src/query.rs:118-126).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _add_connection_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--tables-dir", help="directory of <table>.parquet files to register")
+    p.add_argument("--jdbc-url", help="JDBC URL of a remote source")
+    p.add_argument("--user", default=None)
+    p.add_argument("--password", default=None)
+
+
+def _add_sink_args(p: argparse.ArgumentParser) -> None:
+    # flag names follow the reference CLI (src/main.rs); defaults match.
+    p.add_argument("--batch-size-row", type=int, default=None)
+    p.add_argument("--batch-size-memory", type=int, default=None)
+    p.add_argument("--row-groups-per-file", type=int, default=0)
+    p.add_argument("--file-size-threshold", type=int, default=0)
+    p.add_argument("--suffix-length", type=int, default=2)
+    p.add_argument("--no-empty-file", action="store_true")
+    p.add_argument("--single-file", action="store_true")
+    p.add_argument("--column-compression-default", default="zstd")
+    p.add_argument(
+        "--parquet-column-encoding",
+        action="append",
+        default=[],
+        metavar="COLUMN:ENCODING",
+        help="per-column encoding (plain, delta-binary-packed, ...)",
+    )
+    p.add_argument("--avoid-decimal", action="store_true")
+    p.add_argument("--prefer-varbinary", action="store_true")
+    p.add_argument("--column-length-limit", type=int, default=None)
+    p.add_argument(
+        "--sequential-fetching",
+        action="store_true",
+        help="accepted for CLI parity; Spark pipelines fetch+write regardless",
+    )
+    p.add_argument(
+        "--encoding",
+        default="auto",
+        help="accepted for CLI parity; JVM strings are encoding-managed",
+    )
+
+
+def _add_dbapi_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument(
+        "--dbapi",
+        help="PEP-249 module name for the write-back target (e.g. sqlite3)",
+    )
+    p.add_argument(
+        "--dbapi-connect",
+        help="argument passed to MODULE.connect(...) on each executor",
+    )
+
+
+def _connection_factory(module_name: str, connect_arg: str | None):
+    def factory():
+        import importlib
+
+        mod = importlib.import_module(module_name)
+        return mod.connect(connect_arg) if connect_arg else mod.connect()
+
+    return factory
+
+
+def _parse_encodings(pairs: list[str]) -> dict[str, str] | None:
+    if not pairs:
+        return None
+    out = {}
+    for pair in pairs:
+        col, _, enc = pair.partition(":")
+        if not enc:
+            raise SystemExit(f"--parquet-column-encoding expects COLUMN:ENCODING, got {pair!r}")
+        out[col] = enc
+    return out
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="odbc2parquet_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    q = sub.add_parser("query", help="SQL -> parquet")
+    _add_connection_args(q)
+    _add_sink_args(q)
+    q.add_argument("out", help="output path (.par file or directory)")
+    q.add_argument("sql", help="SQL text, or - for stdin")
+    q.add_argument("params", nargs="*", help="positional ? parameters")
+
+    ins = sub.add_parser("insert", help="parquet -> table append")
+    _add_connection_args(ins)
+    _add_dbapi_args(ins)
+    ins.add_argument("input", help="input parquet path")
+    ins.add_argument("table", help="target table name")
+
+    ex = sub.add_parser("exec", help="parquet columns bound to ?col? placeholders")
+    _add_connection_args(ex)
+    _add_dbapi_args(ex)
+    ex.add_argument("input", help="input parquet path")
+    ex.add_argument("statement", help="SQL with ?col? named placeholders")
+
+    sub.add_parser("list-drivers")
+    sub.add_parser("list-data-sources")
+    sub.add_parser("completions")
+    return ap
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = _build_parser().parse_args(argv)
+
+    if args.cmd == "completions":
+        # the reference emits shell completion scripts (src/main.rs:363-367);
+        # argparse has no built-in generator — document the gap.
+        print("# completions: use argcomplete or your shell's python -m completion")
+        return 0
+
+    from odbc2parquet_spark.session import get_spark
+
+    spark = get_spark("cli")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if args.cmd == "list-drivers":
+        from odbc2parquet_spark.sources.listing import list_drivers
+
+        print(json.dumps(list_drivers(spark)))
+        return 0
+    if args.cmd == "list-data-sources":
+        from odbc2parquet_spark.sources.listing import list_data_sources
+
+        print(json.dumps(list_data_sources(spark)))
+        return 0
+
+    if args.cmd == "query":
+        from odbc2parquet_spark.engine import Engine
+        from odbc2parquet_spark.sinks.parquet_sink import SinkOptions
+
+        sql = sys.stdin.read() if args.sql == "-" else args.sql
+        if args.tables_dir:
+            engine = Engine.for_sf_dir(spark, args.tables_dir)
+        elif args.jdbc_url:
+            from odbc2parquet_spark.sources.jdbc import ConnectOpts, read_query
+
+            df = read_query(
+                spark,
+                ConnectOpts(url=args.jdbc_url, user=args.user, password=args.password),
+                sql,
+            )
+            df.createOrReplaceTempView("__jdbc_result__")
+            engine = Engine(spark)
+            sql = "SELECT * FROM __jdbc_result__"
+        else:
+            raise SystemExit("query needs --tables-dir or --jdbc-url")
+        sink = SinkOptions(
+            compression=args.column_compression_default,
+            batch_size_rows=args.batch_size_row,
+            batch_memory_bytes=args.batch_size_memory,
+            row_groups_per_file=args.row_groups_per_file,
+            file_size_threshold=args.file_size_threshold,
+            suffix_length=args.suffix_length,
+            no_empty_file=args.no_empty_file,
+            single_file=args.single_file or args.out.endswith(".par"),
+            column_encodings=_parse_encodings(args.parquet_column_encoding),
+        )
+        produced = engine.query_to_parquet(sql, args.out, params=args.params, sink=sink)
+        print(json.dumps({"written": produced}))
+        return 0
+
+    if args.cmd in ("insert", "exec"):
+        from odbc2parquet_spark.sinks.writeback import execute_parquet, insert_parquet
+
+        factory = (
+            _connection_factory(args.dbapi, args.dbapi_connect) if args.dbapi else None
+        )
+        if args.cmd == "insert":
+            if not (args.jdbc_url or factory):
+                raise SystemExit("insert needs --jdbc-url or --dbapi")
+            jdbc_options = {}
+            if args.user:
+                jdbc_options["user"] = args.user
+            if args.password:
+                jdbc_options["password"] = args.password
+            n = insert_parquet(
+                spark,
+                args.input,
+                args.table,
+                jdbc_url=args.jdbc_url,
+                jdbc_options=jdbc_options or None,
+                connection_factory=factory,
+            )
+        else:
+            if factory is None:
+                raise SystemExit("exec needs --dbapi (a PEP-249 write-back target)")
+            n = execute_parquet(
+                spark, args.input, args.statement, connection_factory=factory
+            )
+        print(json.dumps({"rows": n}))
+        return 0
+
+    raise SystemExit(f"unknown command {args.cmd}")  # pragma: no cover
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,67 @@
+"""CLI parity surface: python -m odbc2parquet_spark <subcommand>."""
+
+import json
+import os
+
+import pyarrow.parquet as pq
+
+from odbc2parquet_spark.__main__ import main
+
+
+def test_cli_query_single_file(spark, sf_dir, tmp_path, capsys):
+    out = str(tmp_path / "out.par")
+    rc = main(
+        [
+            "query",
+            "--tables-dir", sf_dir,
+            out,
+            "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+        ]
+    )
+    assert rc == 0
+    written = json.loads(capsys.readouterr().out)["written"]
+    assert written == [out] and os.path.isfile(out)
+    t = pq.read_table(out)
+    assert t.num_rows == 5 and t.column_names == ["r_regionkey", "r_name"]
+
+
+def test_cli_query_params_and_stdin_flagparity(spark, sf_dir, tmp_path, capsys):
+    out = str(tmp_path / "o")
+    rc = main(
+        [
+            "query",
+            "--tables-dir", sf_dir,
+            "--column-compression-default", "snappy",
+            "--sequential-fetching",  # parity no-op
+            out,
+            "SELECT n_nationkey FROM nation WHERE n_regionkey = ?",
+            "2",
+        ]
+    )
+    assert rc == 0
+    produced = json.loads(capsys.readouterr().out)["written"]
+    assert produced == [out]
+    assert spark.read.parquet(out).count() == 5
+
+
+def test_cli_exec_via_sqlite(spark, sf_dir, tmp_path, capsys):
+    import sqlite3
+
+    src = str(tmp_path / "in")
+    spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]).coalesce(1).write.parquet(src)
+    db = str(tmp_path / "t.db")
+    with sqlite3.connect(db) as c:
+        c.execute("CREATE TABLE target (k INTEGER, v TEXT)")
+    rc = main(
+        ["exec", "--dbapi", "sqlite3", "--dbapi-connect", db,
+         src, "INSERT INTO target (k, v) VALUES (?k?, ?v?)"]
+    )
+    assert rc == 0
+    assert json.loads(capsys.readouterr().out)["rows"] == 2
+    with sqlite3.connect(db) as c:
+        assert sorted(c.execute("SELECT k, v FROM target").fetchall()) == [(1, "a"), (2, "b")]
+
+
+def test_cli_list_drivers(spark, capsys):
+    assert main(["list-drivers"]) == 0
+    assert isinstance(json.loads(capsys.readouterr().out), list)
