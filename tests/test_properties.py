@@ -1,0 +1,71 @@
+"""Property-based tests (hypothesis) for the pure-Python spec surfaces:
+the ?name? placeholder parser (reference src/execute.rs:64-109 semantics)
+and the TIME text<->int converters (src/query/time.rs tiers)."""
+
+import random
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from odbc2parquet_spark.params import to_positional
+
+_name = st.text(alphabet=string.ascii_letters + "_", min_size=1, max_size=8)
+_plain = st.text(
+    alphabet=string.ascii_letters + string.digits + " ,=()<>'\n", max_size=20
+)
+
+
+@given(st.lists(st.tuples(_plain, _name), min_size=0, max_size=6), _plain)
+@settings(max_examples=200, deadline=None)
+def test_placeholder_parse_properties(parts, tail):
+    stmt = "".join(p + f"?{n}?" for p, n in parts) + tail
+    positional, names = to_positional(stmt)
+    # one ? per placeholder, in order; names preserved with duplicates
+    assert names == [n for _, n in parts]
+    assert positional.count("?") == len(parts) + sum(p.count("?") for p, _ in parts) + tail.count("?")
+    # non-placeholder text survives verbatim
+    rebuilt = ""
+    rest = positional
+    for p, _ in parts:
+        assert rest.startswith(p + "?"), (stmt, positional)
+        rest = rest[len(p) + 1 :]
+    assert rest == tail
+
+
+@given(_plain)
+@settings(max_examples=100, deadline=None)
+def test_escaped_question_survives(plain):
+    stmt = plain + r"\?" + plain
+    positional, names = to_positional(stmt)
+    assert names == []
+    assert positional == plain + "?" + plain
+
+
+def test_time_text_int_roundtrip_batch(spark):
+    """500 seeded random times: format -> parse == arithmetic, all units."""
+    from pyspark.sql import functions as F
+
+    from odbc2parquet_spark.functions.timeutil import int_to_time_text, time_text_to_int
+
+    rng = random.Random(42)
+    rows = []
+    for _ in range(500):
+        h, m, s = rng.randrange(24), rng.randrange(60), rng.randrange(60)
+        us = rng.randrange(1_000_000)
+        total_us = ((h * 60 + m) * 60 + s) * 1_000_000 + us
+        rows.append((f"{h:02d}:{m:02d}:{s:02d}.{us:06d}", total_us))
+    df = spark.createDataFrame(rows, ["txt", "expect_us"])
+    got = df.select(
+        "txt",
+        "expect_us",
+        time_text_to_int(F.col("txt"), "us").alias("us"),
+        time_text_to_int(F.col("txt"), "ms").alias("ms"),
+        time_text_to_int(F.col("txt"), "ns").alias("ns"),
+        int_to_time_text(time_text_to_int(F.col("txt"), "us"), "us").alias("back"),
+    ).collect()
+    for r in got:
+        assert r.us == r.expect_us
+        assert r.ms == r.expect_us // 1000
+        assert r.ns == r.expect_us * 1000
+        assert r.back == r.txt
