@@ -17,6 +17,8 @@ ALL_PAIRS_OK = {
     "dd_embedding_cosine",   # all-pairs verification (sim_lsh_* / sim_ivf_* scale paths)
     "sim_bruteforce_topk",   # exactness baseline: broadcast probes BY DESIGN
     "q_scalar_functions",    # no join at all; harmless
+    "dd_dup_clusters",       # edges come from dd_embedding_cosine (above);
+                             # at scale the same components run on LSH pairs
 }
 
 #: broadcast cross-joins against a BOUNDED side (scalar aggregate or the
