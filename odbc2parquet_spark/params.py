@@ -71,11 +71,15 @@ def to_positional(statement: str) -> tuple[str, list[str]]:
     return "".join(out), names
 
 
-def quote_identifier(name: str) -> str:
-    """Injection-safe identifier quoting (backtick style for Spark SQL).
+def quote_identifier(name: str, style: str = "ansi") -> str:
+    """Injection-safe identifier quoting.
 
-    The reference interpolates table/column names into generated INSERT
+    ``ansi`` (double quotes) is what DBAPI targets speak (DuckDB,
+    PostgreSQL, SQLite); ``backtick`` is the Spark SQL/MySQL dialect. The
+    reference interpolates table/column names into generated INSERT
     statements with no protection (reference src/main.rs:258-261,
     src/insert.rs:55-66); SURVEY §2.3 flags this as a thing to do better.
     """
-    return "`" + name.replace("`", "``") + "`"
+    if style == "backtick":
+        return "`" + name.replace("`", "``") + "`"
+    return '"' + name.replace('"', '""') + '"'

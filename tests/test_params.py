@@ -47,4 +47,6 @@ def test_dangling_escape_errors():
 
 
 def test_quote_identifier_escapes_backticks():
-    assert quote_identifier("we`ird") == "`we``ird`"
+    assert quote_identifier("we`ird", style="backtick") == "`we``ird`"
+    assert quote_identifier('we"ird') == '"we""ird"'
+    assert quote_identifier("plain") == '"plain"' 

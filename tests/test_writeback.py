@@ -123,4 +123,72 @@ def test_non_primitive_rejected():
 
 def test_generated_statement_quotes_identifiers():
     stmt = generate_insert_statement("ta`ble", ["a", "b c"])
-    assert stmt == "INSERT INTO `ta``ble` (`a`, `b c`) VALUES (?, ?)"
+    assert stmt == 'INSERT INTO "ta`ble" ("a", "b c") VALUES (?, ?)'
+
+
+def test_insert_full_type_matrix_duckdb(spark, tmp_path):
+    """The reference's insert matrix (tests/integration.rs:2208-3798, every
+    type x optionality) against a STRONGLY typed DBAPI target: all integer
+    widths, both float widths, the three decimal classes (i32/i64/FLBA
+    precision tiers), date/timestamp, text, binary — each column carrying a
+    NULL in one row."""
+    import duckdb
+
+    schema = T.StructType(
+        [
+            T.StructField("c_bool", T.BooleanType()),
+            T.StructField("c_i8", T.ByteType()),
+            T.StructField("c_i16", T.ShortType()),
+            T.StructField("c_i32", T.IntegerType()),
+            T.StructField("c_i64", T.LongType()),
+            T.StructField("c_f32", T.FloatType()),
+            T.StructField("c_f64", T.DoubleType()),
+            T.StructField("c_dec9", T.DecimalType(9, 2)),
+            T.StructField("c_dec18", T.DecimalType(18, 4)),
+            T.StructField("c_dec38", T.DecimalType(38, 10)),
+            T.StructField("c_str", T.StringType()),
+            T.StructField("c_bin", T.BinaryType()),
+            T.StructField("c_date", T.DateType()),
+            T.StructField("c_ts", T.TimestampNTZType()),
+        ]
+    )
+    full = (
+        True, 127, -32768, 2**31 - 1, -(2**62),
+        1.25, -9.75,
+        decimal.Decimal("1234567.89"),
+        decimal.Decimal("12345678901234.5678"),
+        decimal.Decimal("1234567890123456789012345678.0123456789"),
+        "grüß-gott",
+        b"\x00\xff\x10",
+        datetime.date(1999, 12, 31),
+        datetime.datetime(2262, 4, 11, 23, 47, 16),
+    )
+    rows = [full, tuple(None for _ in full)]
+    path = str(tmp_path / "matrix.parquet")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(path)
+
+    db = str(tmp_path / "m.duckdb")
+    cols = ", ".join(f"{f.name} {t}" for f, t in zip(schema.fields, [
+        "BOOLEAN", "TINYINT", "SMALLINT", "INTEGER", "BIGINT", "FLOAT",
+        "DOUBLE", "DECIMAL(9,2)", "DECIMAL(18,4)", "DECIMAL(38,10)",
+        "VARCHAR", "BLOB", "DATE", "TIMESTAMP",
+    ]))
+    with duckdb.connect(db) as c:
+        c.execute(f"CREATE TABLE matrix ({cols})")
+
+    def factory():
+        return duckdb.connect(db)
+
+    n = insert_parquet(spark, path, "matrix", connection_factory=factory)
+    assert n == 2
+    with duckdb.connect(db) as c:
+        back = c.execute("SELECT * FROM matrix ORDER BY c_bool NULLS LAST").fetchall()
+    got_full, got_null = back
+    assert got_null == tuple(None for _ in full)
+    assert got_full[:5] == full[:5]
+    assert got_full[5] == pytest.approx(1.25) and got_full[6] == pytest.approx(-9.75)
+    assert got_full[7:10] == full[7:10]  # decimals exact through all 3 tiers
+    assert got_full[10] == "grüß-gott"
+    assert bytes(got_full[11]) == b"\x00\xff\x10"
+    assert got_full[12] == full[12]
+    assert got_full[13] == full[13]
