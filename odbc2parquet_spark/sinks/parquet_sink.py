@@ -97,6 +97,12 @@ def write_parquet(df: DataFrame, path: str, opts: SinkOptions | None = None) -> 
     opts = opts or SinkOptions()
     file_mode = opts.single_file or opts.row_groups_per_file or opts.file_size_threshold
 
+    if file_mode and os.path.isdir(path):
+        # shutil.move would silently drop the part INSIDE the directory;
+        # the reference treats a directory output path as an error
+        # (tests/integration.rs:181).
+        raise ValueError(f"output path {path!r} is an existing directory")
+
     if opts.no_empty_file and df.isEmpty():
         return []
 

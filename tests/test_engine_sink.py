@@ -138,3 +138,44 @@ def test_column_encodings_validation(spark, tmp_path):
             str(tmp_path / "z"),
             SinkOptions(single_file=True, column_encodings={"id": "rle"}),
         )
+
+
+def test_stdin_query(engine, monkeypatch):
+    import io
+
+    monkeypatch.setattr("sys.stdin", io.StringIO("SELECT r_regionkey FROM region"))
+    assert engine.query("-").count() == 5
+
+
+def test_zero_column_result_errors(spark):
+    from unittest import mock
+
+    from odbc2parquet_spark.engine import Engine, ZeroColumnError
+
+    eng = Engine(spark)
+    empty_cols = spark.range(3).select()
+    with mock.patch.object(spark, "sql", return_value=empty_cols):
+        with pytest.raises(ZeroColumnError):
+            eng.query("SELECT whatever")
+
+
+def test_dir_as_output_errors(engine, tmp_path):
+    target = tmp_path / "already_dir.par"
+    target.mkdir()
+    with pytest.raises(ValueError, match="existing directory"):
+        engine.query_to_parquet(
+            "SELECT r_regionkey FROM region", str(target), sink=SinkOptions(single_file=True)
+        )
+
+
+def test_column_length_limit_truncates(spark):
+    from pyspark.sql import functions as F
+
+    from odbc2parquet_spark.mappings import MappingOptions, SourceType, map_source_type
+
+    m = map_source_type(
+        SourceType(kind="varchar", length=100),
+        MappingOptions(column_length_limit=4),
+    )
+    df = spark.createDataFrame([("abcdefgh",)], ["t"]).select(m.apply(F.col("t")).alias("t"))
+    assert df.first().t == "abcd"
