@@ -1,0 +1,59 @@
+"""Deterministic sketches: KMV distinct-count estimation, heavy hitters.
+
+``approx_count_distinct`` (HLL++) is the built-in answer, but its estimate
+depends on Spark's internal hashing — unverifiable against an independent
+engine. KMV (k minimum values) with an md5-derived hash is deterministic:
+any engine that sorts the same k smallest hashes produces the SAME
+estimate, so the sketch itself is oracle-checkable.
+
+KMV estimator: hash every value uniformly into [0, M); keep the k smallest
+distinct hashes; if the k-th smallest is h_k, distinct-count ~= (k-1) *
+M / h_k. One shuffle (global top-k by min — Spark plans sort+limit as a
+per-partition partial top-k then a single-reducer merge, never a full
+sort of the data).
+
+At 100 TB: the partial top-k means each task ships only k hashes; the
+sketch costs one narrow pass + a k-row reduce. Heavy hitters are the exact
+groupBy-count top-N — map-side combinable, one shuffle on the value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+KMV_M = float(1 << 60)  # hash domain: md5's first 15 hex digits
+
+
+def _hash60(col: F.Column) -> F.Column:
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("long")
+
+
+def kmv_distinct_estimate(df: DataFrame, col: str, k: int = 256) -> DataFrame:
+    """One-row (k_used, kth_hash, estimate) KMV distinct-count sketch.
+
+    ``estimate`` is (k-1) * M / h_k when at least k distinct hashes exist,
+    else the exact distinct count (small-cardinality regime).
+    """
+    hashes = df.select(_hash60(F.col(col)).alias("h")).distinct()
+    smallest = hashes.orderBy("h").limit(k)
+    return smallest.agg(
+        F.count("*").alias("k_used"),
+        F.max("h").alias("kth_hash"),
+        F.when(
+            F.count("*") < k, F.count("*").cast("double")
+        )
+        .otherwise((F.lit(float(k - 1)) * F.lit(KMV_M)) / F.max("h"))
+        .alias("estimate"),
+    )
+
+
+def heavy_hitters(df: DataFrame, col: str, top_n: int = 10) -> DataFrame:
+    """Exact top-N most frequent values: one shuffle on the value with
+    map-side partial counts, then a k-row ordered limit."""
+    return (
+        df.groupBy(F.col(col).alias("value"))
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("value"))
+        .limit(top_n)
+    )

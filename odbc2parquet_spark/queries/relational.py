@@ -655,3 +655,50 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(rev.cast("decimal(18,6)")).cast("double").alias("revenue"))
         .orderBy("n_name")
     )
+
+
+# --- deterministic sketches (operators/sketches.py) ---
+
+@query(
+    "q_kmv_distinct",
+    oracle=f"""
+    WITH h AS (
+        SELECT DISTINCT CAST('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 15)
+                             AS BIGINT) AS h
+        FROM orders
+    ),
+    small AS (SELECT h FROM h ORDER BY h LIMIT 256)
+    SELECT COUNT(*) AS k_used, MAX(h) AS kth_hash,
+           CASE WHEN COUNT(*) < 256 THEN CAST(COUNT(*) AS DOUBLE)
+                ELSE 255.0 * {float(1 << 60)} / MAX(h) END AS estimate
+    FROM small
+    """,
+)
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch over o_custkey — a DETERMINISTIC
+    alternative to HLL approx_count_distinct: both engines keep the same
+    256 smallest md5 hashes, so even the ESTIMATE hash-matches. Partial
+    top-k per task means each task ships k hashes, not its data."""
+    from odbc2parquet_spark.operators.sketches import kmv_distinct_estimate
+
+    o = load_table(spark, sf_dir, "orders")
+    return kmv_distinct_estimate(o, "o_custkey", k=256)
+
+
+@query(
+    "q_heavy_hitters",
+    oracle="""
+    SELECT l_suppkey AS value, COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_suppkey
+    ORDER BY n DESC, value
+    LIMIT 10
+    """,
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters: map-side-combined counts + k-row ordered limit
+    (count tie broken by value for a total order)."""
+    from odbc2parquet_spark.operators.sketches import heavy_hitters
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return heavy_hitters(li, "l_suppkey", top_n=10)

@@ -219,3 +219,18 @@ def test_rollup_cascade_matches_direct(spark, sf_dir):
     a = {(r.bucket_start, r.key): (r.n, r.sum_value) for r in cascade_hourly.collect()}
     b = {(r.bucket_start, r.key): (r.n, r.sum_value) for r in direct_hourly.collect()}
     assert a == b  # re-aggregation is exact, level by level
+
+
+def test_kmv_estimate_accuracy(spark):
+    from odbc2parquet_spark.operators.sketches import heavy_hitters, kmv_distinct_estimate
+
+    df = spark.range(0, 20000).selectExpr("id % 5000 as v")  # 5000 distinct
+    est = kmv_distinct_estimate(df, "v", k=256).first()
+    assert est.k_used == 256
+    assert abs(est.estimate - 5000) / 5000 < 0.15  # ~1/sqrt(k) error regime
+    small = kmv_distinct_estimate(spark.range(0, 100).selectExpr("id as v"), "v", k=256).first()
+    assert small.estimate == 100.0  # exact below k
+    hh = heavy_hitters(
+        spark.createDataFrame([("a",)] * 5 + [("b",)] * 3 + [("c",)] * 3, ["v"]), "v", 2
+    ).collect()
+    assert [(r.value, r.n) for r in hh] == [("a", 5), ("b", 3)]
