@@ -1,0 +1,55 @@
+"""End-to-end corpus preparation: the composed training-data pipeline.
+
+quality filter -> exact dedup -> near-dup dedup -> cleaned corpus stats —
+one DataFrame composition, so Catalyst plans the WHOLE pipeline (filters
+and column pruning flow across stage boundaries; nothing materializes
+between stages unless the caller persists deliberately).
+
+Dedup policy: exact dedup keeps the min-id copy of each distinct text;
+near-dup dedup then drops the max-id side of every verified MinHash pair
+(greedy pairwise keep-min). Pairwise is the cheap rule — for transitive
+clusters use operators/graph.duplicate_clusters on the pair output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from odbc2parquet_spark.operators.dedup import (
+    drop_exact_duplicates,
+    minhash_near_duplicates,
+)
+from odbc2parquet_spark.operators.text import quality_scores, token_stats
+
+
+def prepare_corpus(
+    docs: DataFrame,
+    min_quality: float = 0.5,
+    near_dup_threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cleaned corpus: (doc_id, n_ws_tokens, n_re_tokens, n_chars,
+    quality_score) for every surviving document.
+
+    Stages (all lazy, one composed plan):
+    1. quality gate: drop docs scoring below ``min_quality``;
+    2. exact dedup (hash-groupBy keep-first) on the survivors;
+    3. near-dup dedup: MinHash/LSH pairs at ``near_dup_threshold``,
+       drop the max-id side of each pair;
+    4. token stats on what remains.
+    """
+    q = quality_scores(docs, text_col).filter(F.col("quality_score") >= min_quality)
+    gated = docs.join(q.select(id_col), id_col, "left_semi")
+    exact = drop_exact_duplicates(gated, text_col, id_col)
+    pairs = minhash_near_duplicates(
+        exact, threshold=near_dup_threshold, text_col=text_col, id_col=id_col
+    )
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    survivors = exact.join(losers, id_col, "left_anti")
+    return (
+        token_stats(survivors, text_col)
+        .join(q.select(id_col, "quality_score"), id_col)
+        .select(id_col, "n_ws_tokens", "n_re_tokens", "n_chars", "quality_score")
+    )
