@@ -702,3 +702,36 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     return heavy_hitters(li, "l_suppkey", top_n=10)
+
+
+# --- exact percentiles (sort-based distributed quantiles) ---
+
+@query(
+    "q_percentiles",
+    oracle="""
+    SELECT o_orderstatus,
+           ROUND(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.95), 6) AS p95,
+           ROUND(quantile_cont(o_totalprice, 0.99), 6) AS p99,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles per group (Spark `percentile`
+    == DuckDB `quantile_cont`, both rounded to 6 decimals). Exact
+    quantiles sort within groups; the approx_percentile sketch is the
+    no-sort alternative when error tolerance allows."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.95)"), 6).alias("p95"),
+            F.round(F.expr("percentile(o_totalprice, 0.99)"), 6).alias("p99"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("o_orderstatus")
+    )

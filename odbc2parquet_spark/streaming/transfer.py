@@ -83,3 +83,38 @@ def sessionized_counts(events: DataFrame, gap: str = "10 minutes", watermark: st
             "n_events",
         )
     )
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    within: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream join: right events within ``within`` AFTER
+    the left event, same ``key``.
+
+    Both sides carry watermarks so the state store can discard rows older
+    than (watermark + within) — the condition that keeps a stream-stream
+    join's state bounded on an unbounded stream. Columns come back
+    prefixed l_/r_.
+    """
+    l = left.withWatermark(left_ts, watermark).select(
+        F.col(key).alias("l_key"),
+        F.col(left_ts).alias("l_ts"),
+        *[F.col(c).alias(f"l_{c}") for c in left.columns if c not in (key, left_ts)],
+    )
+    r = right.withWatermark(right_ts, watermark).select(
+        F.col(key).alias("r_key"),
+        F.col(right_ts).alias("r_ts"),
+        *[F.col(c).alias(f"r_{c}") for c in right.columns if c not in (key, right_ts)],
+    )
+    cond = (
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within}"))
+    )
+    return l.join(r, cond).drop("r_key")

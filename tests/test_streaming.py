@@ -90,3 +90,48 @@ def test_running_user_totals_state_across_batches(spark, tmp_path):
     assert got[1] == (3, 17.0)  # 2 events batch1 + 1 in batch2, state carried
     assert got[2] == (1, 1.0)
     assert got[3] == (1, 7.0)
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    import datetime
+
+    from pyspark.sql import types as T
+
+    from odbc2parquet_spark.streaming.transfer import stream_stream_interval_join
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("tag", T.StringType()),
+        ]
+    )
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+    def mk(rows, sub):
+        p = tmp_path / sub
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(p))
+        return spark.readStream.schema(schema).parquet(str(p))
+
+    clicks = mk(
+        [(1, t0, "c1"), (1, t0 + datetime.timedelta(minutes=30), "c2"), (2, t0, "c3")],
+        "clicks",
+    )
+    buys = mk(
+        [(1, t0 + datetime.timedelta(minutes=5), "b1"),
+         (2, t0 + datetime.timedelta(minutes=20), "b2")],
+        "buys",
+    )
+    joined = stream_stream_interval_join(clicks, buys, "user_id", within="10 minutes")
+    out = str(tmp_path / "out")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {(r.l_tag, r.r_tag) for r in spark.read.parquet(out).collect()}
+    # c1 (12:00) matches b1 (12:05); c2 (12:30) too late; c3's b2 at +20min > 10min window
+    assert rows == {("c1", "b1")}
