@@ -32,6 +32,10 @@ HEADLINE = [
     "q_rollup",
     "q_orderby_limit",
     "q_distinct_count",
+    "q5_local_supplier_volume",
+    "q_percentiles",
+    "q_kmv_distinct",
+    "q_heavy_hitters",
     "tm_decimal_matrix",
     "tm_time_of_day",
     "dd_exact",
@@ -51,8 +55,10 @@ HEADLINE = [
     "ev_sessionized",
     "ev_asof_last_purchase",
     "ev_range_join_bands",
+    "ev_rollup_daily",
     "mm_decode_features",
     "mm_resize",
+    "tx_prepare_corpus",
 ]
 
 
