@@ -20,7 +20,7 @@ from odbc2parquet_spark.operators.dedup import (
     drop_exact_duplicates,
     minhash_near_duplicates,
 )
-from odbc2parquet_spark.operators.text import quality_scores, token_stats
+from odbc2parquet_spark.operators.text import TOKEN_RE, quality_scores, words
 
 
 def prepare_corpus(
@@ -40,16 +40,21 @@ def prepare_corpus(
        drop the max-id side of each pair;
     4. token stats on what remains.
     """
+    # quality_score rides along from the gate onward: the quality subtree
+    # is in the plan once, not re-joined (and thus recomputed) at the end.
     q = quality_scores(docs, text_col).filter(F.col("quality_score") >= min_quality)
-    gated = docs.join(q.select(id_col), id_col, "left_semi")
+    gated = docs.join(q.select(id_col, "quality_score"), id_col)
     exact = drop_exact_duplicates(gated, text_col, id_col)
     pairs = minhash_near_duplicates(
         exact, threshold=near_dup_threshold, text_col=text_col, id_col=id_col
     )
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     survivors = exact.join(losers, id_col, "left_anti")
-    return (
-        token_stats(survivors, text_col)
-        .join(q.select(id_col, "quality_score"), id_col)
-        .select(id_col, "n_ws_tokens", "n_re_tokens", "n_chars", "quality_score")
+    t = F.col(text_col)
+    return survivors.select(
+        F.col(id_col),
+        F.size(words(t)).cast("long").alias("n_ws_tokens"),
+        F.regexp_count(t, F.lit(TOKEN_RE)).cast("long").alias("n_re_tokens"),
+        F.length(t).cast("long").alias("n_chars"),
+        F.col("quality_score"),
     )
