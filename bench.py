@@ -108,6 +108,7 @@ def main() -> None:
             os.path.join(tmp, "transfer")
         )
         timings["transfer_lineitem"] = round(time.time() - t0, 3)
+        transfer_rows = li.count()
 
     for name in HEADLINE:
         fn = QUERIES[name]
@@ -125,6 +126,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "transfer_rows_per_sec": round(
+                    transfer_rows / timings["transfer_lineitem"]
+                ),
             }
         )
     )

@@ -234,3 +234,27 @@ def test_kmv_estimate_accuracy(spark):
         spark.createDataFrame([("a",)] * 5 + [("b",)] * 3 + [("c",)] * 3, ["v"]), "v", 2
     ).collect()
     assert [(r.value, r.n) for r in hh] == [("a", 5), ("b", 3)]
+
+
+def test_ann_recall_vs_bruteforce(spark):
+    """IVF (nprobe=4/16) and LSH-bucket recall@10 against exact top-10 on
+    the sf0.001 embeddings — quantified approximation quality."""
+    from odbc2parquet_spark.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    probes = emb.filter("vec_id < 10")
+    exact = S.brute_force_topk(emb, probes, k=10).collect()
+    truth = {}
+    for r in exact:
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    cent = S.ivf_seed_centroids(emb, 16)
+    approx = S.ivf_search(emb, probes, cent, nprobe=4, k=10).collect()
+    got = {}
+    for r in approx:
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
+    recall = hits / sum(len(v) for v in truth.values())
+    # nprobe/k_cells = 1/4 of the corpus scanned; on these embeddings the
+    # nearest cells hold most true neighbors
+    assert recall >= 0.5, f"IVF recall@10 collapsed: {recall:.2f}"
