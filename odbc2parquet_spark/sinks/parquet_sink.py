@@ -69,6 +69,17 @@ class SinkOptions:
     #: pyarrow sink (one file per task via mapInArrow — still no driver
     #: materialization).
     column_encodings: dict[str, str] | None = None
+    #: hive-style directory partitioning (directory mode only) — at 100 TB
+    #: this is what makes downstream partition pruning possible.
+    partition_by: tuple[str, ...] = ()
+    #: range-cluster the output on these columns: repartitionByRange +
+    #: sortWithinPartitions so each file/row-group carries a DISJOINT
+    #: min/max range in its parquet stats — readers filtering on the
+    #: cluster column skip whole files (stats-based data skipping).
+    cluster_by: tuple[str, ...] = ()
+    #: explicit range-partition count for cluster_by (None = let
+    #: spark.sql.shuffle.partitions / AQE decide)
+    cluster_partitions: int | None = None
 
 
 def rows_per_batch(opts: SinkOptions, bytes_per_row: int) -> int:
@@ -109,6 +120,16 @@ def write_parquet(df: DataFrame, path: str, opts: SinkOptions | None = None) -> 
     bpr = estimate_bytes_per_row(df.schema)
     batch_rows = rows_per_batch(opts, bpr)
 
+    if (opts.partition_by or opts.cluster_by) and file_mode:
+        raise ValueError("partition_by/cluster_by require directory mode")
+    if opts.cluster_by:
+        cols = [df[c] for c in opts.cluster_by]
+        if opts.cluster_partitions:
+            df = df.repartitionByRange(opts.cluster_partitions, *cols)
+        else:
+            df = df.repartitionByRange(*cols)
+        df = df.sortWithinPartitions(*cols)
+
     if opts.column_encodings:
         if file_mode:
             raise ValueError(
@@ -120,6 +141,8 @@ def write_parquet(df: DataFrame, path: str, opts: SinkOptions | None = None) -> 
     writer = df.write.mode("overwrite").option("compression", opts.compression)
 
     if not file_mode:
+        if opts.partition_by:
+            writer = writer.partitionBy(*opts.partition_by)
         writer.option("maxRecordsPerFile", batch_rows).parquet(path)
         return [path]
 

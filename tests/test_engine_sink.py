@@ -179,3 +179,41 @@ def test_column_length_limit_truncates(spark):
     )
     df = spark.createDataFrame([("abcdefgh",)], ["t"]).select(m.apply(F.col("t")).alias("t"))
     assert df.first().t == "abcd"
+
+
+def test_partition_by_hive_layout(spark, sf_dir, tmp_path):
+    from odbc2parquet_spark.sinks.parquet_sink import write_parquet
+
+    df = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    out = str(tmp_path / "parts")
+    write_parquet(df, out, SinkOptions(partition_by=("o_orderstatus",)))
+    subdirs = {d for d in os.listdir(out) if d.startswith("o_orderstatus=")}
+    assert {"o_orderstatus=O", "o_orderstatus=F"} <= subdirs
+    back = spark.read.parquet(out)
+    assert back.count() == df.count()
+    # partition pruning: a filter on the partition column scans one subdir
+    plan = back.filter("o_orderstatus = 'F'")._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(o_orderstatus" in plan
+
+
+def test_cluster_by_disjoint_file_stats(spark, sf_dir, tmp_path):
+    import pyarrow.parquet as pq
+
+    from odbc2parquet_spark.sinks.parquet_sink import write_parquet
+
+    df = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    out = str(tmp_path / "clustered")
+    write_parquet(df, out, SinkOptions(cluster_by=("o_orderkey",), cluster_partitions=4))
+    ranges = []
+    for f in sorted(os.listdir(out)):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(out, f)).metadata
+        idx = md.schema.names.index("o_orderkey")
+        lo = min(md.row_group(i).column(idx).statistics.min for i in range(md.num_row_groups))
+        hi = max(md.row_group(i).column(idx).statistics.max for i in range(md.num_row_groups))
+        ranges.append((lo, hi))
+    assert len(ranges) >= 2
+    ranges.sort()
+    for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
+        assert lo_next > hi_prev  # disjoint -> stats-based file skipping works
