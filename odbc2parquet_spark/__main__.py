@@ -50,6 +50,10 @@ def _add_sink_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--avoid-decimal", action="store_true")
     p.add_argument("--prefer-varbinary", action="store_true")
     p.add_argument("--column-length-limit", type=int, default=None)
+    p.add_argument("--partition-by", action="append", default=[], metavar="COLUMN",
+                   help="hive-style output partitioning (directory mode)")
+    p.add_argument("--cluster-by", action="append", default=[], metavar="COLUMN",
+                   help="range-cluster output files on COLUMN (directory mode)")
     p.add_argument(
         "--sequential-fetching",
         action="store_true",
@@ -179,6 +183,8 @@ def main(argv: list[str] | None = None) -> int:
             no_empty_file=args.no_empty_file,
             single_file=args.single_file or args.out.endswith(".par"),
             column_encodings=_parse_encodings(args.parquet_column_encoding),
+            partition_by=tuple(args.partition_by),
+            cluster_by=tuple(args.cluster_by),
         )
         produced = engine.query_to_parquet(sql, args.out, params=args.params, sink=sink)
         print(json.dumps({"written": produced}))

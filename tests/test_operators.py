@@ -258,3 +258,24 @@ def test_ann_recall_vs_bruteforce(spark):
     # nprobe/k_cells = 1/4 of the corpus scanned; on these embeddings the
     # nearest cells hold most true neighbors
     assert recall >= 0.5, f"IVF recall@10 collapsed: {recall:.2f}"
+
+
+def test_ivf_partition_pruned_serving(spark, tmp_path):
+    """The IVF deployment shape: corpus written partitioned by centroid_id,
+    probes touch only their nprobe cells via partition pruning."""
+    from odbc2parquet_spark.catalog import load_table
+    from odbc2parquet_spark.sinks.parquet_sink import SinkOptions, write_parquet
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cent = S.ivf_seed_centroids(emb, 8)
+    indexed = emb.join(S.ivf_assign(emb, cent).select("vec_id", "centroid_id"), "vec_id")
+    out = str(tmp_path / "ivf_index")
+    write_parquet(indexed, out, SinkOptions(partition_by=("centroid_id",)))
+
+    index = spark.read.parquet(out)
+    probe_cells = [0, 3]
+    served = index.filter(index.centroid_id.isin(probe_cells))
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "centroid_id" in plan
+    expected = indexed.filter(indexed.centroid_id.isin(probe_cells)).count()
+    assert served.count() == expected > 0
