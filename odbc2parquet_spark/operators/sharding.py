@@ -1,0 +1,89 @@
+"""Token-budget shard packing — split a corpus into ~N-token output shards.
+
+Training pipelines emit fixed-budget shards (e.g. ~100M tokens each) in a
+deterministic document order. Shard id = floor(exclusive-prefix-sum(tokens)
+/ budget) over the ordering column.
+
+Two implementations with identical output:
+
+- :func:`pack_shards` — one global window cumsum. Simple and
+  oracle-checkable, but a global ORDER BY window funnels through a single
+  reducer: fine up to ~10^8 rows, NOT the 100 TB path.
+- :func:`pack_shards_two_pass` — the scale path: per-partition partial
+  sums (tiny: one row per partition) are collected, turned into exclusive
+  partition offsets, and broadcast back; each partition then computes its
+  local cumsum + offset. The only driver traffic is num_partitions longs;
+  document order is (ordering column) via a range repartition, so the
+  global order is preserved without a global sort bottleneck.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_shards(
+    docs_with_tokens: DataFrame,
+    budget: int,
+    order_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """(order_col, tokens, shard): global-window reference implementation."""
+    w = Window.orderBy(order_col).rowsBetween(Window.unboundedPreceding, -1)
+    prefix = F.coalesce(F.sum(tokens_col).over(w), F.lit(0))
+    return docs_with_tokens.select(
+        order_col,
+        F.col(tokens_col),
+        F.floor(prefix / F.lit(budget)).cast("long").alias("shard"),
+    )
+
+
+def pack_shards_two_pass(
+    docs_with_tokens: DataFrame,
+    budget: int,
+    order_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Same output as :func:`pack_shards` without the global-window funnel."""
+    spark = docs_with_tokens.sparkSession
+    ranged = docs_with_tokens.repartitionByRange(
+        num_partitions, F.col(order_col)
+    ).sortWithinPartitions(order_col)
+    # persist so pass 1 and pass 2 see the SAME sampled range boundaries —
+    # re-evaluating repartitionByRange could re-sample and shift rows
+    # between partitions, corrupting the offsets.
+    with_pid = ranged.withColumn("_pid_", F.spark_partition_id()).persist()
+    # pass 1: per-partition sums — num_partitions rows to the driver
+    psums = {
+        r._pid_: r.s
+        for r in with_pid.groupBy("_pid_").agg(F.sum(tokens_col).alias("s")).collect()
+    }
+    offsets = {}
+    acc = 0
+    for pid in sorted(psums):
+        offsets[pid] = acc
+        acc += psums[pid]
+    offset_df = F.broadcast(
+        spark.createDataFrame(
+            [(pid, off) for pid, off in offsets.items()], ["_pid_", "_offset_"]
+        )
+    )
+    # pass 2: local cumsum + partition offset
+    wl = (
+        Window.partitionBy("_pid_")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local_prefix = F.coalesce(F.sum(tokens_col).over(wl), F.lit(0))
+    return (
+        with_pid.join(offset_df, "_pid_")
+        .select(
+            order_col,
+            F.col(tokens_col),
+            F.floor((local_prefix + F.col("_offset_")) / F.lit(budget))
+            .cast("long")
+            .alias("shard"),
+        )
+    )

@@ -260,3 +260,34 @@ def tx_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return prepare_corpus(docs, min_quality=0.5, near_dup_threshold=0.5)
+
+
+@query(
+    "tx_pack_shards",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               len(list_filter(string_split(text, ' '), w -> w != '')) AS n_tokens
+        FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                      / 500.0) AS BIGINT) AS shard
+    FROM t
+    """,
+)
+def tx_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing (~500 whitespace tokens per shard): the
+    deterministic exclusive-prefix-sum assignment. Runs the TWO-PASS scale
+    implementation (per-partition sums + broadcast offsets — no global
+    window funnel); the oracle computes the global-window form, so a hash
+    match proves the two-pass decomposition is exact."""
+    from odbc2parquet_spark.operators.sharding import pack_shards_two_pass
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_tokens = docs.select(
+        "doc_id",
+        F.size(F.filter(F.split(F.col("text"), " "), lambda w: w != "")).cast("long").alias("n_tokens"),
+    )
+    return pack_shards_two_pass(with_tokens, budget=500)

@@ -279,3 +279,18 @@ def test_ivf_partition_pruned_serving(spark, tmp_path):
     assert "PartitionFilters" in plan and "centroid_id" in plan
     expected = indexed.filter(indexed.centroid_id.isin(probe_cells)).count()
     assert served.count() == expected > 0
+
+
+def test_pack_shards_two_pass_equals_window(spark):
+    import random
+
+    from odbc2parquet_spark.operators.sharding import pack_shards, pack_shards_two_pass
+
+    rng = random.Random(7)
+    rows = [(i, rng.randrange(1, 400)) for i in range(3000)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+    a = {r.doc_id: r.shard for r in pack_shards(df, 1000).collect()}
+    b = {r.doc_id: r.shard for r in pack_shards_two_pass(df, 1000, num_partitions=7).collect()}
+    assert a == b
+    # shards are contiguous in doc order and sized near the budget
+    assert max(a.values()) > 100
