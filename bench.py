@@ -59,6 +59,7 @@ HEADLINE = [
     "mm_decode_features",
     "mm_resize",
     "tx_prepare_corpus",
+    "tx_pack_shards",
 ]
 
 
