@@ -126,3 +126,36 @@ def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
         lambda acc, w: (acc * F.lit(31) + word_h(w)) % F.lit(1_000_000_007),
     )
     return docs.select("doc_id", fp.alias("fingerprint"), F.size(ws).cast("long").alias("n_words"))
+
+
+def bigram_surprisal(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_bigrams, avg_surprisal): corpus-statistics language-model
+    score — the KenLM-style quality signal without an external model.
+
+    Pass 1 builds the corpus word-bigram frequency table (one groupBy);
+    pass 2 scores every document by the mean -ln(count/total) of its
+    bigrams (a broadcast-sized join at realistic vocabularies, a shuffle
+    join beyond that — Spark picks). Gibberish scores high (rare bigrams),
+    fluent repeated text scores low. Deterministic: counts are integers,
+    the log ratio is fixed-order arithmetic, result rounded to 6 decimals.
+    """
+    t = F.col(text_col)
+    ws = words(t)
+    bigram_expr = (
+        "CASE WHEN size(ws) < 2 THEN array() ELSE "
+        "transform(sequence(1, size(ws) - 1), i -> ws[i - 1] || ' ' || ws[i]) END"
+    )
+    doc_bigrams = docs.select(
+        F.col("doc_id"), ws.alias("ws")
+    ).select("doc_id", F.explode(F.expr(bigram_expr)).alias("bg"))
+    freqs = doc_bigrams.groupBy("bg").agg(F.count("*").alias("c"))
+    total = freqs.agg(F.sum("c").alias("total"))
+    scored = (
+        doc_bigrams.join(freqs, "bg")
+        .join(F.broadcast(total))
+        .withColumn("surprisal", -F.log(F.col("c") / F.col("total")))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg("surprisal"), 6).alias("avg_surprisal"),
+    )

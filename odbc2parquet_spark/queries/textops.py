@@ -291,3 +291,30 @@ def tx_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter(F.split(F.col("text"), " "), lambda w: w != "")).cast("long").alias("n_tokens"),
     )
     return pack_shards_two_pass(with_tokens, budget=500)
+
+
+@query(
+    "tx_bigram_surprisal",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws
+        FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg
+        FROM w, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
+        WHERE len(ws) >= 2
+    ),
+    freqs AS (SELECT bg, COUNT(*) AS c FROM bg GROUP BY bg),
+    tot AS (SELECT SUM(c) AS total FROM freqs)
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           ROUND(AVG(-LN(c / total)), 6) AS avg_surprisal
+    FROM bg JOIN freqs USING (bg) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+def tx_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-bigram language-model surprisal per document — the quality
+    signal that separates fluent text from gibberish without an external
+    model. Two passes over the corpus: frequency build + scoring join."""
+    return X.bigram_surprisal(load_table(spark, sf_dir, "documents"))

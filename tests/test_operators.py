@@ -294,3 +294,11 @@ def test_pack_shards_two_pass_equals_window(spark):
     assert a == b
     # shards are contiguous in doc order and sized near the budget
     assert max(a.values()) > 100
+
+
+def test_bigram_surprisal_separates_gibberish(spark):
+    rows = [(i, "the cat sat on the mat and the cat sat again") for i in range(5)]
+    rows.append((99, "zxq wvu qpo nml kji hgf"))  # bigrams occur once each
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: float(r.avg_surprisal) for r in X.bigram_surprisal(df).collect()}
+    assert out[99] > out[0]  # rare bigrams -> higher surprisal
