@@ -24,9 +24,10 @@ ALL_PAIRS_OK = {
 #: broadcast cross-joins against a BOUNDED side (scalar aggregate or the
 #: k_cells centroid set) — linear in the big input, correct at any scale.
 BOUNDED_CROSS_OK = {
-    "q_having_subquery",  # 1-row scalar threshold broadcast
-    "sim_ivf_assign",     # corpus x 16 centroids (the assign pass itself)
-    "sim_ivf_topk",       # same centroid scoring inside the search
+    "q_having_subquery",     # 1-row scalar threshold broadcast
+    "sim_ivf_assign",        # corpus x 16 centroids (the assign pass itself)
+    "sim_ivf_topk",          # same centroid scoring inside the search
+    "tx_bigram_surprisal",   # 1-row corpus-total broadcast
 }
 ALL_PAIRS_OK |= BOUNDED_CROSS_OK
 
