@@ -318,3 +318,31 @@ def tx_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     signal that separates fluent text from gibberish without an external
     model. Two passes over the corpus: frequency build + scoring join."""
     return X.bigram_surprisal(load_table(spark, sf_dir, "documents"))
+
+
+_SAMPLE_FRACS = {"en": 0.5, "de": 1.0, "es": 0.25}
+
+
+@query(
+    "tx_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+          < CASE lang WHEN 'en' THEN {int(0.5 * (1 << 60))}
+                      WHEN 'de' THEN {int(1.0 * (1 << 60))}
+                      WHEN 'es' THEN {int(0.25 * (1 << 60))}
+                      ELSE 0 END
+    """,
+)
+def tx_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsampling by language (50% en, 100% de,
+    25% es, drop the rest) — hash-threshold selection is a pure row
+    function: partitioning- and engine-independent, so the oracle
+    reproduces the EXACT sample, not just its size."""
+    from odbc2parquet_spark.operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(docs, "lang", "doc_id", _SAMPLE_FRACS).select(
+        "doc_id", "lang"
+    )

@@ -302,3 +302,16 @@ def test_bigram_surprisal_separates_gibberish(spark):
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     out = {r.doc_id: float(r.avg_surprisal) for r in X.bigram_surprisal(df).collect()}
     assert out[99] > out[0]  # rare bigrams -> higher surprisal
+
+
+def test_hash_sample_deterministic_and_partition_independent(spark):
+    from odbc2parquet_spark.operators.sampling import hash_sample
+
+    df = spark.range(0, 10000).selectExpr("id as k")
+    s1 = {r.k for r in hash_sample(df, "k", 0.3).collect()}
+    s2 = {r.k for r in hash_sample(df.repartition(17), "k", 0.3).collect()}
+    assert s1 == s2  # same rows regardless of partitioning
+    assert 0.25 < len(s1) / 10000 < 0.35
+    # nested property: a smaller fraction selects a SUBSET (same hash order)
+    s_small = {r.k for r in hash_sample(df, "k", 0.1).collect()}
+    assert s_small <= s1
