@@ -47,3 +47,49 @@ def stratified_sample(
         )
     thr = thr.otherwise(F.lit(0))
     return df.filter(h < thr)
+
+
+_QUANT = 1 << 40  # rate quantization: floor(rate * 2^40) is exact in double
+
+
+def mixture_sample(
+    df: DataFrame, source_col: str, key_col: str, weights: dict[str, float]
+) -> DataFrame:
+    """Reweight a multi-source corpus to target ``weights`` proportions.
+
+    The largest achievable mixture keeps every row of the most
+    underrepresented source (relative to its weight): with N_s rows per
+    source, target total T = min_s(N_s / w_s) and per-source keep-rate
+    r_s = w_s * T / N_s <= 1. Each source is then hash-threshold sampled
+    at r_s — deterministic row selection, one tiny count aggregate + a
+    broadcast of |sources| thresholds, corpus itself never shuffles.
+
+    Thresholds are quantized to 2^-40 and compared in int64 (a raw
+    ``hash < rate * 2^60`` double comparison is inexact above 2^53 and
+    would make boundary rows engine-dependent).
+    """
+    counts = df.groupBy(F.col(source_col).alias("_src_")).agg(
+        F.count("*").alias("_n_")
+    )
+    w = F.create_map(*[F.lit(x) for kv in weights.items() for x in kv])
+    rated = counts.filter(F.col("_src_").isin(*weights)).withColumn(
+        "_ratio_", F.col("_n_") / w[F.col("_src_")]
+    )
+    target = rated.agg(F.min("_ratio_").alias("_t_"))
+    thresholds = (
+        rated.join(F.broadcast(target))
+        .withColumn(
+            "_thr_",
+            (
+                F.floor(w[F.col("_src_")] * F.col("_t_") / F.col("_n_") * F.lit(float(_QUANT)))
+                * F.lit(_HASH_DOMAIN // _QUANT)
+            ).cast("long"),
+        )
+        .select("_src_", "_thr_")
+    )
+    h = _hash60(F.col(key_col))
+    return (
+        df.join(F.broadcast(thresholds), df[source_col] == F.col("_src_"))
+        .filter(h < F.col("_thr_"))
+        .drop("_src_", "_thr_")
+    )

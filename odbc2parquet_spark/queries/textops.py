@@ -346,3 +346,42 @@ def tx_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(docs, "lang", "doc_id", _SAMPLE_FRACS).select(
         "doc_id", "lang"
     )
+
+
+@query(
+    "tx_mixture_sample",
+    oracle=f"""
+    WITH counts AS (
+        SELECT source AS src, COUNT(*) AS n FROM documents
+        WHERE source IN ('src0', 'src1', 'src2')
+        GROUP BY source
+    ),
+    wts(src, w) AS (VALUES ('src0', 0.5), ('src1', 0.25), ('src2', 0.25)),
+    rated AS (
+        SELECT c.src, c.n, wts.w, c.n / wts.w AS ratio
+        FROM counts c JOIN wts ON wts.src = c.src
+    ),
+    t AS (SELECT MIN(ratio) AS t FROM rated),
+    thr AS (
+        SELECT src,
+               CAST(FLOOR(w * t.t / n * {1 << 40}) AS BIGINT) * {1 << 20} AS thr
+        FROM rated CROSS JOIN t
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN thr ON thr.src = d.source
+    WHERE CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+          < thr.thr
+    """,
+)
+def tx_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixture reweighting to 50/25/25 across three sources — the
+    per-source keep-rates derive from actual counts (binding source kept
+    whole), thresholds integer-quantized so both engines select the EXACT
+    same rows."""
+    from odbc2parquet_spark.operators.sampling import mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("source").isin("src0", "src1", "src2")
+    )
+    out = mixture_sample(docs, "source", "doc_id", {"src0": 0.5, "src1": 0.25, "src2": 0.25})
+    return out.select("doc_id", "source")

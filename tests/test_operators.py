@@ -315,3 +315,18 @@ def test_hash_sample_deterministic_and_partition_independent(spark):
     # nested property: a smaller fraction selects a SUBSET (same hash order)
     s_small = {r.k for r in hash_sample(df, "k", 0.1).collect()}
     assert s_small <= s1
+
+
+def test_mixture_sample_hits_target_proportions(spark):
+    from odbc2parquet_spark.operators.sampling import mixture_sample
+
+    rows = [(i, "a") for i in range(8000)] + [(i + 100000, "b") for i in range(2000)]
+    df = spark.createDataFrame(rows, ["k", "src"])
+    # target 50/50: b is the binding source (2000/0.5=4000 < 8000/0.5=16000)
+    out = mixture_sample(df, "src", "k", {"a": 0.5, "b": 0.5})
+    got = {r.src: r.n for r in out.groupBy("src").count().withColumnRenamed("count", "n").collect()}
+    assert got["b"] == 2000  # binding source kept whole
+    assert abs(got["a"] - 2000) / 2000 < 0.1  # ~rate 0.25 of 8000
+    # deterministic across partitionings
+    out2 = mixture_sample(df.repartition(13), "src", "k", {"a": 0.5, "b": 0.5})
+    assert {r.k for r in out.collect()} == {r.k for r in out2.collect()}

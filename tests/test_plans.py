@@ -28,6 +28,7 @@ BOUNDED_CROSS_OK = {
     "sim_ivf_assign",        # corpus x 16 centroids (the assign pass itself)
     "sim_ivf_topk",          # same centroid scoring inside the search
     "tx_bigram_surprisal",   # 1-row corpus-total broadcast
+    "tx_mixture_sample",     # 1-row mixture-target + |sources|-row threshold broadcasts
 }
 ALL_PAIRS_OK |= BOUNDED_CROSS_OK
 
