@@ -348,3 +348,28 @@ def incremental_exact_dedup(
         "left_semi",
     )
     return batch_keepers.join(index, "content_hash", "left_anti").drop("content_hash")
+
+
+def simhash_weighted(docs: DataFrame, bits: int = 32, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """TF-weighted SimHash: each word votes with its occurrence count
+    (majority over tokens, not distinct types). Same single
+    explode+groupBy shape as :func:`simhash`; repeated words dominate the
+    signature, which matches near-dup behavior on template-heavy text.
+    """
+    words = (
+        docs.select(F.col(id_col).alias("id"), F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .withColumn("h", _word_hash32())
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(1 << i)) != 0, F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"s{i}")
+        for i in range(bits)
+    ]
+    sums = words.groupBy("id").agg(*bit_sums)
+    sig = None
+    for i in range(bits):
+        term = F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return sums.select("id", sig.cast("long").alias("simhash"))

@@ -312,3 +312,36 @@ def dd_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     existing = docs.filter(F.col("doc_id") < 250)
     batch = docs.filter(F.col("doc_id") >= 250)
     return D.incremental_exact_dedup(batch, existing).select("doc_id")
+
+
+_SIMHASH_WEIGHTED_CTE = (
+    """
+    words AS (
+        SELECT doc_id AS id, w
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE w != ''
+    ),
+    hashed AS (
+        SELECT id, CAST('0x' || substring(md5(w), 1, 8) AS BIGINT) AS h FROM words
+    ),
+    sums AS (SELECT id, """
+    + _simhash_bit_sums_sql()
+    + """ FROM hashed GROUP BY id),
+    sig AS (
+        SELECT id, """
+    + " + ".join(f"(CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(32))
+    + """ AS simhash FROM sums
+    )"""
+)
+
+
+@query(
+    "dd_simhash_weighted",
+    oracle="WITH " + _SIMHASH_WEIGHTED_CTE + " SELECT id AS doc_id, simhash FROM sig",
+)
+def dd_simhash_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-weighted SimHash (every token votes, not distinct types) —
+    template-heavy near-dups keep closer signatures than the unweighted
+    variant."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_weighted(docs).select(F.col("id").alias("doc_id"), "simhash")

@@ -735,3 +735,28 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "q_null_ordering",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_totalprice END AS maybe_price
+    FROM orders
+    WHERE o_orderkey < 2000
+    ORDER BY maybe_price ASC NULLS FIRST, o_orderkey
+    LIMIT 50
+    """,
+)
+def q_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit NULLS FIRST ordering under LIMIT (sort semantics parity —
+    engines default differently, so the direction is always spelled)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    maybe = F.when(F.col("o_orderstatus") == "P", F.lit(None)).otherwise(
+        F.col("o_totalprice")
+    )
+    return (
+        o.select("o_orderkey", maybe.alias("maybe_price"))
+        .orderBy(F.col("maybe_price").asc_nulls_first(), F.col("o_orderkey"))
+        .limit(50)
+    )

@@ -270,3 +270,24 @@ def tm_timestamptz_utc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(parsed).alias("instant_us"),
         dto_text.alias("dto_text"),
     )
+
+
+@query(
+    "tm_avoid_decimal",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_scaled_int,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) AS price_text
+    FROM orders WHERE o_orderkey < 1000
+    """,
+)
+def tm_avoid_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """--avoid-decimal semantics as data (decimal.rs:36-49,76-81): scale-0
+    decimals surface as plain integers (here: cents as BIGINT) and scaled
+    decimals as text with the exact decimal rendering."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    return o.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_scaled_int"),
+        F.col("o_totalprice").cast("decimal(12,2)").cast("string").alias("price_text"),
+    )
