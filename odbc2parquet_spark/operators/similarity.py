@@ -300,3 +300,44 @@ def ivf_probe_cells(
         .filter(F.col("rank") <= nprobe)
         .select("query_id", "centroid_id", "rank")
     )
+
+
+# ---------------------------------------------------------- storage ops
+
+
+def normalize_vectors(
+    vectors: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(vec_id, unit): L2-normalized vectors — after this, cosine becomes a
+    plain dot product (saves a sqrt + two folds per pair downstream).
+    Zero vectors pass through unchanged. Narrow, no shuffle."""
+    n = F.sqrt(norm_sq(F.col(vec_col)))
+    unit = F.when(n == 0, F.col(vec_col)).otherwise(
+        F.transform(F.col(vec_col), lambda x: (x.cast("double") / n).cast("float"))
+    )
+    return vectors.select(F.col(id_col).alias("vec_id"), unit.alias("unit"))
+
+
+def quantize_int8(
+    vectors: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(vec_id, scale, q): symmetric int8 quantization — 4x smaller than
+    float32 at ~0.4% max error, the standard storage layout for
+    100 TB-scale embedding stores. value ~= q * scale with
+    scale = max|x| / 127; FLOOR(x/scale + 0.5) spells the rounding
+    explicitly so any engine reproduces the exact codes. Narrow pass."""
+    absmax = F.aggregate(
+        F.col(vec_col),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
+    )
+    scale = absmax / F.lit(127.0)
+    q = F.when(absmax == 0, F.transform(F.col(vec_col), lambda x: F.lit(0))).otherwise(
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") / scale + F.lit(0.5)).cast("int"),
+        )
+    )
+    return vectors.select(
+        F.col(id_col).alias("vec_id"), scale.alias("scale"), q.alias("q")
+    )

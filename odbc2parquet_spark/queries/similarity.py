@@ -208,3 +208,28 @@ def sim_lsh_bucket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join that replaces the cross join at scale."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.lsh_bucket_pairs(S.lsh_signatures(emb, _N_PLANES, _DIM), prefix_bits=8)
+
+
+@query(
+    "sim_quantize_int8",
+    oracle="""
+    WITH m AS (
+        SELECT vec_id, embedding,
+               list_max(list_transform(embedding, x -> ABS(CAST(x AS DOUBLE)))) AS absmax
+        FROM embeddings
+    )
+    SELECT vec_id, absmax / 127.0 AS scale,
+           CASE WHEN absmax = 0
+                THEN list_transform(embedding, x -> 0)
+                ELSE list_transform(embedding,
+                     x -> CAST(FLOOR(CAST(x AS DOUBLE) / (absmax / 127.0) + 0.5) AS INTEGER))
+           END AS q
+    FROM m
+    """,
+)
+def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization (4x storage cut for the
+    100 TB store) — explicit FLOOR(+0.5) rounding so both engines emit the
+    exact same codes."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.quantize_int8(emb)

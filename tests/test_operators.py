@@ -340,3 +340,24 @@ def test_incremental_exact_dedup(spark):
     out = {r.doc_id for r in D.incremental_exact_dedup(batch, existing).collect()}
     # 10 dups existing corpus; 12 dups 11 within batch
     assert out == {11, 13}
+
+
+def test_normalize_and_quantize(spark):
+    import math
+
+    vecs = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0]), (3, [-1.0, 1.0])], ["vec_id", "embedding"]
+    )
+    unit = {r.vec_id: r.unit for r in S.normalize_vectors(vecs).collect()}
+    assert unit[1] == pytest.approx([0.6, 0.8], abs=1e-6)
+    assert unit[2] == [0.0, 0.0]  # zero vector passes through
+    assert math.hypot(*unit[3]) == pytest.approx(1.0, abs=1e-6)
+
+    q = {r.vec_id: r for r in S.quantize_int8(vecs).collect()}
+    assert q[1].q == [95, 127]  # 3/ (4/127) = 95.25 -> floor(+.5)=95
+    assert q[2].q == [0, 0] and q[2].scale == 0.0
+    # dequantization error bounded by scale/2
+    for r in (q[1], q[3]):
+        orig = dict((row.vec_id, row.embedding) for row in vecs.collect())[r.vec_id]
+        deq = [c * r.scale for c in r.q]
+        assert all(abs(a - b) <= r.scale / 2 + 1e-9 for a, b in zip(orig, deq))
