@@ -86,12 +86,7 @@ def brute_force_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.col("cos4").cast("decimal(8,4)").alias("cosine4"),
-            "rank",
-        )
+        .select("query_id", "neighbor_id", F.col("cos4").alias("cosine4"), "rank")
     )
 
 
@@ -133,14 +128,40 @@ def lsh_signatures(
     return vectors.select(F.col(id_col).alias("vec_id"), sig.cast("long").alias("sig"))
 
 
-def lsh_bucket_pairs(signatures: DataFrame, prefix_bits: int = 8) -> DataFrame:
-    """Candidate pairs sharing a signature prefix bucket."""
+def lsh_bucket_pairs(
+    signatures: DataFrame, prefix_bits: int = 8, max_bucket: int = 100_000
+) -> DataFrame:
+    """Candidate pairs sharing a signature prefix bucket.
+
+    Single-shuffle capped shape (same as the MinHash twin,
+    dedup.lsh_candidate_pairs): shuffle once on ``bucket``, window-count
+    drops buckets above ``max_bucket`` (one hot bucket — e.g. the
+    all-zeros signature region of a clustered corpus — would otherwise go
+    quadratic inside one task at scale), then collect_list +
+    double-explode expands pairs locally on the same partitioning. The
+    window runs BEFORE collect_list so a mega-bucket spills in WindowExec
+    instead of ballooning an aggregation buffer. No self-join: the old
+    join-on-bucket shape shuffled twice and recomputed the signature
+    projection per branch.
+    """
     mask = (1 << prefix_bits) - 1
-    bucketed = signatures.withColumn("bucket", F.col("sig").bitwiseAND(F.lit(mask)))
-    a = bucketed.select(F.col("vec_id").alias("id_a"), F.col("bucket"))
-    b = bucketed.select(F.col("vec_id").alias("id_b"), F.col("bucket"))
-    return a.join(b, ["bucket"]).filter(F.col("id_a") < F.col("id_b")).select(
-        "id_a", "id_b", "bucket"
+    bucketed = signatures.select(
+        "vec_id", F.col("sig").bitwiseAND(F.lit(mask)).alias("bucket")
+    )
+    w = W.partitionBy("bucket")
+    bounded = (
+        bucketed.withColumn("bucket_n", F.count("*").over(w))
+        .filter(F.col("bucket_n") <= max_bucket)
+        .drop("bucket_n")
+    )
+    # same bucket partitioning as the window -> no second shuffle
+    buckets = bounded.groupBy("bucket").agg(F.collect_list("vec_id").alias("ids"))
+    return (
+        buckets.filter(F.size("ids") >= 2)
+        .select("bucket", F.explode("ids").alias("id_a"), "ids")
+        .select("bucket", "id_a", F.explode("ids").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "bucket")
     )
 
 
@@ -194,7 +215,7 @@ def ivf_assign(
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") == 1)
-        .select("vec_id", "centroid_id", F.col("cos4").cast("decimal(8,4)").alias("cos4"))
+        .select("vec_id", "centroid_id", "cos4")
     )
 
 
@@ -273,12 +294,7 @@ def ivf_search(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.col("cos4").cast("decimal(8,4)").alias("cosine4"),
-            "rank",
-        )
+        .select("query_id", "neighbor_id", F.col("cos4").alias("cosine4"), "rank")
     )
 
 

@@ -220,10 +220,10 @@ def dd_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings
     )
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           CAST(ROUND(
+           ROUND(
                list_sum(list_transform(list_zip(a.embedding, b.embedding),
                         x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
-               / SQRT(a.nsq * b.nsq), 4) AS DECIMAL(8,4)) AS cosine4
+               / SQRT(a.nsq * b.nsq), 4) AS cosine4
     FROM n a JOIN n b ON a.vec_id < b.vec_id
     WHERE ROUND(
                list_sum(list_transform(list_zip(a.embedding, b.embedding),
@@ -233,8 +233,10 @@ def dd_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dd_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup: pairs with cosine >= 0.4 (rounded to 4 decimals
-    so independent engines agree bit-for-bit). All-pairs here; the scale
-    path is sim_lsh_* bucketing."""
+    so independent engines agree bit-for-bit; emitted as DOUBLE on both
+    sides — a DECIMAL output column would hash-diverge in pandas-based
+    canonicalizers that render DuckDB decimals as float64). All-pairs here;
+    the scale path is sim_lsh_* bucketing."""
     from odbc2parquet_spark.operators.similarity import cosine
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -244,7 +246,7 @@ def dd_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, F.col("id_a") < F.col("id_b"))
         .withColumn("cosine4", F.round(cosine(F.col("ea"), F.col("eb")), 4))
         .filter(F.col("cosine4") >= 0.4)
-        .select("id_a", "id_b", F.col("cosine4").cast("decimal(8,4)").alias("cosine4"))
+        .select("id_a", "id_b", "cosine4")
     )
 
 

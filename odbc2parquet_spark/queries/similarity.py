@@ -44,7 +44,7 @@ _DOT = (
                                   ORDER BY cos4 DESC, neighbor_id) AS rank
         FROM scored
     )
-    SELECT query_id, neighbor_id, CAST(cos4 AS DECIMAL(8,4)) AS cosine4, rank
+    SELECT query_id, neighbor_id, cos4 AS cosine4, rank
     FROM ranked WHERE rank <= 10
     """,
 )
@@ -128,7 +128,7 @@ assign AS (
     oracle="WITH "
     + _CENT_CTE
     + """
-    SELECT vec_id, centroid_id, CAST(cos4 AS DECIMAL(8,4)) AS cos4 FROM assign
+    SELECT vec_id, centroid_id, cos4 FROM assign
     """,
 )
 def sim_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -171,7 +171,7 @@ def sim_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN nv q ON q.vec_id = c.query_id
         JOIN nv n ON n.vec_id = c.neighbor_id
     )
-    SELECT query_id, neighbor_id, CAST(cos4 AS DECIMAL(8,4)) AS cosine4, rank
+    SELECT query_id, neighbor_id, cos4 AS cosine4, rank
     FROM (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                      ORDER BY cos4 DESC, neighbor_id) AS rank

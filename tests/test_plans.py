@@ -73,6 +73,20 @@ def test_ivf_broadcasts_centroids(plans):
     assert "BroadcastExchange" in plans["sim_ivf_assign"]
 
 
+def test_lsh_bucket_pairs_capped_single_shuffle(plans):
+    # the ANN candidate join must use the capped collect_list shape: ONE
+    # shuffle on bucket (window + groupBy share the partitioning), a
+    # window-count cap bounding hot buckets, and no self-join (a bucket
+    # equi-join would shuffle twice and go quadratic on a hot bucket)
+    plan = plans["sim_lsh_bucket_pairs"]
+    n_shuffles = sum(
+        1 for l in plan.splitlines() if l.strip().startswith("(") and ") Exchange" in l
+    )
+    assert n_shuffles == 1, f"expected exactly one shuffle, saw {n_shuffles}"
+    assert "Window" in plan, "bucket cap window missing"
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
 def test_filters_reach_parquet_scan(plans):
     for name in MUST_PUSH:
         plan = plans[name]
