@@ -50,6 +50,20 @@ def _add_sink_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--avoid-decimal", action="store_true")
     p.add_argument("--prefer-varbinary", action="store_true")
     p.add_argument("--column-length-limit", type=int, default=None)
+    p.add_argument(
+        "--length-limit-action",
+        choices=["error", "truncate"],
+        default="error",
+        help="exceeding --column-length-limit fails loudly by default "
+        "(matching the reference's truncation error); 'truncate' opts into "
+        "silent shortening",
+    )
+    p.add_argument(
+        "--driver-does-not-support-64bit-integers",
+        action="store_true",
+        help="Oracle flag parity: changes the decimal fetch path only "
+        "(target types are unchanged)",
+    )
     p.add_argument("--partition-by", action="append", default=[], metavar="COLUMN",
                    help="hive-style output partitioning (directory mode)")
     p.add_argument("--cluster-by", action="append", default=[], metavar="COLUMN",
@@ -124,17 +138,63 @@ def _build_parser() -> argparse.ArgumentParser:
 
     sub.add_parser("list-drivers")
     sub.add_parser("list-data-sources")
-    sub.add_parser("completions")
+    comp = sub.add_parser("completions", help="emit a shell completion script")
+    comp.add_argument("shell", nargs="?", default="bash", choices=["bash", "zsh"])
     return ap
 
 
+def _completion_data(ap: argparse.ArgumentParser) -> dict[str, list[str]]:
+    """Subcommand -> option strings, walked from the argparse tree."""
+    out: dict[str, list[str]] = {}
+    for action in ap._actions:
+        if isinstance(action, argparse._SubParsersAction):
+            for name, sp in action.choices.items():
+                opts = sorted(
+                    {o for a in sp._actions for o in a.option_strings if o.startswith("--")}
+                )
+                out[name] = opts
+    return out
+
+
+def _emit_completions(ap: argparse.ArgumentParser, shell: str) -> str:
+    """Generate a completion script (reference src/main.rs:363-367 emits
+    clap-generated scripts; this walks the argparse tree the same way)."""
+    data = _completion_data(ap)
+    subs = " ".join(data)
+    if shell == "zsh":
+        lines = ["#compdef odbc2parquet_spark", "_odbc2parquet_spark() {"]
+        lines.append('  local -a subs; subs=(%s)' % " ".join(data))
+        lines.append("  if (( CURRENT == 2 )); then")
+        lines.append('    _describe "subcommand" subs; return')
+        lines.append("  fi")
+        lines.append("  case $words[2] in")
+        for name, opts in data.items():
+            lines.append(f"    {name}) _arguments {' '.join(repr(o) for o in opts)} ;;")
+        lines.append("  esac")
+        lines.append("}")
+        lines.append("_odbc2parquet_spark")
+        return "\n".join(lines)
+    # bash
+    lines = ["_odbc2parquet_spark() {", '  local cur prev subs="%s"' % subs]
+    lines.append('  cur="${COMP_WORDS[COMP_CWORD]}"')
+    lines.append("  if [[ $COMP_CWORD -eq 1 ]]; then")
+    lines.append('    COMPREPLY=( $(compgen -W "$subs" -- "$cur") ); return')
+    lines.append("  fi")
+    lines.append('  case "${COMP_WORDS[1]}" in')
+    for name, opts in data.items():
+        lines.append(f'    {name}) COMPREPLY=( $(compgen -W "{" ".join(opts)}" -- "$cur") ) ;;')
+    lines.append("  esac")
+    lines.append("}")
+    lines.append("complete -F _odbc2parquet_spark odbc2parquet_spark")
+    return "\n".join(lines)
+
+
 def main(argv: list[str] | None = None) -> int:
-    args = _build_parser().parse_args(argv)
+    parser = _build_parser()
+    args = parser.parse_args(argv)
 
     if args.cmd == "completions":
-        # the reference emits shell completion scripts (src/main.rs:363-367);
-        # argparse has no built-in generator — document the gap.
-        print("# completions: use argcomplete or your shell's python -m completion")
+        print(_emit_completions(parser, args.shell))
         return 0
 
     from odbc2parquet_spark.session import get_spark
@@ -173,6 +233,15 @@ def main(argv: list[str] | None = None) -> int:
             sql = "SELECT * FROM __jdbc_result__"
         else:
             raise SystemExit("query needs --tables-dir or --jdbc-url")
+        from odbc2parquet_spark.mappings import MappingOptions
+
+        mapping = MappingOptions(
+            avoid_decimal=args.avoid_decimal,
+            prefer_varbinary=args.prefer_varbinary,
+            driver_supports_i64=not args.driver_does_not_support_64bit_integers,
+            column_length_limit=args.column_length_limit,
+            length_limit_action=args.length_limit_action,
+        )
         sink = SinkOptions(
             compression=args.column_compression_default,
             batch_size_rows=args.batch_size_row,
@@ -186,7 +255,9 @@ def main(argv: list[str] | None = None) -> int:
             partition_by=tuple(args.partition_by),
             cluster_by=tuple(args.cluster_by),
         )
-        produced = engine.query_to_parquet(sql, args.out, params=args.params, sink=sink)
+        produced = engine.query_to_parquet(
+            sql, args.out, params=args.params, sink=sink, mapping=mapping
+        )
         print(json.dumps({"written": produced}))
         return 0
 

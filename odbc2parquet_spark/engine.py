@@ -26,6 +26,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession
 
 from odbc2parquet_spark.catalog import register_tables
+from odbc2parquet_spark.mappings import MappingOptions, apply_mapping_options
 from odbc2parquet_spark.sinks.parquet_sink import SinkOptions, write_parquet
 
 
@@ -80,7 +81,16 @@ class Engine:
         out_path: str,
         params: Sequence | None = None,
         sink: SinkOptions | None = None,
+        mapping: MappingOptions | None = None,
     ) -> list[str]:
-        """The full ``query`` subcommand analogue: SQL -> shaped parquet."""
+        """The full ``query`` subcommand analogue: SQL -> shaped parquet.
+
+        ``mapping`` applies the reference's type-mapping switches
+        (--avoid-decimal / --prefer-varbinary / --column-length-limit) to
+        the result schema before writing — declarative casts, so Catalyst
+        still prunes and pushes down beneath them.
+        """
         df = self.query(sql, params)
+        if mapping is not None:
+            df = apply_mapping_options(df, mapping)
         return write_parquet(df, out_path, sink)

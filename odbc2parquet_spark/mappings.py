@@ -29,8 +29,10 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 # i64 nanosecond-epoch bounds (same limit the reference enforces for ns
-# timestamps, timestamp_precision.rs:69-81).
-NS_MIN_MICROS = -9223372036854776  # floor(i64::MIN / 1000)
+# timestamps, timestamp_precision.rs:69-81). The minimum is
+# ceil(i64::MIN / 1000): floor would pass the micros check yet overflow
+# i64 when scaled to nanos.
+NS_MIN_MICROS = -9223372036854775  # ceil(i64::MIN / 1000)
 NS_MAX_MICROS = 9223372036854775  # floor(i64::MAX / 1000)
 
 
@@ -42,16 +44,25 @@ class MappingOptions:
     prefer_varbinary: bool = False  # --prefer-varbinary
     driver_supports_i64: bool = True  # false for Oracle (--driver-does-not-support-64bit-integers)
     column_length_limit: int | None = None  # --column-length-limit analogue
+    # what to do when a value exceeds column_length_limit: the reference
+    # fails loudly with the column name and a remediation hint
+    # (conversion_strategy.rs:176-197); "truncate" is the opt-in lossy path.
+    length_limit_action: str = "error"  # "error" | "truncate"
 
 
 @dataclass(frozen=True)
 class SourceType:
-    """A relational source column type, as ODBC metadata would describe it."""
+    """A relational source column type, as ODBC metadata would describe it.
+
+    ``precision=None`` means the driver reported no precision (unknown);
+    an explicit 0 is meaningful (TIMESTAMP(0) is second-precision and maps
+    to the millisecond tier, timestamp_precision.rs:17-23).
+    """
 
     kind: str  # lowercase family: int/smallint/tinyint/bigint/real/double/
     # decimal/date/time/timestamp/timestamptz/bit/char/varchar/binary/
     # varbinary/unknown
-    precision: int = 0
+    precision: int | None = None
     scale: int = 0
     length: int = 0
     unsigned: bool = False
@@ -83,13 +94,19 @@ def _decimal_mapping(p: int, s: int, opts: MappingOptions) -> ColumnMapping:
     p>38-stays-text rule.
     """
     if opts.avoid_decimal:
-        if s == 0:
-            if p <= 9:
-                return ColumnMapping(T.IntegerType(), "avoid_decimal: p<=9 s=0 -> int32")
-            if p <= 18 and opts.driver_supports_i64:
-                return ColumnMapping(T.LongType(), "avoid_decimal: p<=18 s=0 -> int64")
-        # scale != 0 (or no i64 support): text of width p+2 (decimal.rs:36-40)
-        return ColumnMapping(T.StringType(), "avoid_decimal: s!=0 -> text")
+        if s != 0:
+            # scale != 0: text of width p+2 (decimal.rs:36-40)
+            return ColumnMapping(T.StringType(), "avoid_decimal: s!=0 -> text")
+        if p <= 9:
+            return ColumnMapping(T.IntegerType(), "avoid_decimal: p<=9 s=0 -> int32")
+        if p <= 18:
+            # int64 regardless of driver i64 support — without it the
+            # reference only changes the FETCH path (text -> i64 convert,
+            # decimal.rs:86-108), the target type stays Integer(64).
+            return ColumnMapping(T.LongType(), "avoid_decimal: p<=18 s=0 -> int64")
+        # p 19..38 stays decimal even under avoid_decimal: the reference's
+        # (0..=38, _) arm (DecimalAsBinary, decimal.rs:124) has no
+        # avoid_decimal branch.
     if p > 38:
         return ColumnMapping(T.StringType(), "p>38 -> text (decimal.rs:125-133)")
     return ColumnMapping(T.DecimalType(p, s), f"decimal({p},{s})")
@@ -124,15 +141,21 @@ def _timestamp_ns_transform(col: Column) -> Column:
     ).otherwise(micros * F.lit(1000))
 
 
-def map_source_type(st: SourceType, opts: MappingOptions | None = None) -> ColumnMapping:
+def map_source_type(
+    st: SourceType,
+    opts: MappingOptions | None = None,
+    column_name: str = "",
+) -> ColumnMapping:
     """Dispatch: source type -> target Spark representation.
 
-    Mirrors the match in column_strategy.rs:109-216.
+    Mirrors the match in column_strategy.rs:109-216. ``column_name`` feeds
+    the length-limit error message (the reference names the offending
+    column, conversion_strategy.rs:190-196).
     """
     opts = opts or MappingOptions()
     k = st.kind.lower()
 
-    if k == "real" or (k == "float" and 0 < st.precision <= 24):
+    if k == "real" or (k == "float" and st.precision is not None and 0 < st.precision <= 24):
         return ColumnMapping(T.FloatType())
     if k in ("double", "float"):  # FLOAT(p>24) and DOUBLE
         return ColumnMapping(T.DoubleType())
@@ -151,11 +174,14 @@ def map_source_type(st: SourceType, opts: MappingOptions | None = None) -> Colum
     if k in ("bit", "boolean"):
         return ColumnMapping(T.BooleanType())
     if k in ("decimal", "numeric"):
-        return _decimal_mapping(st.precision, st.scale, opts)
+        return _decimal_mapping(st.precision or 0, st.scale, opts)
     if k == "date":
         return ColumnMapping(T.DateType())
     if k == "timestamp":
-        unit = _timestamp_unit(st.precision if st.precision else 7)
+        # unknown precision defaults to the ns tier (the widest); an
+        # EXPLICIT 0 (e.g. datetime2(0)) is second precision and must hit
+        # the ms tier (timestamp_precision.rs:17-23)
+        unit = _timestamp_unit(st.precision if st.precision is not None else 7)
         if unit == "ns":
             return ColumnMapping(
                 T.LongType(), "epoch-ns long (precision>=7)", _fn=_timestamp_ns_transform
@@ -170,7 +196,7 @@ def map_source_type(st: SourceType, opts: MappingOptions | None = None) -> Colum
     if k == "time":
         from odbc2parquet_spark.functions.timeutil import time_text_to_int
 
-        unit = _timestamp_unit(st.precision)
+        unit = _timestamp_unit(st.precision or 0)
         target = T.IntegerType() if unit == "ms" else T.LongType()
         return ColumnMapping(
             target,
@@ -189,14 +215,80 @@ def map_source_type(st: SourceType, opts: MappingOptions | None = None) -> Colum
     if k in ("char", "varchar", "wchar", "wvarchar", "longvarchar", "wlongvarchar", "text"):
         if opts.column_length_limit:
             lim = opts.column_length_limit
+            if opts.length_limit_action == "truncate":
+                return ColumnMapping(
+                    T.StringType(),
+                    f"text truncated to {lim} (opt-in lossy path)",
+                    _fn=lambda c, n=lim: F.substring(c.cast("string"), 1, n),
+                )
             return ColumnMapping(
                 T.StringType(),
-                f"text truncated to {lim} (column-length-limit analogue)",
-                _fn=lambda c, n=lim: F.substring(c.cast("string"), 1, n),
+                f"text length-checked against {lim} (error on exceed)",
+                _fn=lambda c, n=lim, name=column_name: _length_guard(c, n, name),
             )
         return ColumnMapping(T.StringType())
     # unknown -> text fallback (column_strategy.rs:224-239)
     return ColumnMapping(T.StringType(), "unknown type -> text fallback")
+
+
+def _length_guard(col: Column, limit: int, column_name: str) -> Column:
+    """Fail loudly when a value exceeds the length limit.
+
+    Mirrors the reference's actionable truncation error
+    (conversion_strategy.rs:176-197): names the column and points at the
+    remediation flags instead of silently shortening data.
+    """
+    msg = F.concat(
+        F.lit(
+            "A field exceeds the maximum element length "
+            f"({limit}) of column {column_name or '<unnamed>'!r}. "
+            "The driver indicated an actual length of "
+        ),
+        F.length(col).cast("string"),
+        F.lit(
+            ". Use --column-length-limit to raise the limit, or "
+            "--length-limit-action truncate to shorten values."
+        ),
+    )
+    c = col.cast("string")
+    return F.when(F.length(c) > F.lit(limit), F.raise_error(msg)).otherwise(c)
+
+
+def source_type_of(dt: T.DataType) -> SourceType | None:
+    """Spark type -> the SourceType family the mapping options act on.
+
+    Returns None for types no option transforms (identity mapping) so
+    :func:`apply_mapping_options` leaves those columns untouched.
+    """
+    if isinstance(dt, T.DecimalType):
+        return SourceType("decimal", precision=dt.precision, scale=dt.scale)
+    if isinstance(dt, T.StringType):
+        return SourceType("varchar")
+    if isinstance(dt, T.BinaryType):
+        return SourceType("varbinary")
+    return None
+
+
+def apply_mapping_options(df, opts: MappingOptions):
+    """Re-map a DataFrame's columns per the CLI mapping flags.
+
+    The analogue of the reference applying its strategy matrix to the
+    result-set metadata (main.rs -> column_strategy.rs): decimals get the
+    avoid-decimal matrix, strings the length-limit guard. Purely
+    declarative — every transform is a Catalyst expression, so pushdown
+    and codegen are unaffected.
+    """
+    if not (opts.avoid_decimal or opts.prefer_varbinary or opts.column_length_limit):
+        return df
+    cols = []
+    for f in df.schema.fields:
+        st = source_type_of(f.dataType)
+        if st is None:
+            cols.append(F.col(f.name))
+        else:
+            m = map_source_type(st, opts, column_name=f.name)
+            cols.append(m.apply(F.col(f.name)).alias(f.name))
+    return df.select(*cols)
 
 
 #: bytes-per-value estimates used for memory-bounded batch sizing, the

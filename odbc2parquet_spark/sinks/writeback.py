@@ -49,12 +49,21 @@ class UnsupportedInsertType(TypeError):
     """Mirror of the reference's unsupported-type errors (input.rs:187-495)."""
 
 
+_INTERVAL_TYPES = (T.DayTimeIntervalType, T.YearMonthIntervalType)
+
+
 def validate_insertable_schema(schema: T.StructType) -> None:
     for f in schema.fields:
         if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):
             raise UnsupportedInsertType(
                 f"column {f.name!r}: only able to insert primitive types, "
                 f"got {f.dataType.simpleString()}"
+            )
+        if isinstance(f.dataType, _INTERVAL_TYPES):
+            # input.rs:491-495: interval columns are rejected on insert
+            raise UnsupportedInsertType(
+                f"column {f.name!r}: inserting interval types is not "
+                f"supported ({f.dataType.simpleString()})"
             )
 
 
@@ -73,8 +82,18 @@ def _to_dbapi_value(v, dt: T.DataType):
     if isinstance(dt, T.DecimalType):
         # C5: decimals are bound as decimal text (input.rs:795-823)
         return format(v, "f") if isinstance(v, decimal.Decimal) else str(v)
-    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
-        # C8: timestamp struct; ISO text is the DBAPI equivalent
+    if isinstance(dt, T.TimestampType):
+        # C8: instant columns. PySpark hands the executor a NAIVE datetime
+        # in the OS-local timezone (spark.sql.session.timeZone does not
+        # govern this Python-side conversion), so normalize through UTC or
+        # write-back would shift values on non-UTC executors.
+        # astimezone on a naive datetime assumes local time — exactly the
+        # tz PySpark rendered it in — and converts to UTC; aware values
+        # convert directly.
+        v = v.astimezone(datetime.timezone.utc)
+        return v.replace(tzinfo=None).isoformat(sep=" ", timespec="microseconds")
+    if isinstance(dt, T.TimestampNTZType):
+        # wall-clock semantics: format as-is
         return v.isoformat(sep=" ", timespec="microseconds")
     if isinstance(dt, T.DateType):
         return v.isoformat()

@@ -65,3 +65,72 @@ def test_cli_exec_via_sqlite(spark, sf_dir, tmp_path, capsys):
 def test_cli_list_drivers(spark, capsys):
     assert main(["list-drivers"]) == 0
     assert isinstance(json.loads(capsys.readouterr().out), list)
+
+
+def test_cli_avoid_decimal_remaps_output_types(spark, sf_dir, tmp_path, capsys):
+    # mirror of the reference's decimal CLI cluster (tests/integration.rs
+    # decimal cases): --avoid-decimal turns scale-0 decimals into integers
+    # and scaled decimals into exact decimal text
+    out = str(tmp_path / "dec.par")
+    rc = main(
+        [
+            "query",
+            "--tables-dir", sf_dir,
+            "--avoid-decimal",
+            out,
+            "SELECT CAST(o_orderkey AS DECIMAL(15,0)) AS key_dec, "
+            "       CAST(o_totalprice AS DECIMAL(12,2)) AS price_dec "
+            "FROM orders WHERE o_orderkey <= 10",
+        ]
+    )
+    assert rc == 0
+    t = pq.read_table(json.loads(capsys.readouterr().out)["written"][0])
+    assert t.schema.field("key_dec").type == "int64"
+    assert t.schema.field("price_dec").type == "string"
+    # exact decimal rendering, not float repr
+    assert "." in t.column("price_dec")[0].as_py()
+
+
+def test_cli_column_length_limit_errors(spark, sf_dir, tmp_path):
+    import pytest
+
+    out = str(tmp_path / "lim.par")
+    with pytest.raises(Exception, match="maximum element length"):
+        main(
+            [
+                "query",
+                "--tables-dir", sf_dir,
+                "--column-length-limit", "3",
+                out,
+                "SELECT r_name FROM region",
+            ]
+        )
+
+
+def test_cli_column_length_limit_truncate_opt_in(spark, sf_dir, tmp_path, capsys):
+    out = str(tmp_path / "trunc.par")
+    rc = main(
+        [
+            "query",
+            "--tables-dir", sf_dir,
+            "--column-length-limit", "3",
+            "--length-limit-action", "truncate",
+            out,
+            "SELECT r_name FROM region ORDER BY r_regionkey",
+        ]
+    )
+    assert rc == 0
+    t = pq.read_table(json.loads(capsys.readouterr().out)["written"][0])
+    assert all(len(v.as_py()) <= 3 for v in t.column("r_name"))
+
+
+def test_cli_completions_scripts(capsys):
+    rc = main(["completions", "bash"])
+    assert rc == 0
+    bash = capsys.readouterr().out
+    assert "complete -F _odbc2parquet_spark" in bash
+    assert "--avoid-decimal" in bash and "query" in bash
+    rc = main(["completions", "zsh"])
+    assert rc == 0
+    zsh = capsys.readouterr().out
+    assert zsh.startswith("#compdef") and "--column-length-limit" in zsh

@@ -49,15 +49,28 @@ from odbc2parquet_spark.mappings import (
             T.StringType(),
         ),
         (
+            # no-i64 drivers only change the FETCH path (text -> i64,
+            # decimal.rs:86-108); the target type stays int64
             SourceType("decimal", precision=15, scale=0),
             MappingOptions(avoid_decimal=True, driver_supports_i64=False),
-            T.StringType(),
+            T.LongType(),
+        ),
+        (
+            # p 19..38 s=0 stays decimal under avoid_decimal — the
+            # reference's DecimalAsBinary arm has no avoid_decimal branch
+            SourceType("decimal", precision=25, scale=0),
+            MappingOptions(avoid_decimal=True),
+            T.DecimalType(25, 0),
         ),
         # temporal (timestamp_precision.rs:17-23, date.rs, time.rs)
         (SourceType("date"), None, T.DateType()),
+        # explicit precision 0 (datetime2(0)) is the ms tier, NOT unknown
+        (SourceType("timestamp", precision=0), None, T.TimestampNTZType()),
         (SourceType("timestamp", precision=3), None, T.TimestampNTZType()),
         (SourceType("timestamp", precision=6), None, T.TimestampNTZType()),
         (SourceType("timestamp", precision=7), None, T.LongType()),
+        # unknown precision defaults to the widest (ns) tier
+        (SourceType("timestamp"), None, T.LongType()),
         (SourceType("datetimeoffset", precision=7), None, T.TimestampType()),
         (SourceType("time", precision=0), None, T.IntegerType()),
         (SourceType("time", precision=7), None, T.LongType()),
@@ -126,3 +139,13 @@ def test_timestamp_ns_range_error(spark):
     )
     with pytest.raises(Exception, match="out of range|USER_RAISED"):
         bad.collect()
+
+
+def test_ns_min_boundary_does_not_overflow_i64():
+    # ceil(i64::MIN/1000): the old floor value passed the micros check but
+    # *1000 overflowed int64
+    from odbc2parquet_spark.mappings import NS_MIN_MICROS, NS_MAX_MICROS
+
+    assert NS_MIN_MICROS * 1000 >= -(2**63)
+    assert (NS_MIN_MICROS - 1) * 1000 < -(2**63)
+    assert NS_MAX_MICROS * 1000 <= 2**63 - 1

@@ -192,3 +192,51 @@ def test_insert_full_type_matrix_duckdb(spark, tmp_path):
     assert bytes(got_full[11]) == b"\x00\xff\x10"
     assert got_full[12] == full[12]
     assert got_full[13] == full[13]
+
+
+def test_interval_rejected_on_insert(spark):
+    # C13: reference input.rs:491-495 rejects INTERVAL columns
+    from odbc2parquet_spark.sinks.writeback import (
+        UnsupportedInsertType,
+        validate_insertable_schema,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("span", T.DayTimeIntervalType()),
+        ]
+    )
+    with pytest.raises(UnsupportedInsertType, match="interval"):
+        validate_insertable_schema(schema)
+    schema_ym = T.StructType([T.StructField("m", T.YearMonthIntervalType())])
+    with pytest.raises(UnsupportedInsertType, match="interval"):
+        validate_insertable_schema(schema_ym)
+
+
+def test_timestamp_writeback_utc_normalized():
+    # instant columns must not shift on non-UTC executors: PySpark hands
+    # the worker a naive local-tz datetime; conversion goes through UTC
+    import os
+    import subprocess
+    import sys
+
+    code = (
+        "import datetime, sys;"
+        "sys.path.insert(0, '/root/repo');"
+        "from odbc2parquet_spark.sinks.writeback import _to_dbapi_value;"
+        "from pyspark.sql import types as T;"
+        "v = datetime.datetime(2024, 6, 1, 12, 0, 0);"
+        "print(_to_dbapi_value(v, T.TimestampType()))"
+    )
+    env = dict(os.environ, TZ="America/New_York")
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, env=env
+    ).stdout.strip()
+    # noon EDT == 16:00 UTC
+    assert out == "2024-06-01 16:00:00.000000"
+    env = dict(os.environ, TZ="UTC")
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, env=env
+    ).stdout.strip()
+    assert out == "2024-06-01 12:00:00.000000"
