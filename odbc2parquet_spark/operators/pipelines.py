@@ -40,6 +40,13 @@ def prepare_corpus(
        drop the max-id side of each pair;
     4. token stats on what remains.
     """
+    # Deliberately ONE composed plan, no persist: the `exact` stage is
+    # scanned twice (pair join + final anti-join), but A/B at sf0.1 shows
+    # recompute (median 6.1s) beating .persist() (10.3s) — caching
+    # materializes the wide text column while the recomputed subtree is
+    # scan + cheap expressions. At cluster scale the same holds until the
+    # quality gate becomes compute-bound; then persist(StorageLevel.DISK_ONLY)
+    # on `exact` AFTER dropping the text column is the right variant.
     # quality_score rides along from the gate onward: the quality subtree
     # is in the plan once, not re-joined (and thus recomputed) at the end.
     q = quality_scores(docs, text_col).filter(F.col("quality_score") >= min_quality)
