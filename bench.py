@@ -60,6 +60,18 @@ HEADLINE = [
     "mm_resize",
     "tx_prepare_corpus",
     "tx_pack_shards",
+    # round 2: TPC-H Q7..Q22 suite (queries/tpch.py)
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q10_returned_items",
+    "q12_ship_lag_priority",
+    "q13_order_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_discounted_revenue",
+    "q21_latest_supplier",
+    "q22_dormant_customers",
 ]
 
 

@@ -255,6 +255,14 @@ def main(argv: list[str] | None = None) -> int:
             partition_by=tuple(args.partition_by),
             cluster_by=tuple(args.cluster_by),
         )
+        if args.out == "-":
+            # A8: parquet bytes to stdout (reference parquet_writer.rs:192-230)
+            from odbc2parquet_spark.mappings import apply_mapping_options
+            from odbc2parquet_spark.sinks.parquet_sink import write_parquet_stdout
+
+            df = apply_mapping_options(engine.query(sql, args.params), mapping)
+            write_parquet_stdout(df, sink)
+            return 0
         produced = engine.query_to_parquet(
             sql, args.out, params=args.params, sink=sink, mapping=mapping
         )

@@ -40,6 +40,7 @@ def query(name: str, oracle: str | None = None):
 
 # import for side effects: each module registers its queries
 from odbc2parquet_spark.queries import relational  # noqa: E402,F401
+from odbc2parquet_spark.queries import tpch  # noqa: E402,F401
 from odbc2parquet_spark.queries import typemap  # noqa: E402,F401
 from odbc2parquet_spark.queries import dedup  # noqa: E402,F401
 from odbc2parquet_spark.queries import similarity  # noqa: E402,F401

@@ -96,6 +96,49 @@ def path_with_suffix(path: str, index: int, suffix_length: int) -> str:
     return f"{stem}_{index:0{suffix_length}d}{ext}"
 
 
+def write_parquet_stdout(df: DataFrame, opts: SinkOptions | None = None) -> int:
+    """A8: stream the result as ONE parquet file to stdout (``out`` = '-').
+
+    The reference writes row groups to stdout so the output can be piped
+    (src/query/parquet_writer.rs:192-230, src/main.rs:151-155). Spark
+    cannot commit a distributed write into a pipe, so this materializes a
+    single .par via the normal parallel sink (bounded executor memory,
+    crash-safe commit) and then streams the finished bytes — same pipe
+    semantics, same single-file layout, two sequential IO passes of the
+    result instead of one. Splitting flags are rejected like the
+    reference rejects them for stdout (src/main.rs:447-451).
+
+    Returns the number of bytes written.
+    """
+    import sys
+    import tempfile
+
+    opts = opts or SinkOptions()
+    if opts.row_groups_per_file or opts.file_size_threshold:
+        raise ValueError("file splitting is not supported when writing to stdout")
+    with tempfile.TemporaryDirectory() as tmp:
+        target = os.path.join(tmp, "out.par")
+        produced = write_parquet(
+            df, target, SinkOptions(
+                compression=opts.compression,
+                batch_size_rows=opts.batch_size_rows,
+                batch_memory_bytes=opts.batch_memory_bytes,
+                no_empty_file=opts.no_empty_file,
+                single_file=True,
+            )
+        )
+        if not produced:
+            return 0
+        out = sys.stdout.buffer
+        n = 0
+        with open(target, "rb") as f:
+            while chunk := f.read(1 << 20):
+                out.write(chunk)
+                n += len(chunk)
+        out.flush()
+        return n
+
+
 def write_parquet(df: DataFrame, path: str, opts: SinkOptions | None = None) -> list[str]:
     """Write ``df`` to parquet with the reference's shaping semantics.
 

@@ -134,3 +134,39 @@ def test_cli_completions_scripts(capsys):
     assert rc == 0
     zsh = capsys.readouterr().out
     assert zsh.startswith("#compdef") and "--column-length-limit" in zsh
+
+
+def test_cli_query_stdout_stream(spark, sf_dir, tmp_path):
+    # A8: out='-' streams one parquet file to stdout (pipeable)
+    import io
+    import sys
+
+    import pyarrow as pa
+
+    buf = io.BytesIO()
+
+    class _Cap:
+        buffer = buf
+
+        def write(self, s):
+            pass
+
+        def flush(self):
+            pass
+
+    old = sys.stdout
+    sys.stdout = _Cap()
+    try:
+        rc = main(
+            [
+                "query",
+                "--tables-dir", sf_dir,
+                "-",
+                "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+            ]
+        )
+    finally:
+        sys.stdout = old
+    assert rc == 0
+    t = pq.read_table(pa.BufferReader(buf.getvalue()))
+    assert t.num_rows == 5 and t.column_names == ["r_regionkey", "r_name"]
