@@ -72,6 +72,11 @@ HEADLINE = [
     "q19_discounted_revenue",
     "q21_latest_supplier",
     "q22_dormant_customers",
+    # round 2: corpus-curation additions (queries/textops.py)
+    "tx_repetition",
+    "tx_boilerplate_ngrams",
+    "tx_contamination",
+    "tx_domain_mix",
 ]
 
 

@@ -159,3 +159,141 @@ def bigram_surprisal(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.count("*").alias("n_bigrams"),
         F.round(F.avg("surprisal"), 6).alias("avg_surprisal"),
     )
+
+
+def _ngram_array_expr(n: int) -> str:
+    """SQL expr building the n-gram array from a bound ``ws`` words array
+    (same short-circuit as dedup.word_shingles: sequence(1,0) descends)."""
+    parts = [f"ws[i - 1 + {k}]" for k in range(n)]
+    return (
+        f"CASE WHEN size(ws) < {n} THEN array() ELSE "
+        f"transform(sequence(1, size(ws) - {n - 1}), "
+        f"i -> concat_ws(' ', {', '.join(parts)})) END"
+    )
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Within-document repetition signals (Gopher-style repetition filters).
+
+    (doc_id, n_bigrams, distinct_bigram_ratio, top_word_ratio): the
+    fraction of distinct word bigrams (low = loopy/templated text) and the
+    share of the most frequent word (high = degenerate repetition). All
+    per-row higher-order-function arithmetic — narrow, zero shuffles, the
+    cheapest quality gate to run first at 100 TB.
+    """
+    t = F.col(text_col)
+    prepared = docs.select("doc_id", words(t).alias("ws"))
+    bigrams = F.expr(_ngram_array_expr(2))
+    n_bigrams = F.size(bigrams)
+    distinct_ratio = F.when(n_bigrams > 0, F.size(F.array_distinct(bigrams)) / n_bigrams)
+    # share of the modal word: sort words, fold counting the longest run
+    # (deterministic, no per-row map structures)
+    sorted_ws = F.array_sort(F.col("ws"))
+    top_run = F.aggregate(
+        sorted_ws,
+        F.struct(
+            F.lit(0).cast("long").alias("best"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(None).cast("string").alias("prev"),
+        ),
+        lambda acc, w: F.struct(
+            F.greatest(
+                acc.getField("best"),
+                F.when(acc.getField("prev") == w, acc.getField("run") + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+            F.when(acc.getField("prev") == w, acc.getField("run") + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            w.alias("prev"),
+        ),
+        lambda acc: acc.getField("best"),
+    )
+    n_words = F.size(F.col("ws"))
+    return prepared.select(
+        "doc_id",
+        n_bigrams.cast("long").alias("n_bigrams"),
+        F.round(distinct_ratio, 6).alias("distinct_bigram_ratio"),
+        F.when(n_words > 0, F.round(top_run / n_words, 6)).alias("top_word_ratio"),
+    )
+
+
+def boilerplate_ngrams(
+    docs: DataFrame, n: int = 5, min_docs: int = 10, text_col: str = "text"
+) -> DataFrame:
+    """Corpus-level boilerplate: n-grams appearing in >= min_docs documents
+    (the C4 'repeated line' filter generalized to n-grams, since this
+    corpus has no line structure).
+
+    (g, n_docs): one explode + one groupBy on the gram — map-side partial
+    counts make the shuffle carry one row per distinct (partition, gram).
+    At 100 TB the output (grams above the threshold) is tiny and becomes a
+    broadcast blocklist for the cleaning pass.
+    """
+    prepared = docs.select(F.col("doc_id"), words(F.col(text_col)).alias("ws"))
+    grams = prepared.select(
+        "doc_id", F.explode(F.array_distinct(F.expr(_ngram_array_expr(n)))).alias("g")
+    )
+    return (
+        grams.groupBy("g")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def contamination(
+    docs: DataFrame,
+    probes: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark-contamination check: per-document overlap with a probe
+    set's n-grams (the eval-leakage scan every training corpus needs).
+
+    (doc_id, n_grams, n_contaminated, contamination_ratio) for every
+    non-probe document. The probe gram set is DISTINCT and broadcast
+    (benchmarks are tiny next to the corpus); the corpus side explodes its
+    distinct grams once and left-joins the broadcast — no shuffle of the
+    corpus, one groupBy back to doc granularity.
+    """
+    probe_grams = F.broadcast(
+        probes.select(words(F.col(text_col)).alias("ws"))
+        .select(F.explode(F.expr(_ngram_array_expr(n))).alias("g"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    probe_ids = F.broadcast(probes.select(F.col(id_col)))
+    corpus = docs.join(probe_ids, id_col, "left_anti")
+    grams = corpus.select(
+        F.col(id_col), words(F.col(text_col)).alias("ws")
+    ).select(id_col, F.explode(F.array_distinct(F.expr(_ngram_array_expr(n)))).alias("g"))
+    joined = grams.join(probe_grams, "g", "left_outer")
+    return joined.groupBy(id_col).agg(
+        F.count("*").alias("n_grams"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_contaminated"),
+        F.round(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.count("*"), 6
+        ).alias("contamination_ratio"),
+    )
+
+
+def domain_mix(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-source mixture report: (source, n_docs, total_tokens,
+    token_share) — the mixture table a training run is configured from.
+
+    One groupBy plus a 1-row broadcast for the share denominator.
+    """
+    per = docs.select(F.col("source"), F.size(words(F.col(text_col))).alias("n"))
+    agg = per.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("n").cast("long").alias("total_tokens")
+    )
+    total = agg.agg(F.sum("total_tokens").alias("grand"))
+    return (
+        agg.join(F.broadcast(total))
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            F.round(F.col("total_tokens") / F.col("grand"), 6).alias("token_share"),
+        )
+    )

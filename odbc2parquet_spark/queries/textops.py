@@ -385,3 +385,125 @@ def tx_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = mixture_sample(docs, "source", "doc_id", {"src0": 0.5, "src1": 0.25, "src2": 0.25})
     return out.select("doc_id", "source")
+
+
+@query(
+    "tx_repetition",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents
+    ),
+    b AS (
+        SELECT doc_id, ws,
+               CASE WHEN len(ws) < 2 THEN []
+                    ELSE list_transform(range(1, len(ws)),
+                                        i -> ws[i] || ' ' || ws[i+1]) END AS bg
+        FROM w
+    ),
+    tw AS (
+        SELECT doc_id, MAX(c) AS topc FROM (
+            SELECT doc_id, u, COUNT(*) AS c
+            FROM w, UNNEST(ws) AS t(u)
+            GROUP BY doc_id, u
+        ) GROUP BY doc_id
+    )
+    SELECT b.doc_id, len(bg) AS n_bigrams,
+           CASE WHEN len(bg) > 0
+                THEN ROUND(CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg), 6)
+           END AS distinct_bigram_ratio,
+           CASE WHEN len(ws) > 0
+                THEN ROUND(CAST(tw.topc AS DOUBLE) / len(ws), 6)
+           END AS top_word_ratio
+    FROM b LEFT JOIN tw ON b.doc_id = tw.doc_id
+    """,
+)
+def tx_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-doc repetition signals: distinct-bigram ratio +
+    modal-word share, all narrow per-row array arithmetic (zero shuffles —
+    the first gate to run over 100 TB)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.repetition_stats(docs)
+
+
+@query(
+    "tx_boilerplate_ngrams",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents
+    ),
+    g AS (
+        SELECT DISTINCT doc_id, u AS g
+        FROM w, UNNEST(CASE WHEN len(ws) < 2 THEN []
+                            ELSE list_transform(range(1, len(ws)),
+                                                i -> ws[i] || ' ' || ws[i+1]) END) AS t(u)
+    )
+    SELECT g, COUNT(*) AS n_docs
+    FROM g GROUP BY g HAVING COUNT(*) >= 35
+    """,
+)
+def tx_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus boilerplate detection (n-grams shared by >= 35
+    docs, ~top-decile document frequency in this corpus; bigrams here — the synthetic corpus has no line structure). The
+    over-threshold output is tiny -> the broadcast blocklist for the
+    cleaning pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.boilerplate_ngrams(docs, n=2, min_docs=35)
+
+
+@query(
+    "tx_contamination",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents
+    ),
+    g AS (
+        SELECT DISTINCT doc_id, u AS g
+        FROM w, UNNEST(CASE WHEN len(ws) < 2 THEN []
+                            ELSE list_transform(range(1, len(ws)),
+                                                i -> ws[i] || ' ' || ws[i+1]) END) AS t(u)
+    ),
+    probe AS (SELECT DISTINCT g FROM g WHERE doc_id < 10)
+    SELECT doc_id, COUNT(*) AS n_grams,
+           SUM(CASE WHEN probe.g IS NOT NULL THEN 1 ELSE 0 END) AS n_contaminated,
+           ROUND(CAST(SUM(CASE WHEN probe.g IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS contamination_ratio
+    FROM g LEFT JOIN probe USING (g)
+    WHERE doc_id >= 10
+    GROUP BY doc_id
+    """,
+)
+def tx_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-leakage scan: per-doc bigram overlap against a broadcast probe
+    (benchmark) gram set — corpus explodes once, never shuffles until the
+    per-doc fold."""
+    docs = load_table(spark, sf_dir, "documents")
+    probes = docs.filter(F.col("doc_id") < 10)
+    return X.contamination(docs, probes, n=2)
+
+
+@query(
+    "tx_domain_mix",
+    oracle="""
+    WITH per AS (
+        SELECT source,
+               len(list_filter(string_split(text, ' '), x -> x <> '')) AS n
+        FROM documents
+    ),
+    agg AS (
+        SELECT source, COUNT(*) AS n_docs, SUM(n) AS total_tokens
+        FROM per GROUP BY source
+    )
+    SELECT source, n_docs, CAST(total_tokens AS BIGINT) AS total_tokens,
+           ROUND(CAST(total_tokens AS DOUBLE)
+                 / (SELECT SUM(total_tokens) FROM agg), 6) AS token_share
+    FROM agg
+    """,
+)
+def tx_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture report per source domain: the doc/token-share table a
+    training run's sampling weights are configured from."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.domain_mix(docs)

@@ -118,3 +118,40 @@ def stream_stream_interval_join(
         & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within}"))
     )
     return l.join(r, cond).drop("r_key")
+
+
+def streaming_exact_dedup(
+    docs: DataFrame, watermark: str = "1 hour", text_col: str = "text"
+) -> DataFrame:
+    """Streaming exact dedup: first-seen copy of each content hash wins.
+
+    ``dropDuplicates`` on the md5 content hash with a watermark bound on
+    the state store — the streaming twin of operators/dedup.exact dedup
+    (same hash, same keep-first semantics per micro-batch arrival order).
+    Without the watermark the hash->seen state grows forever; with it,
+    duplicates arriving later than the watermark horizon are admitted —
+    the documented recall/state tradeoff of streaming dedup at scale. For
+    exactness across unbounded time, pair with the batch incremental
+    anti-join (operators/dedup.incremental_dedup) over the persisted
+    hash index.
+    """
+    hashed = docs.withColumn("content_hash", F.md5(F.col(text_col)))
+    if "ts" in docs.columns:
+        hashed = hashed.withWatermark("ts", watermark)
+        return hashed.dropDuplicates(["content_hash"])
+    return hashed.dropDuplicates(["content_hash"])
+
+
+def streaming_quality_gate(
+    docs: DataFrame, min_quality: float = 0.5, text_col: str = "text"
+) -> DataFrame:
+    """Stateless streaming quality filter: the batch quality_scores
+    expression applied per micro-batch (narrow, no state) — the gate you
+    run INSIDE ingestion so rejected documents never land on disk."""
+    from odbc2parquet_spark.operators.text import quality_scores
+
+    scored = quality_scores(docs, text_col)
+    return (
+        docs.join(scored.select("doc_id", "quality_score"), "doc_id")
+        .filter(F.col("quality_score") >= min_quality)
+    )

@@ -361,3 +361,52 @@ def test_normalize_and_quantize(spark):
         orig = dict((row.vec_id, row.embedding) for row in vecs.collect())[r.vec_id]
         deq = [c * r.scale for c in r.q]
         assert all(abs(a - b) <= r.scale / 2 + 1e-9 for a, b in zip(orig, deq))
+
+
+def test_repetition_stats_edges(spark):
+    from odbc2parquet_spark.operators.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a a"),            # degenerate repetition
+            (2, "w x y z"),            # all distinct
+            (3, "solo"),               # no bigrams
+            (4, ""),                   # empty
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    assert rows[1].n_bigrams == 3 and rows[1].distinct_bigram_ratio == round(1 / 3, 6)
+    assert rows[1].top_word_ratio == 1.0
+    assert rows[2].distinct_bigram_ratio == 1.0 and rows[2].top_word_ratio == 0.25
+    assert rows[3].n_bigrams == 0 and rows[3].distinct_bigram_ratio is None
+    assert rows[4].top_word_ratio is None
+
+
+def test_contamination_excludes_probes_and_counts(spark):
+    from odbc2parquet_spark.operators.text import contamination
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),       # probe
+            (2, "alpha beta nothing"),     # shares 'alpha beta'
+            (3, "zeta eta theta"),         # disjoint
+        ],
+        ["doc_id", "text"],
+    )
+    probes = docs.filter("doc_id = 1")
+    rows = {r.doc_id: r for r in contamination(docs, probes, n=2).collect()}
+    assert 1 not in rows
+    assert rows[2].n_contaminated == 1 and rows[2].contamination_ratio == 0.5
+    assert rows[3].n_contaminated == 0
+
+
+def test_boilerplate_ngrams_threshold(spark):
+    from odbc2parquet_spark.operators.text import boilerplate_ngrams
+
+    docs = spark.createDataFrame(
+        [(i, "common pair unique%d tail" % i) for i in range(5)],
+        ["doc_id", "text"],
+    )
+    out = {r.g: r.n_docs for r in boilerplate_ngrams(docs, n=2, min_docs=5).collect()}
+    assert out == {"common pair": 5}

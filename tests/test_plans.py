@@ -31,6 +31,7 @@ BOUNDED_CROSS_OK = {
     "tx_mixture_sample",     # 1-row mixture-target + |sources|-row threshold broadcasts
     "q15_top_supplier",      # 1-row max-revenue broadcast (theta equality on double)
     "q22_dormant_customers", # 1-row avg-balance broadcast threshold
+    "tx_domain_mix",         # 1-row grand-total broadcast for the share denominator
 }
 ALL_PAIRS_OK |= BOUNDED_CROSS_OK
 

@@ -135,3 +135,52 @@ def test_stream_stream_interval_join(spark, tmp_path):
     rows = {(r.l_tag, r.r_tag) for r in spark.read.parquet(out).collect()}
     # c1 (12:00) matches b1 (12:05); c2 (12:30) too late; c3's b2 at +20min > 10min window
     assert rows == {("c1", "b1")}
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    import time
+
+    from odbc2parquet_spark.streaming.transfer import streaming_exact_dedup
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    batch1 = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "unique one")], ["doc_id", "text"]
+    )
+    batch1.write.parquet(src)
+    stream = spark.readStream.schema(batch1.schema).parquet(src)
+    q = (
+        streaming_exact_dedup(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    # one survivor per distinct content
+    assert got.count() == 2
+    assert got.select("content_hash").distinct().count() == 2
+    # a second batch with an already-seen text adds nothing; state carries
+    # across restarts via the checkpoint
+    spark.createDataFrame([(4, "same text"), (5, "fresh")], ["doc_id", "text"]).write.mode(
+        "append"
+    ).parquet(src)
+    stream2 = spark.readStream.schema(batch1.schema).parquet(src)
+    q2 = (
+        streaming_exact_dedup(stream2)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    time.sleep(1)
+    got2 = spark.read.parquet(out)
+    assert got2.count() == 3  # only 'fresh' was new
+    assert got2.filter("text = 'same text'").count() == 1
