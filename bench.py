@@ -77,6 +77,9 @@ HEADLINE = [
     "tx_boilerplate_ngrams",
     "tx_contamination",
     "tx_domain_mix",
+    "ev_value_anomalies",
+    "ev_funnel",
+    "ev_weekly_retention",
 ]
 
 

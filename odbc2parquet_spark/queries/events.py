@@ -190,3 +190,131 @@ def ev_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.select(
         "bucket_start", "key", "n", F.col("sum_value").cast("double").alias("total")
     )
+
+
+@query(
+    "ev_value_anomalies",
+    oracle="""
+    WITH stats AS (
+        SELECT event_type,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+               CAST(SUM(CAST(value * value AS DECIMAL(18,6))) AS DOUBLE) AS s2,
+               COUNT(*) AS n
+        FROM events GROUP BY event_type
+    ),
+    ms AS (
+        SELECT event_type, s1 / n AS mean,
+               SQRT((s2 - s1 * s1 / n) / (n - 1)) AS sd
+        FROM stats WHERE n > 1
+    )
+    SELECT event_id, e.event_type, value,
+           ROUND((value - mean) / sd, 6) AS z
+    FROM events e JOIN ms ON e.event_type = ms.event_type
+    WHERE sd > 0 AND ABS((value - mean) / sd) > 3.0
+    """,
+)
+def ev_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score outlier detection per event type. The per-type stats come
+    from EXACT decimal sums of value and value^2 (variance as
+    (s2 - s1^2/n)/(n-1) in a fixed-order expression — stddev_samp's
+    streaming accumulation would not be bit-stable across engines). The
+    5-row stats table broadcasts; the corpus never shuffles."""
+    ev = load_table(spark, sf_dir, "events")
+    d = lambda c: c.cast("decimal(18,6)")  # noqa: E731
+    stats = ev.groupBy(F.col("event_type").alias("s_type")).agg(
+        F.sum(d(F.col("value"))).cast("double").alias("s1"),
+        F.sum(d(F.col("value") * F.col("value"))).cast("double").alias("s2"),
+        F.count("*").alias("n"),
+    ).filter(F.col("n") > 1)
+    ms = stats.select(
+        "s_type",
+        (F.col("s1") / F.col("n")).alias("mean"),
+        F.sqrt((F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)).alias("sd"),
+    )
+    z = (F.col("value") - F.col("mean")) / F.col("sd")
+    return (
+        ev.join(F.broadcast(ms), ev.event_type == F.col("s_type"))
+        .filter((F.col("sd") > 0) & (F.abs(z) > 3.0))
+        .select("event_id", "event_type", "value", F.round(z, 6).alias("z"))
+    )
+
+
+@query(
+    "ev_funnel",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t_view,
+               MIN(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS t_click,
+               MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t_purchase
+        FROM events GROUP BY user_id
+    )
+    SELECT COUNT(*) AS n_users,
+           SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS n_viewed,
+           SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                    THEN 1 ELSE 0 END) AS n_clicked_after_view,
+           SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                         AND t_purchase > t_click
+                    THEN 1 ELSE 0 END) AS n_purchased_after_click
+    FROM firsts
+    """,
+)
+def ev_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view -> click -> purchase by first-event
+    time): one conditional-min groupBy per user then a single fold — the
+    standard product-analytics query, shuffling only (user_id, 3 longs)."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    fmin = lambda t: F.min(F.when(F.col("event_type") == t, us))  # noqa: E731
+    firsts = ev.groupBy("user_id").agg(
+        fmin("view").alias("t_view"),
+        fmin("click").alias("t_click"),
+        fmin("purchase").alias("t_purchase"),
+    )
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & (F.col("t_click") > F.col("t_view"))
+    purchased = clicked & (F.col("t_purchase") > F.col("t_click"))
+    flag = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    return firsts.agg(
+        F.count("*").alias("n_users"),
+        flag(viewed).alias("n_viewed"),
+        flag(clicked).alias("n_clicked_after_view"),
+        flag(purchased).alias("n_purchased_after_click"),
+    )
+
+
+@query(
+    "ev_weekly_retention",
+    oracle="""
+    WITH weekly AS (
+        SELECT DISTINCT user_id,
+               CAST(FLOOR(epoch(ts) / 604800) AS BIGINT) AS week
+        FROM events
+    )
+    SELECT a.week, COUNT(*) AS active,
+           SUM(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END) AS retained_next
+    FROM weekly a
+    LEFT JOIN weekly b ON a.user_id = b.user_id AND b.week = a.week + 1
+    GROUP BY a.week
+    ORDER BY a.week
+    """,
+)
+def ev_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users active in week w who return in w+1. The
+    distinct (user, week) set is tiny next to raw events; the self-join is
+    on that reduced set — never on the event log."""
+    ev = load_table(spark, sf_dir, "events")
+    week = F.floor(F.unix_seconds(F.col("ts").cast("timestamp")) / 604800).cast("long")
+    weekly = ev.select("user_id", week.alias("week")).distinct()
+    nxt = weekly.select(F.col("user_id").alias("b_user"), (F.col("week") - 1).alias("b_week"))
+    return (
+        weekly.join(
+            nxt, (weekly.user_id == F.col("b_user")) & (weekly.week == F.col("b_week")), "left_outer"
+        )
+        .groupBy("week")
+        .agg(
+            F.count("*").alias("active"),
+            F.sum(F.when(F.col("b_user").isNotNull(), 1).otherwise(0)).alias("retained_next"),
+        )
+        .orderBy("week")
+    )

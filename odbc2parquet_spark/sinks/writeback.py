@@ -112,14 +112,18 @@ def _executemany_partition(
     col_positions: list[int],
     connection_factory: Callable,
     batch_rows: int,
+    row_counter=None,
 ) -> None:
     """Runs on executors: one connection per partition, batched executemany.
 
     ``col_positions[i]`` is the row index feeding parameter i (identity for
     insert; the named-placeholder mapping for exec — one column may feed
     several parameter positions, reference input.rs:126-167).
+    ``row_counter`` is a Spark accumulator so the caller's row count rides
+    the write pass instead of costing a second scan.
     """
     conn = connection_factory()
+    n = 0
     try:
         cur = conn.cursor()
         batch: list[tuple] = []
@@ -127,12 +131,15 @@ def _executemany_partition(
             batch.append(
                 tuple(_to_dbapi_value(row[p], dtypes[p]) for p in col_positions)
             )
+            n += 1
             if len(batch) >= batch_rows:
                 cur.executemany(statement, batch)
                 batch.clear()
         if batch:
             cur.executemany(statement, batch)
         conn.commit()
+        if row_counter is not None:
+            row_counter.add(n)
     finally:
         conn.close()
 
@@ -154,8 +161,9 @@ def insert_parquet(
     """
     df = spark.read.parquet(parquet_path)
     validate_insertable_schema(df.schema)
-    n = df.count()
     if jdbc_url is not None:
+        # parquet count() is footer-metadata only — no data scan
+        n = df.count()
         (
             df.write.format("jdbc")
             .mode("append")
@@ -171,12 +179,14 @@ def insert_parquet(
     statement = generate_insert_statement(table, df.columns)
     dtypes = [f.dataType for f in df.schema.fields]
     positions = list(range(len(df.columns)))
+    # row count rides the write pass via an accumulator — one scan total
+    counter = spark.sparkContext.accumulator(0)
     df.foreachPartition(
         lambda rows: _executemany_partition(
-            rows, statement, dtypes, positions, connection_factory, batch_rows
+            rows, statement, dtypes, positions, connection_factory, batch_rows, counter
         )
     )
-    return n
+    return counter.value
 
 
 def execute_parquet(
@@ -200,10 +210,10 @@ def execute_parquet(
         )
     positions = [col_index[n] for n in names]
     dtypes = [f.dataType for f in df.schema.fields]
-    n = df.count()
+    counter = spark.sparkContext.accumulator(0)
     df.foreachPartition(
         lambda rows: _executemany_partition(
-            rows, positional, dtypes, positions, connection_factory, batch_rows
+            rows, positional, dtypes, positions, connection_factory, batch_rows, counter
         )
     )
-    return n
+    return counter.value
