@@ -80,6 +80,12 @@ HEADLINE = [
     "ev_value_anomalies",
     "ev_funnel",
     "ev_weekly_retention",
+    "tx_chunk_documents",
+    "q2_min_balance_supplier",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q16_supplier_variety",
+    "q20_heavy_shippers",
 ]
 
 

@@ -173,3 +173,38 @@ def resize_images(
             )
 
     return binary_df.select("doc_id", "payload").mapInPandas(run, RESIZE_SCHEMA)
+
+
+EMBED_SCHEMA = "doc_id long, embedding array<double>"
+
+
+def embed_payloads(binary_df: DataFrame, dim: int = 8) -> DataFrame:
+    """Binary payload -> embedding vector (the encoder step that links the
+    multimodal store to the similarity stack: decode -> embed -> ANN).
+
+    The real encoder (CLIP-style model inference) needs libs absent here,
+    so the embedding is a deterministic md5 projection of the bytes —
+    component j = md5(payload || ':' || j)[:6] / 2^24, rounded to 6
+    decimals — which exercises the REAL plumbing: Arrow-batched
+    mapInPandas, column pruning to (doc_id, payload), array<double>
+    output column ready for operators/similarity.
+    """
+    import hashlib
+
+    def embed_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                payload = bytes(payload)
+                vec = [
+                    round(
+                        int(hashlib.md5(payload + b":" + str(j).encode()).hexdigest()[:6], 16)
+                        / 16777216.0,
+                        6,
+                    )
+                    for j in range(dim)
+                ]
+                rows.append((doc_id, vec))
+            yield pd.DataFrame(rows, columns=["doc_id", "embedding"])
+
+    return binary_df.select("doc_id", "payload").mapInPandas(embed_batches, EMBED_SCHEMA)

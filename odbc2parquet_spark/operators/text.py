@@ -297,3 +297,40 @@ def domain_mix(docs: DataFrame, text_col: str = "text") -> DataFrame:
             F.round(F.col("total_tokens") / F.col("grand"), 6).alias("token_share"),
         )
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 32,
+    overlap: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into overlapping token windows — the
+    context-length-bounded chunking step that feeds tokenization/packing
+    in a training pipeline.
+
+    (doc_id, chunk_id, n_tokens, chunk_hash): chunk windows start every
+    ``chunk_tokens - overlap`` tokens; the tail keeps partial chunks so no
+    token is dropped. Emits md5 of the chunk text (not the text itself)
+    to keep the output narrow; downstream consumers re-slice lazily from
+    the source. Narrow per-row arrays + one posexplode — zero shuffles.
+    """
+    step = chunk_tokens - overlap
+    if step <= 0:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    t = F.col(text_col)
+    prepared = docs.select(F.col(id_col), words(t).alias("ws"))
+    starts = F.when(
+        F.size("ws") > 0, F.sequence(F.lit(1), F.size("ws"), F.lit(step))
+    ).otherwise(F.array().cast("array<int>"))
+    chunks = F.transform(starts, lambda s: F.slice(F.col("ws"), s, chunk_tokens))
+    exploded = prepared.select(
+        id_col, F.posexplode(chunks).alias("chunk_id", "chunk")
+    )
+    return exploded.select(
+        id_col,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size("chunk").cast("long").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", F.col("chunk"))).alias("chunk_hash"),
+    )

@@ -507,3 +507,51 @@ def tx_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     training run's sampling weights are configured from."""
     docs = load_table(spark, sf_dir, "documents")
     return X.domain_mix(docs)
+
+
+@query(
+    "tx_chunk_documents",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents
+    ),
+    st AS (
+        SELECT doc_id, ws,
+               CASE WHEN len(ws) > 0 THEN range(1, len(ws) + 1, 24)
+                    ELSE [] END AS starts
+        FROM w
+    )
+    SELECT doc_id, CAST(i - 1 AS BIGINT) AS chunk_id,
+           len(array_slice(ws, starts[i], starts[i] + 31)) AS n_tokens,
+           md5(array_to_string(array_slice(ws, starts[i], starts[i] + 31), ' '))
+               AS chunk_hash
+    FROM st, UNNEST(generate_series(1, len(starts))) AS t(i)
+    """,
+)
+def tx_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (32-token windows, 8-token overlap, partial
+    tails kept): narrow arrays + one posexplode, zero shuffles; chunk
+    identity travels as md5 so the output stays narrow."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.chunk_documents(docs, chunk_tokens=32, overlap=8)
+
+
+@query(
+    "mm_embed",
+    oracle="""
+    SELECT doc_id,
+           list_transform(range(0, 8),
+               j -> ROUND(CAST('0x' || substring(md5(text || ':' || CAST(j AS VARCHAR)), 1, 6)
+                               AS BIGINT) / 16777216.0, 6)) AS embedding
+    FROM documents
+    WHERE doc_id < 200
+    """,
+)
+def mm_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal encoder plumbing: payload bytes -> md5-projection
+    embedding via Arrow-batched mapInPandas (real model inference
+    stubbed; the array<double> output plugs straight into
+    operators/similarity)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return M.embed_payloads(M.attach_binary(docs), dim=8)

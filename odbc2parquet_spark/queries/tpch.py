@@ -5,7 +5,10 @@ The reference ships relational work verbatim to a remote DBMS
 Spark port covers the standard analytic join/agg/subquery shapes a user of
 any such DBMS would run. Adaptations (documented per query):
 
-- no ``partsupp`` table -> Q2/Q9/Q11/Q16/Q20 are out of scope;
+- no ``partsupp`` table -> Q2/Q9/Q11/Q16/Q20 reconstruct the
+  part<->supplier edge from DISTINCT lineitem shipments and proxy
+  ps_supplycost with p_retailprice — the join/subquery SHAPES are the
+  reference queries', the stock semantics are stand-ins;
 - lineitem has no commit/receipt dates or ship modes -> Q12 and Q21 use
   ship-lag against o_orderdate and latest-supplier-in-order respectively;
 - part has no container/mfgr -> Q17/Q19 predicate on p_brand/p_size;
@@ -558,4 +561,259 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_dec(F.col("c_acctbal"))).cast("double").alias("totacctbal"),
         )
         .orderBy("c_mktsegment")
+    )
+
+
+# ---- partsupp-dependent shapes (Q2/Q9/Q11/Q16/Q20), adapted: the
+# supplier<->part relationship is reconstructed from lineitem (who shipped
+# what), and ps_supplycost is proxied by p_retailprice where a cost is
+# needed. The SHAPES under test — correlated min subquery, profit
+# decomposition, group-HAVING vs global scalar, distinct-supplier
+# counting, nested semi-join chains — are the reference queries'.
+
+
+@query(
+    "q2_min_balance_supplier",
+    oracle="""
+    WITH ps AS (
+        SELECT DISTINCT l_partkey AS partkey, l_suppkey AS suppkey
+        FROM lineitem
+    ),
+    cand AS (
+        SELECT p_partkey, p_brand, s_suppkey, s_name, s_acctbal, n_name
+        FROM part
+        JOIN ps ON p_partkey = partkey
+        JOIN supplier ON suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE p_size = 15 AND r_name = 'EUROPE'
+    )
+    SELECT p_partkey, p_brand, s_suppkey, s_name, s_acctbal, n_name
+    FROM cand c
+    WHERE s_acctbal = (SELECT MIN(s_acctbal) FROM cand c2
+                       WHERE c2.p_partkey = c.p_partkey)
+    ORDER BY s_acctbal, p_partkey, s_suppkey
+    LIMIT 100
+    """,
+)
+def q2_min_balance_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated MIN subquery over a 5-table join.
+    Adaptation: no partsupp — the part<->supplier edge comes from DISTINCT
+    lineitem shipments and the minimized attribute is s_acctbal (no
+    ps_supplycost). The correlated subquery becomes a per-part min
+    aggregate joined back (one shuffle, never a re-scan per row)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.select(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    ).distinct()
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    cand = (
+        ps.join(F.broadcast(p.select("p_partkey", "p_brand")), ps.partkey == p.p_partkey)
+        .join(F.broadcast(s), ps.suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("p_partkey", "p_brand", "s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    mins = cand.groupBy(F.col("p_partkey").alias("m_partkey")).agg(
+        F.min("s_acctbal").alias("min_bal")
+    )
+    return (
+        cand.join(
+            mins,
+            (cand.p_partkey == mins.m_partkey) & (cand.s_acctbal == mins.min_bal),
+        )
+        .select("p_partkey", "p_brand", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        .orderBy("s_acctbal", "p_partkey", "s_suppkey")
+        .limit(100)
+    )
+
+
+@query(
+    "q9_product_profit",
+    oracle="""
+    SELECT nation, o_year,
+           CAST(SUM(CAST(amount AS DECIMAL(18,6))) AS DOUBLE) AS sum_profit
+    FROM (
+        SELECT n_name AS nation,
+               EXTRACT(YEAR FROM o_orderdate) AS o_year,
+               l_extendedprice * (1 - l_discount)
+                   - 0.1 * p_retailprice * l_quantity AS amount
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%red%'
+    ) profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit decomposition by supplier nation and order
+    year over a part-name pattern. Adaptation: cost = 0.1 * p_retailprice
+    * quantity standing in for ps_supplycost (no partsupp). Part (name-
+    filtered) and supplier/nation dims broadcast; one agg shuffle."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    n = load_table(spark, sf_dir, "nation")
+    amount = _rev() - F.lit(0.1) * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.sum(_dec(F.col("amount"))).cast("double").alias("sum_profit"))
+        .orderBy(F.asc("nation"), F.desc("o_year"))
+    )
+
+
+@query(
+    "q11_important_parts",
+    oracle="""
+    WITH value_per_part AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+                    AS DOUBLE) AS part_value
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_7'
+        GROUP BY l_partkey
+    )
+    SELECT l_partkey, part_value
+    FROM value_per_part
+    WHERE part_value > (SELECT SUM(part_value) * 0.001 FROM value_per_part)
+    ORDER BY part_value DESC, l_partkey
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-group value HAVING greater than a fraction of
+    the GLOBAL total (group agg + 1-row scalar broadcast). Adaptation:
+    value = shipped revenue per part from one nation's suppliers (no
+    partsupp stock value)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    per_part = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(_dec(_rev())).cast("double").alias("part_value"))
+    )
+    threshold = per_part.agg((F.sum("part_value") * F.lit(0.001)).alias("thr"))
+    return (
+        per_part.join(F.broadcast(threshold), F.col("part_value") > F.col("thr"))
+        .select("l_partkey", "part_value")
+        .orderBy(F.desc("part_value"), F.asc("l_partkey"))
+    )
+
+
+@query(
+    "q16_supplier_variety",
+    oracle="""
+    WITH ps AS (
+        SELECT DISTINCT l_partkey AS partkey, l_suppkey AS suppkey FROM lineitem
+    )
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT suppkey) AS supplier_cnt
+    FROM ps JOIN part ON partkey = p_partkey
+    WHERE p_brand <> 'Brand#13' AND p_type NOT LIKE 'PROMO%'
+      AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counting per part attribute
+    triple with an attribute blocklist and a NOT IN supplier exclusion
+    (anti-join). Adaptation: the part<->supplier edge from lineitem; the
+    excluded suppliers are negative-balance (no comment pattern)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.select(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    ).distinct()
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#13")
+        & (~F.col("p_type").startswith("PROMO"))
+        & (F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+    )
+    bad = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("bad_suppkey")
+    )
+    return (
+        ps.join(F.broadcast(p), ps.partkey == p.p_partkey)
+        .join(F.broadcast(bad), ps.suppkey == F.col("bad_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "q20_heavy_shippers",
+    oracle="""
+    WITH vol AS (
+        SELECT l_suppkey, l_partkey,
+               SUM(CAST(l_quantity AS DECIMAL(18,6))) AS qty
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_suppkey, l_partkey
+    ),
+    heavy AS (
+        SELECT DISTINCT l_suppkey FROM vol
+        WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%bolt%')
+          AND qty > 40
+    )
+    SELECT s_name, n_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_2'
+      AND s_suppkey IN (SELECT l_suppkey FROM heavy)
+    ORDER BY s_name
+    """,
+)
+def q20_heavy_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested IN-subquery chain -> two stacked
+    semi-joins (suppliers who moved > threshold volume of pattern-named
+    parts in a year, restricted to one nation). Adaptation: shipped
+    volume stands in for partsupp availability."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1997-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1998-01-01 00:00:00"))
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%")).select(
+        "p_partkey"
+    )
+    vol = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum(_dec(F.col("l_quantity"))).alias("qty")
+    )
+    heavy = (
+        vol.join(F.broadcast(p), vol.l_partkey == p.p_partkey, "left_semi")
+        .filter(F.col("qty") > F.lit(40).cast("decimal(18,6)"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_2")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(heavy, s.s_suppkey == heavy.l_suppkey, "left_semi")
+        .select("s_name", "n_name")
+        .orderBy("s_name")
     )

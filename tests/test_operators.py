@@ -410,3 +410,27 @@ def test_boilerplate_ngrams_threshold(spark):
     )
     out = {r.g: r.n_docs for r in boilerplate_ngrams(docs, n=2, min_docs=5).collect()}
     assert out == {"common pair": 5}
+
+
+def test_chunk_documents_windows(spark):
+    import hashlib
+
+    from odbc2parquet_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(str(i) for i in range(10))), (2, "one"), (3, "")],
+        ["doc_id", "text"],
+    )
+    out = chunk_documents(docs, chunk_tokens=4, overlap=2).collect()
+    rows = {(r.doc_id, r.chunk_id): r for r in out}
+    # doc 1: starts 1,3,5,7,9 -> sizes 4,4,4,4,2
+    sizes = [rows[(1, i)].n_tokens for i in range(5)]
+    assert sizes == [4, 4, 4, 4, 2]
+    first = " ".join(str(i) for i in range(4))
+    assert rows[(1, 0)].chunk_hash == hashlib.md5(first.encode()).hexdigest()
+    assert rows[(2, 0)].n_tokens == 1
+    assert (3, 0) not in rows  # empty doc -> no chunks
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=4, overlap=4)

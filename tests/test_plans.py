@@ -32,6 +32,7 @@ BOUNDED_CROSS_OK = {
     "q15_top_supplier",      # 1-row max-revenue broadcast (theta equality on double)
     "q22_dormant_customers", # 1-row avg-balance broadcast threshold
     "tx_domain_mix",         # 1-row grand-total broadcast for the share denominator
+    "q11_important_parts",   # 1-row global-total broadcast threshold
 }
 ALL_PAIRS_OK |= BOUNDED_CROSS_OK
 
