@@ -5,7 +5,7 @@ and the TIME text<->int converters (src/query/time.rs tiers)."""
 import random
 import string
 
-from hypothesis import given, settings
+from hypothesis import assume, given, settings
 from hypothesis import strategies as st
 
 from odbc2parquet_spark.params import to_positional
@@ -69,3 +69,33 @@ def test_time_text_int_roundtrip_batch(spark):
         assert r.ms == r.expect_us // 1000
         assert r.ns == r.expect_us * 1000
         assert r.back == r.txt
+
+
+@given(
+    st.lists(st.text(alphabet="abc", min_size=1, max_size=3), min_size=0, max_size=40),
+    st.integers(min_value=2, max_value=8),
+    st.integers(min_value=0, max_value=6),
+)
+@settings(max_examples=20, deadline=None)
+def test_chunking_covers_every_token(tokens, chunk, overlap):
+    """Every token index lands in >= 1 chunk; consecutive chunks overlap by
+    exactly `overlap` except at the tail; chunk sizes never exceed the cap.
+
+    Pure-python mirror of the Catalyst expression in
+    operators/text.chunk_documents (starts every chunk-overlap, slice of
+    length chunk) — the Spark side is pinned by test_chunk_documents_windows;
+    this pins the WINDOW ARITHMETIC itself over arbitrary inputs.
+    """
+    assume(overlap < chunk)
+    step = chunk - overlap
+    n = len(tokens)
+    starts = list(range(0, n, step)) if n else []
+    chunks = [tokens[s : s + chunk] for s in starts]
+    covered = set()
+    for s, c in zip(starts, chunks):
+        assert len(c) <= chunk
+        covered.update(range(s, s + len(c)))
+    assert covered == set(range(n))
+    for i in range(1, len(chunks)):
+        if starts[i] + chunk <= n:
+            assert starts[i] - starts[i - 1] == step
