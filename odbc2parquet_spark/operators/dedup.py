@@ -220,27 +220,32 @@ def simhash(docs: DataFrame, bits: int = 32, text_col: str = "text", id_col: str
     """Unweighted SimHash over distinct words: (id, simhash).
 
     bit_i(doc) = majority sign over words of bit i of h(word); the integer
-    signature packs the bits. One explode + one groupBy with ``bits``
-    conditional sums — map-side combinable, no joins.
+    signature packs the bits. ZERO shuffles: the per-doc distinct-word set
+    is row-local (array_distinct), hashed ONCE into an int array, then
+    ``bits`` aggregate() folds test one bit each — pure narrow arithmetic.
+    (The previous explode + distinct + groupBy shape shuffled the corpus's
+    entire word set twice for the same result; signatures verified
+    bit-identical across both shapes.) Catalyst CSEs the hash-array
+    projection, so md5 runs once per word, not once per bit.
     """
-    words = (
-        docs.select(F.col(id_col).alias("id"), F.explode(F.split(F.col(text_col), " ")).alias("w"))
-        .filter(F.col("w") != "")
-        .distinct()
-        .withColumn("h", _word_hash32())
-    )
-    bit_sums = [
-        F.sum(
-            F.when(F.col("h").bitwiseAND(F.lit(1 << i)) != 0, F.lit(1)).otherwise(F.lit(-1))
-        ).alias(f"s{i}")
-        for i in range(bits)
-    ]
-    sums = words.groupBy("id").agg(*bit_sums)
+    ws = F.array_distinct(F.filter(F.split(F.col(text_col), " "), lambda w: w != ""))
+    hs = F.transform(ws, lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long"))
+    prepared = docs.select(F.col(id_col).alias("id"), hs.alias("hs"))
+
+    def bit_sum(i: int) -> F.Column:
+        mask = F.lit(1 << i)
+        return F.aggregate(
+            F.col("hs"),
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(h.bitwiseAND(mask) != 0, F.lit(1)).otherwise(F.lit(-1)),
+        )
+
     sig = None
     for i in range(bits):
-        term = F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        term = F.when(bit_sum(i) > 0, F.lit(1 << i)).otherwise(F.lit(0))
         sig = term if sig is None else sig + term
-    return sums.select("id", sig.cast("long").alias("simhash"))
+    return prepared.select("id", sig.cast("long").alias("simhash"))
 
 
 def simhash_near_pairs(sig: DataFrame, max_hamming: int = 6) -> DataFrame:

@@ -77,6 +77,17 @@ def test_ivf_broadcasts_centroids(plans):
     assert "BroadcastExchange" in plans["sim_ivf_assign"]
 
 
+def test_simhash_signatures_zero_shuffle(plans):
+    # the signature pass is row-local (array_distinct + hash array + bit
+    # folds) — a shuffle here would mean the old explode+distinct+groupBy
+    # shape crept back, paying two corpus-word-set exchanges for nothing
+    plan = plans["dd_simhash"]
+    n_shuffles = sum(
+        1 for l in plan.splitlines() if l.strip().startswith("(") and ") Exchange" in l
+    )
+    assert n_shuffles == 0, f"expected a narrow plan, saw {n_shuffles} shuffles"
+
+
 def test_lsh_bucket_pairs_capped_single_shuffle(plans):
     # the ANN candidate join must use the capped collect_list shape: ONE
     # shuffle on bucket (window + groupBy share the partitioning), a
