@@ -83,7 +83,7 @@ def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dd_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (k=8, md5 hash family) — one shuffle, k min-aggs."""
     docs = load_table(spark, sf_dir, "documents")
-    sig = D.minhash_signatures(D.word_shingles(docs, 3), num_hashes=8)
+    sig = D.minhash_signatures(D.word_shingle_stream(docs, 3), num_hashes=8)
     return sig.select(F.col("id").alias("doc_id"), *[f"mh{j}" for j in range(8)])
 
 
