@@ -13,6 +13,9 @@ Determinism notes (both sides follow these rules):
 
 from __future__ import annotations
 
+import glob
+import json
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -54,13 +57,47 @@ def _family(name: str) -> str:
     return "".join(ch for ch in head if ch.isalpha())
 
 
-def _interleaved() -> list[str]:
-    """Round-robin the registry across families.
+def _score_history() -> tuple[dict[str, int], set[str]]:
+    """Read past CORRECTNESS_r*.json files next to this module.
 
-    The driver scores a bounded prefix of this dict; registration order
-    (all relational, then all typemap, ...) would leave whole families
-    unscored. Interleaving guarantees every family — including the
-    newest operators — lands inside any reasonable prefix.
+    Returns (last_round_scored, red): for every query name the driver has
+    ever scored, the most recent round number it appeared in, plus the set
+    of names whose MOST RECENT scored row was not a full pass (err, or any
+    of rows/schema/hash false).
+    """
+    here = os.path.dirname(os.path.abspath(__file__))
+    last: dict[str, int] = {}
+    red: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as fh:
+                data = json.load(fh)
+            rnd = int("".join(ch for ch in os.path.basename(path) if ch.isdigit()))
+        except Exception:  # noqa: BLE001 - a malformed file must not break scoring
+            continue
+        for name, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            last[name] = max(last.get(name, 0), rnd)
+            ok = row.get("err") is None and row.get("hash_match") is not False
+            if ok:
+                red.discard(name)
+            else:
+                red.add(name)
+    return last, red
+
+
+def _interleaved() -> list[str]:
+    """Order the registry so the driver's bounded scoring prefix is spent
+    where it buys the most evidence.
+
+    Base order round-robins families (so registration order can't starve a
+    family). On top of that, three tiers keyed on past CORRECTNESS_r*.json:
+    1. queries whose latest driver row was red (fixes need re-scoring),
+    2. queries the driver has never scored (new + starved ones),
+    3. previously-green queries, least-recently-scored first.
+    The sort is stable, so the family interleave survives within each tier
+    — over successive rounds the whole registry cycles through the prefix.
     """
     families: dict[str, list[str]] = {}
     order = sorted(QUERIES, key=lambda n: (n not in _PRIORITY, _PRIORITY.index(n) if n in _PRIORITY else 0))
@@ -68,15 +105,24 @@ def _interleaved() -> list[str]:
         families.setdefault(_family(name), []).append(name)
     fam_order = ["q", "tm", "dd", "sim", "tx", "ev", "mm"]
     fam_order += [f for f in families if f not in fam_order]
-    out: list[str] = []
+    base: list[str] = []
     idx = 0
-    while len(out) < len(QUERIES):
+    while len(base) < len(QUERIES):
         for fam in fam_order:
             lst = families.get(fam, [])
             if idx < len(lst):
-                out.append(lst[idx])
+                base.append(lst[idx])
         idx += 1
-    return out
+    last, red = _score_history()
+
+    def tier(name: str) -> tuple[int, int]:
+        if name in red:
+            return (0, 0)
+        if name not in last:
+            return (1, 0)
+        return (2, last[name])
+
+    return sorted(base, key=lambda n: (tier(n), base.index(n)))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -250,12 +250,12 @@ def ev_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events GROUP BY user_id
     )
     SELECT COUNT(*) AS n_users,
-           SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS n_viewed,
-           SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
-                    THEN 1 ELSE 0 END) AS n_clicked_after_view,
-           SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+           CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_viewed,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_clicked_after_view,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
                          AND t_purchase > t_click
-                    THEN 1 ELSE 0 END) AS n_purchased_after_click
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_purchased_after_click
     FROM firsts
     """,
 )
@@ -292,7 +292,7 @@ def ev_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
     )
     SELECT a.week, COUNT(*) AS active,
-           SUM(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END) AS retained_next
+           CAST(SUM(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS retained_next
     FROM weekly a
     LEFT JOIN weekly b ON a.user_id = b.user_id AND b.week = a.week + 1
     GROUP BY a.week

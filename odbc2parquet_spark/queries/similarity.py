@@ -217,19 +217,29 @@ def sim_lsh_bucket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT vec_id, embedding,
                list_max(list_transform(embedding, x -> ABS(CAST(x AS DOUBLE)))) AS absmax
         FROM embeddings
+    ),
+    qq AS (
+        SELECT vec_id, absmax / 127.0 AS scale,
+               CASE WHEN absmax = 0
+                    THEN list_transform(embedding, x -> 0)
+                    ELSE list_transform(embedding,
+                         x -> CAST(FLOOR(CAST(x AS DOUBLE) / (absmax / 127.0) + 0.5) AS INTEGER))
+               END AS q
+        FROM m
     )
-    SELECT vec_id, absmax / 127.0 AS scale,
-           CASE WHEN absmax = 0
-                THEN list_transform(embedding, x -> 0)
-                ELSE list_transform(embedding,
-                     x -> CAST(FLOOR(CAST(x AS DOUBLE) / (absmax / 127.0) + 0.5) AS INTEGER))
-           END AS q
-    FROM m
+    SELECT vec_id, scale, CAST(generate_subscripts(q, 1) - 1 AS INTEGER) AS pos,
+           CAST(unnest(q) AS INTEGER) AS qv
+    FROM qq
     """,
 )
 def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 embedding quantization (4x storage cut for the
     100 TB store) — explicit FLOOR(+0.5) rounding so both engines emit the
-    exact same codes."""
+    exact same codes. The operator keeps the packed array<int> layout
+    (operators/similarity.quantize_int8); the registered query posexplodes
+    it to scalar (vec_id, scale, pos, qv) rows so the driver's
+    pandas-based canonicalizer can sort/hash the output."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.quantize_int8(emb)
+    return S.quantize_int8(emb).select(
+        "vec_id", "scale", F.posexplode("q").alias("pos", "qv")
+    )

@@ -467,7 +467,7 @@ def tx_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     probe AS (SELECT DISTINCT g FROM g WHERE doc_id < 10)
     SELECT doc_id, COUNT(*) AS n_grams,
-           SUM(CASE WHEN probe.g IS NOT NULL THEN 1 ELSE 0 END) AS n_contaminated,
+           CAST(SUM(CASE WHEN probe.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
            ROUND(CAST(SUM(CASE WHEN probe.g IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
                  / COUNT(*), 6) AS contamination_ratio
     FROM g LEFT JOIN probe USING (g)
@@ -540,11 +540,10 @@ def tx_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "mm_embed",
     oracle="""
-    SELECT doc_id,
-           list_transform(range(0, 8),
-               j -> ROUND(CAST('0x' || substring(md5(text || ':' || CAST(j AS VARCHAR)), 1, 6)
-                               AS BIGINT) / 16777216.0, 6)) AS embedding
-    FROM documents
+    SELECT doc_id, CAST(j AS INTEGER) AS pos,
+           ROUND(CAST('0x' || substring(md5(text || ':' || CAST(j AS VARCHAR)), 1, 6)
+                      AS BIGINT) / 16777216.0, 6) AS val
+    FROM documents, range(0, 8) AS t(j)
     WHERE doc_id < 200
     """,
 )
@@ -552,6 +551,10 @@ def mm_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal encoder plumbing: payload bytes -> md5-projection
     embedding via Arrow-batched mapInPandas (real model inference
     stubbed; the array<double> output plugs straight into
-    operators/similarity)."""
+    operators/similarity). The operator returns the packed array<double>;
+    the registered query posexplodes to scalar (doc_id, pos, val) rows so
+    the driver's canonicalizer can hash the output."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    return M.embed_payloads(M.attach_binary(docs), dim=8)
+    return M.embed_payloads(M.attach_binary(docs), dim=8).select(
+        "doc_id", F.posexplode("embedding").alias("pos", "val")
+    )

@@ -225,10 +225,10 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_ship_lag_priority",
     oracle="""
     SELECT o_orderpriority,
-           SUM(CASE WHEN datediff('day', o_orderdate, l_shipdate) > 365
-                    THEN 1 ELSE 0 END) AS late_count,
-           SUM(CASE WHEN datediff('day', o_orderdate, l_shipdate) <= 365
-                    THEN 1 ELSE 0 END) AS ontime_count
+           CAST(SUM(CASE WHEN datediff('day', o_orderdate, l_shipdate) > 365
+                    THEN 1 ELSE 0 END) AS BIGINT) AS late_count,
+           CAST(SUM(CASE WHEN datediff('day', o_orderdate, l_shipdate) <= 365
+                    THEN 1 ELSE 0 END) AS BIGINT) AS ontime_count
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
@@ -603,10 +603,15 @@ def q2_min_balance_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ps_supplycost). The correlated subquery becomes a per-part min
     aggregate joined back (one shuffle, never a re-scan per row)."""
     li = load_table(spark, sf_dir, "lineitem")
-    ps = li.select(
-        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
-    ).distinct()
     p = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    # p_size=15 keeps ~2% of parts, and partkey is in the distinct key, so
+    # the broadcast semi-join commutes below the distinct: the edge-dedup
+    # shuffle sees only matching lineitem rows instead of the full table.
+    ps = (
+        li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == p.p_partkey, "left_semi")
+        .select(F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey"))
+        .distinct()
+    )
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
@@ -745,13 +750,18 @@ def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     (anti-join). Adaptation: the part<->supplier edge from lineitem; the
     excluded suppliers are negative-balance (no comment pattern)."""
     li = load_table(spark, sf_dir, "lineitem")
-    ps = li.select(
-        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
-    ).distinct()
     p = load_table(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#13")
         & (~F.col("p_type").startswith("PROMO"))
         & (F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+    )
+    # The size/brand/type filter keeps ~1/8 of parts and partkey is in the
+    # distinct key — semi-join below the distinct so the edge-dedup shuffle
+    # only sees lineitem rows for qualifying parts.
+    ps = (
+        li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == p.p_partkey, "left_semi")
+        .select(F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey"))
+        .distinct()
     )
     bad = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
         F.col("s_suppkey").alias("bad_suppkey")
@@ -800,12 +810,17 @@ def q20_heavy_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%")).select(
         "p_partkey"
     )
-    vol = li.groupBy("l_suppkey", "l_partkey").agg(
-        F.sum(_dec(F.col("l_quantity"))).alias("qty")
+    # The broadcast semi-join on l_partkey commutes with the
+    # (l_suppkey, l_partkey) groupBy — pushing it below the aggregate
+    # shrinks the shuffled aggregation input to just the %bolt% parts
+    # (~1% of lineitem) instead of aggregating the whole fact table.
+    vol = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(_dec(F.col("l_quantity"))).alias("qty"))
     )
     heavy = (
-        vol.join(F.broadcast(p), vol.l_partkey == p.p_partkey, "left_semi")
-        .filter(F.col("qty") > F.lit(40).cast("decimal(18,6)"))
+        vol.filter(F.col("qty") > F.lit(40).cast("decimal(18,6)"))
         .select("l_suppkey")
         .distinct()
     )

@@ -118,3 +118,34 @@ def test_no_collect_based_plans(plans):
             (l for l in plan.splitlines() if l.strip().startswith("(1)")), ""
         )
         assert "LocalTableScan" not in first_node, f"{name} materializes on the driver"
+
+
+def _tree_node_ids(plan: str, needle: str) -> list[int]:
+    """Node ids from the formatted-plan tree section for lines containing
+    ``needle``. Formatted explain numbers leaves lowest and the root
+    highest, so a smaller id means deeper in the tree (executed earlier)."""
+    import re
+
+    ids = []
+    for line in plan.split("\n\n", 1)[0].splitlines():
+        if needle in line:
+            m = re.search(r"\((\d+)\)\s*$", line)
+            if m:
+                ids.append(int(m.group(1)))
+    return ids
+
+
+def test_part_semi_join_pushed_below_aggregate(plans):
+    # q20/q2/q16 build part<->supplier facts from lineitem: the selective
+    # broadcast semi-join against the filtered part set commutes with the
+    # groupBy/distinct on (suppkey, partkey) and MUST sit below it, so the
+    # aggregation shuffle sees ~1% of lineitem, not the whole fact table.
+    for name in ("q20_heavy_shippers", "q2_min_balance_supplier", "q16_supplier_variety"):
+        plan = plans[name]
+        semis = _tree_node_ids(plan, "BroadcastHashJoin LeftSemi")
+        aggs = _tree_node_ids(plan, "HashAggregate")
+        assert semis and aggs, f"{name} lost its semi-join or aggregate"
+        assert min(semis) < min(aggs), (
+            f"{name}: part semi-join (node {min(semis)}) no longer below the "
+            f"aggregate (node {min(aggs)}) — aggregating unfiltered lineitem"
+        )

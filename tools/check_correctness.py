@@ -107,6 +107,25 @@ def main() -> int:
         sc, sl = canon_rows(scols, srows)
         dc, dl = canon_rows(dcols, drows)
         problems = []
+        # Driver-parity guard: the scored gate canonicalizes through pandas,
+        # which (a) cannot hash list/array cells and (b) renders DuckDB
+        # HUGEINT (int128 from SUM over ints) differently from Spark BIGINT.
+        # Flag both locally even though the string-canon above tolerates them.
+        for label, rows in (("spark", srows[:1]), ("duck", drows[:1])):
+            for r in rows:
+                for v in r:
+                    if isinstance(v, (list, tuple, dict)):
+                        problems.append(f"{label} emits unhashable {type(v).__name__} cell")
+                    elif isinstance(v, int) and not isinstance(v, bool) and abs(v) >= 2**63:
+                        problems.append(f"{label} emits out-of-int64 integer")
+        try:
+            hug = [c for c, t in zip(con.sql(oracles[name]).columns,
+                                     con.sql(oracles[name]).types)
+                   if "HUGEINT" in str(t).upper()]
+            if hug:
+                problems.append(f"oracle HUGEINT columns {hug} (cast to BIGINT)")
+        except Exception:  # noqa: BLE001  (relation re-parse is best-effort)
+            pass
         if len(srows) != len(drows):
             problems.append(f"rowcount {len(srows)} vs {len(drows)}")
         if sc != dc:
