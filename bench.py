@@ -13,7 +13,9 @@ from __future__ import annotations
 
 import json
 import os
+import random
 import re
+import statistics
 import sys
 import tempfile
 import time
@@ -115,35 +117,59 @@ def main() -> None:
 
     from odbc2parquet_spark.catalog import load_table
 
-    with tempfile.TemporaryDirectory() as tmp:
-        t0 = time.time()
-        li = load_table(spark, sf_dir, "lineitem")
-        typed = li.select(
-            "l_orderkey",
-            "l_partkey",
-            "l_suppkey",
-            "l_linenumber",
-            F.col("l_quantity").cast("decimal(9,0)").alias("l_quantity"),
-            F.col("l_extendedprice").cast("decimal(13,2)").alias("l_extendedprice"),
-            F.col("l_discount").cast("decimal(4,2)").alias("l_discount"),
-            F.col("l_tax").cast("decimal(4,2)").alias("l_tax"),
-            "l_returnflag",
-            "l_linestatus",
-            F.col("l_shipdate").cast("date").alias("l_shipdate"),
-        )
-        typed.write.mode("overwrite").option("compression", "zstd").parquet(
-            os.path.join(tmp, "transfer")
-        )
-        timings["transfer_lineitem"] = round(time.time() - t0, 3)
-        transfer_rows = li.count()
+    # Measurement protocol: >=3 reps per query with the suite order
+    # reshuffled each rep (fixed seeds — deterministic across runs), report
+    # the per-query MEDIAN. A single sequential pass confounds a query's
+    # cost with its suite position (accumulated JVM codegen-cache/GC
+    # pressure inflated late-suite queries ~1.4x in earlier rounds);
+    # medians over shuffled orders cancel position effects.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
 
-    for name in HEADLINE:
-        fn = QUERIES[name]
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        df.write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.time() - t0, 3)
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    samples["transfer_lineitem"] = []
+    transfer_rows = 0
 
+    def run_transfer() -> None:
+        nonlocal transfer_rows
+        with tempfile.TemporaryDirectory() as tmp:
+            t0 = time.time()
+            li = load_table(spark, sf_dir, "lineitem")
+            typed = li.select(
+                "l_orderkey",
+                "l_partkey",
+                "l_suppkey",
+                "l_linenumber",
+                F.col("l_quantity").cast("decimal(9,0)").alias("l_quantity"),
+                F.col("l_extendedprice").cast("decimal(13,2)").alias("l_extendedprice"),
+                F.col("l_discount").cast("decimal(4,2)").alias("l_discount"),
+                F.col("l_tax").cast("decimal(4,2)").alias("l_tax"),
+                "l_returnflag",
+                "l_linestatus",
+                F.col("l_shipdate").cast("date").alias("l_shipdate"),
+            )
+            typed.write.mode("overwrite").option("compression", "zstd").parquet(
+                os.path.join(tmp, "transfer")
+            )
+            samples["transfer_lineitem"].append(time.time() - t0)
+            transfer_rows = li.count()
+
+    for rep in range(reps):
+        order: list[str] = ["transfer_lineitem", *HEADLINE]
+        random.Random(rep).shuffle(order)
+        for name in order:
+            if name == "transfer_lineitem":
+                run_transfer()
+                continue
+            fn = QUERIES[name]
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+            samples[name].append(time.time() - t0)
+        # stabilize across reps: drop cached relations and nudge the JVM GC
+        spark.catalog.clearCache()
+        spark._jvm.System.gc()
+
+    timings = {name: round(statistics.median(v), 3) for name, v in samples.items()}
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -153,6 +179,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "reps": reps,
                 "transfer_rows_per_sec": round(
                     transfer_rows / timings["transfer_lineitem"]
                 ),

@@ -119,13 +119,19 @@ def lsh_signatures(
     equi-join (same shape as MinHash banding) in place of a cross join.
     """
     planes = hyperplanes(n_planes, dim)
-    sig = None
-    for j, plane in enumerate(planes):
-        pl = F.array(*[F.lit(x) for x in plane])
-        d = dot(F.col(vec_col), pl)
-        bit = F.when(d > 0, F.lit(1 << j)).otherwise(F.lit(0))
-        sig = bit if sig is None else sig + bit
-    return vectors.select(F.col(id_col).alias("vec_id"), sig.cast("long").alias("sig"))
+    # One packed plane-matrix literal + a single indexed transform: the
+    # projection is ONE expression (a loop over planes in codegen) instead
+    # of n_planes unrolled aggregate folds — same signatures (bit j set
+    # iff dot(v, plane_j) > 0), ~n_planes-times smaller expression tree.
+    mat = F.array(*[F.array(*[F.lit(x) for x in plane]) for plane in planes])
+    bits = F.transform(
+        mat,
+        lambda plane, j: F.when(
+            dot(F.col(vec_col), plane) > 0, F.pow(F.lit(2.0), j.cast("double"))
+        ).otherwise(F.lit(0.0)),
+    )
+    sig = _fold_sum(bits).cast("long")
+    return vectors.select(F.col(id_col).alias("vec_id"), sig.alias("sig"))
 
 
 def lsh_bucket_pairs(
