@@ -88,6 +88,9 @@ HEADLINE = [
     "q11_important_parts",
     "q16_supplier_variety",
     "q20_heavy_shippers",
+    # round 3: streaming batch duals
+    "ev_interval_join",
+    "dd_streaming_dedup",
 ]
 
 

@@ -347,3 +347,19 @@ def dd_simhash_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant."""
     docs = load_table(spark, sf_dir, "documents")
     return D.simhash_weighted(docs).select(F.col("id").alias("doc_id"), "simhash")
+
+
+@query(
+    "dd_streaming_dedup",
+    oracle="SELECT DISTINCT md5(text) AS content_hash FROM documents",
+)
+def dd_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch dual of streaming/transfer.streaming_exact_dedup: the
+    surviving content-hash set after keep-first dedup. Which physical row
+    wins dropDuplicates is arrival-order-dependent (and unordered in
+    batch), but the distinct hash SET is identical either way — that set
+    is what the oracle certifies."""
+    from odbc2parquet_spark.streaming.transfer import streaming_exact_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return streaming_exact_dedup(docs).select("content_hash")

@@ -318,3 +318,41 @@ def ev_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week")
     )
+
+
+@query(
+    "ev_interval_join",
+    oracle="""
+    SELECT l.user_id AS user_id,
+           l.event_id AS l_event, r.event_id AS r_event,
+           epoch_us(l.ts) AS l_ts_us, epoch_us(r.ts) AS r_ts_us
+    FROM events l JOIN events r
+      ON l.user_id = r.user_id
+     AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 10 MINUTE
+    WHERE l.event_type = 'view' AND r.event_type = 'purchase'
+    """,
+)
+def ev_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch dual of streaming/transfer.stream_stream_interval_join:
+    purchases within 10 minutes AFTER a view by the same user. The oracle
+    certifies the join predicate (equi-key + bounded time interval) that,
+    with watermarks on both sides, keeps stream-stream join state finite.
+    Plan shape: equi-join on user_id with a range residual — never a
+    cross join."""
+    from odbc2parquet_spark.streaming.transfer import stream_stream_interval_join
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    views = ev.filter(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    j = stream_stream_interval_join(views, buys, key="user_id", within="10 minutes")
+    return j.select(
+        F.col("l_key").alias("user_id"),
+        F.col("l_event_id").alias("l_event"),
+        F.col("r_event_id").alias("r_event"),
+        F.unix_micros("l_ts").alias("l_ts_us"),
+        F.unix_micros("r_ts").alias("r_ts_us"),
+    )

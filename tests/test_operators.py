@@ -434,3 +434,56 @@ def test_chunk_documents_windows(spark):
 
     with _pytest.raises(ValueError):
         chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
+def test_parse_image_header_real_formats():
+    """The parser reads genuine file structure for all four formats."""
+    import struct
+
+    # BMP via our own synthesizer (valid 24-bit file)
+    bmp = M.synth_bmp(b"pixels", 17, 9)
+    assert M.parse_image_header(bmp) == ("bmp", 17, 9, 3)
+    # PNG: signature + IHDR (big-endian dims, color type 6 = RGBA)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13) + b"IHDR"
+        + struct.pack(">II", 640, 480) + bytes([8, 6, 0, 0, 0])
+        + b"\x00\x00\x00\x00"
+    )
+    assert M.parse_image_header(png) == ("png", 640, 480, 4)
+    # GIF: logical screen descriptor (little-endian u16 dims)
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00\x00\x00"
+    assert M.parse_image_header(gif) == ("gif", 320, 200, 3)
+    # JPEG: SOI + APP0 segment + SOF0 frame header (8-bit, HxW, 3 comps)
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 4) + b"\x00\x00"
+        + b"\xff\xc0" + struct.pack(">H", 11) + bytes([8]) + struct.pack(">HH", 480, 640)
+        + bytes([3, 0, 0, 0])
+    )
+    assert M.parse_image_header(jpeg) == ("jpeg", 640, 480, 3)
+
+
+def test_parse_image_header_rejects_text():
+    """Text starting with an image magic must NOT parse: printable-ASCII
+    dimension bytes exceed the plausibility bounds."""
+    import pytest as _pytest
+
+    for payload in (
+        b"BMW sales rose sharply this quarter, analysts said today......",
+        b"GIF87a is an image format from 1987",
+        b"plain words " * 10,
+        b"",
+    ):
+        with _pytest.raises(ValueError):
+            M.parse_image_header(payload)
+
+
+def test_bmp_roundtrip_through_spark(docs):
+    """encode_bmp -> decode_image_headers round-trips real BMP bytes."""
+    out = {r.doc_id: r for r in M.decode_image_headers(M.encode_bmp(docs)).collect()}
+    text = "the quick brown fox jumps over the lazy dog"
+    assert out[1].fmt == "bmp"
+    assert out[1].width == len(text) % 64 + 1
+    assert out[1].height == len(text) % 48 + 1
+    assert out[1].channels == 3
