@@ -44,10 +44,14 @@ def connected_components(
         .distinct()
     )
     labels = nodes.select(F.col(node_col).alias("id"), F.col(node_col).alias("component"))
+    # localCheckpoint between rounds: the fixpoint feeds its own output back
+    # in, and an un-truncated logical plan doubles per round — Catalyst
+    # re-analysis dominates wall time long before data does. On a cluster,
+    # checkpoint() to reliable storage instead.
     sym = sym.persist()
     try:
+        labels = labels.localCheckpoint(eager=True)
         for _ in range(max_iterations):
-            labels = labels.persist()
             neighbor_min = (
                 sym.join(labels, sym.src == labels.id)
                 .groupBy("dst")
@@ -61,8 +65,7 @@ def connected_components(
                         F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
                     ).alias("component"),
                 )
-            )
-            new_labels = new_labels.persist()
+            ).localCheckpoint(eager=True)
             changed = (
                 new_labels.alias("n")
                 .join(labels.alias("o"), "id")
@@ -70,7 +73,6 @@ def connected_components(
                 .limit(1)
                 .count()
             )
-            labels.unpersist()
             labels = new_labels
             if changed == 0:
                 break
@@ -79,17 +81,99 @@ def connected_components(
         sym.unpersist()
 
 
+def connected_components_star(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_col: str = "id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iterations: int = 30,
+) -> DataFrame:
+    """Large-star/small-star alternation (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14): the scale path beside
+    :func:`connected_components`.
+
+    Min-label propagation needs rounds ~ component diameter — fine for the
+    shallow clusters near-dup pairs produce, quadratic-ish wall time on
+    chain-shaped graphs (a crawl-frontier dedup can chain thousands of
+    docs A~B~C~...). The star alternation contracts every component to a
+    star around its min id in O(log n) rounds regardless of diameter:
+
+      large-star(u): link every neighbor v > u to min(N(u) + {u})
+      small-star(u): link every neighbor v <= u (and u) to min(N(u) + {u})
+
+    Each half-round is one groupBy shuffle over the current edge list; the
+    edge list only shrinks (edges collapse onto component minima), so late
+    rounds are cheap. Convergence = the oriented edge set stops changing;
+    the converged graph is a star per component with the min id at the
+    center.
+    """
+    # localCheckpoint (not bare persist) between rounds: the loop's output
+    # feeds its own input, and without truncation the logical plan doubles
+    # per round — Catalyst re-analysis, not the shuffles, becomes the
+    # bottleneck. On a cluster use checkpoint() on reliable storage.
+    e = (
+        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        # Large-star over the symmetric neighborhood of u.
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least(F.col("u"), F.col("mv")).alias("m"))
+        )
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # After large-star every edge points big -> small, so the
+        # small-star neighborhoods are exactly the groupBy(u) groups.
+        smins = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(smins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(smins.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # Converged when the oriented edge set is stable. Both sides
+        # are distinct, so equal counts + empty difference <=> equal.
+        stable = small.count() == e.count() and small.exceptAll(e).limit(1).count() == 0
+        e = small
+        if stable:
+            break
+    labels = e.groupBy("u").agg(F.min("v").alias("component"))
+    return (
+        nodes.select(F.col(node_col).alias("id"))
+        .join(labels, F.col("id") == F.col("u"), "left")
+        .select("id", F.coalesce(F.col("component"), F.col("id")).alias("component"))
+    )
+
+
 def duplicate_clusters(
     nodes: DataFrame,
     pairs: DataFrame,
     node_col: str = "id",
     src_col: str = "id_a",
     dst_col: str = "id_b",
+    algorithm: str = "propagation",
 ) -> DataFrame:
     """(id, cluster_id, is_canonical): cluster near-dup pairs and mark the
     keeper (min id per cluster — the same keep-first policy as
-    :func:`exact_duplicates`)."""
-    cc = connected_components(nodes, pairs, node_col, src_col, dst_col)
+    :func:`exact_duplicates`).
+
+    ``algorithm='star'`` switches to the large-star/small-star contraction
+    (O(log n) rounds on any topology — use for deep/chainy pair graphs)."""
+    cc_fn = connected_components_star if algorithm == "star" else connected_components
+    cc = cc_fn(nodes, pairs, node_col, src_col, dst_col)
     return cc.select(
         "id",
         F.col("component").alias("cluster_id"),

@@ -250,9 +250,10 @@ def dd_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dd_dup_clusters",
-    oracle="""
+# Shared by dd_dup_clusters (min-label propagation) and
+# dd_dup_clusters_star (large-star/small-star): both must reproduce the
+# recursive-CTE fixpoint exactly.
+_CLUSTERS_ORACLE = """
     WITH RECURSIVE n AS (
         SELECT vec_id,
                list_sum(list_transform(embedding,
@@ -276,8 +277,10 @@ def dd_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT id, MIN(label) AS cluster_id, (id = MIN(label)) AS is_canonical
     FROM cc GROUP BY id
-    """,
-)
+    """
+
+
+@query("dd_dup_clusters", oracle=_CLUSTERS_ORACLE)
 def dd_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs -> duplicate CLUSTERS via iterative min-label
     propagation (operators/graph.connected_components) with min-id keeper
@@ -289,6 +292,20 @@ def dd_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dd_embedding_cosine(spark, sf_dir).select("id_a", "id_b")
     nodes = emb.select(F.col("vec_id").alias("id"))
     return duplicate_clusters(nodes, pairs)
+
+
+@query("dd_dup_clusters_star", oracle=_CLUSTERS_ORACLE)
+def dd_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clusters via large-star/small-star contraction
+    (operators/graph.connected_components_star) — the O(log n)-round scale
+    path for deep pair graphs; must match the recursive-CTE oracle label
+    for label."""
+    from odbc2parquet_spark.operators.graph import duplicate_clusters
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = dd_embedding_cosine(spark, sf_dir).select("id_a", "id_b")
+    nodes = emb.select(F.col("vec_id").alias("id"))
+    return duplicate_clusters(nodes, pairs, algorithm="star")
 
 
 @query(

@@ -209,6 +209,65 @@ def test_connected_components_chain_and_isolate(spark):
     assert cl[0] == (0, True) and cl[3] == (0, False) and cl[6] == (6, True)
 
 
+def test_star_components_chain_and_isolate(spark):
+    from odbc2parquet_spark.operators.graph import connected_components_star
+
+    nodes = spark.createDataFrame([(i,) for i in range(7)], ["id"])
+    edges = spark.createDataFrame(
+        [(1, 0), (1, 2), (2, 3), (4, 5)], ["id_a", "id_b"]
+    )
+    cc = {r.id: r.component for r in connected_components_star(nodes, edges).collect()}
+    assert cc == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4, 6: 6}
+
+
+def test_star_components_deep_chain_matches_propagation(spark):
+    """The scale-path property: a 64-node chain (diameter 63) must fully
+    contract within the star alternation's O(log n) round budget — far
+    fewer rounds than min-label propagation would need — and agree with
+    propagation run to ITS fixpoint."""
+    from odbc2parquet_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    n = 64
+    nodes = spark.createDataFrame([(i,) for i in range(n)], ["id"])
+    chain = [(i, i + 1) for i in range(n - 1)]
+    edges = spark.createDataFrame(chain, ["id_a", "id_b"])
+    star = {r.id: r.component
+            for r in connected_components_star(nodes, edges, max_iterations=10).collect()}
+    assert star == {i: 0 for i in range(n)}
+    # Propagation needs diameter rounds — run the cross-check on a chain
+    # short enough that 15 rounds reach the fixpoint.
+    m = 16
+    nodes_s = spark.createDataFrame([(i,) for i in range(m)], ["id"])
+    edges_s = spark.createDataFrame([(i, i + 1) for i in range(m - 1)], ["id_a", "id_b"])
+    star_s = {r.id: r.component
+              for r in connected_components_star(nodes_s, edges_s).collect()}
+    prop_s = {r.id: r.component
+              for r in connected_components(nodes_s, edges_s, max_iterations=m).collect()}
+    assert star_s == prop_s == {i: 0 for i in range(m)}
+
+
+def test_star_components_random_graph_matches_propagation(spark):
+    import random
+
+    from odbc2parquet_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(47)
+    n = 120
+    edges_py = [(rng.randrange(n), rng.randrange(n)) for _ in range(90)]
+    edges_py = [(a, b) for a, b in edges_py if a != b]
+    nodes = spark.createDataFrame([(i,) for i in range(n)], ["id"])
+    edges = spark.createDataFrame(edges_py, ["id_a", "id_b"])
+    star = {r.id: r.component for r in connected_components_star(nodes, edges).collect()}
+    prop = {r.id: r.component for r in connected_components(nodes, edges).collect()}
+    assert star == prop
+
+
 def test_rollup_cascade_matches_direct(spark, sf_dir):
     from odbc2parquet_spark.catalog import load_table
     from odbc2parquet_spark.operators.rollup import bucket_aggregate, rollup_cascade
