@@ -391,6 +391,72 @@ def incremental_exact_dedup(
     return batch_keepers.join(index, "content_hash", "left_anti").drop("content_hash")
 
 
+def repeated_ngram_stats(
+    docs: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Substring-level duplication stats (the Lee et al. "Deduplicating
+    Training Data Makes Language Models Better" signal): word n-grams
+    recurring across >= ``min_docs`` DISTINCT documents, reported per
+    document as (doc_id, n_grams, n_dup_grams, dup_frac).
+
+    Document-level dedup (MinHash/SimHash) misses boilerplate spans pasted
+    into otherwise-unique documents; this catches them. Within-doc
+    repetition deliberately does NOT count (that is ``text.repetition``'s
+    signal) — a gram must appear in two different documents.
+
+    Scale shape: every token occurrence becomes one 64-bit gram-hash row
+    (linear, no distinct — occurrences matter), then two shuffles on the
+    gram hash: a countDistinct(doc) to find cross-doc grams (partial
+    map-side aggregation) and a semi-join back. The gram string itself is
+    never shuffled — only its truncated md5 — so shuffle rows stay narrow
+    regardless of n. At corpus scale the cross-doc gram set is the long
+    tail's complement: small enough to behave like a dimension side under
+    AQE.
+    """
+    parts = [f"ws[i - 1 + {k}]" for k in range(n)]
+    # NB: sequence(1, 0) is DESCENDING, not empty — short docs short-circuit.
+    gram_expr = (
+        f"CASE WHEN size(ws) < {n} THEN array() ELSE "
+        f"transform(sequence(1, size(ws) - {n - 1}), "
+        f"i -> substring(md5(concat_ws(' ', {', '.join(parts)})), 1, 16)) END"
+    )
+    grams = (
+        docs.select(F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("ws"))
+        .select("doc_id", F.explode(F.expr(gram_expr)).alias("g"))
+    )
+    cross_doc = (
+        grams.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("g")
+    )
+    per_doc_total = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    per_doc_dup = (
+        grams.join(cross_doc, "g", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_dup_grams"))
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc_total, "doc_id", "left")
+        .join(per_doc_dup, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_grams"), F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce(F.col("n_dup_grams"), F.lit(0)).cast("long").alias("n_dup_grams"),
+            F.round(
+                F.coalesce(F.col("n_dup_grams"), F.lit(0)).cast("double")
+                / F.greatest(F.coalesce(F.col("n_grams"), F.lit(0)), F.lit(1)).cast("double"),
+                4,
+            ).alias("dup_frac"),
+        )
+    )
+
+
 def simhash_weighted(docs: DataFrame, bits: int = 32, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """TF-weighted SimHash: each word votes with its occurrence count
     (majority over tokens, not distinct types). Same single

@@ -380,3 +380,39 @@ def dd_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return streaming_exact_dedup(docs).select("content_hash")
+
+
+@query(
+    "dd_repeated_ngrams",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    g AS (
+        SELECT doc_id,
+               substring(md5(array_to_string(list_slice(ws, i, i + 7), ' ')), 1, 16) AS g
+        FROM w, UNNEST(generate_series(1, len(ws) - 7)) AS t(i)
+        WHERE len(ws) >= 8
+    ),
+    d AS (SELECT g FROM g GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+    tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams FROM g GROUP BY doc_id),
+    dup AS (
+        SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_grams
+        FROM g JOIN d ON g.g = d.g
+        GROUP BY g.doc_id
+    )
+    SELECT doc.doc_id,
+           CAST(COALESCE(tot.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(COALESCE(dup.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+           ROUND(CAST(COALESCE(dup.n_dup_grams, 0) AS DOUBLE)
+                 / CAST(GREATEST(COALESCE(tot.n_grams, 0), 1) AS DOUBLE), 4) AS dup_frac
+    FROM documents doc
+    LEFT JOIN tot ON doc.doc_id = tot.doc_id
+    LEFT JOIN dup ON doc.doc_id = dup.doc_id
+    """,
+)
+def dd_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication: per-document count/fraction of 8-gram
+    occurrences shared with at least one OTHER document
+    (operators/dedup.repeated_ngram_stats — the Lee et al. repeated-span
+    signal that document-level MinHash/SimHash misses)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.repeated_ngram_stats(docs, n=8, min_docs=2)
