@@ -363,3 +363,87 @@ def quantize_int8(
     return vectors.select(
         F.col(id_col).alias("vec_id"), scale.alias("scale"), q.alias("q")
     )
+
+
+def label_centroids(
+    vectors: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    decimals: int = 6,
+) -> DataFrame:
+    """(label, dim, c): element-wise mean embedding per label — the
+    mean-pooled class centroid used for nearest-centroid classification
+    and embedding-space curation.
+
+    Determinism across engines: per-(label, dim) sums run on exact
+    DECIMAL (order-independent), cast to double only for the final
+    division, rounded to ``decimals``. One posexplode + one groupBy on
+    (label, dim) — k*d groups, tiny shuffle regardless of corpus size.
+    The exploded scalar form IS the output (narrow, hashable);
+    :func:`assemble_centroids` packs it back into arrays for joins.
+    """
+    return (
+        vectors.select(
+            F.col(label_col).alias("label"), F.posexplode(F.col(vec_col)).alias("dim", "x")
+        )
+        .groupBy("label", "dim")
+        .agg(
+            F.sum(F.col("x").cast("double").cast("decimal(25,10)")).alias("s"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "label",
+            "dim",
+            F.round(F.col("s").cast("double") / F.col("n"), decimals).alias("c"),
+        )
+    )
+
+
+def assemble_centroids(centroids: DataFrame) -> DataFrame:
+    """(label, centroid): pack (label, dim, c) scalar rows into ordered
+    double arrays (dimension-sorted struct collect)."""
+    return (
+        centroids.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("dc"))
+        .select("label", F.transform(F.col("dc"), lambda s: s.getField("c")).alias("centroid"))
+    )
+
+
+def centroid_outliers(
+    vectors: DataFrame,
+    top_k: int = 20,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, label, dist, rk): the ``top_k`` vectors farthest from their
+    OWN label's centroid, per label — mislabeled/noise candidates for
+    embedding-space quality filtering.
+
+    Scale shape: centroids are k rows — broadcast; the distance is a
+    per-row zip_with fold (no shuffle over the corpus); only the top-k
+    window shuffles, keyed on label with per-partition work bounded by the
+    label's row count (at extreme per-label cardinality swap the window
+    for a groupBy min_by-heap variant). Distance folds run in array order
+    on both engines, so the rounded values are bit-identical to the
+    oracle's list_sum.
+    """
+    cents = assemble_centroids(label_centroids(vectors, label_col, vec_col))
+    d2 = _fold_sum(
+        F.zip_with(
+            F.col(vec_col),
+            F.col("centroid"),
+            lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("label").orderBy(F.desc("dist"), F.asc("vec_id"))
+    return (
+        vectors.select(F.col(id_col).alias("vec_id"), F.col(label_col).alias("label"), F.col(vec_col).alias(vec_col))
+        .join(F.broadcast(cents), "label")
+        .withColumn("dist", F.round(F.sqrt(d2), 4))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= top_k)
+        .select("vec_id", "label", "dist", F.col("rk").cast("long").alias("rk"))
+    )

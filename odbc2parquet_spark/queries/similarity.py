@@ -243,3 +243,60 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.quantize_int8(emb).select(
         "vec_id", "scale", F.posexplode("q").alias("pos", "qv")
     )
+
+
+# element-wise per-label mean on exact decimal sums (order-independent),
+# shared by the centroid query and the outlier query
+_CENTROID_CTE = """
+    cx AS (
+        SELECT label, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
+        FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+    ),
+    cent AS (
+        SELECT label, dim,
+               ROUND(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(25,10))) AS DOUBLE)
+                     / COUNT(*), 6) AS c
+        FROM cx GROUP BY label, dim
+    )"""
+
+
+@query(
+    "sim_label_centroids",
+    oracle="WITH " + _CENTROID_CTE + " SELECT label, dim, c FROM cent",
+)
+def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-pooled class centroid per label (operators/similarity.
+    label_centroids): exact decimal sums so both engines agree bit-for-bit,
+    emitted as narrow (label, dim, c) scalar rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.label_centroids(emb)
+
+
+@query(
+    "sim_centroid_outliers",
+    oracle="WITH "
+    + _CENTROID_CTE
+    + """,
+    centarr AS (
+        SELECT label, list(c ORDER BY dim) AS centroid FROM cent GROUP BY label
+    ),
+    dist AS (
+        SELECT e.vec_id, e.label,
+               ROUND(SQRT(list_sum(list_transform(list_zip(e.embedding, c.centroid),
+                          p -> POWER(CAST(p[1] AS DOUBLE) - p[2], 2)))), 4) AS dist
+        FROM embeddings e JOIN centarr c USING (label)
+    )
+    SELECT vec_id, label, dist, CAST(rk AS BIGINT) AS rk FROM (
+        SELECT vec_id, label, dist,
+               ROW_NUMBER() OVER (PARTITION BY label ORDER BY dist DESC, vec_id) AS rk
+        FROM dist
+    ) WHERE rk <= 20
+    """,
+)
+def sim_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 farthest-from-own-centroid vectors per label — the
+    mislabeled/noise candidate list for embedding-space curation
+    (operators/similarity.centroid_outliers: broadcast centroids, per-row
+    fold distance, bounded per-label top-k window)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.centroid_outliers(emb, top_k=20)

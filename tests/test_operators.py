@@ -546,3 +546,47 @@ def test_bmp_roundtrip_through_spark(docs):
     assert out[1].width == len(text) % 64 + 1
     assert out[1].height == len(text) % 48 + 1
     assert out[1].channels == 3
+
+
+def test_repeated_ngram_stats_cross_doc_only(spark):
+    from odbc2parquet_spark.operators.dedup import repeated_ngram_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),          # shares "a b c" with doc 2
+            (2, "a b c x y"),
+            (3, "p q r p q r p q r"),  # internal repetition only
+            (4, "zz"),                 # too short for any 3-gram
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in repeated_ngram_stats(docs, n=3).collect()}
+    assert out[1].n_grams == 3 and out[1].n_dup_grams == 1
+    assert out[2].n_grams == 3 and out[2].n_dup_grams == 1
+    # within-doc repeats must NOT count as duplication
+    assert out[3].n_grams == 7 and out[3].n_dup_grams == 0
+    assert out[4].n_grams == 0 and out[4].dup_frac == 0.0
+
+
+def test_label_centroids_and_outliers(spark):
+    from odbc2parquet_spark.operators.similarity import (
+        centroid_outliers,
+        label_centroids,
+    )
+
+    vecs = spark.createDataFrame(
+        [
+            (1, 0, [0.0, 0.0]),
+            (2, 0, [2.0, 2.0]),
+            (3, 0, [10.0, 10.0]),  # the outlier of label 0
+            (4, 1, [1.0, -1.0]),
+        ],
+        ["vec_id", "label", "embedding"],
+    )
+    cents = {(r.label, r.dim): r.c for r in label_centroids(vecs).collect()}
+    assert cents[(0, 0)] == cents[(0, 1)] == 4.0
+    assert cents[(1, 0)] == 1.0 and cents[(1, 1)] == -1.0
+    top = centroid_outliers(vecs, top_k=1).collect()
+    by_label = {r.label: r for r in top}
+    assert by_label[0].vec_id == 3 and by_label[0].rk == 1
+    assert by_label[1].vec_id == 4 and by_label[1].dist == 0.0
