@@ -91,6 +91,10 @@ HEADLINE = [
     # round 3: streaming batch duals
     "ev_interval_join",
     "dd_streaming_dedup",
+    # round 3: substring dedup + embedding curation
+    "dd_repeated_ngrams",
+    "sim_label_centroids",
+    "sim_centroid_outliers",
 ]
 
 

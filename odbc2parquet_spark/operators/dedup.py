@@ -155,6 +155,24 @@ def word_shingle_stream(
     )
 
 
+def _band_melt(signatures: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """Melt a signature row to ``bands`` (id, band, key) rows with ONE
+    explode (a union of per-band projections would recompute the
+    signature aggregation per branch)."""
+    entries = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "_", *[f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
+            ).alias("key"),
+        )
+        for b in range(bands)
+    ]
+    return signatures.select("id", F.explode(F.array(*entries)).alias("bk")).select(
+        "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame, bands: int = 4, rows_per_band: int = 2, max_bucket: int = 1000
 ) -> DataFrame:
@@ -174,18 +192,7 @@ def lsh_candidate_pairs(
     The window count runs BEFORE collect_list so a mega-bucket spills in
     WindowExec instead of ballooning an aggregation buffer.
     """
-    entries = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.concat_ws(
-                "_", *[f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
-            ).alias("key"),
-        )
-        for b in range(bands)
-    ]
-    melted = signatures.select(
-        "id", F.explode(F.array(*entries)).alias("bk")
-    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    melted = _band_melt(signatures, bands, rows_per_band)
     w = Window.partitionBy("band", "key")
     bounded = (
         melted.withColumn("bucket_n", F.count("*").over(w))
@@ -389,6 +396,77 @@ def incremental_exact_dedup(
         "left_semi",
     )
     return batch_keepers.join(index, "content_hash", "left_anti").drop("content_hash")
+
+
+def incremental_minhash_dedup(
+    existing: DataFrame,
+    batch: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 8,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    shingle_words: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Ingestion-time near-dup gate: batch docs with NO verified MinHash
+    near-duplicate in the existing corpus — the incremental counterpart of
+    :func:`minhash_near_duplicates`, as :func:`incremental_exact_dedup`
+    is of :func:`exact_duplicates`.
+
+    Scale shape: the existing corpus reduces to its band-key INDEX
+    (``bands`` narrow rows per doc — precompute it once, store it
+    partitioned by (band, key), and each arriving batch equi-joins it
+    instead of re-scanning corpus text). Candidate generation is
+    batch-signatures x index on (band, key) with the same ``max_bucket``
+    skew cap as the self-join path; existing-side TEXT is touched only
+    for Jaccard verification of candidates (the join is keyed by
+    candidate ids, so the quadratic step is bounded by LSH recall, and
+    batch-vs-corpus work scales with the batch, not the corpus).
+    """
+    sig_b = minhash_signatures(
+        word_shingle_stream(batch, shingle_words, text_col, id_col), num_hashes
+    )
+    sig_e = minhash_signatures(
+        word_shingle_stream(existing, shingle_words, text_col, id_col), num_hashes
+    )
+    index = _band_melt(sig_e, bands, rows_per_band)
+    w = Window.partitionBy("band", "key")
+    index = (
+        index.withColumn("bucket_n", F.count("*").over(w))
+        .filter(F.col("bucket_n") <= max_bucket)
+        .drop("bucket_n")
+        .select(F.col("id").alias("old_id"), "band", "key")
+    )
+    cand = (
+        _band_melt(sig_b, bands, rows_per_band)
+        .select(F.col("id").alias("new_id"), "band", "key")
+        .join(index, ["band", "key"])
+        .select("new_id", "old_id")
+        .distinct()
+    )
+    sh_b = word_shingles(batch, shingle_words, text_col, id_col)
+    sh_e = word_shingles(existing, shingle_words, text_col, id_col)
+    sizes_b = sh_b.groupBy("id").agg(F.count("*").alias("n_new"))
+    sizes_e = sh_e.groupBy("id").agg(F.count("*").alias("n_old"))
+    common = (
+        cand.join(sh_b.select(F.col("id").alias("new_id"), "g"), "new_id")
+        .join(sh_e.select(F.col("id").alias("old_id"), "g"), ["old_id", "g"])
+        .groupBy("new_id", "old_id")
+        .agg(F.count("*").alias("common"))
+    )
+    dropped = (
+        common.join(sizes_b.select(F.col("id").alias("new_id"), "n_new"), "new_id")
+        .join(sizes_e.select(F.col("id").alias("old_id"), "n_old"), "old_id")
+        .filter(
+            F.col("common") / (F.col("n_new") + F.col("n_old") - F.col("common"))
+            >= F.lit(threshold)
+        )
+        .select(F.col("new_id").alias(id_col))
+        .distinct()
+    )
+    return batch.select(id_col).join(dropped, id_col, "left_anti")
 
 
 def repeated_ngram_stats(

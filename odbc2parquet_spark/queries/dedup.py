@@ -416,3 +416,53 @@ def dd_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     signal that document-level MinHash/SimHash misses)."""
     docs = load_table(spark, sf_dir, "documents")
     return D.repeated_ngram_stats(docs, n=8, min_docs=2)
+
+
+@query(
+    "dd_incremental_minhash",
+    oracle="WITH "
+    + _SHINGLES_CTE.format(where="")
+    + f""",
+    sig AS (
+        SELECT id, {', '.join(_minhash_min(j) for j in range(8))}
+        FROM sh GROUP BY id
+    ),
+    bands AS (
+        SELECT id, 0 AS band, mh0 || '_' || mh1 AS key FROM sig
+        UNION ALL SELECT id, 1, mh2 || '_' || mh3 FROM sig
+        UNION ALL SELECT id, 2, mh4 || '_' || mh5 FROM sig
+        UNION ALL SELECT id, 3, mh6 || '_' || mh7 FROM sig
+    ),
+    cand AS (
+        SELECT DISTINCT b.id AS new_id, a.id AS old_id
+        FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+        WHERE a.id < 250 AND b.id >= 250
+    ),
+    sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+    common AS (
+        SELECT c.new_id, c.old_id, COUNT(*) AS common
+        FROM cand c
+        JOIN sh x ON x.id = c.new_id
+        JOIN sh y ON y.id = c.old_id AND y.g = x.g
+        GROUP BY c.new_id, c.old_id
+    ),
+    dropped AS (
+        SELECT DISTINCT common.new_id
+        FROM common
+        JOIN sizes sa ON sa.id = common.new_id
+        JOIN sizes sb ON sb.id = common.old_id
+        WHERE common / (sa.n + sb.n - common) >= 0.5
+    )
+    SELECT doc_id FROM documents
+    WHERE doc_id >= 250 AND doc_id NOT IN (SELECT new_id FROM dropped)
+    """,
+)
+def dd_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion near-dup gate (operators/dedup.incremental_minhash_dedup):
+    docs >= 250 arrive as a batch against the < 250 corpus; survivors have
+    no verified MinHash near-dup in the corpus. At scale the corpus side
+    is a stored band-key index — per-batch cost scales with the batch."""
+    docs = load_table(spark, sf_dir, "documents")
+    existing = docs.filter(F.col("doc_id") < 250)
+    batch = docs.filter(F.col("doc_id") >= 250)
+    return D.incremental_minhash_dedup(existing, batch, threshold=0.5)

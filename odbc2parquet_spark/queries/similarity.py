@@ -300,3 +300,63 @@ def sim_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold distance, bounded per-label top-k window)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.centroid_outliers(emb, top_k=20)
+
+
+@query(
+    "sim_hybrid_search",
+    oracle="""
+    WITH probe AS (
+        SELECT embedding AS p,
+               list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS psq
+        FROM embeddings WHERE vec_id = 0
+    ),
+    hits AS (
+        SELECT d.doc_id, e.embedding,
+               list_sum(list_transform(e.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS esq
+        FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+        WHERE list_contains(string_split(d.text, ' '), 'spark')
+    ),
+    scored AS (
+        SELECT h.doc_id,
+               ROUND(list_sum(list_transform(list_zip(h.embedding, p.p),
+                        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                     / SQRT(h.esq * p.psq), 4) AS cosine4
+        FROM hits h, probe p
+    )
+    SELECT doc_id, cosine4, CAST(rk AS BIGINT) AS rank FROM (
+        SELECT doc_id, cosine4,
+               ROW_NUMBER() OVER (ORDER BY cosine4 DESC, doc_id) AS rk
+        FROM scored
+    ) WHERE rk <= 10
+    """,
+)
+def sim_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style hybrid retrieval: a selective keyword predicate prunes
+    the corpus FIRST (pushed to the scan), the surviving docs join their
+    embeddings on id, and an exact cosine rerank against a broadcast
+    1-row probe yields the top 10. The expensive vector math runs only on
+    keyword survivors — the hybrid plan's whole point at corpus scale;
+    the final rank window touches 10 rows post-limit, never the corpus."""
+    from odbc2parquet_spark.operators.similarity import cosine
+
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.array_contains(F.split(F.col("text"), " "), "spark")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("p"))
+    scored = (
+        docs.select("doc_id")
+        .join(emb, docs.doc_id == emb.vec_id)
+        .crossJoin(F.broadcast(probe))
+        .select(
+            "doc_id",
+            F.round(cosine(F.col("embedding"), F.col("p")), 4).alias("cosine4"),
+        )
+    )
+    top = scored.orderBy(F.desc("cosine4"), F.asc("doc_id")).limit(10)
+    w = Window.orderBy(F.desc("cosine4"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))

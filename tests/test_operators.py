@@ -590,3 +590,23 @@ def test_label_centroids_and_outliers(spark):
     by_label = {r.label: r for r in top}
     assert by_label[0].vec_id == 3 and by_label[0].rk == 1
     assert by_label[1].vec_id == 4 and by_label[1].dist == 0.0
+
+
+def test_incremental_minhash_dedup_gates_near_dups(spark):
+    from odbc2parquet_spark.operators.dedup import incremental_minhash_dedup
+
+    existing = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")], ["doc_id", "text"]
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog"),   # exact dup
+            (11, "the quick brown fox jumps over the lazy cat"),   # near dup
+            (12, "completely different words entirely here now"),  # novel
+            (13, "xy"),                                            # too short to shingle
+        ],
+        ["doc_id", "text"],
+    )
+    kept = sorted(r.doc_id for r in incremental_minhash_dedup(existing, batch).collect())
+    assert 10 not in kept            # exact dup always collides and verifies
+    assert 12 in kept and 13 in kept  # novel + unshingleable survive

@@ -33,6 +33,7 @@ BOUNDED_CROSS_OK = {
     "q22_dormant_customers", # 1-row avg-balance broadcast threshold
     "tx_domain_mix",         # 1-row grand-total broadcast for the share denominator
     "q11_important_parts",   # 1-row global-total broadcast threshold
+    "sim_hybrid_search",     # 1-row probe-embedding broadcast (rerank side)
 }
 ALL_PAIRS_OK |= BOUNDED_CROSS_OK
 
