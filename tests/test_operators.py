@@ -610,3 +610,24 @@ def test_incremental_minhash_dedup_gates_near_dups(spark):
     kept = sorted(r.doc_id for r in incremental_minhash_dedup(existing, batch).collect())
     assert 10 not in kept            # exact dup always collides and verifies
     assert 12 in kept and 13 in kept  # novel + unshingleable survive
+
+
+def test_wav_header_roundtrip_and_rejects():
+    from odbc2parquet_spark.operators.multimodal import parse_wav_header, synth_wav
+
+    w = synth_wav(b"abc", 44100, 1, 1000, bits=16)
+    assert parse_wav_header(w) == ("wav", 44100, 1, 16, 1000, 22)
+    # extra chunk before data: the walk must skip it
+    extra = w[:12] + b"LIST" + (4).to_bytes(4, "little") + b"INFO" + w[12:]
+    assert parse_wav_header(extra)[1] == 44100
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        parse_wav_header(b"RIFFxxxxWAVE")          # no chunks
+    with _pytest.raises(ValueError):
+        parse_wav_header(b"the quick brown fox")   # text
+    # non-PCM format code rejects
+    bad = bytearray(w)
+    bad[20] = 85  # mp3-in-wav
+    with _pytest.raises(ValueError):
+        parse_wav_header(bytes(bad))
