@@ -95,6 +95,8 @@ HEADLINE = [
     "dd_repeated_ngrams",
     "sim_label_centroids",
     "sim_centroid_outliers",
+    "dd_incremental_minhash",
+    "sim_hybrid_search",
 ]
 
 

@@ -356,3 +356,33 @@ def ev_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("l_ts").alias("l_ts_us"),
         F.unix_micros("r_ts").alias("r_ts_us"),
     )
+
+
+@query(
+    "ev_props_json",
+    oracle="""
+    SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE event_type = 'click'
+    GROUP BY k_bucket
+    """,
+)
+def ev_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull a typed field out of the JSON
+    props column with the built-in JSON path evaluator (JVM-side, no UDF)
+    and aggregate on it. At scale the JSON parse is a per-row expression
+    inside whole-stage codegen; only the (k, partial-agg) pairs shuffle."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "click")
+    return (
+        ev.select(
+            F.get_json_object(F.col("props"), "$.k").cast("long").alias("k_bucket"),
+            "value",
+        )
+        .groupBy("k_bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+    )

@@ -334,8 +334,9 @@ def sim_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sim_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RAG-style hybrid retrieval: a selective keyword predicate prunes
-    the corpus FIRST (pushed to the scan), the surviving docs join their
-    embeddings on id, and an exact cosine rerank against a broadcast
+    the corpus FIRST (evaluated directly on the scan output, before any
+    join), the surviving docs join their embeddings on id, and an exact
+    cosine rerank against a broadcast
     1-row probe yields the top 10. The expensive vector math runs only on
     keyword survivors — the hybrid plan's whole point at corpus scale;
     the final rank window touches 10 rows post-limit, never the corpus."""
