@@ -860,3 +860,78 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("promo_revenue_pct"),
         F.count("*").alias("n"),
     )
+
+
+@query(
+    "q_profile_lineitem",
+    oracle="""
+    SELECT 'l_orderkey' AS column_name,
+           CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_distinct,
+           CAST(MIN(l_orderkey) AS VARCHAR) AS min_s,
+           CAST(MAX(l_orderkey) AS VARCHAR) AS max_s
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_returnflag',
+           CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT l_returnflag) AS BIGINT),
+           MIN(l_returnflag), MAX(l_returnflag)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_shipdate',
+           CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT l_shipdate) AS BIGINT),
+           CAST(CAST(MIN(l_shipdate) AS DATE) AS VARCHAR),
+           CAST(CAST(MAX(l_shipdate) AS DATE) AS VARCHAR)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_quantity',
+           CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT l_quantity) AS BIGINT),
+           NULL, NULL
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice',
+           CAST(SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT l_extendedprice) AS BIGINT),
+           NULL, NULL
+    FROM lineitem
+    """,
+)
+def q_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling summary (the ingest-quality dashboard): per-column
+    null count, exact distinct count, and min/max (stringified only for
+    types whose rendering is engine-stable — bigint/string/date; float
+    min/max stay NULL rather than risk repr drift). ONE aggregate pass
+    over the table (Spark computes all columns' metrics in a single
+    partial-agg shuffle), melted to per-column rows with stack — unlike
+    the oracle's five scans, which is the point: profiling N columns
+    costs one pass, not N."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = ["l_orderkey", "l_returnflag", "l_shipdate", "l_quantity", "l_extendedprice"]
+    aggs = []
+    for c in cols:
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long").alias(f"null_{c}")
+        )
+        aggs.append(F.countDistinct(c).alias(f"dist_{c}"))
+    aggs.append(F.min("l_orderkey").cast("string").alias("min_l_orderkey"))
+    aggs.append(F.max("l_orderkey").cast("string").alias("max_l_orderkey"))
+    aggs.append(F.min("l_returnflag").alias("min_l_returnflag"))
+    aggs.append(F.max("l_returnflag").alias("max_l_returnflag"))
+    aggs.append(F.min("l_shipdate").cast("date").cast("string").alias("min_l_shipdate"))
+    aggs.append(F.max("l_shipdate").cast("date").cast("string").alias("max_l_shipdate"))
+    one = li.agg(*aggs)
+    rows = []
+    for c in cols:
+        has_mm = c in ("l_orderkey", "l_returnflag", "l_shipdate")
+        rows.append(
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col(f"null_{c}").alias("n_null"),
+                F.col(f"dist_{c}").alias("n_distinct"),
+                (F.col(f"min_{c}") if has_mm else F.lit(None).cast("string")).alias("min_s"),
+                (F.col(f"max_{c}") if has_mm else F.lit(None).cast("string")).alias("max_s"),
+            )
+        )
+    return one.select(F.explode(F.array(*rows)).alias("r")).select("r.*")
