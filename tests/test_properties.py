@@ -99,3 +99,47 @@ def test_chunking_covers_every_token(tokens, chunk, overlap):
     for i in range(1, len(chunks)):
         if starts[i] + chunk <= n:
             assert starts[i] - starts[i - 1] == step
+
+
+@given(
+    st.binary(min_size=0, max_size=64),
+    st.integers(min_value=1000, max_value=1_000_000),
+    st.integers(min_value=1, max_value=64),
+    st.integers(min_value=0, max_value=2000),
+    st.sampled_from([8, 16, 24, 32]),
+)
+@settings(max_examples=200, deadline=None)
+def test_wav_synth_parse_roundtrip(payload, rate, channels, n_samples, bits):
+    from odbc2parquet_spark.operators.multimodal import parse_wav_header, synth_wav
+
+    w = synth_wav(payload, rate, channels, n_samples, bits=bits)
+    assert parse_wav_header(w) == (
+        "wav", rate, channels, bits, n_samples, n_samples * 1000 // rate
+    )
+
+
+@given(
+    st.binary(min_size=0, max_size=64),
+    st.integers(min_value=1, max_value=200),
+    st.integers(min_value=1, max_value=200),
+)
+@settings(max_examples=200, deadline=None)
+def test_bmp_synth_parse_roundtrip(payload, width, height):
+    from odbc2parquet_spark.operators.multimodal import parse_image_header, synth_bmp
+
+    b = synth_bmp(payload, width, height)
+    assert parse_image_header(b) == ("bmp", width, height, 3)
+
+
+@given(st.binary(min_size=0, max_size=128))
+@settings(max_examples=200, deadline=None)
+def test_random_bytes_never_parse_as_wav(blob):
+    """Random bytes essentially never carry a full RIFF/WAVE structure —
+    the parser must reject, not fabricate metadata."""
+    from odbc2parquet_spark.operators.multimodal import parse_wav_header
+
+    assume(not (blob[:4] == b"RIFF" and blob[8:12] == b"WAVE"))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        parse_wav_header(blob)
