@@ -37,6 +37,12 @@ def get_spark(app_name: str = "odbc2parquet_spark", master: str | None = None) -
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # default 100 thrashes on multi-query sessions (the bench's ~70
+        # workloads evict every compiled stage between repetitions; the
+        # big composed plans then pay multi-second recompiles per run —
+        # measured 11s vs 4.5s warm for prepare_corpus). Memory cost is
+        # bounded: cached entries are generated classes, not data.
+        .config("spark.sql.codegen.cache.maxEntries", "2000")
     )
     if master is None:
         master = f"local[{cpus}]"
