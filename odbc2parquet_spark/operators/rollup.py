@@ -65,3 +65,64 @@ def rollup_cascade(
         cur = coarsen(cur, w)
         out[w] = cur
     return out
+
+
+def resample_forward_fill(
+    events: DataFrame,
+    bucket_seconds: int = 86400,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Regular-grid resampling with forward fill: for every key, one row
+    per ``bucket_seconds`` bucket from its first to its last event, carrying
+    the most recent observed value at or before the bucket's end (the
+    gap-filling step dashboards and feature pipelines need before joining
+    irregular event streams to anything gridded).
+
+    Scale shape: the grid is built per key from a 2-row-per-key bounds
+    aggregate (sequence + explode — grid rows = keys x buckets, never a
+    cross join); the per-bucket last observation is a window over
+    (key, bucket) with a (ts, id) total order; the forward fill is one
+    running last(ignorenulls) window per key, ordered by bucket — state
+    bounded per key, no shuffle beyond the two keyed windows.
+    """
+    us = int(bucket_seconds) * 1_000_000
+    ev = events.select(
+        F.col(key_col).alias("key"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("ts_us"),
+        F.col(id_col).alias("id"),
+        F.col(value_col).alias("v"),
+    ).withColumn("bucket", F.floor(F.col("ts_us") / F.lit(us)).cast("long"))
+    bounds = ev.groupBy("key").agg(
+        F.min("bucket").alias("b0"), F.max("bucket").alias("b1")
+    )
+    grid = bounds.select(
+        "key", F.explode(F.sequence(F.col("b0"), F.col("b1"))).alias("bucket")
+    )
+    from pyspark.sql import Window
+
+    w_last = Window.partitionBy("key", "bucket").orderBy(
+        F.desc("ts_us"), F.desc("id")
+    )
+    per_bucket = (
+        ev.withColumn("rn", F.row_number().over(w_last))
+        .filter(F.col("rn") == 1)
+        .select("key", "bucket", F.col("v").alias("bucket_last"))
+    )
+    w_ff = (
+        Window.partitionBy("key")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(per_bucket, ["key", "bucket"], "left")
+        .withColumn("filled_value", F.last("bucket_last", ignorenulls=True).over(w_ff))
+        .select(
+            F.col("key").alias(key_col),
+            "bucket",
+            "filled_value",
+            F.col("bucket_last").isNotNull().alias("observed"),
+        )
+    )

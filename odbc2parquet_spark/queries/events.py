@@ -415,3 +415,42 @@ def ev_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.lead("event_type").over(w).alias("next_type")
     ).filter(F.col("next_type").isNotNull())
     return seq.groupBy("event_type", "next_type").agg(F.count("*").alias("n"))
+
+
+@query(
+    "ev_resample_daily",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id AS key, epoch_us(ts) AS ts_us, event_id AS id, value AS v,
+               CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT) AS bucket
+        FROM events
+    ),
+    bounds AS (SELECT key, MIN(bucket) AS b0, MAX(bucket) AS b1 FROM ev GROUP BY key),
+    grid AS (
+        SELECT key, CAST(t.b AS BIGINT) AS bucket
+        FROM bounds, UNNEST(generate_series(b0, b1)) AS t(b)
+    ),
+    per_bucket AS (
+        SELECT key, bucket, v AS bucket_last FROM (
+            SELECT key, bucket, v,
+                   ROW_NUMBER() OVER (PARTITION BY key, bucket
+                                      ORDER BY ts_us DESC, id DESC) AS rn
+            FROM ev
+        ) WHERE rn = 1
+    )
+    SELECT g.key AS user_id, g.bucket,
+           LAST_VALUE(p.bucket_last IGNORE NULLS) OVER (
+               PARTITION BY g.key ORDER BY g.bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+           p.bucket_last IS NOT NULL AS observed
+    FROM grid g LEFT JOIN per_bucket p ON p.key = g.key AND p.bucket = g.bucket
+    """,
+)
+def ev_resample_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-grid resampling with forward fill per user
+    (operators/rollup.resample_forward_fill): gap buckets carry the last
+    observed value; `observed` marks real vs filled rows."""
+    from odbc2parquet_spark.operators.rollup import resample_forward_fill
+
+    ev = load_table(spark, sf_dir, "events")
+    return resample_forward_fill(ev, bucket_seconds=86400)

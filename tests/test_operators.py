@@ -631,3 +631,26 @@ def test_wav_header_roundtrip_and_rejects():
     bad[20] = 85  # mp3-in-wav
     with _pytest.raises(ValueError):
         parse_wav_header(bytes(bad))
+
+
+def test_resample_forward_fill_gaps(spark):
+    import datetime as dt
+
+    from odbc2parquet_spark.operators.rollup import resample_forward_fill
+
+    rows = [
+        (1, 7, dt.datetime(2024, 1, 1, 5), 10.0),   # day 0
+        (2, 7, dt.datetime(2024, 1, 3, 9), 30.0),   # day 2 (day 1 is a gap)
+        (3, 7, dt.datetime(2024, 1, 3, 11), 35.0),  # later same day wins
+        (4, 8, dt.datetime(2024, 1, 2, 1), 99.0),   # single-event key
+    ]
+    ev = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "value"])
+    out = {(r.user_id, r.bucket): (r.filled_value, r.observed)
+           for r in resample_forward_fill(ev, 86400).collect()}
+    days = sorted(b for (u, b) in out if u == 7)
+    assert len(days) == 3                       # contiguous grid incl. the gap
+    d0, d1, d2 = days
+    assert out[(7, d0)] == (10.0, True)
+    assert out[(7, d1)] == (10.0, False)        # gap forward-fills, marked unobserved
+    assert out[(7, d2)] == (35.0, True)         # last event of the day wins
+    assert [v for (u, _), v in out.items() if u == 8] == [(99.0, True)]
