@@ -447,3 +447,91 @@ def centroid_outliers(
         .filter(F.col("rk") <= top_k)
         .select("vec_id", "label", "dist", F.col("rk").cast("long").alias("rk"))
     )
+
+
+def pq_codebook(
+    vectors: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(subspace, cid, c8): a product-quantization codebook — the vector
+    space split into ``m`` contiguous subspaces, each with ``k`` centroids
+    taken deterministically from the ``k`` lowest-id vectors' slices (the
+    same no-RNG seeding rule as :func:`ivf_seed_centroids`, so any engine
+    rebuilds the codebook bit-for-bit; run Lloyd per subspace when recall
+    matters more than reproducibility)."""
+    sub = dim // m
+    seeds = vectors.orderBy(id_col).limit(k)
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("subspace"),
+                F.slice(F.col(vec_col), s * sub + 1, sub).alias("c8"),
+            )
+            for s in range(m)
+        ]
+    )
+    return seeds.select(
+        F.col(id_col).alias("cid"), F.explode(slices).alias("sc")
+    ).select("cid", F.col("sc.subspace").alias("subspace"), F.col("sc.c8").alias("c8"))
+
+
+def pq_assign(
+    vectors: DataFrame,
+    codebook: DataFrame,
+    m: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, subspace, code, dist4): per-subspace nearest-centroid codes
+    — the PQ compression step that stores a 64-float vector as ``m`` small
+    codes (8 bytes + codebook), the standard layout for billion-scale ANN
+    memory residency.
+
+    Scale shape: the codebook (m*k rows) broadcasts; each corpus row melts
+    to ``m`` narrow subvector rows and meets only its subspace's centroids
+    (map-side). The argmin is groupBy (vec_id, subspace) with a
+    min(struct(d2, cid)) aggregate — lexicographic struct min gives the
+    (distance, id)-tiebroken winner and partial-aggregates map-side, so
+    the shuffle carries exactly the output rows, never the k candidates.
+    """
+    sub = dim // m
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("subspace"),
+                F.slice(F.col(vec_col), s * sub + 1, sub).alias("v8"),
+            )
+            for s in range(m)
+        ]
+    )
+    melted = vectors.select(
+        F.col(id_col).alias("vec_id"), F.explode(slices).alias("sv")
+    ).select("vec_id", F.col("sv.subspace").alias("subspace"), F.col("sv.v8").alias("v8"))
+    d2 = F.round(
+        _fold_sum(
+            F.zip_with(
+                F.col("v8"),
+                F.col("c8"),
+                lambda x, c: (x.cast("double") - c.cast("double"))
+                * (x.cast("double") - c.cast("double")),
+            )
+        ),
+        4,
+    )
+    return (
+        melted.join(F.broadcast(codebook), "subspace")
+        .withColumn("d2", d2)
+        .groupBy("vec_id", "subspace")
+        .agg(F.min(F.struct(F.col("d2"), F.col("cid"))).alias("best"))
+        .select(
+            "vec_id",
+            "subspace",
+            F.col("best.cid").alias("code"),
+            F.col("best.d2").alias("dist4"),
+        )
+    )

@@ -361,3 +361,46 @@ def sim_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = scored.orderBy(F.desc("cosine4"), F.asc("doc_id")).limit(10)
     w = Window.orderBy(F.desc("cosine4"), F.asc("doc_id"))
     return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+@query(
+    "sim_pq_codes",
+    oracle="""
+    WITH seeds AS (
+        SELECT vec_id AS cid, embedding FROM embeddings ORDER BY vec_id LIMIT 16
+    ),
+    sub AS (
+        SELECT vec_id, CAST(t.s AS INTEGER) AS subspace,
+               list_slice(embedding, s * 8 + 1, s * 8 + 8) AS v8
+        FROM embeddings, UNNEST(generate_series(0, 7)) AS t(s)
+    ),
+    cb AS (
+        SELECT cid, CAST(t.s AS INTEGER) AS subspace,
+               list_slice(embedding, s * 8 + 1, s * 8 + 8) AS c8
+        FROM seeds, UNNEST(generate_series(0, 7)) AS t(s)
+    ),
+    scored AS (
+        SELECT sub.vec_id, sub.subspace, cb.cid,
+               ROUND(list_sum(list_transform(list_zip(sub.v8, cb.c8),
+                        p -> POWER(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE), 2))),
+                     4) AS d2
+        FROM sub JOIN cb ON cb.subspace = sub.subspace
+    )
+    SELECT vec_id, subspace, cid AS code, d2 AS dist4 FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, subspace
+                                     ORDER BY d2, cid) AS rn
+        FROM scored
+    ) WHERE rn = 1
+    """,
+)
+def sim_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (operators/similarity.pq_codebook/pq_assign):
+    64-dim float vectors compressed to 8 per-subspace centroid codes —
+    the billion-scale ANN memory layout. Deterministic seed codebook so
+    the DuckDB oracle rebuilds identical codes; the Spark argmin is a
+    map-side-partial min(struct) aggregate, the oracle's is a window."""
+    from odbc2parquet_spark.operators.similarity import pq_assign, pq_codebook
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = pq_codebook(emb, m=8, k=16, dim=64)
+    return pq_assign(emb, cb, m=8, dim=64)

@@ -654,3 +654,24 @@ def test_resample_forward_fill_gaps(spark):
     assert out[(7, d1)] == (10.0, False)        # gap forward-fills, marked unobserved
     assert out[(7, d2)] == (35.0, True)         # last event of the day wins
     assert [v for (u, _), v in out.items() if u == 8] == [(99.0, True)]
+
+
+def test_pq_codes_pick_nearest_subspace_centroid(spark):
+    from odbc2parquet_spark.operators.similarity import pq_assign, pq_codebook
+
+    # dim=4, m=2 subspaces of 2; seeds = vecs 0 and 1
+    vecs = spark.createDataFrame(
+        [
+            (0, [0.0, 0.0, 10.0, 10.0]),
+            (1, [5.0, 5.0, 0.0, 0.0]),
+            (2, [0.1, 0.1, 0.2, 0.1]),   # sub0 near seed0, sub1 near seed1
+            (3, [4.9, 5.2, 9.0, 9.0]),   # sub0 near seed1, sub1 near seed0
+        ],
+        ["vec_id", "embedding"],
+    )
+    cb = pq_codebook(vecs, m=2, k=2, dim=4)
+    out = {(r.vec_id, r.subspace): r.code for r in pq_assign(vecs, cb, m=2, dim=4).collect()}
+    assert out[(2, 0)] == 0 and out[(2, 1)] == 1
+    assert out[(3, 0)] == 1 and out[(3, 1)] == 0
+    # self-coding: a seed's own slices code to itself (distance 0)
+    assert out[(0, 0)] == 0 and out[(0, 1)] == 0
