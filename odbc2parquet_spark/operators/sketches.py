@@ -57,3 +57,63 @@ def heavy_hitters(df: DataFrame, col: str, top_n: int = 10) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("value"))
         .limit(top_n)
     )
+
+
+def count_min_sketch(
+    df: DataFrame, col: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """(row, col, n): a count-min sketch of the value stream — the
+    fixed-size frequency summary that answers "roughly how often does X
+    occur" over arbitrarily large streams with depth*width counters.
+
+    Hash family: h_j = (h1 + j*h2) mod width from one md5 per value (the
+    same Kirsch-Mitzenmacher two-hash construction as the MinHash family,
+    so an independent engine rebuilds identical counters). Build = one
+    explode to depth narrow rows + one groupBy on (row, col) with map-side
+    partials; the sketch is depth*width rows regardless of stream size.
+    """
+    h1 = F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10).cast("long")
+    h2 = F.conv(F.substring(F.md5(F.col(col).cast("string")), 16, 15), 16, 10).cast("long")
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("row"),
+                ((h1 + F.lit(j) * h2) % F.lit(width)).cast("long").alias("col"),
+            )
+            for j in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(cells).alias("c"))
+        .select(F.col("c.row").alias("row"), F.col("c.col").alias("col"))
+        .groupBy("row", "col")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame, probes: DataFrame, probe_col: str = "value",
+    depth: int = 4, width: int = 256,
+) -> DataFrame:
+    """(value, est): point-frequency estimates — min over the sketch rows
+    of each probe's counter. The sketch (depth*width rows) broadcasts;
+    estimates never over-count below the classic eps*N bound."""
+    h1 = F.conv(F.substring(F.md5(F.col(probe_col).cast("string")), 1, 15), 16, 10).cast("long")
+    h2 = F.conv(F.substring(F.md5(F.col(probe_col).cast("string")), 16, 15), 16, 10).cast("long")
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("row"),
+                ((h1 + F.lit(j) * h2) % F.lit(width)).cast("long").alias("col"),
+            )
+            for j in range(depth)
+        ]
+    )
+    melted = probes.select(F.col(probe_col).alias("value"), F.explode(cells).alias("c")).select(
+        "value", F.col("c.row").alias("row"), F.col("c.col").alias("col")
+    )
+    return (
+        melted.join(F.broadcast(sketch), ["row", "col"], "left")
+        .groupBy("value")
+        .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("est"))
+    )

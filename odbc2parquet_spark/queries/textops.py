@@ -605,3 +605,58 @@ def mm_decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow-batched mapInPandas plumbing."""
     docs = load_table(spark, sf_dir, "documents")
     return M.decode_audio_headers(M.encode_wav(docs))
+
+
+@query(
+    "tx_cms_word_freq",
+    oracle="""
+    WITH wf AS (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    w2 AS (SELECT w FROM wf WHERE w != ''),
+    cells AS (
+        SELECT CAST(t.j AS BIGINT) AS row,
+               (CAST('0x' || substring(md5(w), 1, 15) AS BIGINT)
+                + j * CAST('0x' || substring(md5(w), 16, 15) AS BIGINT)) % 256 AS col
+        FROM w2, UNNEST(generate_series(0, 3)) AS t(j)
+    ),
+    sketch AS (SELECT row, col, CAST(COUNT(*) AS BIGINT) AS n
+               FROM cells GROUP BY row, col),
+    exact AS (
+        SELECT w AS value, CAST(COUNT(*) AS BIGINT) AS exact_n
+        FROM w2 GROUP BY w ORDER BY exact_n DESC, value LIMIT 20
+    ),
+    pm AS (
+        SELECT e.value, e.exact_n, CAST(t.j AS BIGINT) AS row,
+               (CAST('0x' || substring(md5(e.value), 1, 15) AS BIGINT)
+                + j * CAST('0x' || substring(md5(e.value), 16, 15) AS BIGINT)) % 256 AS col
+        FROM exact e, UNNEST(generate_series(0, 3)) AS t(j)
+    )
+    SELECT pm.value, CAST(MIN(COALESCE(s.n, 0)) AS BIGINT) AS est, pm.exact_n
+    FROM pm LEFT JOIN sketch s ON s.row = pm.row AND s.col = pm.col
+    GROUP BY pm.value, pm.exact_n
+    """,
+)
+def tx_cms_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the corpus token stream
+    (operators/sketches.count_min_sketch): 4x256 counters summarize every
+    occurrence; the exact top-20 words probe the sketch so the oracle
+    verifies both the counter build and the min-over-rows estimator
+    (est >= exact always; equality when no collisions inflate a row).
+    Same md5 two-hash family as MinHash — independently rebuildable."""
+    from odbc2parquet_spark.operators.sketches import (
+        cms_estimate,
+        count_min_sketch,
+        heavy_hitters,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.split(F.col("text"), " ")).alias("w")).filter(
+        F.col("w") != ""
+    )
+    sk = count_min_sketch(words, "w", depth=4, width=256)
+    probes = heavy_hitters(words, "w", top_n=20)
+    est = cms_estimate(sk, probes.select("value"), "value", depth=4, width=256)
+    return est.join(probes, "value").select(
+        "value", F.col("est").cast("long").alias("est"), F.col("n").alias("exact_n")
+    )

@@ -675,3 +675,16 @@ def test_pq_codes_pick_nearest_subspace_centroid(spark):
     assert out[(3, 0)] == 1 and out[(3, 1)] == 0
     # self-coding: a seed's own slices code to itself (distance 0)
     assert out[(0, 0)] == 0 and out[(0, 1)] == 0
+
+
+def test_count_min_sketch_never_undercounts(spark):
+    from odbc2parquet_spark.operators.sketches import cms_estimate, count_min_sketch
+
+    rows = [(w,) for w in ["a"] * 50 + ["b"] * 7 + ["c"] * 1]
+    df = spark.createDataFrame(rows, ["w"])
+    sk = count_min_sketch(df, "w", depth=4, width=8)  # tiny width forces collisions
+    probes = spark.createDataFrame([("a",), ("b",), ("c",), ("zzz",)], ["value"])
+    est = {r.value: r.est for r in cms_estimate(sk, probes, depth=4, width=8).collect()}
+    assert est["a"] >= 50 and est["b"] >= 7 and est["c"] >= 1  # CMS never undercounts
+    assert est["a"] <= 58                                       # bounded by stream size
+    assert est["zzz"] >= 0                                      # absent key: collision noise only
