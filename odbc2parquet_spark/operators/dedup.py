@@ -537,24 +537,28 @@ def repeated_ngram_stats(
 
 def simhash_weighted(docs: DataFrame, bits: int = 32, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """TF-weighted SimHash: each word votes with its occurrence count
-    (majority over tokens, not distinct types). Same single
-    explode+groupBy shape as :func:`simhash`; repeated words dominate the
-    signature, which matches near-dup behavior on template-heavy text.
+    (majority over tokens, not distinct types) — repeated words dominate
+    the signature, which matches near-dup behavior on template-heavy text.
+
+    Same ZERO-shuffle packed-fold shape as :func:`simhash`, just without
+    the array_distinct: folding the raw token array weights each word by
+    its multiplicity for free. (The previous explode + 32-aggregate
+    groupBy shuffled every token row for the same integers.)
     """
-    words = (
-        docs.select(F.col(id_col).alias("id"), F.explode(F.split(F.col(text_col), " ")).alias("w"))
-        .filter(F.col("w") != "")
-        .withColumn("h", _word_hash32())
+    ws = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    hs = F.transform(ws, lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long"))
+    prepared = docs.select(F.col(id_col).alias("id"), hs.alias("hs"))
+    masks = F.array(*[F.lit(1 << i) for i in range(bits)])
+    counts = F.aggregate(
+        F.col("hs"),
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(
+            acc, masks, lambda c, m: c + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1)
+        ),
     )
-    bit_sums = [
-        F.sum(
-            F.when(F.col("h").bitwiseAND(F.lit(1 << i)) != 0, F.lit(1)).otherwise(F.lit(-1))
-        ).alias(f"s{i}")
-        for i in range(bits)
-    ]
-    sums = words.groupBy("id").agg(*bit_sums)
-    sig = None
-    for i in range(bits):
-        term = F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        sig = term if sig is None else sig + term
-    return sums.select("id", sig.cast("long").alias("simhash"))
+    sig = F.aggregate(
+        F.zip_with(counts, masks, lambda c, m: F.when(c > 0, m).otherwise(F.lit(0))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return prepared.select("id", sig.alias("simhash"))
