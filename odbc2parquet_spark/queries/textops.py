@@ -660,3 +660,49 @@ def tx_cms_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(probes, "value").select(
         "value", F.col("est").cast("long").alias("est"), F.col("n").alias("exact_n")
     )
+
+
+@query(
+    "tx_tfidf_density",
+    oracle="""
+    WITH occ AS (
+        SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS w
+        FROM documents
+    ),
+    dfreq AS (
+        SELECT w, COUNT(DISTINCT doc_id) AS df FROM occ GROUP BY w
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT occ.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(AVG(LN(CAST(n.n_docs AS DOUBLE) / dfreq.df)), 6) AS tfidf_density
+    FROM occ JOIN dfreq USING (w) CROSS JOIN n
+    GROUP BY occ.doc_id
+    """,
+)
+def tx_tfidf_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF density per document: the mean IDF over token OCCURRENCES,
+    which algebraically equals the tf-weighted tf-idf sum — the rare-word
+    richness signal (template/boilerplate text scores low, information-
+    dense text high). Two shuffles: document-frequency build (distinct +
+    groupBy on the word) and the scoring join back; the doc count is a
+    1-row broadcast. Same LN/AVG/ROUND determinism contract the surprisal
+    query already pins across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    occ = docs.select(
+        "doc_id",
+        F.explode(F.filter(F.split(F.col("text"), " "), lambda w: w != "")).alias("w"),
+    )
+    dfreq = occ.distinct().groupBy("w").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    return (
+        occ.join(dfreq, "w")
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                F.avg(F.log(F.col("n_docs").cast("double") / F.col("df"))), 6
+            ).alias("tfidf_density"),
+        )
+    )

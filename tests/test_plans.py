@@ -28,6 +28,7 @@ BOUNDED_CROSS_OK = {
     "sim_ivf_assign",        # corpus x 16 centroids (the assign pass itself)
     "sim_ivf_topk",          # same centroid scoring inside the search
     "tx_bigram_surprisal",   # 1-row corpus-total broadcast
+    "tx_tfidf_density",      # 1-row doc-count broadcast (idf denominator)
     "tx_mixture_sample",     # 1-row mixture-target + |sources|-row threshold broadcasts
     "q15_top_supplier",      # 1-row max-revenue broadcast (theta equality on double)
     "q22_dormant_customers", # 1-row avg-balance broadcast threshold
