@@ -454,3 +454,41 @@ def ev_resample_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return resample_forward_fill(ev, bucket_seconds=86400)
+
+
+_TYPE_WEIGHTS = [
+    ("view", 1.0), ("click", 2.0), ("purchase", 10.0), ("signup", 5.0), ("error", 0.0),
+]
+_TYPE_WEIGHTS_SQL = ", ".join(f"('{t}', {w})" for t, w in _TYPE_WEIGHTS)
+
+
+@query(
+    "ev_salted_join",
+    oracle=f"""
+    WITH dim(event_type, weight) AS (VALUES {_TYPE_WEIGHTS_SQL})
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(e.value * d.weight AS DECIMAL(18,6))) AS DOUBLE)
+               AS weighted_value
+    FROM events e JOIN dim d ON e.event_type = d.event_type
+    GROUP BY e.event_type
+    """,
+)
+def ev_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted join scored against the plain-join oracle: event_type
+    has only 5 values, so every key is a hot key — the canonical case
+    where one reducer would take a whole key's rows. salted_join spreads
+    each key across 16 salt buckets (small side replicated, big side
+    salted deterministically); a hash match proves the salted plan loses
+    and duplicates nothing vs the unsalted semantics."""
+    from odbc2parquet_spark.operators.joins import salted_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    dim = spark.createDataFrame(_TYPE_WEIGHTS, ["event_type", "weight"])
+    j = salted_join(ev, dim, "event_type", salt=16, distribute_by="event_id")
+    return j.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("value") * F.col("weight")).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("weighted_value"),
+    )
