@@ -706,3 +706,57 @@ def tx_tfidf_density(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tfidf_density"),
         )
     )
+
+
+@query(
+    "tx_corpus_report",
+    oracle="""
+    WITH base AS (
+        SELECT lang, source,
+               len(list_filter(string_split(text, ' '), w -> w != '')) AS n_words,
+               length(text) AS n_chars,
+               length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+               len(list_filter(string_split(text, ' '),
+                   w -> w IN ('the','a','and','of','to','in','is'))) AS n_stop
+        FROM documents
+    ),
+    scored AS (
+        SELECT lang, source, n_words,
+               (CASE WHEN n_words >= 10 THEN 0.25 ELSE 0.0 END)
+               + (n_alpha / n_chars) * 0.25
+               + (n_stop / n_words) * 0.25
+               + (CASE WHEN (n_chars - (n_words - 1)) / n_words >= 3
+                        AND (n_chars - (n_words - 1)) / n_words <= 10
+                  THEN 0.25 ELSE 0.0 END) AS q
+        FROM base
+    )
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(n_words AS BIGINT)) AS BIGINT) AS total_tokens,
+           ROUND(CAST(SUM(CAST(q AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6)
+               AS avg_quality
+    FROM scored
+    GROUP BY ROLLUP (lang, source)
+    """,
+)
+def tx_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset-card query: document counts, token totals, and mean
+    quality score by (lang, source) with ROLLUP subtotals and a grand
+    total — one aggregation pass over the scored corpus. The mean is an
+    exact decimal sum divided once (order-independent), so both engines
+    agree bit-for-bit; NULL group labels mark the subtotal rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = X.quality_scores(docs).select("doc_id", "n_words", "quality_score")
+    joined = docs.select("doc_id", "lang", "source").join(scored, "doc_id")
+    return (
+        joined.rollup("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("n_words").cast("long")).alias("total_tokens"),
+            F.round(
+                F.sum(F.col("quality_score").cast("decimal(18,9)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avg_quality"),
+        )
+    )
