@@ -37,40 +37,61 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     right_prefix: str = "r_",
+    direction: str = "backward",
 ) -> DataFrame:
     """Left as-of join: every ``left`` row + the latest ``right`` row with
     the same ``key`` and ``right_ts`` <= ``left_ts`` (nulls when none).
+
+    ``direction="forward"`` mirrors it: the EARLIEST right row with
+    ``right_ts`` >= ``left_ts`` — the next-event lookup (click -> next
+    purchase, order -> next restock). Same single-shuffle union-merge
+    plan; only the side tags and the window direction flip.
 
     Right payload columns (everything except key/ts) come back prefixed
     with ``right_prefix``; ``{right_prefix}{right_ts}`` is the matched
     timestamp.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"asof_join direction must be backward/forward, got {direction!r}")
     r_payload = [c for c in right.columns if c not in (key, right_ts)]
     l_cols = [c for c in left.columns]
 
+    # at equal ts the right row must be inside the left row's window:
+    # backward windows look back, so right sorts first; forward windows
+    # look ahead, so right sorts last.
+    r_side, l_side = (0, 1) if direction == "backward" else (1, 0)
     r_tagged = right.select(
         F.col(key).alias("__k"),
         F.col(right_ts).alias("__ts"),
-        F.lit(0).alias("__side"),  # right sorts first at equal ts -> "<="
+        F.lit(r_side).alias("__side"),
         F.struct(F.col(right_ts), *r_payload).alias("__rv"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}") for c in l_cols],
     )
     l_tagged = left.select(
         F.col(key).alias("__k"),
         F.col(left_ts).alias("__ts"),
-        F.lit(1).alias("__side"),
+        F.lit(l_side).alias("__side"),
         F.lit(None).cast(r_tagged.schema["__rv"].dataType).alias("__rv"),
         *[F.col(c).alias(f"__l_{c}") for c in l_cols],
     )
     unioned = r_tagged.unionByName(l_tagged)
     # __rv as the final sort key makes "which right row wins at equal ts"
     # deterministic (struct comparison; null for left rows, ordered by side)
-    w = (
-        W.partitionBy("__k")
-        .orderBy("__ts", "__side", "__rv")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    carried = unioned.withColumn("__match", F.last("__rv", ignorenulls=True).over(w))
+    if direction == "backward":
+        w = (
+            W.partitionBy("__k")
+            .orderBy("__ts", "__side", "__rv")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        match = F.last("__rv", ignorenulls=True).over(w)
+    else:
+        w = (
+            W.partitionBy("__k")
+            .orderBy("__ts", "__side", "__rv")
+            .rowsBetween(W.currentRow, W.unboundedFollowing)
+        )
+        match = F.first("__rv", ignorenulls=True).over(w)
+    carried = unioned.withColumn("__match", match)
     out_cols = [F.col(f"__l_{c}").alias(c) for c in l_cols]
     out_cols.append(
         F.col("__match").getField(right_ts).alias(f"{right_prefix}{right_ts}")
@@ -78,4 +99,4 @@ def asof_join(
     out_cols.extend(
         F.col("__match").getField(c).alias(f"{right_prefix}{c}") for c in r_payload
     )
-    return carried.filter(F.col("__side") == 1).select(*out_cols)
+    return carried.filter(F.col("__side") == l_side).select(*out_cols)

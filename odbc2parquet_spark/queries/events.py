@@ -492,3 +492,50 @@ def ev_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("weighted_value"),
     )
+
+
+@query(
+    "ev_asof_next_purchase",
+    oracle="""
+    WITH clicks AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+        SELECT user_id, ts, MAX(value) AS purchase_value
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id, ts
+    )
+    SELECT c.event_id,
+           c.user_id,
+           epoch_us(c.ts) AS ts_us,
+           epoch_us(p.ts) AS r_ts_us,
+           p.purchase_value AS r_purchase_value
+    FROM clicks c ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.ts <= p.ts
+    """,
+)
+def ev_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: each click + the user's NEXT purchase at or
+    after it (conversion attribution). Same union + single-sort plan as
+    the backward variant with the window direction flipped; verified
+    against DuckDB's native forward ASOF JOIN."""
+    from odbc2parquet_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    out = asof_join(
+        clicks, purchases, key="user_id", left_ts="ts", right_ts="ts",
+        direction="forward",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.unix_micros(F.col("r_ts").cast("timestamp")).alias("r_ts_us"),
+        "r_purchase_value",
+    )
