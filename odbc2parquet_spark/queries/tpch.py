@@ -637,6 +637,51 @@ def q2_min_balance_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+                AS DOUBLE) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-06-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-06-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3: top-10 unshipped orders by revenue for one market
+    segment. Both date filters prune at the parquet scan; the segment
+    filter keeps ~1/5 of customer, which joins orders on custkey before
+    the lineitem join — the revenue aggregate groups on the join key
+    (l_orderkey), so the final groupBy reuses the lineitem-join shuffle
+    partitioning instead of adding one."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < _ts("1998-06-15 00:00:00")
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > _ts("1998-06-15 00:00:00")
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    o_seg = o.join(c, o.o_custkey == c.c_custkey, "left_semi")
+    return (
+        li.join(o_seg, li.l_orderkey == o_seg.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(_dec(_rev())).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
     "q9_product_profit",
     oracle="""
     SELECT nation, o_year,
