@@ -334,3 +334,48 @@ def chunk_documents(
         F.size("chunk").cast("long").alias("n_tokens"),
         F.md5(F.concat_ws(" ", F.col("chunk"))).alias("chunk_hash"),
     )
+
+
+#: PII detectors shared verbatim with the DuckDB oracle — the syntax
+#: subset used (char classes, bounded repeats, \b) means Java regex and
+#: RE2 agree on every match. Shapes are disjoint by construction (phone
+#: is 3-3-4 digit groups, SSN 3-2-4, IPv4 has three dots) so redaction
+#: order cannot change the result.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b",
+    "ssn": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+}
+
+
+def pii_scan(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Detect-and-redact pass for the standard pre-training scrub
+    (emails, phone numbers, SSN-shaped ids, IPv4 addresses).
+
+    Pure ``regexp_count`` / ``regexp_replace`` Catalyst expressions —
+    whole-stage-codegen'd, embarrassingly parallel, zero shuffles; at
+    100 TB this runs at scan speed alongside the quality filters. Emits
+    per-kind counts plus the redacted text (each span replaced by its
+    ``[KIND]`` placeholder) so downstream exact-dedup keys on scrubbed
+    content. Mirrors the curation stage of public pipeline recipes
+    (C4/RefinedWeb-style regex scrubbing).
+    """
+    t = F.col(text_col)
+    counts = [
+        F.regexp_count(t, F.lit(pat)).cast("long").alias(f"n_{kind}")
+        for kind, pat in PII_PATTERNS.items()
+    ]
+    red = t
+    for kind, pat in PII_PATTERNS.items():
+        red = F.regexp_replace(red, pat, f"[{kind.upper()}]")
+    return docs.select(
+        F.col(id_col),
+        *counts,
+        sum(F.regexp_count(t, F.lit(p)).cast("long") for p in PII_PATTERNS.values()).alias(
+            "n_pii_total"
+        ),
+        red.alias("redacted"),
+    )

@@ -760,3 +760,72 @@ def tx_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_quality"),
         )
     )
+
+
+#: deterministic PII augmentation shared by both engines: the synthetic
+#: corpus carries no contact strings, so each side injects the same
+#: doc_id-derived spans (every 2nd doc an email, 3rd a phone, 5th an IP,
+#: 7th an SSN-shaped id) before scanning — the detector is exercised on
+#: real matches and real non-matches.
+_PII_AUG_SQL = """
+    text
+    || CASE WHEN doc_id % 2 = 0
+            THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+    || CASE WHEN doc_id % 3 = 0
+            THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-0199' ELSE '' END
+    || CASE WHEN doc_id % 5 = 0
+            THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) ELSE '' END
+    || CASE WHEN doc_id % 7 = 0
+            THEN ' id 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+"""
+
+
+def _pii_augment() -> F.Column:
+    did = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    return F.concat(
+        F.col("text"),
+        F.when(did % 2 == 0, F.concat(F.lit(" contact user"), s(did), F.lit("@example.com"))).otherwise(""),
+        F.when(did % 3 == 0, F.concat(F.lit(" call 555-"), F.lpad(s(did % 1000), 3, "0"), F.lit("-0199"))).otherwise(""),
+        F.when(did % 5 == 0, F.concat(F.lit(" host 10.0."), s(did % 256), F.lit("."), s((did * 7) % 256))).otherwise(""),
+        F.when(did % 7 == 0, F.concat(F.lit(" id 123-45-"), F.lpad(s(did % 10000), 4, "0"))).otherwise(""),
+    )
+
+
+@query(
+    "tx_pii_redact",
+    oracle=f"""
+    WITH aug AS (
+        SELECT doc_id, {_PII_AUG_SQL} AS text FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{X.PII_PATTERNS["email"]}')) AS n_email,
+           len(regexp_extract_all(text, '{X.PII_PATTERNS["phone"]}')) AS n_phone,
+           len(regexp_extract_all(text, '{X.PII_PATTERNS["ssn"]}')) AS n_ssn,
+           len(regexp_extract_all(text, '{X.PII_PATTERNS["ipv4"]}')) AS n_ipv4,
+           len(regexp_extract_all(text, '{X.PII_PATTERNS["email"]}'))
+             + len(regexp_extract_all(text, '{X.PII_PATTERNS["phone"]}'))
+             + len(regexp_extract_all(text, '{X.PII_PATTERNS["ssn"]}'))
+             + len(regexp_extract_all(text, '{X.PII_PATTERNS["ipv4"]}')) AS n_pii_total,
+           md5(regexp_replace(
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(text, '{X.PII_PATTERNS["email"]}', '[EMAIL]', 'g'),
+                       '{X.PII_PATTERNS["phone"]}', '[PHONE]', 'g'),
+                   '{X.PII_PATTERNS["ssn"]}', '[SSN]', 'g'),
+               '{X.PII_PATTERNS["ipv4"]}', '[IPV4]', 'g')) AS redacted_hash
+    FROM aug
+    """,
+)
+def tx_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (emails / phones / SSN-shaped ids / IPv4): per-kind match
+    counts plus md5 of the redacted text. Pure regexp built-ins — runs at
+    scan speed, zero shuffles; the md5 projection keeps the registered
+    output narrow and hashable while the operator itself carries the full
+    redacted column."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", _pii_augment().alias("text"))
+    scanned = X.pii_scan(docs)
+    return scanned.select(
+        "doc_id", "n_email", "n_phone", "n_ssn", "n_ipv4", "n_pii_total",
+        F.md5("redacted").alias("redacted_hash"),
+    )

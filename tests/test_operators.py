@@ -688,3 +688,23 @@ def test_count_min_sketch_never_undercounts(spark):
     assert est["a"] >= 50 and est["b"] >= 7 and est["c"] >= 1  # CMS never undercounts
     assert est["a"] <= 58                                       # bounded by stream size
     assert est["zzz"] >= 0                                      # absent key: collision noise only
+
+
+def test_pii_scan_counts_and_redacts(spark):
+    from odbc2parquet_spark.operators.text import pii_scan
+
+    rows = [
+        (1, "reach me at a.b+c@mail-site.org or 555-123-4567 ok"),
+        (2, "server 192.168.1.1 and ssn 123-45-6789 end"),
+        (3, "no pii here at all"),
+        (4, "two mails x@y.io z@w.co"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in pii_scan(df).collect()}
+    assert (got[1]["n_email"], got[1]["n_phone"]) == (1, 1)
+    assert (got[2]["n_ipv4"], got[2]["n_ssn"]) == (1, 1)
+    assert got[3]["n_pii_total"] == 0 and got[3]["redacted"] == "no pii here at all"
+    assert got[4]["n_email"] == 2
+    assert "[EMAIL]" in got[1]["redacted"] and "@" not in got[1]["redacted"]
+    assert "[PHONE]" in got[1]["redacted"]
+    assert "[IPV4]" in got[2]["redacted"] and "[SSN]" in got[2]["redacted"]
