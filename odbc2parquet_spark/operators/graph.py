@@ -179,3 +179,43 @@ def duplicate_clusters(
         F.col("component").alias("cluster_id"),
         (F.col("id") == F.col("component")).alias("is_canonical"),
     )
+
+
+def canonical_representatives(
+    clusters: DataFrame,
+    quality: DataFrame,
+    id_col: str = "id",
+    quality_col: str = "quality",
+) -> DataFrame:
+    """Keep-best retention policy: per duplicate cluster, elect the member
+    with the highest quality signal (tiebreak: lowest id) instead of the
+    min-id keeper.
+
+    This is the curation stage after clustering — "of these near-identical
+    documents keep the longest / highest-scoring one". One equi-join of
+    the cluster labels to the quality table followed by a single
+    struct-max aggregation: the lexicographic max over
+    ``(quality, -id)`` resolves the argmax and the tiebreak in one
+    map-side-combinable pass — no per-cluster window sort, so skewed
+    (giant) clusters cost a partial-aggregate merge, not a sort.
+
+    Returns (cluster_id, keep_id, keep_quality, cluster_size, n_dropped).
+    """
+    j = clusters.join(quality, id_col)
+    best = F.max(
+        F.struct(
+            F.col(quality_col).alias("q"),
+            (-F.col(id_col)).alias("neg_id"),
+        )
+    ).alias("best")
+    return (
+        j.groupBy("cluster_id")
+        .agg(best, F.count("*").alias("cluster_size"))
+        .select(
+            "cluster_id",
+            (-F.col("best.neg_id")).alias("keep_id"),
+            F.col("best.q").alias("keep_quality"),
+            "cluster_size",
+            (F.col("cluster_size") - 1).alias("n_dropped"),
+        )
+    )

@@ -466,3 +466,42 @@ def dd_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     existing = docs.filter(F.col("doc_id") < 250)
     batch = docs.filter(F.col("doc_id") >= 250)
     return D.incremental_minhash_dedup(existing, batch, threshold=0.5)
+
+
+@query(
+    "dd_keep_best",
+    oracle=f"""
+    SELECT cluster_id, keep_id, keep_quality, cluster_size,
+           cluster_size - 1 AS n_dropped
+    FROM (
+        SELECT c.cluster_id, c.id AS keep_id, d.n_chars AS keep_quality,
+               COUNT(*) OVER (PARTITION BY c.cluster_id) AS cluster_size,
+               ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                                  ORDER BY d.n_chars DESC, c.id ASC) AS rn
+        FROM ({_CLUSTERS_ORACLE}) c
+        JOIN documents d ON c.id = d.doc_id
+    ) ranked
+    WHERE rn = 1
+    """,
+)
+def dd_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-best retention after clustering: within each semantic near-dup
+    cluster elect the LONGEST document (tiebreak min id) as the canonical
+    survivor — the curation policy that replaces min-id keep-first. One
+    join + one struct-max aggregation (no per-cluster sort); the oracle
+    re-derives the same winners with a rank window over the recursive-CTE
+    clusters."""
+    from odbc2parquet_spark.operators.graph import duplicate_clusters, canonical_representatives
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = dd_embedding_cosine(spark, sf_dir).select("id_a", "id_b")
+    nodes = emb.select(F.col("vec_id").alias("id"))
+    clusters = duplicate_clusters(nodes, pairs)
+    quality = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), F.col("n_chars").alias("quality")
+    )
+    return canonical_representatives(clusters, quality).select(
+        "cluster_id", "keep_id",
+        F.col("keep_quality").cast("long").alias("keep_quality"),
+        "cluster_size", "n_dropped",
+    )

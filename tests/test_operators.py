@@ -708,3 +708,18 @@ def test_pii_scan_counts_and_redacts(spark):
     assert "[EMAIL]" in got[1]["redacted"] and "@" not in got[1]["redacted"]
     assert "[PHONE]" in got[1]["redacted"]
     assert "[IPV4]" in got[2]["redacted"] and "[SSN]" in got[2]["redacted"]
+
+
+def test_canonical_representatives_keep_best(spark):
+    from odbc2parquet_spark.operators.graph import canonical_representatives
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (9, 9)], ["id", "cluster_id"]
+    )
+    quality = spark.createDataFrame(
+        [(1, 10), (2, 50), (3, 50), (9, 7)], ["id", "quality"]
+    )
+    got = {r["cluster_id"]: r for r in canonical_representatives(clusters, quality).collect()}
+    # max quality wins; tie between 2 and 3 resolves to the lower id
+    assert (got[1]["keep_id"], got[1]["keep_quality"], got[1]["cluster_size"], got[1]["n_dropped"]) == (2, 50, 3, 2)
+    assert (got[9]["keep_id"], got[9]["n_dropped"]) == (9, 0)
