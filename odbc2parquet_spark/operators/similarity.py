@@ -535,3 +535,49 @@ def pq_assign(
             F.col("best.d2").alias("dist4"),
         )
     )
+
+
+def knn_graph(
+    vectors: DataFrame,
+    k: int = 5,
+    n_planes: int = 16,
+    dim: int = 64,
+    prefix_bits: int = 8,
+    max_bucket: int = 100_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate k-nearest-neighbor GRAPH over the whole corpus:
+    (vec_id, neighbor_id, cosine4, rank<=k) for every vector.
+
+    The self-join that would be O(N^2) becomes LSH-bucket candidates
+    (single capped shuffle — :func:`lsh_bucket_pairs`), symmetrized, then
+    exact-cosine reranked with a per-source top-k window. Candidates per
+    node are bucket-bounded, so the window sorts tiny per-key groups.
+    This is the substrate for graph-based semantic dedup and diversity
+    sampling; at 100 TB the bucket prefix widens (more, smaller buckets)
+    and ``max_bucket`` caps any hot region.
+    """
+    sig = lsh_signatures(vectors, n_planes, dim, id_col, vec_col)
+    pairs = lsh_bucket_pairs(sig, prefix_bits, max_bucket).select("id_a", "id_b")
+    sym = pairs.union(
+        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    )
+    v = vectors.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_vec"))
+    a = v.withColumnsRenamed({"_vid": "_a_id", "_vec": "_a_vec"})
+    b = v.withColumnsRenamed({"_vid": "_b_id", "_vec": "_b_vec"})
+    scored = (
+        sym.join(a, sym.id_a == a._a_id)
+        .join(b, sym.id_b == b._b_id)
+        .select(
+            F.col("id_a").alias("vec_id"),
+            F.col("id_b").alias("neighbor_id"),
+            F.round(cosine(F.col("_a_vec"), F.col("_b_vec")), 4).alias("cos4"),
+        )
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("cos4"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", F.col("cos4").alias("cosine4"), "rank")
+    )

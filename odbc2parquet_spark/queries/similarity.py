@@ -404,3 +404,48 @@ def sim_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     cb = pq_codebook(emb, m=8, k=16, dim=64)
     return pq_assign(emb, cb, m=8, dim=64)
+
+
+@query(
+    "sim_knn_graph",
+    oracle=f"""
+    WITH sig AS (
+        SELECT vec_id, CAST({{sig}} AS BIGINT) AS sig FROM embeddings
+    ),
+    b AS (SELECT vec_id, sig & 255 AS bucket FROM sig),
+    pairs AS (
+        SELECT x.vec_id AS id_a, y.vec_id AS id_b
+        FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+    ),
+    sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION ALL SELECT id_b, id_a FROM pairs),
+    nv AS (
+        SELECT vec_id, embedding,
+               list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nsq
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT s.src AS vec_id, s.dst AS neighbor_id,
+               ROUND(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                     / SQRT(a.nsq * b.nsq), 4) AS cos4
+        FROM sym s
+        JOIN nv a ON a.vec_id = s.src
+        JOIN nv b ON b.vec_id = s.dst
+    )
+    SELECT vec_id, neighbor_id, cos4 AS cosine4, rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY cos4 DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """.replace("{sig}", _sig_sql()),
+)
+def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide approximate k-NN graph (k=5): LSH-bucket candidates
+    (one capped shuffle, no cross join) symmetrized and exact-cosine
+    reranked per source node — the substrate for graph-based semantic
+    dedup / diversity sampling."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.knn_graph(emb, k=5, n_planes=_N_PLANES, dim=_DIM, prefix_bits=8)

@@ -723,3 +723,30 @@ def test_canonical_representatives_keep_best(spark):
     # max quality wins; tie between 2 and 3 resolves to the lower id
     assert (got[1]["keep_id"], got[1]["keep_quality"], got[1]["cluster_size"], got[1]["n_dropped"]) == (2, 50, 3, 2)
     assert (got[9]["keep_id"], got[9]["n_dropped"]) == (9, 0)
+
+
+def test_knn_graph_ranks_and_symmetry(spark):
+    from odbc2parquet_spark.operators.similarity import knn_graph
+
+    # three near-identical vectors + one orthogonal: the near trio should
+    # rank each other first wherever LSH buckets them together
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.99, 0.1, 0.0, 0.0]),
+        (2, [0.98, 0.15, 0.0, 0.0]),
+        (3, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = knn_graph(df, k=2, n_planes=8, dim=4, prefix_bits=4).collect()
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r["vec_id"], []).append(r)
+    for src, lst in by_src.items():
+        ranks = sorted(x["rank"] for x in lst)
+        assert ranks == list(range(1, len(lst) + 1))
+        assert all(x["neighbor_id"] != src for x in lst)
+        assert all(len(lst2 := lst) <= 2 for lst2 in [lst])
+    # vectors 0,1,2 project identically on any hyperplane set -> same
+    # bucket, so each of them must list another of the trio at rank 1
+    if 0 in by_src:
+        assert by_src[0][0]["neighbor_id"] in (1, 2)
