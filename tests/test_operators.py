@@ -745,7 +745,7 @@ def test_knn_graph_ranks_and_symmetry(spark):
         ranks = sorted(x["rank"] for x in lst)
         assert ranks == list(range(1, len(lst) + 1))
         assert all(x["neighbor_id"] != src for x in lst)
-        assert all(len(lst2 := lst) <= 2 for lst2 in [lst])
+        assert len(lst) <= 2
     # vectors 0,1,2 project identically on any hyperplane set -> same
     # bucket, so each of them must list another of the trio at rank 1
     if 0 in by_src:
