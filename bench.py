@@ -97,6 +97,11 @@ HEADLINE = [
     "sim_centroid_outliers",
     "dd_incremental_minhash",
     "sim_hybrid_search",
+    # round 3 (cont.): Q3, PII scrub, keep-best retention, k-NN graph
+    "q3_shipping_priority",
+    "tx_pii_redact",
+    "dd_keep_best",
+    "sim_knn_graph",
 ]
 
 

@@ -117,3 +117,31 @@ def cms_estimate(
         .groupBy("value")
         .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("est"))
     )
+
+
+def kmv_distinct_per_group(
+    df: DataFrame, group_cols: list[str], col: str, k: int = 64
+) -> DataFrame:
+    """Per-group KMV distinct-count sketch: (group..., k_used, kth_hash,
+    estimate).
+
+    The per-window/per-segment form of :func:`kmv_distinct_estimate` —
+    the scale substitute for ``COUNT(DISTINCT)`` per group when groups
+    are numerous and wide (distinct users per day over a 100 TB event
+    log). The dedup groupBy is map-side combinable; the per-group sort
+    then touches only already-distinct (group, hash) rows, and every
+    group ships exactly k longs to the estimate. Deterministic (md5-
+    derived hashes), so two engines agree on the ESTIMATE itself.
+    """
+    from pyspark.sql import Window
+
+    hashes = df.select(*group_cols, _hash60(F.col(col)).alias("h")).distinct()
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    smallest = hashes.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    return smallest.groupBy(*group_cols).agg(
+        F.count("*").alias("k_used"),
+        F.max("h").alias("kth_hash"),
+        F.when(F.count("*") < k, F.count("*").cast("double"))
+        .otherwise((F.lit(float(k - 1)) * F.lit(KMV_M)) / F.max("h"))
+        .alias("estimate"),
+    )

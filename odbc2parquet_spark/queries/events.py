@@ -539,3 +539,35 @@ def ev_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.col("r_ts").cast("timestamp")).alias("r_ts_us"),
         "r_purchase_value",
     )
+
+
+@query(
+    "ev_kmv_daily_users",
+    oracle=f"""
+    WITH h AS (
+        SELECT DISTINCT CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day,
+               CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) AS h
+        FROM events
+    ),
+    r AS (
+        SELECT day, h, ROW_NUMBER() OVER (PARTITION BY day ORDER BY h) AS rn
+        FROM h
+    )
+    SELECT day, COUNT(*) AS k_used, MAX(h) AS kth_hash,
+           CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS DOUBLE)
+                ELSE 63.0 * {float(1 << 60)} / MAX(h) END AS estimate
+    FROM r WHERE rn <= 64
+    GROUP BY day
+    """,
+)
+def ev_kmv_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per day via per-group KMV sketches (k=64) — the
+    mergeable approx-distinct that replaces per-window COUNT(DISTINCT)
+    at log scale; deterministic md5 hashing makes even the estimate
+    hash-match across engines."""
+    from odbc2parquet_spark.operators.sketches import kmv_distinct_per_group
+
+    ev = load_table(spark, sf_dir, "events")
+    day = F.floor(F.unix_seconds(F.col("ts").cast("timestamp")) / 86400).cast("long")
+    return kmv_distinct_per_group(ev.select(day.alias("day"), "user_id"), ["day"], "user_id", k=64)
