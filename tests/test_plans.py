@@ -151,3 +151,38 @@ def test_part_semi_join_pushed_below_aggregate(plans):
             f"{name}: part semi-join (node {min(semis)}) no longer below the "
             f"aggregate (node {min(aggs)}) — aggregating unfiltered lineitem"
         )
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """Bucketing contract for 100 TB co-located joins: two tables written
+    bucketBy(8, key) sort-merge-join WITHOUT a shuffle exchange on either
+    side — the physical layout replaces the runtime repartition."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    suffix = uuid.uuid4().hex[:8]
+    ta, tb = f"bj_left_{suffix}", f"bj_right_{suffix}"
+    left = spark.range(0, 10_000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("va")
+    )
+    right = spark.range(0, 10_000, 2).select(
+        F.col("id").alias("k"), (F.col("id") % 13).alias("vb")
+    )
+    try:
+        for name, df in ((ta, left), (tb, right)):
+            (
+                df.write.mode("overwrite")
+                .option("path", str(tmp_path / name))
+                .bucketBy(8, "k")
+                .sortBy("k")
+                .saveAsTable(name)
+            )
+        a, b = spark.table(ta), spark.table(tb)
+        joined = a.hint("merge").join(b, "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 5_000
+    finally:
+        for name in (ta, tb):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
