@@ -571,3 +571,52 @@ def ev_kmv_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     day = F.floor(F.unix_seconds(F.col("ts").cast("timestamp")) / 86400).cast("long")
     return kmv_distinct_per_group(ev.select(day.alias("day"), "user_id"), ["day"], "user_id", k=64)
+
+
+@query(
+    "ev_late_audit",
+    oracle="""
+    WITH arr AS (
+        SELECT event_type, event_id, epoch_us(ts) AS us,
+               epoch_us(ts) + (CAST('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8)
+                                    AS BIGINT) % 1200) * 1000000 AS arrival_us
+        FROM events
+    ),
+    seq AS (
+        SELECT event_type, us,
+               MAX(us) OVER (ORDER BY arrival_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS seen_max
+        FROM arr
+    )
+    SELECT event_type, COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN seen_max IS NOT NULL
+                          AND us < seen_max - 600000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+    FROM seq GROUP BY event_type ORDER BY event_type
+    """,
+)
+def ev_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark what-if audit: per event type, how many events a
+    10-minute streaming watermark would have dropped as late. The log on
+    disk is time-ordered, so each event's arrival is jittered by a
+    deterministic md5-derived 0-20-minute ingestion delay — the stand-in
+    for out-of-order parallel ingestion (some events beat the watermark,
+    some don't). The running event-time max uses the two-pass prefix
+    pattern (no global-window funnel; the oracle keeps the global-window
+    form)."""
+    from odbc2parquet_spark.streaming.transfer import late_event_audit
+
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    jitter = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 1200
+    ) * F.lit(1_000_000)
+    arrival = F.concat(
+        F.lpad((us + jitter).cast("string"), 20, "0"),
+        F.lit(":"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return late_event_audit(
+        ev.withColumn("arrival", arrival), delay_seconds=600, order_col="arrival"
+    )

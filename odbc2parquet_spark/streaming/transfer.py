@@ -12,7 +12,7 @@ reference's tempfile-until-finalized CurrentFile, current_file.rs:14-80).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -154,4 +154,73 @@ def streaming_quality_gate(
     return (
         docs.join(scored.select("doc_id", "quality_score"), "doc_id")
         .filter(F.col("quality_score") >= min_quality)
+    )
+
+
+def late_event_audit(
+    events: DataFrame,
+    delay_seconds: int = 600,
+    order_col: str = "event_id",
+    ts_col: str = "ts",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """What-if audit of a streaming watermark policy over a recorded log:
+    which events WOULD the engine have dropped as too late?
+
+    Arrival order is the ingestion sequence (``order_col``); the watermark
+    before each event is (max event-time seen so far) - delay. An event is
+    late iff its event time is below that. Emits per-event-type totals
+    (n_events, n_late) — the tuning signal for choosing a watermark delay
+    before deploying the streaming job.
+
+    The running max uses the same two-pass shape as
+    operators/sharding.pack_shards_two_pass: per-partition maxima (one row
+    each) prefix-combined on the driver and broadcast back, then a local
+    running max per range partition — no global-window funnel.
+    """
+    spark = events.sparkSession
+    sec = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    base = events.select(
+        F.col(order_col).alias("_oid_"), sec.alias("_us_"), "event_type"
+    )
+    ranged = base.repartitionByRange(num_partitions, F.col("_oid_")).sortWithinPartitions(
+        "_oid_"
+    )
+    with_pid = ranged.withColumn("_pid_", F.spark_partition_id()).persist()
+    pmax = {
+        r._pid_: r.m
+        for r in with_pid.groupBy("_pid_").agg(F.max("_us_").alias("m")).collect()
+    }
+    prior: dict[int, int | None] = {}
+    acc: int | None = None
+    for pid in sorted(pmax):
+        prior[pid] = acc
+        acc = pmax[pid] if acc is None else max(acc, pmax[pid])
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        [StructField("_pid_", LongType()), StructField("_prior_", LongType(), True)]
+    )
+    prior_df = F.broadcast(
+        spark.createDataFrame([(pid, p) for pid, p in prior.items()], schema)
+    )
+    wl = (
+        Window.partitionBy("_pid_")
+        .orderBy("_oid_")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local_max = F.max("_us_").over(wl)
+    # greatest() skips NULLs: first event of the first partition has no
+    # prior watermark and stays NULL -> never late.
+    seen_max = F.greatest(local_max, F.col("_prior_"))
+    late = (F.col("_us_") < seen_max - F.lit(delay_seconds * 1_000_000)).cast("int")
+    return (
+        with_pid.join(prior_df, "_pid_")
+        .select("event_type", F.coalesce(late, F.lit(0)).alias("_late_"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("_late_").cast("long").alias("n_late"),
+        )
+        .orderBy("event_type")
     )

@@ -184,3 +184,26 @@ def test_streaming_exact_dedup(spark, tmp_path):
     got2 = spark.read.parquet(out)
     assert got2.count() == 3  # only 'fresh' was new
     assert got2.filter("text = 'same text'").count() == 1
+
+
+def test_late_event_audit_flags_out_of_order(spark):
+    import datetime as dt
+
+    from odbc2parquet_spark.streaming.transfer import late_event_audit
+
+    t0 = dt.datetime(2026, 1, 1)
+    s = lambda sec: t0 + dt.timedelta(seconds=sec)  # noqa: E731
+    # arrival order = event_id; delay 60s
+    rows = [
+        (1, s(0), "a"),      # watermark undefined -> on time
+        (2, s(1000), "a"),   # advances max to 1000
+        (3, s(990), "a"),    # 990 >= 1000-60 -> on time
+        (4, s(100), "a"),    # 100 < 940 -> LATE
+        (5, s(2000), "b"),   # advances
+        (6, s(1930), "b"),   # 1930 < 1940 -> LATE
+        (7, s(1941), "b"),   # on time
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "event_type"])
+    got = {r["event_type"]: r for r in late_event_audit(df, delay_seconds=60).collect()}
+    assert (got["a"]["n_events"], got["a"]["n_late"]) == (4, 1)
+    assert (got["b"]["n_events"], got["b"]["n_late"]) == (3, 1)
