@@ -135,9 +135,18 @@ def lsh_signatures(
 
 
 def lsh_bucket_pairs(
-    signatures: DataFrame, prefix_bits: int = 8, max_bucket: int = 100_000
+    signatures: DataFrame,
+    prefix_bits: int = 8,
+    max_bucket: int = 100_000,
+    directed: bool = False,
 ) -> DataFrame:
     """Candidate pairs sharing a signature prefix bucket.
+
+    ``directed=True`` emits BOTH orientations of every pair in the same
+    single bucket pass (for per-node neighbor lists, e.g.
+    :func:`knn_graph`) instead of the canonical ``id_a < id_b`` half —
+    cheaper than unioning a flipped copy, which would re-run the whole
+    bucket expansion.
 
     Single-shuffle capped shape (same as the MinHash twin,
     dedup.lsh_candidate_pairs): shuffle once on ``bucket``, window-count
@@ -162,11 +171,12 @@ def lsh_bucket_pairs(
     )
     # same bucket partitioning as the window -> no second shuffle
     buckets = bounded.groupBy("bucket").agg(F.collect_list("vec_id").alias("ids"))
+    pred = (F.col("id_a") != F.col("id_b")) if directed else (F.col("id_a") < F.col("id_b"))
     return (
         buckets.filter(F.size("ids") >= 2)
         .select("bucket", F.explode("ids").alias("id_a"), "ids")
         .select("bucket", "id_a", F.explode("ids").alias("id_b"))
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(pred)
         .select("id_a", "id_b", "bucket")
     )
 
@@ -559,9 +569,8 @@ def knn_graph(
     and ``max_bucket`` caps any hot region.
     """
     sig = lsh_signatures(vectors, n_planes, dim, id_col, vec_col)
-    pairs = lsh_bucket_pairs(sig, prefix_bits, max_bucket).select("id_a", "id_b")
-    sym = pairs.union(
-        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    sym = lsh_bucket_pairs(sig, prefix_bits, max_bucket, directed=True).select(
+        "id_a", "id_b"
     )
     v = vectors.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_vec"))
     a = v.withColumnsRenamed({"_vid": "_a_id", "_vec": "_a_vec"})
