@@ -97,11 +97,15 @@ HEADLINE = [
     "sim_centroid_outliers",
     "dd_incremental_minhash",
     "sim_hybrid_search",
-    # round 3 (cont.): Q3, PII scrub, keep-best retention, k-NN graph
+    # round 3 (cont.): Q3, PII scrub, k-NN graph, lateness audit, per-day KMV
+    # (dd_keep_best is excluded like dd_dup_clusters: its edges come from the
+    # all-pairs cosine VERIFICATION operator; the scale path runs the same
+    # keep-best aggregation on LSH pairs)
     "q3_shipping_priority",
     "tx_pii_redact",
-    "dd_keep_best",
     "sim_knn_graph",
+    "ev_late_audit",
+    "ev_kmv_daily_users",
 ]
 
 

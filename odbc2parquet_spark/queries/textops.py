@@ -829,3 +829,40 @@ def tx_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_email", "n_phone", "n_ssn", "n_ipv4", "n_pii_total",
         F.md5("redacted").alias("redacted_hash"),
     )
+
+
+@query(
+    "tx_length_histogram",
+    oracle="""
+    WITH n AS (
+        SELECT len(list_filter(string_split(text, ' '), w -> w != '')) AS n_tokens
+        FROM documents
+    )
+    SELECT CAST(FLOOR(n_tokens / 16) * 16 AS BIGINT) AS bucket_start,
+           CAST(FLOOR(n_tokens / 16) * 16 + 16 AS BIGINT) AS bucket_end,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM n
+    GROUP BY 1, 2
+    ORDER BY 1
+    """,
+)
+def tx_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length distribution (16-token buckets): the dataset-card
+    histogram that drives context-length / packing decisions. One
+    map-side-combinable aggregation over the token counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.size(X.words(F.col("text")))
+    bucket = (F.floor(n / 16) * 16).cast("long")
+    return (
+        docs.select(bucket.alias("bucket_start"), n.alias("n_tokens"))
+        .groupBy("bucket_start")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").cast("long").alias("total_tokens"))
+        .select(
+            "bucket_start",
+            (F.col("bucket_start") + 16).alias("bucket_end"),
+            "n_docs",
+            "total_tokens",
+        )
+        .orderBy("bucket_start")
+    )
