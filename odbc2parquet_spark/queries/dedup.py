@@ -505,3 +505,83 @@ def dd_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("keep_quality").cast("long").alias("keep_quality"),
         "cluster_size", "n_dropped",
     )
+
+
+_MINHASH_EDGES_CTES = (
+    _SHINGLES_CTE.format(where="")
+    + f""",
+    sig AS (
+        SELECT id, {', '.join(_minhash_min(j) for j in range(8))}
+        FROM sh GROUP BY id
+    ),
+    bands AS (
+        SELECT id, 0 AS band, mh0 || '_' || mh1 AS key FROM sig
+        UNION ALL SELECT id, 1, mh2 || '_' || mh3 FROM sig
+        UNION ALL SELECT id, 2, mh4 || '_' || mh5 FROM sig
+        UNION ALL SELECT id, 3, mh6 || '_' || mh7 FROM sig
+    ),
+    cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+    ),
+    sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+    common AS (
+        SELECT c.id_a, c.id_b, COUNT(*) AS common
+        FROM cand c
+        JOIN sh a ON a.id = c.id_a
+        JOIN sh b ON b.id = c.id_b AND b.g = a.g
+        GROUP BY c.id_a, c.id_b
+    ),
+    verified AS (
+        SELECT id_a, id_b
+        FROM common
+        JOIN sizes sa ON sa.id = id_a
+        JOIN sizes sb ON sb.id = id_b
+        WHERE common / (sa.n + sb.n - common) >= 0.5
+    )"""
+)
+
+
+@query(
+    "dd_keep_best_minhash",
+    oracle="WITH RECURSIVE "
+    + _MINHASH_EDGES_CTES
+    + """,
+    sym AS (SELECT id_a AS src, id_b AS dst FROM verified
+            UNION SELECT id_b, id_a FROM verified),
+    cc(id, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT s.dst, c.label FROM cc c JOIN sym s ON s.src = c.id
+    ),
+    lab AS (SELECT id, MIN(label) AS cluster_id FROM cc GROUP BY id)
+    SELECT cluster_id, keep_id, keep_quality, cluster_size,
+           cluster_size - 1 AS n_dropped
+    FROM (
+        SELECT l.cluster_id, l.id AS keep_id, d.n_chars AS keep_quality,
+               COUNT(*) OVER (PARTITION BY l.cluster_id) AS cluster_size,
+               ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+                                  ORDER BY d.n_chars DESC, l.id ASC) AS rn
+        FROM lab l JOIN documents d ON l.id = d.doc_id
+    ) ranked
+    WHERE rn = 1
+    """,
+)
+def dd_keep_best_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE-PATH keep-best retention: near-dup edges from the
+    MinHash+LSH pipeline (linear candidate generation, no all-pairs),
+    clustered, then one struct-max aggregation electing the longest doc
+    per cluster. This is the composition a 100 TB curation run actually
+    executes; dd_keep_best (cosine edges) is its verification twin."""
+    from odbc2parquet_spark.operators.graph import duplicate_clusters, canonical_representatives
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_near_duplicates(docs, threshold=0.5).select("id_a", "id_b")
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    clusters = duplicate_clusters(nodes, pairs)
+    quality = docs.select(F.col("doc_id").alias("id"), F.col("n_chars").alias("quality"))
+    return canonical_representatives(clusters, quality).select(
+        "cluster_id", "keep_id",
+        F.col("keep_quality").cast("long").alias("keep_quality"),
+        "cluster_size", "n_dropped",
+    )
