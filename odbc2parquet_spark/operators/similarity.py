@@ -590,3 +590,26 @@ def knn_graph(
         .filter(F.col("rank") <= k)
         .select("vec_id", "neighbor_id", F.col("cos4").alias("cosine4"), "rank")
     )
+
+
+def random_projection(
+    vectors: DataFrame,
+    out_dim: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: dense ``dim``-d embeddings
+    down to ``out_dim`` coordinates (y_j = dot(v, plane_j) / sqrt(out_dim))
+    using the same md5-derived plane matrix as the LSH signatures.
+
+    One packed-matrix transform per row — no shuffle, no Python; the
+    cheap dimensionality cut that precedes clustering / ANN when 100 TB
+    of full-width vectors won't fit the candidate stage. Deterministic
+    planes mean two engines (and two runs) agree exactly.
+    """
+    planes = hyperplanes(out_dim, dim)
+    mat = F.array(*[F.array(*[F.lit(x) for x in plane]) for plane in planes])
+    scale = 1.0 / (out_dim ** 0.5)
+    proj = F.transform(mat, lambda plane: F.round(dot(F.col(vec_col), plane) * scale, 6))
+    return vectors.select(F.col(id_col).alias("vec_id"), proj.alias("projected"))

@@ -449,3 +449,35 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup / diversity sampling."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.knn_graph(emb, k=5, n_planes=_N_PLANES, dim=_DIM, prefix_bits=8)
+
+
+def _proj_sql(out_dim: int = 16) -> str:
+    planes = _planes_sql()[:out_dim]
+    scale = 1.0 / (out_dim ** 0.5)
+    cols = []
+    for j, lits in enumerate(planes):
+        d = (
+            f"list_sum(list_transform(list_zip(embedding, {lits}), "
+            f"x -> CAST(x[1] AS DOUBLE) * x[2]))"
+        )
+        cols.append(f"ROUND({d} * {scale!r}, 6)")
+    return "[" + ", ".join(cols) + "]"
+
+
+@query(
+    "sim_random_projection",
+    oracle=f"""
+    WITH p AS (SELECT vec_id, {_proj_sql()} AS proj FROM embeddings)
+    SELECT vec_id, CAST(generate_subscripts(proj, 1) - 1 AS INTEGER) AS pos,
+           unnest(proj) AS val
+    FROM p
+    """,
+)
+def sim_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL random projection 64-d -> 16-d (packed-matrix transform, zero
+    shuffle); registered output posexplodes the array so the driver's
+    canonicalizer can hash it."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.random_projection(emb, out_dim=16, dim=_DIM).select(
+        "vec_id", F.posexplode("projected").alias("pos", "val")
+    )
