@@ -87,3 +87,39 @@ def pack_shards_two_pass(
             .alias("shard"),
         )
     )
+
+
+def epoch_shuffle(
+    docs: DataFrame,
+    n_epochs: int = 2,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-epoch training order: (epoch, doc_id, shard, pos).
+
+    Every epoch gets an independent pseudo-random permutation without any
+    RNG state: shard = md5(epoch:doc) mod n_shards (pure hash — no
+    shuffle beyond the final per-shard rank), position = rank of the md5
+    key within the (epoch, shard) partition. Shards are the unit of
+    parallel data loading; any two runs (or engines) produce the same
+    order, which is what makes a training run reproducible/resumable.
+    The per-shard window ranks only corpus/n_shards rows per task — there
+    is no global sort.
+    """
+    epochs = F.explode(F.sequence(F.lit(0), F.lit(n_epochs - 1))).alias("epoch")
+    keyed = docs.select(F.col(id_col), epochs).select(
+        "epoch",
+        F.col(id_col),
+        F.md5(F.concat_ws(":", F.col("epoch"), F.col(id_col))).alias("_key_"),
+    )
+    shard = (
+        F.conv(F.substring("_key_", 1, 8), 16, 10).cast("long") % n_shards
+    ).alias("shard")
+    keyed = keyed.select("epoch", id_col, "_key_", shard)
+    w = Window.partitionBy("epoch", "shard").orderBy("_key_")
+    return keyed.select(
+        "epoch",
+        id_col,
+        "shard",
+        F.row_number().over(w).cast("long").alias("pos"),
+    )

@@ -866,3 +866,33 @@ def tx_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket_start")
     )
+
+
+@query(
+    "tx_epoch_shuffle",
+    oracle="""
+    WITH keyed AS (
+        SELECT e.epoch, d.doc_id,
+               md5(CAST(e.epoch AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR)) AS k
+        FROM documents d, (SELECT unnest(generate_series(0, 1)) AS epoch) e
+    ),
+    sharded AS (
+        SELECT epoch, doc_id, k,
+               CAST('0x' || substring(k, 1, 8) AS BIGINT) % 8 AS shard
+        FROM keyed
+    )
+    SELECT epoch, doc_id, shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY epoch, shard ORDER BY k) AS BIGINT) AS pos
+    FROM sharded
+    """,
+)
+def tx_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible training-order shuffle: 2 epochs x 8 shards of
+    hash-permuted documents — shard by md5 (no global sort), rank within
+    (epoch, shard)."""
+    from odbc2parquet_spark.operators.sharding import epoch_shuffle
+
+    docs = load_table(spark, sf_dir, "documents")
+    return epoch_shuffle(docs, n_epochs=2, n_shards=8).select(
+        F.col("epoch").cast("long").alias("epoch"), "doc_id", "shard", "pos"
+    )
