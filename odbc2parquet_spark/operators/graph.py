@@ -219,3 +219,60 @@ def canonical_representatives(
             (F.col("cluster_size") - 1).alias("n_dropped"),
         )
     )
+
+
+def pagerank_int(
+    nodes: DataFrame,
+    edges: DataFrame,
+    iterations: int = 3,
+    node_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank in exact integer micro-units
+    (rank x 10^12 as int64) — bit-identical on any engine.
+
+    Floating-point PageRank is order-sensitive (per-node sums over
+    neighbors accumulate in partition order); this variant does ALL
+    arithmetic in int64: base rank 10^12 div N, per-edge contribution
+    rank div out_degree, update (15*base + 85*sum) div 100. Dangling
+    nodes keep their 0.15 floor (their mass leaks, as in the simple
+    formulation — acceptable for a similarity-graph centrality signal).
+
+    Per iteration: one groupBy(dst) shuffle over the edge list + a
+    broadcast-friendly degree join; ranks (2 longs/node) localCheckpoint
+    between rounds so the lineage stays flat. Rounds are fixed (not
+    convergence-tested), so the plan is static and the driver never
+    inspects data.
+    """
+    n_nodes = nodes.count()
+    base = (10**12) // n_nodes
+    deg = edges.groupBy(F.col(src_col).alias("_d_id")).agg(
+        F.count("*").alias("out_deg")
+    )
+    ranks = nodes.select(F.col(node_col).alias("id"), F.lit(base).alias("rank"))
+    floor_term = (15 * base) // 100
+    for _ in range(iterations):
+        contrib = (
+            edges.join(ranks, edges[src_col] == ranks.id)
+            .join(deg, edges[src_col] == deg._d_id)
+            .select(
+                F.col(dst_col).alias("id"),
+                F.expr("rank div out_deg").alias("c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.select(F.col(node_col).alias("id"))
+            .join(contrib, "id", "left_outer")
+            .select(
+                "id",
+                (
+                    F.lit(floor_term)
+                    + F.expr("(85 * coalesce(s, 0)) div 100")
+                ).cast("long").alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

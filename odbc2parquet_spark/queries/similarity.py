@@ -481,3 +481,60 @@ def sim_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.random_projection(emb, out_dim=16, dim=_DIM).select(
         "vec_id", F.posexplode("projected").alias("pos", "val")
     )
+
+
+def _pagerank_iter_sql(i: int) -> str:
+    prev = f"r{i - 1}"
+    return f"""
+    c{i} AS (
+        SELECT s.dst AS id, SUM(r.rank // d.out_deg) AS s
+        FROM sym s
+        JOIN {prev} r ON r.id = s.src
+        JOIN deg d ON d.src = s.src
+        GROUP BY s.dst
+    ),
+    r{i} AS (
+        SELECT e.vec_id AS id,
+               CAST((15 * p.base) // 100
+                    + (85 * COALESCE(c{i}.s, 0)) // 100 AS BIGINT) AS rank
+        FROM embeddings e CROSS JOIN p
+        LEFT JOIN c{i} ON c{i}.id = e.vec_id
+    )"""
+
+
+@query(
+    "sim_pagerank",
+    oracle=f"""
+    WITH sig AS (
+        SELECT vec_id, CAST({{sig}} AS BIGINT) AS sig FROM embeddings
+    ),
+    b AS (SELECT vec_id, sig & 255 AS bucket FROM sig),
+    pairs AS (
+        SELECT x.vec_id AS id_a, y.vec_id AS id_b
+        FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+    ),
+    sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION ALL SELECT id_b, id_a FROM pairs),
+    deg AS (SELECT src, COUNT(*) AS out_deg FROM sym GROUP BY src),
+    p AS (SELECT CAST(1000000000000 // COUNT(*) AS BIGINT) AS base FROM embeddings),
+    r0 AS (SELECT e.vec_id AS id, p.base AS rank FROM embeddings e CROSS JOIN p),
+    {",".join(_pagerank_iter_sql(i) for i in range(1, 4)).lstrip(",")}
+    SELECT id, rank FROM r3
+    """.replace("{sig}", _sig_sql()),
+)
+def sim_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact PageRank (3 iterations, micro-unit int64 arithmetic)
+    over the LSH similarity graph — a centrality/quality signal for
+    curation. Iterative distributed fixpoint on Spark; the oracle unrolls
+    the same three rounds in SQL, and the integer spec makes the engines
+    agree bit-for-bit where floating PageRank could not."""
+    from odbc2parquet_spark.operators.graph import pagerank_int
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sig = S.lsh_signatures(emb, _N_PLANES, _DIM)
+    pairs = S.lsh_bucket_pairs(sig, prefix_bits=8).select("id_a", "id_b")
+    sym = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).union(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    nodes = emb.select(F.col("vec_id").alias("id"))
+    return pagerank_int(nodes, sym, iterations=3)

@@ -750,3 +750,20 @@ def test_knn_graph_ranks_and_symmetry(spark):
     # bucket, so each of them must list another of the trio at rank 1
     if 0 in by_src:
         assert by_src[0][0]["neighbor_id"] in (1, 2)
+
+
+def test_pagerank_int_mass_and_ordering(spark):
+    from odbc2parquet_spark.operators.graph import pagerank_int
+
+    # star graph: hub 0 connected to 1,2,3 (symmetric edges)
+    nodes = spark.createDataFrame([(i,) for i in range(4)], ["id"])
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 0), (0, 2), (2, 0), (0, 3), (3, 0)], ["src", "dst"]
+    )
+    got = {r["id"]: r["rank"] for r in pagerank_int(nodes, edges, iterations=3).collect()}
+    # the hub must outrank every leaf; leaves are symmetric -> equal ranks
+    assert got[0] > got[1]
+    assert got[1] == got[2] == got[3]
+    # ranks stay in sane micro-unit range (0.15 floor .. total mass)
+    base = 10**12 // 4
+    assert all((15 * base) // 100 <= v <= 10**12 for v in got.values())
