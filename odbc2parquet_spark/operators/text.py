@@ -9,7 +9,7 @@ md5-derived so the DuckDB oracle reproduces them.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: regex token pattern shared with the oracle: words | numbers | one symbol.
@@ -378,4 +378,51 @@ def pii_scan(
             "n_pii_total"
         ),
         red.alias("redacted"),
+    )
+
+
+def tokenize_with_vocab(
+    docs: DataFrame,
+    vocab_size: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-driven tokenizer: build the top-``vocab_size`` word vocab
+    (rank by frequency, ties alphabetical; ids are the rank) and encode
+    every document as its id sequence (-1 for out-of-vocab).
+
+    Emits (doc_id, n_tokens, n_oov, ids_hash) where ids_hash is md5 of
+    the comma-joined id sequence — the narrow certificate that BOTH the
+    vocab assignment and the per-document ordering are right, without
+    shipping the arrays.
+
+    Scale shape: word counts are one map-side-combinable groupBy; the
+    rank window runs on the AGGREGATED vocab table (|vocab| rows, not the
+    corpus); encoding is posexplode -> broadcast vocab join -> one
+    per-doc regroup where sort_array on (pos, id) structs restores
+    sequence order inside the aggregation buffer (no per-doc window).
+    """
+    t = F.col(text_col)
+    tokens = docs.select(
+        F.col(id_col), F.posexplode(words(t)).alias("pos", "w")
+    )
+    counts = tokens.groupBy("w").agg(F.count("*").alias("c"))
+    w_rank = Window.orderBy(F.desc("c"), F.asc("w"))
+    vocab = (
+        counts.withColumn("tok_id", F.row_number().over(w_rank) - 1)
+        .filter(F.col("tok_id") < vocab_size)
+        .select("w", "tok_id")
+    )
+    tok = tokens.join(F.broadcast(vocab), "w", "left_outer").select(
+        id_col, "pos", F.coalesce(F.col("tok_id"), F.lit(-1)).alias("tid")
+    )
+    seq = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "tid"))), lambda s: s["tid"]
+    )
+    return tok.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum((F.col("tid") == -1).cast("int")).cast("long").alias("n_oov"),
+        F.md5(F.concat_ws(",", F.transform(seq, lambda x: x.cast("string")))).alias(
+            "ids_hash"
+        ),
     )

@@ -896,3 +896,37 @@ def tx_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return epoch_shuffle(docs, n_epochs=2, n_shards=8).select(
         F.col("epoch").cast("long").alias("epoch"), "doc_id", "shard", "pos"
     )
+
+
+@query(
+    "tx_tokenize_vocab",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, i - 1 AS pos, ws[i] AS w
+        FROM (SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x != '') AS ws
+              FROM documents),
+             UNNEST(generate_series(1, len(ws))) AS t(i)
+    ),
+    counts AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY w),
+    vocab AS (
+        SELECT w, CAST(ROW_NUMBER() OVER (ORDER BY c DESC, w) - 1 AS BIGINT) AS tok_id
+        FROM counts QUALIFY tok_id < 16
+    ),
+    enc AS (
+        SELECT doc_id, pos, COALESCE(v.tok_id, -1) AS tid
+        FROM toks LEFT JOIN vocab v USING (w)
+    )
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN tid = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           md5(string_agg(CAST(tid AS VARCHAR), ',' ORDER BY pos)) AS ids_hash
+    FROM enc GROUP BY doc_id
+    """,
+)
+def tx_tokenize_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-driven tokenization: top-16 frequency vocab, id-sequence
+    encoding with OOV marking; sequence certified by an order-sensitive
+    md5. Rank window runs on the aggregated vocab only; the encode pass
+    is posexplode -> broadcast join -> one per-doc regroup."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.tokenize_with_vocab(docs, vocab_size=16)
