@@ -19,6 +19,9 @@ ALL_PAIRS_OK = {
     "q_scalar_functions",    # no join at all; harmless
     "dd_dup_clusters",       # edges come from dd_embedding_cosine (above);
                              # at scale the same components run on LSH pairs
+    "dd_dup_clusters_star",  # same cosine edge source, star-contraction CC
+    "dd_keep_best",          # keep-best over the cosine-edge clusters —
+                             # dd_keep_best_minhash is its scale path
 }
 
 #: broadcast cross-joins against a BOUNDED side (scalar aggregate or the
