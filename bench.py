@@ -106,6 +106,12 @@ HEADLINE = [
     "sim_knn_graph",
     "ev_late_audit",
     "ev_kmv_daily_users",
+    "dd_keep_best_minhash",
+    "sim_pagerank",
+    "sim_random_projection",
+    "tx_tokenize_vocab",
+    "tx_length_histogram",
+    "tx_epoch_shuffle",
 ]
 
 
