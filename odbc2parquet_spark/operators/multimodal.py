@@ -454,3 +454,127 @@ def decode_audio_headers(binary_df: DataFrame) -> DataFrame:
             )
 
     return binary_df.select("doc_id", "payload").mapInPandas(run, AUDIO_HEADER_SCHEMA)
+
+
+MP4_SCHEMA = "doc_id long, payload binary, mime string, n_bytes long"
+VIDEO_HEADER_SCHEMA = (
+    "doc_id long, brand string, timescale int, duration long, "
+    "n_top_boxes int, mdat_bytes long, duration_ms long"
+)
+
+
+def _box(kind: bytes, body: bytes) -> bytes:
+    return (8 + len(body)).to_bytes(4, "big") + kind + body
+
+
+def synth_mp4(payload: bytes, timescale: int, duration: int) -> bytes:
+    """Construct a VALID minimal ISO BMFF (MP4) file: ftyp (isom brand),
+    moov containing an mvhd version-0 box carrying timescale/duration,
+    and an mdat holding the payload bytes. Box sizes/ordering follow the
+    spec (big-endian 32-bit size + fourcc), so any MP4 tool can walk it;
+    used to exercise the real parse path without binary fixtures."""
+    ftyp = _box(b"ftyp", b"isom" + (0).to_bytes(4, "big") + b"isomiso2")
+    mvhd_body = (
+        (0).to_bytes(4, "big")          # version 0 + flags
+        + (0).to_bytes(4, "big")        # creation_time
+        + (0).to_bytes(4, "big")        # modification_time
+        + timescale.to_bytes(4, "big")
+        + duration.to_bytes(4, "big")
+        + (0x00010000).to_bytes(4, "big")  # rate 1.0
+        + (0x0100).to_bytes(2, "big")      # volume 1.0
+        + bytes(10)                        # reserved
+        + b"".join((v).to_bytes(4, "big") for v in
+                   (0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000))
+        + bytes(24)                        # pre_defined
+        + (2).to_bytes(4, "big")           # next_track_ID
+    )
+    moov = _box(b"moov", _box(b"mvhd", mvhd_body))
+    mdat = _box(b"mdat", payload)
+    return ftyp + moov + mdat
+
+
+def parse_mp4_header(p: bytes) -> tuple[str, int, int, int, int, int]:
+    """REAL ISO BMFF decode in pure Python: walk the top-level box list,
+    read the brand from ftyp, descend into moov for the mvhd
+    timescale/duration, and size the mdat. Returns (brand, timescale,
+    duration, n_top_boxes, mdat_bytes, duration_ms); raises ValueError on
+    non-MP4 or implausible structure — the container walk a production
+    video ingest performs before handing samples to a demuxer/codec."""
+    if len(p) < 12 or p[4:8] != b"ftyp":
+        raise ValueError("not an ISO BMFF payload")
+    brand = None
+    timescale = duration = None
+    mdat_bytes = None
+    n_top = 0
+    i = 0
+    while i + 8 <= len(p):
+        size = int.from_bytes(p[i : i + 4], "big")
+        kind = p[i + 4 : i + 8]
+        if size < 8 or i + size > len(p):
+            raise ValueError("corrupt box size")
+        n_top += 1
+        if kind == b"ftyp":
+            brand = p[i + 8 : i + 12].decode("ascii", "replace")
+        elif kind == b"moov":
+            j = i + 8
+            while j + 8 <= i + size:
+                bsize = int.from_bytes(p[j : j + 4], "big")
+                bkind = p[j + 4 : j + 8]
+                if bsize < 8 or j + bsize > i + size:
+                    raise ValueError("corrupt moov child")
+                if bkind == b"mvhd":
+                    version = p[j + 8]
+                    if version != 0:
+                        raise ValueError("mvhd v1 needs 64-bit fields")
+                    timescale = int.from_bytes(p[j + 20 : j + 24], "big")
+                    duration = int.from_bytes(p[j + 24 : j + 28], "big")
+                j += bsize
+        elif kind == b"mdat":
+            mdat_bytes = size - 8
+        i += size
+    if brand is None or not timescale or duration is None or mdat_bytes is None:
+        raise ValueError("incomplete MP4 structure")
+    return (brand, timescale, duration, n_top, mdat_bytes, duration * 1000 // timescale)
+
+
+def encode_mp4(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Synthesize a REAL video-container column: each document's text
+    bytes become the mdat of a valid MP4 whose timescale/duration derive
+    from n_chars — the ingestion-side twin of :func:`decode_video_headers`."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                raw = str(text).encode("utf-8")
+                n = len(str(text))
+                mp4 = synth_mp4(raw, 600 + (n % 5) * 100, (n * 31) % 100_000)
+                rows.append((doc_id, bytearray(mp4), "video/mp4", len(mp4)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload", "mime", "n_bytes"])
+
+    return docs.select("doc_id", text_col).mapInPandas(run, MP4_SCHEMA)
+
+
+def decode_video_headers(binary_df: DataFrame) -> DataFrame:
+    """Real-path video-container decode: box-walk each payload into typed
+    metadata; corrupt payloads quarantine as NULL rows instead of killing
+    the stage (the 100 TB rule)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    vals = parse_mp4_header(bytes(payload))
+                except ValueError:
+                    vals = (None,) * 6
+                rows.append((doc_id, *vals))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "brand", "timescale", "duration",
+                    "n_top_boxes", "mdat_bytes", "duration_ms",
+                ],
+            )
+
+    return binary_df.select("doc_id", "payload").mapInPandas(run, VIDEO_HEADER_SCHEMA)

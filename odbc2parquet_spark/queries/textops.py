@@ -930,3 +930,28 @@ def tx_tokenize_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     is posexplode -> broadcast join -> one per-doc regroup."""
     docs = load_table(spark, sf_dir, "documents")
     return X.tokenize_with_vocab(docs, vocab_size=16)
+
+
+@query(
+    "mm_decode_video",
+    oracle="""
+    SELECT doc_id, 'isom' AS brand,
+           CAST(600 + (length(text) % 5) * 100 AS INTEGER) AS timescale,
+           CAST((length(text) * 31) % 100000 AS BIGINT) AS duration,
+           3 AS n_top_boxes,
+           CAST(length(text) AS BIGINT) AS mdat_bytes,
+           CAST(FLOOR(((length(text) * 31) % 100000) * 1000.0
+                      / (600 + (length(text) % 5) * 100)) AS BIGINT) AS duration_ms
+    FROM documents
+    """,
+)
+def mm_decode_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-container decode round-trip: each document's text bytes
+    become the mdat of a valid ISO BMFF/MP4 (encode_mp4: ftyp + moov/mvhd
+    + mdat with spec box layout), then the real box walker
+    (parse_mp4_header) extracts brand/timescale/duration. The oracle
+    recomputes the parameters the encoder embedded; a hash match proves
+    the parser reads genuine container structure end-to-end through the
+    Arrow-batched mapInPandas plumbing."""
+    docs = load_table(spark, sf_dir, "documents")
+    return M.decode_video_headers(M.encode_mp4(docs))

@@ -767,3 +767,19 @@ def test_pagerank_int_mass_and_ordering(spark):
     # ranks stay in sane micro-unit range (0.15 floor .. total mass)
     base = 10**12 // 4
     assert all((15 * base) // 100 <= v <= 10**12 for v in got.values())
+
+
+def test_mp4_roundtrip_and_rejects():
+    from odbc2parquet_spark.operators.multimodal import parse_mp4_header, synth_mp4
+
+    p = synth_mp4(b"payload bytes", 1000, 42_000)
+    brand, ts, dur, n_top, mdat, ms = parse_mp4_header(p)
+    assert (brand, ts, dur, n_top, mdat, ms) == ("isom", 1000, 42000, 3, 13, 42000)
+    # zero-length payload still forms a valid container
+    assert parse_mp4_header(synth_mp4(b"", 600, 0))[4] == 0
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        parse_mp4_header(b"not a video at all..")
+    with _pt.raises(ValueError):
+        parse_mp4_header(p[:20])  # truncated mid-box
