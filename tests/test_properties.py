@@ -143,3 +143,34 @@ def test_random_bytes_never_parse_as_wav(blob):
 
     with _pytest.raises(ValueError):
         parse_wav_header(blob)
+
+
+@given(
+    st.binary(min_size=0, max_size=200),
+    st.integers(min_value=100, max_value=100_000),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=100, deadline=None)
+def test_mp4_synth_parse_roundtrip(payload, timescale, duration):
+    from odbc2parquet_spark.operators.multimodal import parse_mp4_header, synth_mp4
+
+    brand, ts, dur, n_top, mdat, ms = parse_mp4_header(
+        synth_mp4(payload, timescale, duration)
+    )
+    assert (brand, ts, dur, n_top, mdat) == ("isom", timescale, duration, 3, len(payload))
+    assert ms == duration * 1000 // timescale
+
+
+@given(st.binary(min_size=0, max_size=64))
+@settings(max_examples=100, deadline=None)
+def test_random_bytes_never_parse_as_mp4(blob):
+    from odbc2parquet_spark.operators.multimodal import parse_mp4_header
+
+    # a random blob essentially never carries 'ftyp' at offset 4 AND a
+    # consistent box chain; the parser must reject, not misread
+    assume(blob[4:8] != b"ftyp")
+    try:
+        parse_mp4_header(blob)
+        raise AssertionError("parsed garbage as MP4")
+    except ValueError:
+        pass
