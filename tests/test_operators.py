@@ -783,3 +783,28 @@ def test_mp4_roundtrip_and_rejects():
         parse_mp4_header(b"not a video at all..")
     with _pt.raises(ValueError):
         parse_mp4_header(p[:20])  # truncated mid-box
+
+
+def test_epoch_shuffle_is_per_epoch_permutation(spark):
+    from odbc2parquet_spark.operators.sharding import epoch_shuffle
+
+    docs = spark.createDataFrame([(i,) for i in range(100)], ["doc_id"])
+    out = epoch_shuffle(docs, n_epochs=2, n_shards=4).collect()
+    by_epoch = {}
+    for r in out:
+        by_epoch.setdefault(r["epoch"], []).append(r)
+    assert set(by_epoch) == {0, 1}
+    for epoch, rows in by_epoch.items():
+        # every doc exactly once per epoch
+        assert sorted(r["doc_id"] for r in rows) == list(range(100))
+        # contiguous 1..n positions within each shard
+        shards = {}
+        for r in rows:
+            shards.setdefault(r["shard"], []).append(r["pos"])
+        assert set(shards) <= set(range(4))
+        for poss in shards.values():
+            assert sorted(poss) == list(range(1, len(poss) + 1))
+    # epochs produce different orders (md5 keys differ per epoch)
+    order0 = [r["doc_id"] for r in sorted(by_epoch[0], key=lambda r: (r["shard"], r["pos"]))]
+    order1 = [r["doc_id"] for r in sorted(by_epoch[1], key=lambda r: (r["shard"], r["pos"]))]
+    assert order0 != order1
