@@ -20,7 +20,7 @@ rounds avoids recomputing the lineage each iteration.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -239,40 +239,47 @@ def pagerank_int(
     nodes keep their 0.15 floor (their mass leaks, as in the simple
     formulation — acceptable for a similarity-graph centrality signal).
 
-    Per iteration: one groupBy(dst) shuffle over the edge list + a
-    broadcast-friendly degree join; ranks (2 longs/node) localCheckpoint
-    between rounds so the lineage stays flat. Rounds are fixed (not
-    convergence-tested), so the plan is static and the driver never
-    inspects data.
+    The edge list (possibly a whole LSH pipeline upstream) materializes
+    ONCE with its out-degrees attached (per-src window on the persisted
+    pass); each iteration is then one join + one groupBy(dst) shuffle
+    over it. Ranks (2 longs/node) localCheckpoint between rounds so the
+    lineage stays flat. Rounds are fixed (not convergence-tested), so the
+    plan is static and the driver never inspects data.
     """
     n_nodes = nodes.count()
     base = (10**12) // n_nodes
-    deg = edges.groupBy(F.col(src_col).alias("_d_id")).agg(
-        F.count("*").alias("out_deg")
+    # edge list + degrees evaluate ONCE: the upstream pair generation can
+    # be a whole LSH pipeline, and every iteration references both.
+    weighted = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .withColumn("out_deg", F.count("*").over(Window.partitionBy("src")))
+        .persist()
     )
-    ranks = nodes.select(F.col(node_col).alias("id"), F.lit(base).alias("rank"))
+    ids = nodes.select(F.col(node_col).alias("id"))
+    ranks = ids.select("id", F.lit(base).alias("rank"))
     floor_term = (15 * base) // 100
-    for _ in range(iterations):
-        contrib = (
-            edges.join(ranks, edges[src_col] == ranks.id)
-            .join(deg, edges[src_col] == deg._d_id)
-            .select(
-                F.col(dst_col).alias("id"),
-                F.expr("rank div out_deg").alias("c"),
+    try:
+        for _ in range(iterations):
+            contrib = (
+                weighted.join(ranks, weighted.src == ranks.id)
+                .select(
+                    F.col("dst").alias("id"),
+                    F.expr("rank div out_deg").alias("c"),
+                )
+                .groupBy("id")
+                .agg(F.sum("c").alias("s"))
             )
-            .groupBy("id")
-            .agg(F.sum("c").alias("s"))
-        )
-        ranks = (
-            nodes.select(F.col(node_col).alias("id"))
-            .join(contrib, "id", "left_outer")
-            .select(
-                "id",
-                (
-                    F.lit(floor_term)
-                    + F.expr("(85 * coalesce(s, 0)) div 100")
-                ).cast("long").alias("rank"),
+            ranks = (
+                ids.join(contrib, "id", "left_outer")
+                .select(
+                    "id",
+                    (
+                        F.lit(floor_term)
+                        + F.expr("(85 * coalesce(s, 0)) div 100")
+                    ).cast("long").alias("rank"),
+                )
+                .localCheckpoint(eager=True)
             )
-            .localCheckpoint(eager=True)
-        )
+    finally:
+        weighted.unpersist()
     return ranks
