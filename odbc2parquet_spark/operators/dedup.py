@@ -562,3 +562,81 @@ def simhash_weighted(docs: DataFrame, bits: int = 32, text_col: str = "text", id
         lambda acc, x: acc + x,
     )
     return prepared.select("id", sig.alias("simhash"))
+
+
+# ------------------------------------------------------------ bloom gate
+
+BLOOM_M = 4096   #: filter bits
+BLOOM_K = 3      #: hash functions (two-hash family, same as MinHash)
+
+
+def _bloom_positions(content_hash: F.Column) -> F.Column:
+    """k bit positions for a content md5: (h1 + j*h2) mod m, j < k."""
+    h1 = F.conv(F.substring(content_hash, 1, 15), 16, 10).cast("long")
+    h2 = F.conv(F.substring(content_hash, 16, 15), 16, 10).cast("long")
+    return F.array(
+        *[((h1 + F.lit(j) * h2) % BLOOM_M).cast("long") for j in range(BLOOM_K)]
+    )
+
+
+def bloom_build(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Build a Bloom filter over document content as a DISTRIBUTED bitset:
+    (word, bits) rows where word = position div 32 and bits is the bit_or
+    of the member positions' bits.
+
+    The mergeable-by-construction form: partial bit_or per task, one
+    ≤m/32-row shuffle — at 100 TB the corpus streams through map tasks and
+    the filter that comes out is 128 longs. Store it beside the corpus;
+    probing a new batch never touches the corpus itself (the approximate
+    counterpart of incremental_exact_dedup's hash index — constant size,
+    false positives possible, false negatives impossible).
+    """
+    pos = docs.select(
+        F.explode(_bloom_positions(F.md5(F.col(text_col)))).alias("p")
+    )
+    return (
+        pos.select(
+            (F.col("p") / 32).cast("long").alias("word"),
+            F.expr("shiftleft(1L, cast(p % 32 as int))").alias("b"),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(b)").alias("bits"))
+    )
+
+
+def bloom_probe(
+    batch: DataFrame,
+    bloom: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Probe a batch against a built filter: (doc_id, maybe_dup).
+
+    ``maybe_dup`` is true iff ALL k bits are set — guaranteed true for
+    any content previously inserted (no false negatives), occasionally
+    true for new content (false positives, rate ~ (1-e^{-kn/m})^k).
+    The filter broadcasts (≤128 rows); the batch explodes to k rows per
+    doc and folds back with a min — one narrow pass, no corpus access.
+    """
+    pos = batch.select(
+        F.col(id_col),
+        F.explode(_bloom_positions(F.md5(F.col(text_col)))).alias("p"),
+    ).select(
+        id_col,
+        (F.col("p") / 32).cast("long").alias("word"),
+        F.expr("shiftleft(1L, cast(p % 32 as int))").alias("b"),
+    )
+    hit = (
+        pos.join(F.broadcast(bloom), "word", "left_outer")
+        .select(
+            id_col,
+            (F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("b")) == F.col("b"))
+            .cast("int")
+            .alias("set_"),
+        )
+    )
+    return hit.groupBy(id_col).agg(
+        (F.min("set_") == 1).alias("maybe_dup")
+    )

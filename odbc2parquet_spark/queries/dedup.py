@@ -585,3 +585,44 @@ def dd_keep_best_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("keep_quality").cast("long").alias("keep_quality"),
         "cluster_size", "n_dropped",
     )
+
+
+@query(
+    "dd_bloom_gate",
+    oracle="""
+    WITH hashes AS (
+        SELECT doc_id, md5(text) AS h FROM documents
+    ),
+    pos AS (
+        SELECT doc_id,
+               (CAST('0x' || substring(h, 1, 15) AS BIGINT)
+                + j * CAST('0x' || substring(h, 16, 15) AS BIGINT)) % 4096 AS p
+        FROM hashes, UNNEST(generate_series(0, 2)) AS t(j)
+    ),
+    bloom AS (
+        SELECT p // 32 AS word, BIT_OR(CAST(1 AS BIGINT) << CAST(p % 32 AS INTEGER)) AS bits
+        FROM pos WHERE doc_id < 250
+        GROUP BY p // 32
+    ),
+    probe AS (
+        SELECT pos.doc_id, pos.p,
+               CASE WHEN b.bits IS NOT NULL
+                     AND (b.bits & (CAST(1 AS BIGINT) << CAST(pos.p % 32 AS INTEGER)))
+                         = (CAST(1 AS BIGINT) << CAST(pos.p % 32 AS INTEGER))
+                    THEN 1 ELSE 0 END AS set_
+        FROM pos LEFT JOIN bloom b ON b.word = pos.p // 32
+        WHERE pos.doc_id >= 250
+    )
+    SELECT doc_id, MIN(set_) = 1 AS maybe_dup
+    FROM probe GROUP BY doc_id
+    """,
+)
+def dd_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter ingestion gate: the corpus half (doc_id < 250) builds
+    a 4096-bit filter as a distributed bit_or bitset (128 longs total);
+    the batch half (doc_id >= 250) probes it without touching the corpus.
+    No false negatives by construction; the deterministic md5 two-hash
+    family means even the false positives hash-match across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    bloom = D.bloom_build(docs.filter(F.col("doc_id") < 250))
+    return D.bloom_probe(docs.filter(F.col("doc_id") >= 250), bloom)

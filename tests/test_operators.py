@@ -808,3 +808,21 @@ def test_epoch_shuffle_is_per_epoch_permutation(spark):
     order0 = [r["doc_id"] for r in sorted(by_epoch[0], key=lambda r: (r["shard"], r["pos"]))]
     order1 = [r["doc_id"] for r in sorted(by_epoch[1], key=lambda r: (r["shard"], r["pos"]))]
     assert order0 != order1
+
+
+def test_bloom_gate_no_false_negatives(spark):
+    corpus = spark.createDataFrame(
+        [(i, f"document number {i} content") for i in range(50)], ["doc_id", "text"]
+    )
+    # batch: 25 true dups of corpus docs + 25 fresh docs
+    batch = spark.createDataFrame(
+        [(100 + i, f"document number {i} content") for i in range(25)]
+        + [(200 + i, f"totally unseen text {i}") for i in range(25)],
+        ["doc_id", "text"],
+    )
+    bloom = D.bloom_build(corpus)
+    flags = {r["doc_id"]: r["maybe_dup"] for r in D.bloom_probe(batch, bloom).collect()}
+    # every true duplicate MUST be flagged (bloom guarantees no false negatives)
+    assert all(flags[100 + i] for i in range(25))
+    # at m=4096, n=50, k=3 the false-positive rate is ~1e-4 — fresh docs pass
+    assert sum(flags[200 + i] for i in range(25)) <= 1
