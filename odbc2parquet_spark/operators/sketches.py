@@ -19,7 +19,7 @@ groupBy-count top-N — map-side combinable, one shuffle on the value.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 KMV_M = float(1 << 60)  # hash domain: md5's first 15 hex digits
@@ -144,4 +144,45 @@ def kmv_distinct_per_group(
         F.when(F.count("*") < k, F.count("*").cast("double"))
         .otherwise((F.lit(float(k - 1)) * F.lit(KMV_M)) / F.max("h"))
         .alias("estimate"),
+    )
+
+
+def binned_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    quantiles: tuple[float, ...] = (0.5, 0.95, 0.99),
+    bin_width: float = 0.01,
+) -> DataFrame:
+    """Mergeable per-group quantile estimates from fixed-width value bins
+    — the deterministic scale substitute for exact per-group percentile
+    sorts (and for t-digest, whose merge order is nondeterministic).
+
+    One map-side-combinable groupBy (group, bin) -> counts; the
+    cumulative walk runs per group over its OWN bin list (bounded by the
+    value range / bin_width, not by row count). The estimate for quantile
+    q is the upper edge of the first bin whose running count reaches
+    ceil(q * n) — a value guaranteed within one bin width of the true
+    quantile. Rows per group shipped: |bins|, regardless of corpus size.
+    """
+    bin_col = F.floor(F.col(value_col) / F.lit(bin_width)).cast("long")
+    counts = (
+        df.select(*group_cols, bin_col.alias("bin"))
+        .groupBy(*group_cols, "bin")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.partitionBy(*group_cols).orderBy("bin")
+    cum = counts.withColumn("cum", F.sum("c").over(w)).withColumn(
+        "total", F.sum("c").over(Window.partitionBy(*group_cols))
+    )
+    aggs = []
+    for q in quantiles:
+        name = f"p{int(q * 100)}"
+        target = F.ceil(F.lit(q) * F.col("total"))
+        qualifying = F.when(F.col("cum") >= target, F.col("bin"))
+        aggs.append(
+            F.round((F.min(qualifying) + 1) * F.lit(bin_width), 6).alias(name)
+        )
+    return cum.groupBy(*group_cols).agg(
+        F.max("total").cast("long").alias("n"), *aggs
     )

@@ -620,3 +620,35 @@ def ev_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return late_event_audit(
         ev.withColumn("arrival", arrival), delay_seconds=600, order_col="arrival"
     )
+
+
+@query(
+    "ev_binned_quantiles",
+    oracle="""
+    WITH b AS (
+        SELECT event_type, CAST(FLOOR(value / 0.01) AS BIGINT) AS bin,
+               COUNT(*) AS c
+        FROM events GROUP BY event_type, bin
+    ),
+    cum AS (
+        SELECT event_type, bin, c,
+               SUM(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+               SUM(c) OVER (PARTITION BY event_type) AS total
+        FROM b
+    )
+    SELECT event_type, CAST(MAX(total) AS BIGINT) AS n,
+           ROUND((MIN(CASE WHEN cum >= CEIL(0.5 * total) THEN bin END) + 1) * 0.01, 6) AS p50,
+           ROUND((MIN(CASE WHEN cum >= CEIL(0.95 * total) THEN bin END) + 1) * 0.01, 6) AS p95,
+           ROUND((MIN(CASE WHEN cum >= CEIL(0.99 * total) THEN bin END) + 1) * 0.01, 6) AS p99
+    FROM cum GROUP BY event_type
+    """,
+)
+def ev_binned_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable binned-quantile sketch per event type (p50/p95/p99 from
+    0.01-wide bins): counts are map-side combinable and each group ships
+    |bins| rows — the deterministic replacement for exact per-group
+    percentile sorts at log scale."""
+    from odbc2parquet_spark.operators.sketches import binned_quantiles
+
+    ev = load_table(spark, sf_dir, "events")
+    return binned_quantiles(ev, ["event_type"], "value")

@@ -826,3 +826,15 @@ def test_bloom_gate_no_false_negatives(spark):
     assert all(flags[100 + i] for i in range(25))
     # at m=4096, n=50, k=3 the false-positive rate is ~1e-4 — fresh docs pass
     assert sum(flags[200 + i] for i in range(25)) <= 1
+
+
+def test_binned_quantiles_within_bin_width(spark):
+    from odbc2parquet_spark.operators.sketches import binned_quantiles
+
+    vals = [i / 100.0 for i in range(1, 101)]  # 0.01 .. 1.00
+    df = spark.createDataFrame([("a", v) for v in vals], ["g", "v"])
+    row = binned_quantiles(df, ["g"], "v", quantiles=(0.5, 0.95), bin_width=0.01).collect()[0]
+    assert row["n"] == 100
+    # true p50 = 0.50, p95 = 0.95; estimate within one bin width
+    assert abs(row["p50"] - 0.50) <= 0.01 + 1e-9
+    assert abs(row["p95"] - 0.95) <= 0.01 + 1e-9
