@@ -112,6 +112,9 @@ HEADLINE = [
     "tx_tokenize_vocab",
     "tx_length_histogram",
     "tx_epoch_shuffle",
+    "mm_decode_video",
+    "dd_bloom_gate",
+    "ev_binned_quantiles",
 ]
 
 
