@@ -99,20 +99,9 @@ def _interleaved() -> list[str]:
     The sort is stable, so the family interleave survives within each tier
     — over successive rounds the whole registry cycles through the prefix.
     """
-    families: dict[str, list[str]] = {}
     order = sorted(QUERIES, key=lambda n: (n not in _PRIORITY, _PRIORITY.index(n) if n in _PRIORITY else 0))
-    for name in order:
-        families.setdefault(_family(name), []).append(name)
     fam_order = ["q", "tm", "dd", "sim", "tx", "ev", "mm"]
-    fam_order += [f for f in families if f not in fam_order]
-    base: list[str] = []
-    idx = 0
-    while len(base) < len(QUERIES):
-        for fam in fam_order:
-            lst = families.get(fam, [])
-            if idx < len(lst):
-                base.append(lst[idx])
-        idx += 1
+    fam_order += sorted({_family(n) for n in order} - set(fam_order))
     last, red = _score_history()
 
     def tier(name: str) -> tuple[int, int]:
@@ -122,7 +111,26 @@ def _interleaved() -> list[str]:
             return (1, 0)
         return (2, last[name])
 
-    return sorted(base, key=lambda n: (tier(n), base.index(n)))
+    # Round-robin families WITHIN each tier (not globally): a family whose
+    # never-scored members sit late in registration order would otherwise
+    # lose every prefix slot to families with many fresh entries — seen in
+    # round 3, where only 5 of 21 unscored TPC-H shapes made the prefix.
+    grouped: dict[tuple[int, int], dict[str, list[str]]] = {}
+    for name in order:
+        grouped.setdefault(tier(name), {}).setdefault(_family(name), []).append(name)
+    result: list[str] = []
+    for t in sorted(grouped):
+        fams = grouped[t]
+        idx = 0
+        remaining = sum(len(v) for v in fams.values())
+        while remaining:
+            for fam in fam_order:
+                lst = fams.get(fam, [])
+                if idx < len(lst):
+                    result.append(lst[idx])
+                    remaining -= 1
+            idx += 1
+    return result
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
