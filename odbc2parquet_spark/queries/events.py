@@ -11,7 +11,7 @@ engine-specific timestamp/timezone types can't affect the value hash.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from odbc2parquet_spark.catalog import load_table
@@ -652,3 +652,36 @@ def ev_binned_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return binned_quantiles(ev, ["event_type"], "value")
+
+
+@query(
+    "ev_scd2_intervals",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type, epoch_us(ts) AS vf,
+               LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS vt,
+               event_id
+        FROM events
+    )
+    SELECT user_id, event_type, vf AS valid_from_us,
+           COALESCE(vt, 253402300800000000) AS valid_to_us
+    FROM seq
+    """,
+)
+def ev_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-2 interval construction: each per-user state change gets
+    [valid_from, valid_to) from one LEAD window over the user's ordered
+    events (open intervals close at the 9999-01-01 sentinel) — the
+    warehouse history-table build, one shuffle on the entity key."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    return ev.select(
+        "user_id",
+        "event_type",
+        us.alias("valid_from_us"),
+        F.coalesce(
+            F.lead(us).over(w), F.lit(253402300800000000)
+        ).alias("valid_to_us"),
+    )

@@ -935,3 +935,51 @@ def q_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return one.select(F.explode(F.array(*rows)).alias("r")).select("r.*")
+
+
+@query(
+    "q_upsert_latest",
+    oracle="""
+    WITH updates AS (
+        SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+               ROUND(o_totalprice * 1.1, 2) AS o_totalprice
+        FROM orders WHERE o_orderkey % 10 = 3
+    ),
+    unioned AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 1 AS src
+        FROM updates
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 0 AS src
+        FROM orders
+    )
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY src DESC) AS rn
+        FROM unioned
+    ) WHERE rn = 1
+    """,
+)
+def q_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-INTO semantics without a table format: base ∪ updates with a
+    per-key latest-wins rank — the lakehouse upsert compaction. The
+    updates batch (10% of keys, deterministically derived) overrides the
+    base row; one shuffle on the merge key, and WindowGroupLimit keeps
+    per-key state at 1 row through the exchange."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    updates = o.filter(F.col("o_orderkey") % 10 == 3).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("U").alias("o_orderstatus"),
+        F.round(F.col("o_totalprice") * 1.1, 2).alias("o_totalprice"),
+    )
+    unioned = updates.withColumn("src", F.lit(1)).unionByName(
+        o.withColumn("src", F.lit(0))
+    )
+    w = W.partitionBy("o_orderkey").orderBy(F.desc("src"))
+    return (
+        unioned.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    )
