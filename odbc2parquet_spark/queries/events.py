@@ -685,3 +685,64 @@ def ev_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lead(us).over(w), F.lit(253402300800000000)
         ).alias("valid_to_us"),
     )
+
+
+@query(
+    "ev_funnel_windowed",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t_view
+        FROM events GROUP BY user_id
+    ),
+    conv AS (
+        SELECT f.user_id, f.t_view,
+               MIN(CASE WHEN e.event_type = 'click'
+                         AND epoch_us(e.ts) > f.t_view
+                         AND epoch_us(e.ts) <= f.t_view + 604800000000
+                        THEN epoch_us(e.ts) END) AS t_click
+        FROM firsts f JOIN events e ON e.user_id = f.user_id
+        WHERE f.t_view IS NOT NULL
+        GROUP BY f.user_id, f.t_view
+    )
+    SELECT COUNT(*) AS n_viewed,
+           CAST(SUM(CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_converted_7d,
+           CAST(SUM(CASE WHEN t_click IS NOT NULL
+                    THEN (t_click - t_view) // 1000000 ELSE 0 END) AS BIGINT)
+               AS total_lag_s
+    FROM conv
+    """,
+)
+def ev_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-BOUNDED conversion funnel: first view -> click within 7 days
+    (the realistic attribution-window form of ev_funnel). Per-user first
+    views aggregate once, join back to the user's events, and the
+    conditional min folds the window predicate — two shuffles on
+    user_id, no per-user sequence scan."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    firsts = (
+        ev.groupBy("user_id")
+        .agg(F.min(F.when(F.col("event_type") == "view", us)).alias("t_view"))
+        .filter(F.col("t_view").isNotNull())
+    )
+    e = ev.select(F.col("user_id").alias("e_user"), "event_type", us.alias("e_us"))
+    in_window = (
+        (F.col("event_type") == "click")
+        & (F.col("e_us") > F.col("t_view"))
+        & (F.col("e_us") <= F.col("t_view") + F.lit(604800000000))
+    )
+    conv = (
+        firsts.join(e, firsts.user_id == F.col("e_user"))
+        .groupBy("user_id", "t_view")
+        .agg(F.min(F.when(in_window, F.col("e_us"))).alias("t_click"))
+    )
+    clicked = F.col("t_click").isNotNull()
+    return conv.agg(
+        F.count("*").alias("n_viewed"),
+        F.sum(F.when(clicked, 1).otherwise(0)).cast("long").alias("n_converted_7d"),
+        F.sum(
+            F.when(clicked, F.expr("(t_click - t_view) div 1000000")).otherwise(0)
+        ).cast("long").alias("total_lag_s"),
+    )

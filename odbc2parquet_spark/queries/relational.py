@@ -983,3 +983,43 @@ def q_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
     )
+
+
+@query(
+    "q_unpivot_metrics",
+    oracle="""
+    SELECT l_returnflag, metric,
+           CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS total,
+           COUNT(*) AS n
+    FROM (
+        SELECT l_returnflag, 'quantity' AS metric, l_quantity AS v FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'extendedprice', l_extendedprice FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'discount', l_discount FROM lineitem
+    ) m
+    GROUP BY l_returnflag, metric
+    ORDER BY l_returnflag, metric
+    """,
+)
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Melt/unpivot (the inverse of q_pivot_status): three measure columns
+    become (metric, value) rows via the built-in unpivot — ONE scan of
+    the fact table (the oracle's UNION ALL form scans three times; Spark's
+    Expand node multiplies rows post-scan), then a map-side-combinable
+    aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    melted = li.unpivot(
+        "l_returnflag",
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "metric",
+        "v",
+    ).withColumn("metric", F.regexp_replace("metric", "^l_", ""))
+    return (
+        melted.groupBy("l_returnflag", "metric")
+        .agg(
+            F.sum(F.col("v").cast("decimal(18,6)")).cast("double").alias("total"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("l_returnflag", "metric")
+    )

@@ -955,3 +955,49 @@ def mm_decode_video(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow-batched mapInPandas plumbing."""
     docs = load_table(spark, sf_dir, "documents")
     return M.decode_video_headers(M.encode_mp4(docs))
+
+
+@query(
+    "tx_train_val_split",
+    oracle="""
+    WITH assigned AS (
+        SELECT doc_id, source,
+               CAST('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) % 100 AS slot
+        FROM documents
+    )
+    SELECT source,
+           CASE WHEN slot < 90 THEN 'train'
+                WHEN slot < 95 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS min_doc,
+           MAX(doc_id) AS max_doc
+    FROM assigned
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def tx_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment by content-stable
+    hash slot (no RNG, no state — a doc keeps its split across reruns and
+    engines), reported per source. Pure map expression + one aggregation;
+    the split column is what a 100 TB run writes as a partition key."""
+    docs = load_table(spark, sf_dir, "documents")
+    slot = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 15), 16, 10)
+        .cast("long") % 100
+    )
+    split = (
+        F.when(slot < 90, "train").when(slot < 95, "val").otherwise("test")
+    )
+    return (
+        docs.select("source", split.alias("split"), "doc_id")
+        .groupBy("source", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("source", "split")
+    )
