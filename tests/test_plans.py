@@ -189,3 +189,24 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
     finally:
         for name in (ta, tb):
             spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_parquet_aggregate_pushdown(spark, sf_dir):
+    """MIN/MAX/COUNT over parquet can be answered from footer statistics
+    alone — the 100 TB metadata-only fast path. Assert the pushed
+    aggregates appear in the scan node when the flag is on."""
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    # footer-stat pushdown is a DataSource V2 feature; the V1 path plans a
+    # full scan for the same query
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    try:
+        df = spark.read.parquet(f"{sf_dir}/lineitem.parquet").agg(
+            {"l_quantity": "min", "l_extendedprice": "max", "*": "count"}
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "PushedAggregation" in plan and "MIN(l_quantity)" in plan, plan
+        row = df.collect()[0]
+        assert row["count(1)"] > 0
+    finally:
+        spark.conf.unset("spark.sql.sources.useV1SourceList")
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", "false")
