@@ -243,3 +243,39 @@ def test_cluster_by_disjoint_file_stats(spark, sf_dir, tmp_path):
     ranges.sort()
     for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
         assert lo_next > hi_prev  # disjoint -> stats-based file skipping works
+
+
+def test_zorder_layout_narrows_both_dimensions(spark, tmp_path):
+    """Z-order contract: per-file min/max ranges are narrow in BOTH keys
+    (a single-key range cluster leaves the second dimension full-width in
+    every file, so two-predicate skipping can't prune)."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+    from pyspark.sql import functions as F
+
+    from odbc2parquet_spark.sinks.parquet_sink import write_zordered
+
+    n = 1 << 14
+    df = spark.range(n).select(
+        (F.col("id") % 128).alias("x"),
+        (F.floor(F.col("id") / 128)).alias("y"),
+    )
+    out = str(tmp_path / "z")
+    write_zordered(df, out, ("x", "y"), num_files=16)
+
+    def avg_span(col_idx):
+        spans = []
+        for f in _glob.glob(out + "/*.parquet"):
+            md = _pq.ParquetFile(f).metadata
+            lo = min(md.row_group(i).column(col_idx).statistics.min for i in range(md.num_row_groups))
+            hi = max(md.row_group(i).column(col_idx).statistics.max for i in range(md.num_row_groups))
+            spans.append(hi - lo)
+        return sum(spans) / len(spans)
+
+    # global span of each dim is 127; z-ordered files must average well
+    # under half of it in BOTH dims simultaneously
+    assert avg_span(0) < 64, f"x span {avg_span(0)}"
+    assert avg_span(1) < 64, f"y span {avg_span(1)}"
+    # and the data survives intact
+    assert spark.read.parquet(out).count() == n
