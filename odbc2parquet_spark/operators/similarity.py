@@ -613,3 +613,44 @@ def random_projection(
     scale = 1.0 / (out_dim ** 0.5)
     proj = F.transform(mat, lambda plane: F.round(dot(F.col(vec_col), plane) * scale, 6))
     return vectors.select(F.col(id_col).alias("vec_id"), proj.alias("projected"))
+
+
+def lsh_multiprobe_pairs(
+    signatures: DataFrame,
+    prefix_bits: int = 8,
+    probes: int = 2,
+    max_bucket: int = 100_000,
+) -> DataFrame:
+    """Multi-probe LSH candidates: each vector registers under its own
+    prefix bucket AND the ``probes`` buckets at Hamming distance 1 (lowest
+    bits flipped) — near-misses that landed one bit apart still collide,
+    recovering recall that single-bucket LSH loses without adding tables.
+
+    Still the capped single-expansion shape: explode to (1 + probes)
+    bucket rows per vector, one shuffle on bucket, window cap, local pair
+    expansion, then a distinct since a pair can now meet in several
+    buckets. Candidate volume scales by (1 + probes), not by table count
+    — the standard trade for higher recall at fixed index size.
+    """
+    mask = (1 << prefix_bits) - 1
+    base = F.col("sig").bitwiseAND(F.lit(mask))
+    bucket_list = F.array(
+        base, *[base.bitwiseXOR(F.lit(1 << j)) for j in range(probes)]
+    )
+    bucketed = signatures.select(
+        "vec_id", F.explode(bucket_list).alias("bucket")
+    )
+    w = W.partitionBy("bucket")
+    bounded = (
+        bucketed.withColumn("bucket_n", F.count("*").over(w))
+        .filter(F.col("bucket_n") <= max_bucket)
+        .drop("bucket_n")
+    )
+    buckets = bounded.groupBy("bucket").agg(F.collect_list("vec_id").alias("ids"))
+    return (
+        buckets.filter(F.size("ids") >= 2)
+        .select(F.explode("ids").alias("id_a"), "ids")
+        .select("id_a", F.explode("ids").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .distinct()
+    )

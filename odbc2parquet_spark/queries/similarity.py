@@ -538,3 +538,29 @@ def sim_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nodes = emb.select(F.col("vec_id").alias("id"))
     return pagerank_int(nodes, sym, iterations=3)
+
+
+@query(
+    "sim_multiprobe_pairs",
+    oracle=f"""
+    WITH sig AS (
+        SELECT vec_id, CAST({{sig}} AS BIGINT) AS sig FROM embeddings
+    ),
+    b AS (
+        SELECT vec_id, unnest([sig & 255,
+                               xor(sig & 255, 1),
+                               xor(sig & 255, 2)]) AS bucket
+        FROM sig
+    )
+    SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+    FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+    """.replace("{sig}", _sig_sql()),
+)
+def sim_multiprobe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH candidate pairs (2 extra Hamming-1 probes per
+    vector): strictly-superset recall over single-bucket pairing at
+    (1+probes)x candidate volume — same capped single-shuffle shape."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.lsh_multiprobe_pairs(
+        S.lsh_signatures(emb, _N_PLANES, _DIM), prefix_bits=8, probes=2
+    )

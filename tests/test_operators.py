@@ -838,3 +838,15 @@ def test_binned_quantiles_within_bin_width(spark):
     # true p50 = 0.50, p95 = 0.95; estimate within one bin width
     assert abs(row["p50"] - 0.50) <= 0.01 + 1e-9
     assert abs(row["p95"] - 0.95) <= 0.01 + 1e-9
+
+
+def test_multiprobe_superset_of_single_bucket(spark):
+    import math
+
+    rows = [(i, [math.cos(i / 9.0 + d / 50.0) for d in range(8)]) for i in range(60)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    sig = S.lsh_signatures(emb, 8, 8)
+    single = {(r.id_a, r.id_b) for r in S.lsh_bucket_pairs(sig, prefix_bits=4).collect()}
+    multi = {(r.id_a, r.id_b) for r in S.lsh_multiprobe_pairs(sig, prefix_bits=4, probes=2).collect()}
+    assert single <= multi          # probing can only ADD candidates
+    assert len(multi) >= len(single)
