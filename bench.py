@@ -115,6 +115,12 @@ HEADLINE = [
     "mm_decode_video",
     "dd_bloom_gate",
     "ev_binned_quantiles",
+    "q_upsert_latest",
+    "ev_scd2_intervals",
+    "ev_funnel_windowed",
+    "tx_train_val_split",
+    "q_unpivot_metrics",
+    "sim_multiprobe_pairs",
 ]
 
 
