@@ -626,3 +626,45 @@ def dd_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     bloom = D.bloom_build(docs.filter(F.col("doc_id") < 250))
     return D.bloom_probe(docs.filter(F.col("doc_id") >= 250), bloom)
+
+
+@query(
+    "dd_containment",
+    oracle="WITH "
+    + _SHINGLES_CTE.format(where=" WHERE doc_id < 200")
+    + """,
+    sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+    inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS common
+        FROM sh a JOIN sh b ON a.g = b.g AND a.id != b.id
+        GROUP BY a.id, b.id
+    )
+    SELECT id_a, id_b, common, sa.n AS n_a,
+           ROUND(common / sa.n, 6) AS containment
+    FROM inter
+    JOIN sizes sa ON sa.id = id_a
+    WHERE common / sa.n >= 0.8
+    """,
+)
+def dd_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup: shingle containment |A∩B| / |A| >= 0.8 flags
+    documents SUBSUMED by another (quotes, excerpts, page-of-a-larger-doc)
+    that symmetric Jaccard misses when sizes differ. Directed pairs on a
+    bounded slice (verification tier, like dd_ngram_jaccard); at scale the
+    same score runs on LSH candidates."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    sh = D.word_shingles(docs, 3)
+    sizes = sh.groupBy(F.col("id").alias("s_id")).agg(F.count("*").alias("n"))
+    a = sh.select(F.col("id").alias("id_a"), "g")
+    b = sh.select(F.col("id").alias("id_b"), F.col("g").alias("g_b"))
+    inter = (
+        a.join(b, (a.g == b.g_b) & (F.col("id_a") != F.col("id_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        inter.join(sizes, inter.id_a == sizes.s_id)
+        .withColumn("containment", F.round(F.col("common") / F.col("n"), 6))
+        .filter(F.col("common") / F.col("n") >= 0.8)
+        .select("id_a", "id_b", "common", F.col("n").alias("n_a"), "containment")
+    )

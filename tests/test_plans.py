@@ -13,6 +13,7 @@ from odbc2parquet_spark.queries import QUERIES
 #: as verification-only (never the scale path).
 ALL_PAIRS_OK = {
     "dd_ngram_jaccard",      # bounded-slice verification
+    "dd_containment",        # bounded-slice verification (directed containment)
     "dd_simhash_pairs",      # all-pairs verification (dd_simhash_banded is the scale path)
     "dd_embedding_cosine",   # all-pairs verification (sim_lsh_* / sim_ivf_* scale paths)
     "sim_bruteforce_topk",   # exactness baseline: broadcast probes BY DESIGN
