@@ -564,3 +564,74 @@ def sim_multiprobe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_multiprobe_pairs(
         S.lsh_signatures(emb, _N_PLANES, _DIM), prefix_bits=8, probes=2
     )
+
+
+@query(
+    "sim_negative_samples",
+    oracle=f"""
+    WITH sig AS (
+        SELECT vec_id, CAST({{sig}} AS BIGINT) AS sig FROM embeddings
+    ),
+    b AS (SELECT vec_id, sig & 255 AS bucket FROM sig),
+    near AS (
+        SELECT x.vec_id AS anchor, y.vec_id AS neighbor
+        FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id != y.vec_id
+    ),
+    n AS (SELECT COUNT(*) AS total FROM embeddings),
+    cand AS (
+        SELECT s.vec_id AS anchor, t.j AS slot,
+               CAST('0x' || substring(md5('neg:' || CAST(s.vec_id AS VARCHAR)
+                    || ':' || CAST(t.j AS VARCHAR)), 1, 15) AS BIGINT)
+                   % (SELECT total FROM n) AS cand_id
+        FROM sig s, UNNEST(generate_series(0, 7)) AS t(j)
+    )
+    SELECT anchor, slot, cand_id AS negative_id
+    FROM cand c
+    WHERE c.cand_id != c.anchor
+      AND NOT EXISTS (SELECT 1 FROM near nr
+                      WHERE nr.anchor = c.anchor AND nr.neighbor = c.cand_id)
+    """.replace("{sig}", _sig_sql()),
+)
+def sim_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training negative mining: 8 deterministic hash-drawn
+    candidates per anchor, minus itself and minus anything sharing its
+    LSH bucket (likely-positive exclusion) — the hard-negative-safe
+    random negative set, with no RNG state. One anti-join against the
+    bucket-neighbor pairs; candidate generation is a pure hash
+    expression. vec_ids are assumed dense 0..N-1 (true of the testdata;
+    at scale use a zipWithIndex-style dense id pass first)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    total = emb.count()
+    sig = S.lsh_signatures(emb, _N_PLANES, _DIM)
+    near = S.lsh_bucket_pairs(sig, prefix_bits=8, directed=True).select(
+        F.col("id_a").alias("anchor"), F.col("id_b").alias("neighbor")
+    )
+    slots = F.explode(F.sequence(F.lit(0), F.lit(7))).alias("slot")
+    cand = sig.select(F.col("vec_id").alias("anchor"), slots).select(
+        "anchor",
+        "slot",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("neg:"),
+                            F.col("anchor").cast("string"),
+                            F.lit(":"),
+                            F.col("slot").cast("string"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % total
+        ).alias("cand_id"),
+    ).filter(F.col("cand_id") != F.col("anchor"))
+    return cand.join(
+        near,
+        (cand.anchor == near.anchor) & (cand.cand_id == near.neighbor),
+        "left_anti",
+    ).select("anchor", "slot", F.col("cand_id").alias("negative_id"))
