@@ -1001,3 +1001,77 @@ def tx_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "split")
     )
+
+
+@query(
+    "tx_cooccurrence_lift",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, i AS pos, ws[i] AS w
+        FROM (SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x != '') AS ws
+              FROM documents),
+             UNNEST(generate_series(1, len(ws))) AS t(i)
+    ),
+    uni AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY w),
+    tot AS (SELECT SUM(c) AS n FROM uni),
+    pairs AS (
+        SELECT a.w AS w1, b.w AS w2, COUNT(*) AS pc
+        FROM toks a JOIN toks b
+          ON a.doc_id = b.doc_id AND b.pos - a.pos BETWEEN 1 AND 2
+        GROUP BY a.w, b.w
+    )
+    SELECT w1, w2, pc,
+           ROUND(pc * (SELECT n FROM tot) * 1.0 / (ua.c * ub.c), 6) AS lift
+    FROM pairs
+    JOIN uni ua ON ua.w = w1
+    JOIN uni ub ON ub.w = w2
+    WHERE pc >= 50
+    ORDER BY w1, w2
+    """,
+)
+def tx_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed word co-occurrence with lift (the log-free PMI core):
+    skip-gram pairs within distance 2, pair counts vs unigram-product
+    expectation. Pair generation is a bounded self-join on (doc, pos+d) —
+    linear in tokens x window, never quadratic in document length; the
+    unigram table broadcasts. The word2vec/GloVe-era preprocessing pass
+    at corpus scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(X.words(F.col("text"))).alias("pos", "w")
+    )
+    uni = toks.groupBy("w").agg(F.count("*").alias("c"))
+    total = uni.agg(F.sum("c").alias("n"))
+    # pure EQUI-join on (doc, pos+d), d in {1,2}: a doc_id-only join with a
+    # position range predicate would enumerate |doc|^2 candidates per
+    # document — quadratic in document length. Exploding the offset keeps
+    # pair generation at exactly tokens x window.
+    a = toks.select(
+        "doc_id",
+        F.col("w").alias("w1"),
+        F.explode(F.array(F.col("pos") + 1, F.col("pos") + 2)).alias("pt"),
+    )
+    b = toks.select(
+        F.col("doc_id").alias("db"), F.col("pos").alias("pb"), F.col("w").alias("w2")
+    )
+    pairs = (
+        a.join(b, (a.doc_id == b.db) & (a.pt == b.pb))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("pc"))
+    )
+    ua = uni.select(F.col("w").alias("u1"), F.col("c").alias("c1"))
+    ub = uni.select(F.col("w").alias("u2"), F.col("c").alias("c2"))
+    return (
+        pairs.join(F.broadcast(ua), pairs.w1 == ua.u1)
+        .join(F.broadcast(ub), pairs.w2 == ub.u2)
+        .join(F.broadcast(total))
+        .filter(F.col("pc") >= 50)
+        .select(
+            "w1", "w2", "pc",
+            F.round(
+                F.col("pc") * F.col("n") / (F.col("c1") * F.col("c2")), 6
+            ).alias("lift"),
+        )
+        .orderBy("w1", "w2")
+    )
