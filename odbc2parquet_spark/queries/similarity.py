@@ -635,3 +635,85 @@ def sim_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         (cand.anchor == near.anchor) & (cand.cand_id == near.neighbor),
         "left_anti",
     ).select("anchor", "slot", F.col("cand_id").alias("negative_id"))
+
+
+@query(
+    "sim_candidate_recall",
+    oracle=f"""
+    WITH nv AS (
+        SELECT vec_id, embedding,
+               list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nsq
+        FROM embeddings
+    ),
+    truth AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM nv a JOIN nv b ON a.vec_id < b.vec_id
+        WHERE ROUND({_DOT} / SQRT(a.nsq * b.nsq), 4) >= 0.4
+    ),
+    sig AS (SELECT vec_id, CAST({{sig}} AS BIGINT) AS sig FROM embeddings),
+    b AS (SELECT vec_id, sig & 255 AS bucket FROM sig),
+    single AS (
+        SELECT x.vec_id AS id_a, y.vec_id AS id_b
+        FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+    ),
+    mp AS (
+        SELECT vec_id, unnest([sig & 255,
+                               xor(sig & 255, 1),
+                               xor(sig & 255, 2)]) AS bucket
+        FROM sig
+    ),
+    multi AS (
+        SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+        FROM mp x JOIN mp y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+    )
+    SELECT COUNT(*) AS n_true_pairs,
+           CAST(SUM(CASE WHEN s.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS found_single,
+           CAST(SUM(CASE WHEN m.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS found_multi
+    FROM truth t
+    LEFT JOIN single s ON s.id_a = t.id_a AND s.id_b = t.id_b
+    LEFT JOIN multi m ON m.id_a = t.id_a AND m.id_b = t.id_b
+    """.replace("{sig}", _sig_sql()),
+)
+def sim_candidate_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality evaluation: of the EXACT cosine>=0.4 pairs, how many
+    does single-bucket LSH find, and how many does multi-probe recover?
+    The ground truth is the all-pairs scorer (verification tier, bounded
+    corpus); the candidates are the production index shapes — the query a
+    100 TB deployment runs on a sampled slice to tune prefix_bits/probes
+    before committing to a layout."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    nsq = S.norm_sq(F.col("embedding"))
+    nv = emb.select("vec_id", "embedding", nsq.alias("nsq"))
+    a = nv.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), F.col("nsq").alias("na")
+    )
+    b = nv.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), F.col("nsq").alias("nb")
+    )
+    cos4 = F.round(
+        S.dot(F.col("va"), F.col("vb")) / F.sqrt(F.col("na") * F.col("nb")), 4
+    )
+    truth = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(cos4 >= 0.4)
+        .select("id_a", "id_b")
+    )
+    sig = S.lsh_signatures(emb, _N_PLANES, _DIM)
+    single = S.lsh_bucket_pairs(sig, prefix_bits=8).select(
+        F.col("id_a").alias("s_a"), F.col("id_b").alias("s_b")
+    )
+    multi = S.lsh_multiprobe_pairs(sig, prefix_bits=8, probes=2).select(
+        F.col("id_a").alias("m_a"), F.col("id_b").alias("m_b")
+    )
+    return (
+        truth.join(single, (truth.id_a == single.s_a) & (truth.id_b == single.s_b), "left_outer")
+        .join(multi, (truth.id_a == multi.m_a) & (truth.id_b == multi.m_b), "left_outer")
+        .agg(
+            F.count("*").alias("n_true_pairs"),
+            F.sum(F.when(F.col("s_a").isNotNull(), 1).otherwise(0)).cast("long").alias("found_single"),
+            F.sum(F.when(F.col("m_a").isNotNull(), 1).otherwise(0)).cast("long").alias("found_multi"),
+        )
+    )
