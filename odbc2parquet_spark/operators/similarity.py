@@ -654,3 +654,45 @@ def lsh_multiprobe_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .distinct()
     )
+
+
+def lsh_banded_pairs(
+    signatures: DataFrame,
+    bands: int = 4,
+    band_bits: int = 4,
+    max_bucket: int = 100_000,
+) -> DataFrame:
+    """OR-amplified LSH candidates: split the b-bit signature into
+    ``bands`` disjoint ``band_bits``-bit keys; a pair is a candidate if
+    it collides in ANY band (same amplification as MinHash banding).
+
+    For moderate-similarity targets a single wide prefix is the wrong
+    shape — collision probability decays exponentially in prefix bits
+    (measured: 3/59 true cos>=0.4 pairs found by one 8-bit prefix).
+    Banding trades candidate volume for recall with the same single
+    explode -> capped bucket expansion; (band_id, key) is the bucket key,
+    so all bands ride ONE shuffle.
+    """
+    band_exprs = []
+    for j in range(bands):
+        key = F.shiftright(F.col("sig"), j * band_bits).bitwiseAND(
+            F.lit((1 << band_bits) - 1)
+        )
+        band_exprs.append(F.struct(F.lit(j).alias("band"), key.alias("key")))
+    melted = signatures.select(
+        "vec_id", F.explode(F.array(*band_exprs)).alias("bk")
+    ).select("vec_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    w = W.partitionBy("band", "key")
+    bounded = (
+        melted.withColumn("n", F.count("*").over(w))
+        .filter(F.col("n") <= max_bucket)
+        .drop("n")
+    )
+    buckets = bounded.groupBy("band", "key").agg(F.collect_list("vec_id").alias("ids"))
+    return (
+        buckets.filter(F.size("ids") >= 2)
+        .select(F.explode("ids").alias("id_a"), "ids")
+        .select("id_a", F.explode("ids").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .distinct()
+    )

@@ -850,3 +850,13 @@ def test_multiprobe_superset_of_single_bucket(spark):
     multi = {(r.id_a, r.id_b) for r in S.lsh_multiprobe_pairs(sig, prefix_bits=4, probes=2).collect()}
     assert single <= multi          # probing can only ADD candidates
     assert len(multi) >= len(single)
+
+
+def test_banded_pairs_catch_identical_signatures(spark):
+    rows = [(1, [0.5] * 64), (2, [0.5] * 64), (3, [-0.5] * 64), (4, [-0.5] * 64)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    sig = S.lsh_signatures(emb, 16, 64)
+    got = {(r.id_a, r.id_b) for r in S.lsh_banded_pairs(sig, 4, 4).collect()}
+    # identical vectors share every band; opposite signatures share none
+    assert (1, 2) in got and (3, 4) in got
+    assert (1, 3) not in got and (2, 4) not in got
