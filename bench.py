@@ -121,6 +121,9 @@ HEADLINE = [
     "tx_train_val_split",
     "q_unpivot_metrics",
     "sim_multiprobe_pairs",
+    "sim_banded_pairs",
+    "sim_negative_samples",
+    "tx_cooccurrence_lift",
 ]
 
 
