@@ -363,3 +363,36 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_file_bytes: int = 512 * 1024 * 1024,
+) -> tuple[int, int]:
+    """Small-file compaction: rewrite a parquet directory into
+    ceil(total_bytes / target) files. Returns (files_before, files_after).
+
+    The maintenance pass every long-lived ingest needs — streaming and
+    per-batch writes accumulate small files until scan planning (footer
+    reads, task scheduling) dominates query time. Coalesce (no shuffle)
+    into a staging directory, then an atomic-enough swap: the old layout
+    is moved aside before staging is renamed in, and removed only after.
+    At 100 TB run this per partition directory, not on the whole table.
+    """
+    before = [f for f in glob.glob(os.path.join(path, "*.parquet"))]
+    total = sum(os.path.getsize(f) for f in before)
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    staging = path.rstrip("/") + "_compact_staging"
+    backup = path.rstrip("/") + "_compact_old"
+    (
+        spark.read.parquet(path)
+        .coalesce(n_files)
+        .write.mode("overwrite")
+        .parquet(staging)
+    )
+    os.rename(path, backup)
+    os.rename(staging, path)
+    shutil.rmtree(backup)
+    after = glob.glob(os.path.join(path, "*.parquet"))
+    return (len(before), len(after))

@@ -279,3 +279,20 @@ def test_zorder_layout_narrows_both_dimensions(spark, tmp_path):
     assert avg_span(1) < 64, f"y span {avg_span(1)}"
     # and the data survives intact
     assert spark.read.parquet(out).count() == n
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from odbc2parquet_spark.sinks.parquet_sink import compact_parquet
+
+    out = str(tmp_path / "frag")
+    # simulate a fragmented ingest: 32 tiny files
+    spark.range(50_000).select("id", (F.col("id") % 7).alias("v")).repartition(
+        32
+    ).write.parquet(out)
+    before, after = compact_parquet(spark, out, target_file_bytes=64 * 1024 * 1024)
+    assert before == 32 and after <= 2
+    df = spark.read.parquet(out)
+    assert df.count() == 50_000
+    assert df.agg({"v": "sum"}).collect()[0][0] == sum(i % 7 for i in range(50_000))
