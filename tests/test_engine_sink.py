@@ -296,3 +296,26 @@ def test_compact_parquet_reduces_file_count(spark, tmp_path):
     df = spark.read.parquet(out)
     assert df.count() == 50_000
     assert df.agg({"v": "sum"}).collect()[0][0] == sum(i % 7 for i in range(50_000))
+
+
+def test_schema_evolution_merge(spark, tmp_path):
+    """Batches written with evolving schemas read back as one unified
+    relation (mergeSchema) — the additive-column evolution every
+    long-lived ingest dataset goes through."""
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "evolving")
+    spark.range(10).select("id", F.lit("a").alias("source")).write.parquet(
+        out + "/batch=1"
+    )
+    spark.range(10, 20).select(
+        "id", F.lit("b").alias("source"), F.lit(0.5).alias("quality")
+    ).write.parquet(out + "/batch=2")
+    df = spark.read.option("mergeSchema", "true").option(
+        "basePath", out
+    ).parquet(out + "/batch=1", out + "/batch=2")
+    assert set(df.columns) >= {"id", "source", "quality"}
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows[5]["quality"] is None      # old rows: new column null-filled
+    assert rows[15]["quality"] == 0.5
+    assert df.count() == 20
