@@ -224,3 +224,56 @@ def late_event_audit(
         )
         .orderBy("event_type")
     )
+
+
+def streaming_upsert(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    state_dir: str,
+    checkpoint_dir: str,
+    key_col: str,
+    seq_col: str,
+):
+    """CDC sink: stream change records and maintain a latest-wins snapshot
+    table via foreachBatch — the streaming twin of the batch
+    ``q_upsert_latest`` compaction.
+
+    Each micro-batch unions the incoming changes with the current
+    snapshot and keeps the max-``seq_col`` row per key (rewriting the
+    snapshot — at 100 TB swap the rewrite for a MERGE into a table
+    format; the per-batch dedup logic is identical). availableNow drains
+    the backlog and stops, matching the batch-CLI semantics; the
+    checkpoint makes redelivery idempotent — replaying a batch cannot
+    regress the snapshot because latest-wins is associative/idempotent.
+    """
+    from pyspark.sql import Window
+
+    def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        sess = batch.sparkSession
+        try:
+            current = sess.read.parquet(state_dir)
+            unioned = batch.select(*[f.name for f in schema]).unionByName(current)
+        except Exception:  # noqa: BLE001 - first batch: no snapshot yet
+            unioned = batch.select(*[f.name for f in schema])
+        w = Window.partitionBy(key_col).orderBy(F.desc(seq_col))
+        latest = (
+            unioned.withColumn("_rn_", F.row_number().over(w))
+            .filter(F.col("_rn_") == 1)
+            .drop("_rn_")
+        )
+        staging = state_dir.rstrip("/") + f"_staging_{batch_id}"
+        latest.write.mode("overwrite").parquet(staging)
+        import shutil as _sh
+
+        _sh.rmtree(state_dir, ignore_errors=True)
+        _sh.move(staging, state_dir)
+
+    return (
+        spark.readStream.schema(schema)
+        .parquet(source_dir)
+        .writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -207,3 +207,23 @@ def test_late_event_audit_flags_out_of_order(spark):
     got = {r["event_type"]: r for r in late_event_audit(df, delay_seconds=60).collect()}
     assert (got["a"]["n_events"], got["a"]["n_late"]) == (4, 1)
     assert (got["b"]["n_events"], got["b"]["n_late"]) == (3, 1)
+
+
+def test_streaming_upsert_latest_wins(spark, tmp_path):
+    from odbc2parquet_spark.streaming.transfer import streaming_upsert
+
+    src = tmp_path / "changes"
+    src.mkdir()
+    rows1 = [(1, "a", 10), (2, "b", 11), (3, "c", 12)]
+    rows2 = [(2, "B2", 20), (4, "d", 21)]  # update key 2, insert key 4
+    df1 = spark.createDataFrame(rows1, ["k", "v", "seq"])
+    df2 = spark.createDataFrame(rows2, ["k", "v", "seq"])
+    df1.coalesce(1).write.mode("append").parquet(str(src))
+    df2.coalesce(1).write.mode("append").parquet(str(src))
+    state = str(tmp_path / "state")
+    q = streaming_upsert(
+        spark, str(src), df1.schema, state, str(tmp_path / "ckpt"), "k", "seq"
+    )
+    q.awaitTermination(120)
+    got = {r["k"]: (r["v"], r["seq"]) for r in spark.read.parquet(state).collect()}
+    assert got == {1: ("a", 10), 2: ("B2", 20), 3: ("c", 12), 4: ("d", 21)}
