@@ -40,6 +40,7 @@ BOUNDED_CROSS_OK = {
     "tx_domain_mix",         # 1-row grand-total broadcast for the share denominator
     "q11_important_parts",   # 1-row global-total broadcast threshold
     "sim_hybrid_search",     # 1-row probe-embedding broadcast (rerank side)
+    "tx_cooccurrence_lift",  # 1-row corpus-total broadcast for the lift denominator
 }
 ALL_PAIRS_OK |= BOUNDED_CROSS_OK
 
