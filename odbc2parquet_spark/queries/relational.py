@@ -1023,3 +1023,60 @@ def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "metric")
     )
+
+
+@query(
+    "q_table_diff",
+    oracle="""
+    WITH v2 AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 13 = 5
+                    THEN ROUND(o_totalprice * 1.07, 2) ELSE o_totalprice END
+                   AS o_totalprice
+        FROM orders WHERE o_orderkey % 17 != 3
+        UNION ALL
+        SELECT o_orderkey + 1000000, 42.0 FROM orders WHERE o_orderkey % 29 = 7
+    )
+    SELECT CAST(SUM(CASE WHEN b.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_added,
+           CAST(SUM(CASE WHEN v2.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_removed,
+           CAST(SUM(CASE WHEN b.o_orderkey IS NOT NULL AND v2.o_orderkey IS NOT NULL
+                          AND b.o_totalprice != v2.o_totalprice
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+           CAST(SUM(CASE WHEN b.o_orderkey IS NOT NULL AND v2.o_orderkey IS NOT NULL
+                          AND b.o_totalprice = v2.o_totalprice
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+    FROM (SELECT o_orderkey, o_totalprice FROM orders) b
+    FULL OUTER JOIN v2 ON b.o_orderkey = v2.o_orderkey
+    """,
+)
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation: added/removed/changed/unchanged counts
+    between two table versions (v2 derived deterministically: ~6% of keys
+    dropped, ~8% repriced, ~3% inserted) via ONE full-outer join on the
+    key and a single fold — the data-diff every pipeline migration runs
+    before swapping a table, with no driver-side comparison."""
+    base = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    kept = base.filter(F.col("o_orderkey") % 17 != 3).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 13 == 5, F.round(F.col("o_totalprice") * 1.07, 2)
+        ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+    )
+    inserted = base.filter(F.col("o_orderkey") % 29 == 7).select(
+        (F.col("o_orderkey") + 1000000).alias("o_orderkey"),
+        F.lit(42.0).alias("o_totalprice"),
+    )
+    v2 = kept.unionByName(inserted).select(
+        F.col("o_orderkey").alias("k2"), F.col("o_totalprice").alias("p2")
+    )
+    j = base.join(v2, base.o_orderkey == F.col("k2"), "full_outer")
+    flag = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    both = base.o_orderkey.isNotNull() & F.col("k2").isNotNull()
+    return j.agg(
+        flag(base.o_orderkey.isNull()).alias("n_added"),
+        flag(F.col("k2").isNull()).alias("n_removed"),
+        flag(both & (base.o_totalprice != F.col("p2"))).alias("n_changed"),
+        flag(both & (base.o_totalprice == F.col("p2"))).alias("n_unchanged"),
+    )

@@ -7,7 +7,7 @@ every value bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from odbc2parquet_spark.catalog import load_table
@@ -1074,4 +1074,55 @@ def tx_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
         .orderBy("w1", "w2")
+    )
+
+
+@query(
+    "tx_quality_calibrated",
+    oracle="""
+    WITH qbase AS (
+        SELECT doc_id, source,
+               len(list_filter(string_split(text, ' '), w -> w != '')) AS n_words,
+               length(text) AS n_chars,
+               length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+               len(list_filter(string_split(text, ' '),
+                   w -> w IN ('the','a','and','of','to','in','is'))) AS n_stop
+        FROM documents
+    ),
+    q AS (
+        SELECT doc_id, source,
+               (CASE WHEN n_words >= 10 THEN 0.25 ELSE 0.0 END)
+               + (n_alpha / n_chars) * 0.25
+               + (n_stop / n_words) * 0.25
+               + (CASE WHEN (n_chars - (n_words - 1)) / n_words >= 3
+                        AND (n_chars - (n_words - 1)) / n_words <= 10
+                  THEN 0.25 ELSE 0.0 END) AS quality_score
+        FROM qbase
+    )
+    SELECT doc_id, source, ROUND(quality_score, 6) AS raw_quality,
+           ROUND(PERCENT_RANK() OVER (PARTITION BY source
+                                      ORDER BY quality_score, doc_id), 6)
+               AS calibrated
+    FROM q
+    """,
+)
+def tx_quality_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality calibration: raw heuristic scores are NOT
+    comparable across domains (a news source and a forum source have
+    different score distributions), so a single global threshold
+    over/under-prunes per source. Percent-rank within source maps every
+    domain onto [0,1] uniformly — threshold once, prune fairly. One
+    window per source partition (bounded by the largest source, the same
+    partitioning a per-source sampler already pays)."""
+    from odbc2parquet_spark.operators.text import quality_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = quality_scores(docs).select("doc_id", "quality_score")
+    j = docs.select("doc_id", "source").join(scored, "doc_id")
+    w = Window.partitionBy("source").orderBy("quality_score", "doc_id")
+    return j.select(
+        "doc_id",
+        "source",
+        F.round("quality_score", 6).alias("raw_quality"),
+        F.round(F.percent_rank().over(w), 6).alias("calibrated"),
     )
