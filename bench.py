@@ -124,6 +124,8 @@ HEADLINE = [
     "sim_banded_pairs",
     "sim_negative_samples",
     "tx_cooccurrence_lift",
+    "tx_quality_calibrated",
+    "q_table_diff",
 ]
 
 
