@@ -133,8 +133,6 @@ def kmv_distinct_per_group(
     group ships exactly k longs to the estimate. Deterministic (md5-
     derived hashes), so two engines agree on the ESTIMATE itself.
     """
-    from pyspark.sql import Window
-
     hashes = df.select(*group_cols, _hash60(F.col(col)).alias("h")).distinct()
     w = Window.partitionBy(*group_cols).orderBy("h")
     smallest = hashes.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)

@@ -371,13 +371,15 @@ def pii_scan(
     red = t
     for kind, pat in PII_PATTERNS.items():
         red = F.regexp_replace(red, pat, f"[{kind.upper()}]")
-    return docs.select(
-        F.col(id_col),
-        *counts,
-        sum(F.regexp_count(t, F.lit(p)).cast("long") for p in PII_PATTERNS.values()).alias(
-            "n_pii_total"
-        ),
-        red.alias("redacted"),
+    scanned = docs.select(F.col(id_col), *counts, red.alias("redacted"))
+    # total = sum of the projected columns — NOT a second set of regex
+    # scans (each regexp_count re-reads the full text)
+    total = sum(F.col(f"n_{kind}") for kind in PII_PATTERNS)
+    return scanned.select(
+        id_col,
+        *[f"n_{kind}" for kind in PII_PATTERNS],
+        total.alias("n_pii_total"),
+        "redacted",
     )
 
 
@@ -407,11 +409,14 @@ def tokenize_with_vocab(
         F.col(id_col), F.posexplode(words(t)).alias("pos", "w")
     )
     counts = tokens.groupBy("w").agg(F.count("*").alias("c"))
+    # top-k via orderBy+limit = TakeOrderedAndProject (per-partition heap,
+    # k rows to the driver-side reduce) — NOT a global window, which would
+    # funnel the entire distinct-word table into one task; the rank window
+    # then runs over only the vocab_size surviving rows
+    top = counts.orderBy(F.desc("c"), F.asc("w")).limit(vocab_size)
     w_rank = Window.orderBy(F.desc("c"), F.asc("w"))
-    vocab = (
-        counts.withColumn("tok_id", F.row_number().over(w_rank) - 1)
-        .filter(F.col("tok_id") < vocab_size)
-        .select("w", "tok_id")
+    vocab = top.withColumn("tok_id", F.row_number().over(w_rank) - 1).select(
+        "w", "tok_id"
     )
     tok = tokens.join(F.broadcast(vocab), "w", "left_outer").select(
         id_col, "pos", F.coalesce(F.col("tok_id"), F.lit(-1)).alias("tid")

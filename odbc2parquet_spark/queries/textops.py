@@ -939,7 +939,7 @@ def tx_tokenize_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(600 + (length(text) % 5) * 100 AS INTEGER) AS timescale,
            CAST((length(text) * 31) % 100000 AS BIGINT) AS duration,
            3 AS n_top_boxes,
-           CAST(length(text) AS BIGINT) AS mdat_bytes,
+           CAST(octet_length(encode(text)) AS BIGINT) AS mdat_bytes,
            CAST(FLOOR(((length(text) * 31) % 100000) * 1000.0
                       / (600 + (length(text) % 5) * 100)) AS BIGINT) AS duration_ms
     FROM documents

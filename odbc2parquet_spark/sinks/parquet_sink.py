@@ -380,11 +380,18 @@ def compact_parquet(
     is moved aside before staging is renamed in, and removed only after.
     At 100 TB run this per partition directory, not on the whole table.
     """
+    staging = path.rstrip("/") + "_compact_staging"
+    backup = path.rstrip("/") + "_compact_old"
+    # recover from a crashed prior run: if the table dir is gone but the
+    # backup survived, restore it; stale staging/backup dirs are removed
+    # so they can never collide with this run's renames
+    if not os.path.isdir(path) and os.path.isdir(backup):
+        os.rename(backup, path)
+    shutil.rmtree(staging, ignore_errors=True)
+    shutil.rmtree(backup, ignore_errors=True)
     before = [f for f in glob.glob(os.path.join(path, "*.parquet"))]
     total = sum(os.path.getsize(f) for f in before)
     n_files = max(1, math.ceil(total / target_file_bytes))
-    staging = path.rstrip("/") + "_compact_staging"
-    backup = path.rstrip("/") + "_compact_old"
     (
         spark.read.parquet(path)
         .coalesce(n_files)

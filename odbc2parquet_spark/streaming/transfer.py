@@ -186,7 +186,13 @@ def late_event_audit(
     ranged = base.repartitionByRange(num_partitions, F.col("_oid_")).sortWithinPartitions(
         "_oid_"
     )
-    with_pid = ranged.withColumn("_pid_", F.spark_partition_id()).persist()
+    # localCheckpoint (NOT persist): same stable-partition guarantee for
+    # the two passes, but the blocks are GC-scoped — persist() registers
+    # in the session cache manager and pins memory until an explicit
+    # unpersist, which a returned lazy DataFrame can never safely issue.
+    with_pid = ranged.withColumn("_pid_", F.spark_partition_id()).localCheckpoint(
+        eager=True
+    )
     pmax = {
         r._pid_: r.m
         for r in with_pid.groupBy("_pid_").agg(F.max("_us_").alias("m")).collect()
@@ -245,16 +251,26 @@ def streaming_upsert(
     format; the per-batch dedup logic is identical). availableNow drains
     the backlog and stops, matching the batch-CLI semantics; the
     checkpoint makes redelivery idempotent — replaying a batch cannot
-    regress the snapshot because latest-wins is associative/idempotent.
+    regress the snapshot because latest-wins is associative/idempotent,
+    and the snapshot swap keeps the previous version aside until the new
+    one is in place (a crash mid-swap is recovered on the next batch).
     """
-    from pyspark.sql import Window
+    import os as _os
+    import shutil as _sh
+
+    backup = state_dir.rstrip("/") + "_backup"
 
     def merge_batch(batch: DataFrame, batch_id: int) -> None:
         sess = batch.sparkSession
-        try:
+        # crash recovery: a previous run renamed the snapshot aside but
+        # died before swapping staging in — restore it rather than
+        # silently treating the replayed batch as the whole history
+        if not _os.path.exists(state_dir) and _os.path.exists(backup):
+            _os.rename(backup, state_dir)
+        if _os.path.exists(state_dir):
             current = sess.read.parquet(state_dir)
             unioned = batch.select(*[f.name for f in schema]).unionByName(current)
-        except Exception:  # noqa: BLE001 - first batch: no snapshot yet
+        else:
             unioned = batch.select(*[f.name for f in schema])
         w = Window.partitionBy(key_col).orderBy(F.desc(seq_col))
         latest = (
@@ -263,11 +279,15 @@ def streaming_upsert(
             .drop("_rn_")
         )
         staging = state_dir.rstrip("/") + f"_staging_{batch_id}"
+        _sh.rmtree(staging, ignore_errors=True)
         latest.write.mode("overwrite").parquet(staging)
-        import shutil as _sh
-
-        _sh.rmtree(state_dir, ignore_errors=True)
-        _sh.move(staging, state_dir)
+        # swap: old snapshot moves ASIDE (recoverable), staging moves in,
+        # then the backup is dropped — no window where the data is gone
+        _sh.rmtree(backup, ignore_errors=True)
+        if _os.path.exists(state_dir):
+            _os.rename(state_dir, backup)
+        _os.rename(staging, state_dir)
+        _sh.rmtree(backup, ignore_errors=True)
 
     return (
         spark.readStream.schema(schema)

@@ -319,3 +319,20 @@ def test_schema_evolution_merge(spark, tmp_path):
     assert rows[5]["quality"] is None      # old rows: new column null-filled
     assert rows[15]["quality"] == 0.5
     assert df.count() == 20
+
+
+def test_compact_parquet_recovers_from_crashed_swap(spark, tmp_path):
+    """A run that died between the two swap renames leaves only the
+    backup directory; the next invocation must restore it and proceed."""
+    import os
+
+    from odbc2parquet_spark.sinks.parquet_sink import compact_parquet
+
+    out = str(tmp_path / "tbl")
+    spark.range(1000).repartition(8).write.parquet(out)
+    # simulate the crash window: table renamed aside, staging never landed
+    os.rename(out, out + "_compact_old")
+    before, after = compact_parquet(spark, out, target_file_bytes=1 << 30)
+    assert before == 8 and after == 1
+    assert spark.read.parquet(out).count() == 1000
+    assert not os.path.exists(out + "_compact_old")

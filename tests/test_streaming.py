@@ -227,3 +227,29 @@ def test_streaming_upsert_latest_wins(spark, tmp_path):
     q.awaitTermination(120)
     got = {r["k"]: (r["v"], r["seq"]) for r in spark.read.parquet(state).collect()}
     assert got == {1: ("a", 10), 2: ("B2", 20), 3: ("c", 12), 4: ("d", 21)}
+
+
+def test_streaming_upsert_recovers_snapshot_from_backup(spark, tmp_path):
+    """If a prior batch died after moving the snapshot aside, the next
+    batch restores it — replay cannot silently drop history."""
+    import os
+
+    from odbc2parquet_spark.streaming.transfer import streaming_upsert
+
+    state = str(tmp_path / "state")
+    df0 = spark.createDataFrame([(1, "old", 1), (9, "keep", 1)], ["k", "v", "seq"])
+    df0.write.parquet(state)
+    os.rename(state, state + "_backup")  # crash window: snapshot aside
+
+    src = tmp_path / "changes"
+    src.mkdir()
+    spark.createDataFrame([(1, "new", 5)], ["k", "v", "seq"]).coalesce(
+        1
+    ).write.mode("append").parquet(str(src))
+    q = streaming_upsert(
+        spark, str(src), df0.schema, state, str(tmp_path / "ckpt"), "k", "seq"
+    )
+    q.awaitTermination(120)
+    got = {r["k"]: (r["v"], r["seq"]) for r in spark.read.parquet(state).collect()}
+    # key 9 survived the crash via backup restore; key 1 took the update
+    assert got == {1: ("new", 5), 9: ("keep", 1)}
