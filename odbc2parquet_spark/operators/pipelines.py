@@ -65,3 +65,44 @@ def prepare_corpus(
         F.length(t).cast("long").alias("n_chars"),
         F.col("quality_score"),
     )
+
+
+def pipeline_funnel(
+    docs: DataFrame,
+    min_quality: float = 0.5,
+    near_dup_threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Observability for :func:`prepare_corpus`: (stage, n_surviving) for
+    raw -> quality gate -> exact dedup -> near-dup dedup.
+
+    The funnel report every curation run publishes next to its output —
+    how much each gate removed. Four count aggregates over the same lazy
+    stage definitions (each count is a column-pruned subplan: Catalyst
+    drops the text column wherever the stage doesn't need it); union of
+    four 1-row frames, so the report itself costs four passes over
+    successively smaller survivor sets and shuffles nothing wide.
+    """
+    q = quality_scores(docs, text_col).filter(F.col("quality_score") >= min_quality)
+    gated = docs.join(q.select(id_col), id_col)
+    exact = drop_exact_duplicates(gated, text_col, id_col)
+    pairs = minhash_near_duplicates(
+        exact, threshold=near_dup_threshold, text_col=text_col, id_col=id_col
+    )
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    survivors = exact.join(losers, id_col, "left_anti")
+    spark = docs.sparkSession
+    stages = [
+        ("0_raw", docs),
+        ("1_quality_gate", gated),
+        ("2_exact_dedup", exact),
+        ("3_near_dedup", survivors),
+    ]
+    out = None
+    for stage_name, df in stages:
+        row = df.agg(F.count("*").cast("long").alias("n_surviving")).select(
+            F.lit(stage_name).alias("stage"), "n_surviving"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

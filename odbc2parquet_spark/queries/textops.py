@@ -1126,3 +1126,78 @@ def tx_quality_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("quality_score", 6).alias("raw_quality"),
         F.round(F.percent_rank().over(w), 6).alias("calibrated"),
     )
+
+
+@query(
+    "tx_pipeline_funnel",
+    oracle=f"""
+    WITH qbase AS (
+        SELECT doc_id, text,
+               len(list_filter(string_split(text, ' '), w -> w != '')) AS n_words,
+               length(text) AS n_chars,
+               length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+               len(list_filter(string_split(text, ' '),
+                   w -> w IN ('the','a','and','of','to','in','is'))) AS n_stop
+        FROM documents
+    ),
+    q AS (
+        SELECT doc_id, text,
+               (CASE WHEN n_words >= 10 THEN 0.25 ELSE 0.0 END)
+               + (n_alpha / n_chars) * 0.25
+               + (n_stop / n_words) * 0.25
+               + (CASE WHEN (n_chars - (n_words - 1)) / n_words >= 3
+                        AND (n_chars - (n_words - 1)) / n_words <= 10
+                  THEN 0.25 ELSE 0.0 END) AS quality_score
+        FROM qbase
+    ),
+    gated AS (SELECT * FROM q WHERE quality_score >= 0.5),
+    keepers AS (SELECT MIN(doc_id) AS doc_id FROM gated GROUP BY md5(text)),
+    exact AS (SELECT g.* FROM gated g JOIN keepers k ON g.doc_id = k.doc_id),
+    w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM exact),
+    sh AS (
+        SELECT DISTINCT doc_id AS id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+        FROM w, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)
+    ),
+    sig AS (SELECT id, {_PIPE_MINHASH} FROM sh GROUP BY id),
+    bands AS (
+        SELECT id, 0 AS band, mh0 || '_' || mh1 AS key FROM sig
+        UNION ALL SELECT id, 1, mh2 || '_' || mh3 FROM sig
+        UNION ALL SELECT id, 2, mh4 || '_' || mh5 FROM sig
+        UNION ALL SELECT id, 3, mh6 || '_' || mh7 FROM sig
+    ),
+    cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+    ),
+    sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+    common AS (
+        SELECT c.id_a, c.id_b, COUNT(*) AS common
+        FROM cand c
+        JOIN sh a ON a.id = c.id_a
+        JOIN sh b ON b.id = c.id_b AND b.g = a.g
+        GROUP BY c.id_a, c.id_b
+    ),
+    losers AS (
+        SELECT DISTINCT id_b AS doc_id
+        FROM common
+        JOIN sizes sa ON sa.id = id_a
+        JOIN sizes sb ON sb.id = id_b
+        WHERE common / (sa.n + sb.n - common) >= 0.5
+    ),
+    survivors AS (SELECT e.doc_id FROM exact e
+                  WHERE e.doc_id NOT IN (SELECT doc_id FROM losers))
+    SELECT '0_raw' AS stage, (SELECT COUNT(*) FROM documents) AS n_surviving
+    UNION ALL SELECT '1_quality_gate', (SELECT COUNT(*) FROM gated)
+    UNION ALL SELECT '2_exact_dedup', (SELECT COUNT(*) FROM exact)
+    UNION ALL SELECT '3_near_dedup', (SELECT COUNT(*) FROM survivors)
+    """,
+)
+def tx_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation funnel report: documents surviving each stage of the
+    composed pipeline (raw -> quality gate -> exact dedup -> near-dup
+    dedup) — the per-stage observability a production run publishes
+    beside its output."""
+    from odbc2parquet_spark.operators.pipelines import pipeline_funnel
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pipeline_funnel(docs, min_quality=0.5, near_dup_threshold=0.5)
