@@ -668,3 +668,54 @@ def dd_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("common") / F.col("n") >= 0.8)
         .select("id_a", "id_b", "common", F.col("n").alias("n_a"), "containment")
     )
+
+
+@query(
+    "dd_containment_lsh",
+    oracle="WITH "
+    + _MINHASH_EDGES_CTES.replace("verified AS", "jacc_unused AS")
+    + """,
+    directed AS (
+        SELECT id_a, id_b, common FROM common
+        UNION ALL SELECT id_b, id_a, common FROM common
+    )
+    SELECT d.id_a, d.id_b, d.common, s.n AS n_a,
+           ROUND(d.common / s.n, 6) AS containment
+    FROM directed d
+    JOIN sizes s ON s.id = d.id_a
+    WHERE d.common / s.n >= 0.8
+    """,
+)
+def dd_containment_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE-PATH containment detector: candidates come from the
+    MinHash+LSH bands (linear generation), then the directed containment
+    score |A∩B|/|A| >= 0.8 flags subsumed documents in BOTH directions of
+    each candidate pair. dd_containment (bounded all-pairs) is its
+    verification twin. Note the recall caveat: LSH bands target Jaccard,
+    which under-recalls very asymmetric containment (a tiny doc inside a
+    huge one has low Jaccard) — at scale pair this with the repeated
+    n-gram span stats for the asymmetric tail."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = D.word_shingles(docs, 3)
+    sig = D.minhash_signatures(sh, num_hashes=8)
+    cand = D.lsh_candidate_pairs(sig, bands=4, rows_per_band=2)
+    sizes = sh.groupBy(F.col("id").alias("s_id")).agg(F.count("*").alias("n"))
+    a = sh.select(F.col("id").alias("ca"), F.col("g").alias("g_a"))
+    b = sh.select(F.col("id").alias("cb"), F.col("g").alias("g_b"))
+    common = (
+        cand.join(a, cand.id_a == a.ca)
+        .join(b, (cand.id_b == b.cb) & (F.col("g_a") == b.g_b))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("common"))
+    )
+    directed = common.unionByName(
+        common.select(
+            F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"), "common"
+        )
+    )
+    return (
+        directed.join(sizes, directed.id_a == sizes.s_id)
+        .withColumn("containment", F.round(F.col("common") / F.col("n"), 6))
+        .filter(F.col("common") / F.col("n") >= 0.8)
+        .select("id_a", "id_b", "common", F.col("n").alias("n_a"), "containment")
+    )
