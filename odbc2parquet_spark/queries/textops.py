@@ -1201,3 +1201,67 @@ def tx_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return pipeline_funnel(docs, min_quality=0.5, near_dup_threshold=0.5)
+
+
+@query(
+    "tx_dsir_weights",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, source, unnest(list_filter(string_split(text, ' '),
+                                                  x -> x != '')) AS w
+        FROM documents
+    ),
+    corpus AS (SELECT w, COUNT(*) AS cc FROM toks GROUP BY w),
+    corpus_n AS (SELECT SUM(cc) AS nc FROM corpus),
+    target AS (SELECT w, COUNT(*) AS ct FROM toks WHERE source = 'src0' GROUP BY w),
+    target_n AS (SELECT SUM(ct) AS nt FROM target),
+    lifts AS (
+        SELECT t.doc_id,
+               CAST(COALESCE(tg.ct, 0) * (SELECT nc FROM corpus_n) * 1.0
+                    / (c.cc * (SELECT nt FROM target_n))
+                    AS DECIMAL(25,12)) AS lift
+        FROM toks t
+        JOIN corpus c ON c.w = t.w
+        LEFT JOIN target tg ON tg.w = t.w
+    )
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           ROUND(CAST(SUM(lift) AS DOUBLE) / COUNT(*), 6) AS importance_weight
+    FROM lifts GROUP BY doc_id
+    """,
+)
+def tx_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-selection importance weights (DSIR-style, lift variant): score
+    every document by how much its unigrams look like a TARGET domain
+    (source='src0') relative to the whole corpus — the reweighting signal
+    for targeted pre-training mixtures. Per-word lift
+    p_target(w)/p_corpus(w) is a ratio of exact integer counts; the
+    per-doc mean sums decimal-cast lifts (order-independent) and divides
+    once. Both frequency tables are word-vocabulary-sized -> broadcast;
+    the corpus explodes once and never shuffles whole rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", F.explode(X.words(F.col("text"))).alias("w")
+    )
+    corpus = toks.groupBy("w").agg(F.count("*").alias("cc"))
+    corpus_n = corpus.agg(F.sum("cc").alias("nc"))
+    target = toks.filter(F.col("source") == "src0").groupBy("w").agg(
+        F.count("*").alias("ct")
+    )
+    target_n = target.agg(F.sum("ct").alias("nt"))
+    lift = (
+        F.coalesce(F.col("ct"), F.lit(0)) * F.col("nc")
+        / (F.col("cc") * F.col("nt"))
+    ).cast("decimal(25,12)")
+    return (
+        toks.join(F.broadcast(corpus), "w")
+        .join(F.broadcast(target), "w", "left_outer")
+        .join(F.broadcast(corpus_n))
+        .join(F.broadcast(target_n))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.sum(lift).cast("double") / F.count("*"), 6).alias(
+                "importance_weight"
+            ),
+        )
+    )
