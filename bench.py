@@ -126,6 +126,9 @@ HEADLINE = [
     "tx_cooccurrence_lift",
     "tx_quality_calibrated",
     "q_table_diff",
+    "tx_pipeline_funnel",
+    "dd_containment_lsh",
+    "tx_dsir_weights",
 ]
 
 
