@@ -41,6 +41,7 @@ BOUNDED_CROSS_OK = {
     "q11_important_parts",   # 1-row global-total broadcast threshold
     "sim_hybrid_search",     # 1-row probe-embedding broadcast (rerank side)
     "tx_cooccurrence_lift",  # 1-row corpus-total broadcast for the lift denominator
+    "tx_dsir_weights",       # two 1-row token-total broadcasts (corpus + target)
 }
 ALL_PAIRS_OK |= BOUNDED_CROSS_OK
 
