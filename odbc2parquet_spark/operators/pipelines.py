@@ -23,6 +23,30 @@ from odbc2parquet_spark.operators.dedup import (
 from odbc2parquet_spark.operators.text import TOKEN_RE, quality_scores, words
 
 
+def _corpus_stages(
+    docs: DataFrame,
+    min_quality: float,
+    near_dup_threshold: float,
+    text_col: str,
+    id_col: str,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The shared lazy stage chain: (gated, exact, survivors).
+
+    ONE definition used by both :func:`prepare_corpus` (the output) and
+    :func:`pipeline_funnel` (the report) — so the published funnel counts
+    can never describe a different pipeline than the one that runs.
+    """
+    q = quality_scores(docs, text_col).filter(F.col("quality_score") >= min_quality)
+    gated = docs.join(q.select(id_col, "quality_score"), id_col)
+    exact = drop_exact_duplicates(gated, text_col, id_col)
+    pairs = minhash_near_duplicates(
+        exact, threshold=near_dup_threshold, text_col=text_col, id_col=id_col
+    )
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    survivors = exact.join(losers, id_col, "left_anti")
+    return gated, exact, survivors
+
+
 def prepare_corpus(
     docs: DataFrame,
     min_quality: float = 0.5,
@@ -49,14 +73,9 @@ def prepare_corpus(
     # on `exact` AFTER dropping the text column is the right variant.
     # quality_score rides along from the gate onward: the quality subtree
     # is in the plan once, not re-joined (and thus recomputed) at the end.
-    q = quality_scores(docs, text_col).filter(F.col("quality_score") >= min_quality)
-    gated = docs.join(q.select(id_col, "quality_score"), id_col)
-    exact = drop_exact_duplicates(gated, text_col, id_col)
-    pairs = minhash_near_duplicates(
-        exact, threshold=near_dup_threshold, text_col=text_col, id_col=id_col
+    _, _, survivors = _corpus_stages(
+        docs, min_quality, near_dup_threshold, text_col, id_col
     )
-    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
-    survivors = exact.join(losers, id_col, "left_anti")
     t = F.col(text_col)
     return survivors.select(
         F.col(id_col),
@@ -84,15 +103,9 @@ def pipeline_funnel(
     four 1-row frames, so the report itself costs four passes over
     successively smaller survivor sets and shuffles nothing wide.
     """
-    q = quality_scores(docs, text_col).filter(F.col("quality_score") >= min_quality)
-    gated = docs.join(q.select(id_col), id_col)
-    exact = drop_exact_duplicates(gated, text_col, id_col)
-    pairs = minhash_near_duplicates(
-        exact, threshold=near_dup_threshold, text_col=text_col, id_col=id_col
+    gated, exact, survivors = _corpus_stages(
+        docs, min_quality, near_dup_threshold, text_col, id_col
     )
-    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
-    survivors = exact.join(losers, id_col, "left_anti")
-    spark = docs.sparkSession
     stages = [
         ("0_raw", docs),
         ("1_quality_gate", gated),

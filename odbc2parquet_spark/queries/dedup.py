@@ -102,9 +102,13 @@ def dd_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNION ALL SELECT id, 2, mh4 || '_' || mh5 FROM sig
         UNION ALL SELECT id, 3, mh6 || '_' || mh7 FROM sig
     ),
+    bands_capped AS (
+        SELECT id, band, key FROM bands
+        QUALIFY COUNT(*) OVER (PARTITION BY band, key) <= 1000
+    ),
     cand AS (
         SELECT DISTINCT a.id AS id_a, b.id AS id_b
-        FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+        FROM bands_capped a JOIN bands_capped b ON a.band = b.band AND a.key = b.key AND a.id < b.id
     ),
     sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
     common AS (
@@ -433,9 +437,13 @@ def dd_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNION ALL SELECT id, 2, mh4 || '_' || mh5 FROM sig
         UNION ALL SELECT id, 3, mh6 || '_' || mh7 FROM sig
     ),
+    bands_capped AS (
+        SELECT id, band, key FROM bands
+        QUALIFY COUNT(*) OVER (PARTITION BY band, key) <= 1000
+    ),
     cand AS (
         SELECT DISTINCT b.id AS new_id, a.id AS old_id
-        FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+        FROM bands_capped a JOIN bands_capped b ON a.band = b.band AND a.key = b.key
         WHERE a.id < 250 AND b.id >= 250
     ),
     sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
@@ -520,9 +528,13 @@ _MINHASH_EDGES_CTES = (
         UNION ALL SELECT id, 2, mh4 || '_' || mh5 FROM sig
         UNION ALL SELECT id, 3, mh6 || '_' || mh7 FROM sig
     ),
+    bands_capped AS (
+        SELECT id, band, key FROM bands
+        QUALIFY COUNT(*) OVER (PARTITION BY band, key) <= 1000
+    ),
     cand AS (
         SELECT DISTINCT a.id AS id_a, b.id AS id_b
-        FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+        FROM bands_capped a JOIN bands_capped b ON a.band = b.band AND a.key = b.key AND a.id < b.id
     ),
     sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
     common AS (
@@ -697,7 +709,10 @@ def dd_containment_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     n-gram span stats for the asymmetric tail."""
     docs = load_table(spark, sf_dir, "documents")
     sh = D.word_shingles(docs, 3)
-    sig = D.minhash_signatures(sh, num_hashes=8)
+    # signatures from the NON-distinct shingle stream (min over a multiset
+    # equals min over its set) — the distinct set `sh` is needed only for
+    # the set-semantics containment arithmetic below
+    sig = D.minhash_signatures(D.word_shingle_stream(docs, 3), num_hashes=8)
     cand = D.lsh_candidate_pairs(sig, bands=4, rows_per_band=2)
     sizes = sh.groupBy(F.col("id").alias("s_id")).agg(F.count("*").alias("n"))
     a = sh.select(F.col("id").alias("ca"), F.col("g").alias("g_a"))

@@ -186,11 +186,11 @@ _PIPE_MINHASH = ", ".join(
     for j in range(8)
 )
 
-
-@query(
-    "tx_prepare_corpus",
-    oracle=f"""
-    WITH qbase AS (
+#: the composed pipeline's stage CTEs (quality gate -> exact dedup ->
+#: MinHash banding -> verified losers), shared by the tx_prepare_corpus
+#: and tx_pipeline_funnel oracles so both certify the SAME stage chain —
+#: mirrors operators/pipelines._corpus_stages on the Spark side.
+_PIPE_STAGES_CTES = f"""    qbase AS (
         SELECT doc_id, text,
                len(list_filter(string_split(text, ' '), w -> w != '')) AS n_words,
                length(text) AS n_chars,
@@ -224,9 +224,13 @@ _PIPE_MINHASH = ", ".join(
         UNION ALL SELECT id, 2, mh4 || '_' || mh5 FROM sig
         UNION ALL SELECT id, 3, mh6 || '_' || mh7 FROM sig
     ),
+    bands_capped AS (
+        SELECT id, band, key FROM bands
+        QUALIFY COUNT(*) OVER (PARTITION BY band, key) <= 1000
+    ),
     cand AS (
         SELECT DISTINCT a.id AS id_a, b.id AS id_b
-        FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+        FROM bands_capped a JOIN bands_capped b ON a.band = b.band AND a.key = b.key AND a.id < b.id
     ),
     sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
     common AS (
@@ -237,18 +241,24 @@ _PIPE_MINHASH = ", ".join(
         GROUP BY c.id_a, c.id_b
     ),
     losers AS (
-        SELECT DISTINCT id_b FROM common
+        SELECT DISTINCT id_b AS doc_id FROM common
         JOIN sizes sa ON sa.id = id_a
         JOIN sizes sb ON sb.id = id_b
         WHERE common / (sa.n + sb.n - common) >= 0.5
-    )
+    )"""
+
+
+@query(
+    "tx_prepare_corpus",
+    oracle=f"""
+    WITH {_PIPE_STAGES_CTES}
     SELECT e.doc_id,
            len(list_filter(string_split(e.text, ' '), w -> w != '')) AS n_ws_tokens,
            len(regexp_extract_all(e.text, '{X.TOKEN_RE}')) AS n_re_tokens,
            length(e.text) AS n_chars,
            e.quality_score
     FROM exact e
-    WHERE e.doc_id NOT IN (SELECT id_b FROM losers)
+    WHERE e.doc_id NOT IN (SELECT doc_id FROM losers)
     """,
 )
 def tx_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1131,59 +1141,7 @@ def tx_quality_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "tx_pipeline_funnel",
     oracle=f"""
-    WITH qbase AS (
-        SELECT doc_id, text,
-               len(list_filter(string_split(text, ' '), w -> w != '')) AS n_words,
-               length(text) AS n_chars,
-               length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
-               len(list_filter(string_split(text, ' '),
-                   w -> w IN ('the','a','and','of','to','in','is'))) AS n_stop
-        FROM documents
-    ),
-    q AS (
-        SELECT doc_id, text,
-               (CASE WHEN n_words >= 10 THEN 0.25 ELSE 0.0 END)
-               + (n_alpha / n_chars) * 0.25
-               + (n_stop / n_words) * 0.25
-               + (CASE WHEN (n_chars - (n_words - 1)) / n_words >= 3
-                        AND (n_chars - (n_words - 1)) / n_words <= 10
-                  THEN 0.25 ELSE 0.0 END) AS quality_score
-        FROM qbase
-    ),
-    gated AS (SELECT * FROM q WHERE quality_score >= 0.5),
-    keepers AS (SELECT MIN(doc_id) AS doc_id FROM gated GROUP BY md5(text)),
-    exact AS (SELECT g.* FROM gated g JOIN keepers k ON g.doc_id = k.doc_id),
-    w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM exact),
-    sh AS (
-        SELECT DISTINCT doc_id AS id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
-        FROM w, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)
-    ),
-    sig AS (SELECT id, {_PIPE_MINHASH} FROM sh GROUP BY id),
-    bands AS (
-        SELECT id, 0 AS band, mh0 || '_' || mh1 AS key FROM sig
-        UNION ALL SELECT id, 1, mh2 || '_' || mh3 FROM sig
-        UNION ALL SELECT id, 2, mh4 || '_' || mh5 FROM sig
-        UNION ALL SELECT id, 3, mh6 || '_' || mh7 FROM sig
-    ),
-    cand AS (
-        SELECT DISTINCT a.id AS id_a, b.id AS id_b
-        FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.id < b.id
-    ),
-    sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
-    common AS (
-        SELECT c.id_a, c.id_b, COUNT(*) AS common
-        FROM cand c
-        JOIN sh a ON a.id = c.id_a
-        JOIN sh b ON b.id = c.id_b AND b.g = a.g
-        GROUP BY c.id_a, c.id_b
-    ),
-    losers AS (
-        SELECT DISTINCT id_b AS doc_id
-        FROM common
-        JOIN sizes sa ON sa.id = id_a
-        JOIN sizes sb ON sb.id = id_b
-        WHERE common / (sa.n + sb.n - common) >= 0.5
-    ),
+    WITH {_PIPE_STAGES_CTES},
     survivors AS (SELECT e.doc_id FROM exact e
                   WHERE e.doc_id NOT IN (SELECT doc_id FROM losers))
     SELECT '0_raw' AS stage, (SELECT COUNT(*) FROM documents) AS n_surviving
@@ -1242,21 +1200,22 @@ def tx_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", "source", F.explode(X.words(F.col("text"))).alias("w")
     )
-    corpus = toks.groupBy("w").agg(F.count("*").alias("cc"))
-    corpus_n = corpus.agg(F.sum("cc").alias("nc"))
-    target = toks.filter(F.col("source") == "src0").groupBy("w").agg(
-        F.count("*").alias("ct")
+    # ONE frequency build carries both distributions (corpus count + a
+    # conditional target count per word); the totals derive from that
+    # vocabulary-sized table, so the corpus tokenizes exactly twice —
+    # once for the counts build, once for the scoring join — instead of
+    # once per subtree.
+    counts = toks.groupBy("w").agg(
+        F.count("*").alias("cc"),
+        F.sum(F.when(F.col("source") == "src0", 1).otherwise(0)).alias("ct"),
     )
-    target_n = target.agg(F.sum("ct").alias("nt"))
-    lift = (
-        F.coalesce(F.col("ct"), F.lit(0)) * F.col("nc")
-        / (F.col("cc") * F.col("nt"))
-    ).cast("decimal(25,12)")
+    totals = counts.agg(F.sum("cc").alias("nc"), F.sum("ct").alias("nt"))
+    lift = (F.col("ct") * F.col("nc") / (F.col("cc") * F.col("nt"))).cast(
+        "decimal(25,12)"
+    )
     return (
-        toks.join(F.broadcast(corpus), "w")
-        .join(F.broadcast(target), "w", "left_outer")
-        .join(F.broadcast(corpus_n))
-        .join(F.broadcast(target_n))
+        toks.join(F.broadcast(counts), "w")
+        .join(F.broadcast(totals))
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_tokens"),
