@@ -129,6 +129,10 @@ HEADLINE = [
     "tx_pipeline_funnel",
     "dd_containment_lsh",
     "tx_dsir_weights",
+    # round 3 (cont. session): cell-scoped SemDeDup, table profiler, BM25
+    "dd_semantic_cells",
+    "q_profile",
+    "tx_bm25_topk",
 ]
 
 

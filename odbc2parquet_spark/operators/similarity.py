@@ -696,3 +696,61 @@ def lsh_banded_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .distinct()
     )
+
+
+def semantic_dedup_cells(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic dedup: prune a vector when a LOWER-id
+    vector in the SAME IVF cell has cosine >= ``threshold``.
+
+    Returns (vec_id, cell, kept). The scale contract: the pairwise pass
+    is scoped to one cell (join key = centroid_id), so cost is
+    sum(cell_size^2) instead of N^2 — with k cells of balanced size
+    that is N^2/k, and at 100 TB the cell id doubles as the disk
+    partition key so each task joins one cell locally. The all-pairs
+    dd_embedding_cosine operator remains the verification tier; this is
+    the linear-memory production path (cf. Abbas et al., SemDeDup —
+    public method, reimplemented on DataFrame ops from scratch).
+    """
+    assign = ivf_assign(vectors, centroids, id_col, vec_col).select(
+        "vec_id", F.col("centroid_id").alias("cell")
+    )
+    v = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("v"),
+        norm_sq(F.col(vec_col)).alias("vsq"),
+    ).join(assign, "vec_id")
+    a = v.select(
+        F.col("vec_id").alias("id_a"), F.col("cell"),
+        F.col("v").alias("va"), F.col("vsq").alias("nsq_a"),
+    )
+    b = v.select(
+        F.col("vec_id").alias("id_b"), F.col("cell"),
+        F.col("v").alias("vb"), F.col("vsq").alias("nsq_b"),
+    )
+    dup_b = (
+        a.join(b, ["cell"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cos4",
+            F.round(
+                dot(F.col("va"), F.col("vb"))
+                / F.sqrt(F.col("nsq_a") * F.col("nsq_b")),
+                4,
+            ),
+        )
+        .filter(F.col("cos4") >= threshold)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        assign.join(dup_b.withColumn("dup", F.lit(True)), "vec_id", "left")
+        .select("vec_id", "cell", F.coalesce(F.col("dup"), F.lit(False)).alias("pruned"))
+        .withColumn("kept", ~F.col("pruned"))
+        .drop("pruned")
+    )

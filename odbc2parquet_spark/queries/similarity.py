@@ -760,3 +760,37 @@ def sim_banded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_banded_pairs(
         S.lsh_signatures(emb, _N_PLANES, _DIM), bands=4, band_bits=4
     )
+
+
+@query(
+    "dd_semantic_cells",
+    oracle="WITH "
+    + _CENT_CTE
+    + """,
+    cellv AS (
+        SELECT a.vec_id, a.centroid_id AS cell, v.embedding, v.nsq
+        FROM assign a JOIN nv v ON v.vec_id = a.vec_id
+    ),
+    dup AS (
+        SELECT DISTINCT y.vec_id
+        FROM cellv x JOIN cellv y ON x.cell = y.cell AND x.vec_id < y.vec_id
+        WHERE ROUND(list_sum(list_transform(list_zip(x.embedding, y.embedding),
+                     z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+                    / SQRT(x.nsq * y.nsq), 4) >= 0.4
+    )
+    SELECT c.vec_id, c.cell, (d.vec_id IS NULL) AS kept
+    FROM cellv c LEFT JOIN dup d ON d.vec_id = c.vec_id
+    """,
+)
+def dd_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup, cell-scoped: assign every embedding
+    to its nearest of 16 deterministic IVF centroids, find cosine>=0.4
+    pairs WITHIN each cell only, and keep the lowest-id member of every
+    near-dup relation. The pairwise cost drops from N^2 (the
+    dd_embedding_cosine verification tier) to sum(cell^2) ~ N^2/k, and
+    the cell id is the natural disk-partition key at 100 TB — each task
+    dedups one cell with zero cross-cell traffic."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.semantic_dedup_cells(
+        emb, S.ivf_seed_centroids(emb, _K_CELLS), threshold=0.4
+    )

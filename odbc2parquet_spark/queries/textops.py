@@ -1224,3 +1224,91 @@ def tx_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "tx_bm25_topk",
+    oracle="""
+    WITH occ AS (
+        SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS w
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM occ GROUP BY doc_id),
+    stats AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+                     COUNT(*) AS n_docs FROM dl),
+    tf AS (
+        SELECT doc_id, w, COUNT(*) AS tf FROM occ
+        WHERE w IN ('vector', 'spark', 'merge', 'window', 'scan')
+        GROUP BY doc_id, w
+    ),
+    dfreq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+    scored AS (
+        SELECT t.doc_id,
+               ROUND(LN((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1)
+                     * t.tf * 2.2
+                     / (t.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl)), 8) AS s8
+        FROM tf t JOIN dfreq d USING (w) JOIN dl l USING (doc_id)
+        CROSS JOIN stats s
+    ),
+    per_doc AS (
+        SELECT doc_id,
+               ROUND(CAST(SUM(CAST(s8 AS DECIMAL(20,10))) AS DOUBLE), 6) AS bm25,
+               CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+        FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, bm25, n_terms_hit,
+           ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+    FROM per_doc ORDER BY bm25 DESC, doc_id LIMIT 20
+    """,
+)
+def tx_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval (k1=1.2, b=0.75) for a fixed 5-term query against
+    the corpus: per-(doc, term) scores from tf/df/dl/avgdl, summed per
+    doc on exact decimals, top-20 by score with doc-id tiebreak. Scale
+    shape: the doc-frequency and corpus stats are term-count-sized
+    broadcasts, the per-doc fold is one groupBy, and the final top-20 is
+    TakeOrdered (distributed partial top-k) — the rank window runs over
+    the 20 survivors, never the corpus. Same LN/ROUND cross-engine
+    determinism contract as tx_bigram_surprisal."""
+    K1, B = 1.2, 0.75
+    terms = ["vector", "spark", "merge", "window", "scan"]
+    docs = load_table(spark, sf_dir, "documents")
+    occ = docs.select(
+        "doc_id",
+        F.explode(F.filter(F.split(F.col("text"), " "), lambda w: w != "")).alias("w"),
+    )
+    dl = occ.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+        F.count("*").alias("n_docs"),
+    )
+    tf = occ.filter(F.col("w").isin(terms)).groupBy("doc_id", "w").agg(
+        F.count("*").alias("tf")
+    )
+    dfreq = tf.groupBy("w").agg(F.count("*").alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+    )
+    s8 = F.round(
+        idf * F.col("tf") * 2.2
+        / (F.col("tf") + 1.2 * (1 - 0.75 + 0.75 * F.col("dl") / F.col("avgdl"))),
+        8,
+    )
+    per_doc = (
+        tf.join(F.broadcast(dfreq), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("s8", s8)
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(F.col("s8").cast("decimal(20,10)")).cast("double"), 6).alias(
+                "bm25"
+            ),
+            F.count("*").alias("n_terms_hit"),
+        )
+    )
+    top = per_doc.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(20)
+    w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "doc_id", "bm25", "n_terms_hit", "rank"
+    )

@@ -860,3 +860,54 @@ def test_banded_pairs_catch_identical_signatures(spark):
     # identical vectors share every band; opposite signatures share none
     assert (1, 2) in got and (3, 4) in got
     assert (1, 3) not in got and (2, 4) not in got
+
+
+def test_semantic_dedup_cells_prunes_lowest_id_wins(spark):
+    from odbc2parquet_spark.operators.similarity import (
+        ivf_seed_centroids,
+        semantic_dedup_cells,
+    )
+
+    vecs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.0, 1.0]),
+            (3, [1.0, 0.01]),   # cell of 1, near-dup of 1 -> pruned
+            (4, [0.0, 1.0]),    # exact dup of 2 -> pruned, 2 kept
+            (7, [-1.0, 0.5]),   # assigned to cell 2, cos(7,2)=0.447 -> kept
+        ],
+        ["vec_id", "embedding"],
+    )
+    out = semantic_dedup_cells(
+        vecs, ivf_seed_centroids(vecs, 2), threshold=0.95
+    ).collect()
+    kept = {r.vec_id for r in out if r.kept}
+    assert kept == {1, 2, 7}
+    cells = {r.vec_id: r.cell for r in out}
+    assert cells[3] == 1 and cells[4] == 2
+
+
+def test_profile_counts_match_table(spark, sf_dir):
+    from odbc2parquet_spark.catalog import load_table
+    from odbc2parquet_spark.queries.relational import q_profile
+
+    n = load_table(spark, sf_dir, "customer").count()
+    rows = {r.col_name: r for r in q_profile(spark, sf_dir).collect()}
+    assert set(rows) == {
+        "c_custkey", "c_nationkey", "c_acctbal", "c_name", "c_mktsegment"
+    }
+    ck = rows["c_custkey"]
+    assert ck.n_nulls == 0 and ck.n_distinct == n  # unique key column
+    assert rows["c_mktsegment"].min_num is None  # string col: str min/max only
+    assert rows["c_acctbal"].min_str is None
+
+
+def test_bm25_rank_order_and_hit_bounds(spark, sf_dir):
+    from odbc2parquet_spark.queries.textops import tx_bm25_topk
+
+    rows = tx_bm25_topk(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    scores = [r.bm25 for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(1 <= r.n_terms_hit <= 5 for r in rows)
