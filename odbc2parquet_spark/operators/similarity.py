@@ -720,36 +720,44 @@ def semantic_dedup_cells(
     assign = ivf_assign(vectors, centroids, id_col, vec_col).select(
         "vec_id", F.col("centroid_id").alias("cell")
     )
-    v = vectors.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("v"),
-        norm_sq(F.col(vec_col)).alias("vsq"),
-    ).join(assign, "vec_id")
-    a = v.select(
-        F.col("vec_id").alias("id_a"), F.col("cell"),
-        F.col("v").alias("va"), F.col("vsq").alias("nsq_a"),
+    # ONE persisted per-vector relation carries (id, cell, vec, norm): a
+    # self-join re-evaluates its input subplan per side, which would run
+    # the assign pass (corpus x k dot products) three times here — twice
+    # for the pairing sides, once for the output join. Persist trades one
+    # materialized copy for the re-computation (ContextCleaner reclaims
+    # it once the plan is unreferenced); at 100 TB the same role is
+    # played by writing assign out as a cell-partitioned table before
+    # the pairwise pass.
+    from pyspark import StorageLevel
+
+    v = (
+        vectors.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("v"),
+            norm_sq(F.col(vec_col)).alias("vsq"),
+        )
+        .join(assign, "vec_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    b = v.select(
-        F.col("vec_id").alias("id_b"), F.col("cell"),
-        F.col("v").alias("vb"), F.col("vsq").alias("nsq_b"),
-    )
+    a, b = v.alias("a"), v.alias("b")
     dup_b = (
-        a.join(b, ["cell"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        a.join(b, (F.col("a.cell") == F.col("b.cell"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
         .withColumn(
             "cos4",
             F.round(
-                dot(F.col("va"), F.col("vb"))
-                / F.sqrt(F.col("nsq_a") * F.col("nsq_b")),
+                dot(F.col("a.v"), F.col("b.v"))
+                / F.sqrt(F.col("a.vsq") * F.col("b.vsq")),
                 4,
             ),
         )
         .filter(F.col("cos4") >= threshold)
-        .select(F.col("id_b").alias("vec_id"))
+        .select(F.col("b.vec_id").alias("vec_id"))
         .distinct()
     )
     return (
-        assign.join(dup_b.withColumn("dup", F.lit(True)), "vec_id", "left")
+        v.select("vec_id", "cell")
+        .join(dup_b.withColumn("dup", F.lit(True)), "vec_id", "left")
         .select("vec_id", "cell", F.coalesce(F.col("dup"), F.lit(False)).alias("pruned"))
         .withColumn("kept", ~F.col("pruned"))
         .drop("pruned")

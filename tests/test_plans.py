@@ -42,6 +42,9 @@ BOUNDED_CROSS_OK = {
     "sim_hybrid_search",     # 1-row probe-embedding broadcast (rerank side)
     "tx_cooccurrence_lift",  # 1-row corpus-total broadcast for the lift denominator
     "tx_dsir_weights",       # two 1-row token-total broadcasts (corpus + target)
+    "dd_semantic_cells",     # corpus x 16 centroids assign (the SemDeDup cell
+                             # pass itself is an equi-join on cell id)
+    "tx_bm25_topk",          # 1-row avgdl/n_docs stats broadcast
 }
 ALL_PAIRS_OK |= BOUNDED_CROSS_OK
 
