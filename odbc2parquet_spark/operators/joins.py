@@ -78,3 +78,49 @@ def bucketed_join(
 ) -> DataFrame:
     """Join two same-bucketed tables — zero-shuffle when bucket specs match."""
     return spark.table(left_table).join(spark.table(right_table), key, how)
+
+
+def blocked_fuzzy_match(
+    probes: DataFrame,
+    master: DataFrame,
+    block_col: str,
+    text_col: str,
+    probe_id: str,
+    master_id: str,
+    max_distance: int | None = None,
+) -> DataFrame:
+    """Entity resolution: match each probe record to the master record
+    with the minimum Levenshtein distance WITHIN its blocking key.
+
+    Returns (probe_id, matched_id, distance). Blocking is the classic ER
+    scale move: the pairwise edit-distance pass runs inside one block
+    (equi-join on ``block_col``), so cost is sum(block^2) not |probe| x
+    |master|; at 100 TB the block key is also the shuffle key, and a
+    skewed block is capped the same way the LSH bucket caps work. The
+    argmin is a per-probe window with id tiebreak (deterministic across
+    engines); ``max_distance`` optionally drops non-matches before the
+    window so a probe with no plausible candidate emits nothing.
+    """
+    from pyspark.sql import Window as W
+
+    p = probes.select(
+        F.col(probe_id).alias("probe_id"),
+        F.col(block_col).alias("blk"),
+        F.col(text_col).alias("ptext"),
+    )
+    m = master.select(
+        F.col(master_id).alias("matched_id"),
+        F.col(block_col).alias("blk"),
+        F.col(text_col).alias("mtext"),
+    )
+    scored = p.join(m, "blk").withColumn(
+        "distance", F.levenshtein(F.col("ptext"), F.col("mtext"))
+    )
+    if max_distance is not None:
+        scored = scored.filter(F.col("distance") <= max_distance)
+    w = W.partitionBy("probe_id").orderBy(F.asc("distance"), F.asc("matched_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("probe_id", "matched_id", "distance")
+    )

@@ -1168,3 +1168,49 @@ def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return one.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
+
+
+@query(
+    "q_fuzzy_match",
+    oracle="""
+    WITH probes AS (
+        SELECT c_custkey AS probe_id, c_nationkey,
+               translate(c_name, '0123456789', '1234567890') AS pname
+        FROM customer WHERE c_custkey % 20 = 0
+    ),
+    scored AS (
+        SELECT p.probe_id, m.c_custkey AS matched_id,
+               levenshtein(p.pname, m.c_name) AS distance
+        FROM probes p JOIN customer m ON p.c_nationkey = m.c_nationkey
+    )
+    SELECT probe_id, matched_id, distance FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                                     ORDER BY distance, matched_id) AS rnk
+        FROM scored
+    ) WHERE rnk = 1
+    """,
+)
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution: a deterministically-dirtied probe batch (5% of
+    customers, digits rotated in the name) is matched back against the
+    master customer table by minimum Levenshtein distance WITHIN the
+    nation block — the blocked fuzzy join every identity/record-linkage
+    pipeline runs at ingestion. Blocking keeps the edit-distance pass at
+    sum(block^2), never |probe| x |master|; argmin is a per-probe window
+    with id tiebreak so both engines elect the same match."""
+    from odbc2parquet_spark.operators.joins import blocked_fuzzy_match
+
+    cust = load_table(spark, sf_dir, "customer")
+    probes = cust.filter(F.col("c_custkey") % 20 == 0).select(
+        F.col("c_custkey").alias("probe_id"),
+        "c_nationkey",
+        F.translate(F.col("c_name"), "0123456789", "1234567890").alias("c_name"),
+    )
+    return blocked_fuzzy_match(
+        probes.withColumnRenamed("probe_id", "c_custkey"),
+        cust,
+        block_col="c_nationkey",
+        text_col="c_name",
+        probe_id="c_custkey",
+        master_id="c_custkey",
+    )

@@ -93,3 +93,27 @@ def test_range_join_edges(spark):
     left = range_join(pts.union(spark.createDataFrame([(5, 99.0)], ["pid", "v"])),
                       iv, "v", "lo", "hi", 10.0, how="left")
     assert left.filter("pid = 5").first().iid is None
+
+
+def test_blocked_fuzzy_match_argmin_and_cutoff(spark):
+    from odbc2parquet_spark.operators.joins import blocked_fuzzy_match
+
+    master = spark.createDataFrame(
+        [(1, "A", "alpha"), (2, "A", "alpine"), (3, "B", "beta")],
+        ["id", "blk", "name"],
+    )
+    probes = spark.createDataFrame(
+        [(10, "A", "alphq"), (11, "B", "zzzzzz")], ["id", "blk", "name"]
+    )
+    got = {
+        r.probe_id: (r.matched_id, r.distance)
+        for r in blocked_fuzzy_match(
+            probes, master, "blk", "name", "id", "id"
+        ).collect()
+    }
+    assert got[10] == (1, 1)      # alphq->alpha dist 1 beats alpine dist 3
+    assert got[11][0] == 3        # only candidate in block B
+    capped = blocked_fuzzy_match(
+        probes, master, "blk", "name", "id", "id", max_distance=2
+    ).collect()
+    assert {r.probe_id for r in capped} == {10}  # zzzzzz has no match <= 2
