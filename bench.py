@@ -129,10 +129,9 @@ HEADLINE = [
     "tx_pipeline_funnel",
     "dd_containment_lsh",
     "tx_dsir_weights",
-    # round 3 (cont. session): cell-scoped SemDeDup, table profiler, BM25,
+    # round 3 (cont. session): cell-scoped SemDeDup, BM25 retrieval,
     # blocked fuzzy entity resolution
     "dd_semantic_cells",
-    "q_profile",
     "tx_bm25_topk",
     "q_fuzzy_match",
 ]

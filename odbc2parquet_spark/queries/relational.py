@@ -1083,94 +1083,6 @@ def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q_profile",
-    oracle="""
-    SELECT 'c_custkey' AS col_name,
-           CAST(COUNT(*) - COUNT(c_custkey) AS BIGINT) AS n_nulls,
-           CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_distinct,
-           ROUND(CAST(MIN(c_custkey) AS DOUBLE), 4) AS min_num,
-           ROUND(CAST(MAX(c_custkey) AS DOUBLE), 4) AS max_num,
-           CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
-    FROM customer
-    UNION ALL
-    SELECT 'c_nationkey', CAST(COUNT(*) - COUNT(c_nationkey) AS BIGINT),
-           CAST(COUNT(DISTINCT c_nationkey) AS BIGINT),
-           ROUND(CAST(MIN(c_nationkey) AS DOUBLE), 4),
-           ROUND(CAST(MAX(c_nationkey) AS DOUBLE), 4), NULL, NULL
-    FROM customer
-    UNION ALL
-    SELECT 'c_acctbal', CAST(COUNT(*) - COUNT(c_acctbal) AS BIGINT),
-           CAST(COUNT(DISTINCT c_acctbal) AS BIGINT),
-           ROUND(CAST(MIN(c_acctbal) AS DOUBLE), 4),
-           ROUND(CAST(MAX(c_acctbal) AS DOUBLE), 4), NULL, NULL
-    FROM customer
-    UNION ALL
-    SELECT 'c_name', CAST(COUNT(*) - COUNT(c_name) AS BIGINT),
-           CAST(COUNT(DISTINCT c_name) AS BIGINT),
-           NULL, NULL, MIN(c_name), MAX(c_name)
-    FROM customer
-    UNION ALL
-    SELECT 'c_mktsegment', CAST(COUNT(*) - COUNT(c_mktsegment) AS BIGINT),
-           CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT),
-           NULL, NULL, MIN(c_mktsegment), MAX(c_mktsegment)
-    FROM customer
-    """,
-)
-def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Table profiler: per-column null count, exact distinct count, and
-    min/max (numeric columns as rounded doubles, strings as strings) in
-    ONE scan of the table — Spark plans the five COUNT(DISTINCT)s as a
-    single Expand (x5 row multiplier) with map-side partial aggregation,
-    vs the oracle's five separate scans. At 100 TB swap the exact
-    distincts for approx_count_distinct (HLL, no Expand) — the shape and
-    schema stay identical. The ops-side data-quality report every
-    ingestion pipeline runs before promoting a snapshot."""
-    cust = load_table(spark, sf_dir, "customer")
-    num_cols = ["c_custkey", "c_nationkey", "c_acctbal"]
-    str_cols = ["c_name", "c_mktsegment"]
-    aggs = []
-    for c in num_cols + str_cols:
-        aggs += [
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long").alias(f"nn_{c}"),
-            F.count_distinct(F.col(c)).alias(f"nd_{c}"),
-        ]
-    for c in num_cols:
-        aggs += [
-            F.round(F.min(F.col(c)).cast("double"), 4).alias(f"mn_{c}"),
-            F.round(F.max(F.col(c)).cast("double"), 4).alias(f"mx_{c}"),
-        ]
-    for c in str_cols:
-        aggs += [F.min(F.col(c)).alias(f"mn_{c}"), F.max(F.col(c)).alias(f"mx_{c}")]
-    one = cust.agg(*aggs)
-    rows = []
-    for c in num_cols:
-        rows.append(
-            F.struct(
-                F.lit(c).alias("col_name"),
-                F.col(f"nn_{c}").alias("n_nulls"),
-                F.col(f"nd_{c}").alias("n_distinct"),
-                F.col(f"mn_{c}").alias("min_num"),
-                F.col(f"mx_{c}").alias("max_num"),
-                F.lit(None).cast("string").alias("min_str"),
-                F.lit(None).cast("string").alias("max_str"),
-            )
-        )
-    for c in str_cols:
-        rows.append(
-            F.struct(
-                F.lit(c).alias("col_name"),
-                F.col(f"nn_{c}").alias("n_nulls"),
-                F.col(f"nd_{c}").alias("n_distinct"),
-                F.lit(None).cast("double").alias("min_num"),
-                F.lit(None).cast("double").alias("max_num"),
-                F.col(f"mn_{c}").alias("min_str"),
-                F.col(f"mx_{c}").alias("max_str"),
-            )
-        )
-    return one.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
-
-
-@query(
     "q_fuzzy_match",
     oracle="""
     WITH probes AS (

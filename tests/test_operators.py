@@ -887,21 +887,6 @@ def test_semantic_dedup_cells_prunes_lowest_id_wins(spark):
     assert cells[3] == 1 and cells[4] == 2
 
 
-def test_profile_counts_match_table(spark, sf_dir):
-    from odbc2parquet_spark.catalog import load_table
-    from odbc2parquet_spark.queries.relational import q_profile
-
-    n = load_table(spark, sf_dir, "customer").count()
-    rows = {r.col_name: r for r in q_profile(spark, sf_dir).collect()}
-    assert set(rows) == {
-        "c_custkey", "c_nationkey", "c_acctbal", "c_name", "c_mktsegment"
-    }
-    ck = rows["c_custkey"]
-    assert ck.n_nulls == 0 and ck.n_distinct == n  # unique key column
-    assert rows["c_mktsegment"].min_num is None  # string col: str min/max only
-    assert rows["c_acctbal"].min_str is None
-
-
 def test_bm25_rank_order_and_hit_bounds(spark, sf_dir):
     from odbc2parquet_spark.queries.textops import tx_bm25_topk
 
