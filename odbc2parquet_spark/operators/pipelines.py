@@ -36,20 +36,9 @@ def _corpus_stages(
     :func:`pipeline_funnel` (the report) — so the published funnel counts
     can never describe a different pipeline than the one that runs.
     """
-    from pyspark import StorageLevel
-
     q = quality_scores(docs, text_col).filter(F.col("quality_score") >= min_quality)
     gated = docs.join(q.select(id_col, "quality_score"), id_col)
-    # Persist the exact-dedup survivor set: the MinHash stage evaluates
-    # its input ~5 times (shingle sides a/b + sizes, signature stream,
-    # anti-join left), and here that input is the whole quality+dedup
-    # subtree — unpersisted, the composed plan re-scans the raw corpus
-    # ~24 times (measured). One MEMORY_AND_DISK copy cuts it to one
-    # upstream evaluation; at 100 TB this is exactly the stage boundary
-    # a production pipeline materializes as a table between runs.
-    exact = drop_exact_duplicates(gated, text_col, id_col).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    exact = drop_exact_duplicates(gated, text_col, id_col)
     pairs = minhash_near_duplicates(
         exact, threshold=near_dup_threshold, text_col=text_col, id_col=id_col
     )
