@@ -134,6 +134,7 @@ HEADLINE = [
     "dd_semantic_cells",
     "tx_bm25_topk",
     "q_fuzzy_match",
+    "sim_triangle_count",
 ]
 
 

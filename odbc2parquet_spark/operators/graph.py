@@ -283,3 +283,27 @@ def pagerank_int(
     finally:
         weighted.unpersist()
     return ranks
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Per-node triangle participation over an undirected edge list
+    (id_a < id_b canonical orientation).
+
+    Classic two-join shape: wedges from edges (a<b) joined to edges
+    (b<c) on the middle node, closed against the edge set on (a, c) —
+    every triangle a<b<c is found exactly once, then credited to each
+    of its three corners via one explode + count. Cost is sum(deg^2)
+    for the wedge build (the same budget any triangle algorithm pays);
+    both joins are equi-joins so a 1000-executor cluster partitions by
+    the join node. Returns (id, n_triangles) for nodes in >=1 triangle.
+    """
+    ab = edges.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    bc = edges.select(F.col("id_a").alias("b"), F.col("id_b").alias("c"))
+    wedges = ab.join(bc, "b")
+    closing = edges.select(F.col("id_a").alias("a"), F.col("id_b").alias("c"))
+    tri = wedges.join(closing, ["a", "c"])
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("id"))
+        .groupBy("id")
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )

@@ -794,3 +794,46 @@ def dd_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.semantic_dedup_cells(
         emb, S.ivf_seed_centroids(emb, _K_CELLS), threshold=0.4
     )
+
+
+@query(
+    "sim_triangle_count",
+    oracle=f"""
+    WITH sig AS (
+        SELECT vec_id, CAST({{sig}} AS BIGINT) AS sig FROM embeddings
+    ),
+    bd AS (
+        SELECT vec_id, t.j AS band, (sig >> (4 * t.j)) & 15 AS key
+        FROM sig, UNNEST(generate_series(0, 3)) AS t(j)
+    ),
+    edges AS (
+        SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+        FROM bd x JOIN bd y ON x.band = y.band AND x.key = y.key
+                           AND x.vec_id < y.vec_id
+    ),
+    tri AS (
+        SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+        FROM edges e1
+        JOIN edges e2 ON e1.id_b = e2.id_a
+        JOIN edges e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+    )
+    SELECT id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM (SELECT unnest([a, b, c]) AS id FROM tri)
+    GROUP BY id
+    """.replace("{sig}", _sig_sql()),
+)
+def sim_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the banded-LSH similarity graph —
+    the clustering-coefficient ingredient that tells dense near-dup
+    communities (many closed wedges) from hub-and-spoke false-positive
+    buckets (many open wedges, few triangles). Canonical a<b<c
+    orientation finds each triangle once; two equi-joins partitioned by
+    the wedge node, so the sum(deg^2) wedge budget spreads across the
+    cluster like any skewed-degree graph job."""
+    from odbc2parquet_spark.operators.graph import triangle_count
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = S.lsh_banded_pairs(
+        S.lsh_signatures(emb, _N_PLANES, _DIM), bands=4, band_bits=4
+    )
+    return triangle_count(edges)

@@ -896,3 +896,20 @@ def test_bm25_rank_order_and_hit_bounds(spark, sf_dir):
     scores = [r.bm25 for r in rows]
     assert scores == sorted(scores, reverse=True)
     assert all(1 <= r.n_terms_hit <= 5 for r in rows)
+
+
+def test_triangle_count_closed_wedges_only(spark):
+    from odbc2parquet_spark.operators.graph import triangle_count
+
+    # triangle 1-2-3 plus a pendant edge 3-4: only the triangle corners
+    # count; adding edges 2-4 and 3-4 closes a second triangle (2,3,4)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], ["id_a", "id_b"]
+    )
+    got = {r.id: r.n_triangles for r in triangle_count(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+    edges2 = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (2, 4), (3, 4)], ["id_a", "id_b"]
+    )
+    got2 = {r.id: r.n_triangles for r in triangle_count(edges2).collect()}
+    assert got2 == {1: 1, 2: 2, 3: 2, 4: 1}
