@@ -48,6 +48,10 @@ _PRIORITY = [
     "tx_pack_shards",
     "ev_windowed_counts",
     "mm_frame_sample",
+    # round-3 continuation additions: score their first driver row promptly
+    "dd_semantic_cells",
+    "tx_bm25_topk",
+    "sim_triangle_count",
 ]
 
 

@@ -1270,7 +1270,8 @@ def tx_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrdered (distributed partial top-k) — the rank window runs over
     the 20 survivors, never the corpus. Same LN/ROUND cross-engine
     determinism contract as tx_bigram_surprisal."""
-    K1, B = 1.2, 0.75
+    # k1=1.2, b=0.75 appear as literals so the Spark expression tree is
+    # shaped exactly like the oracle SQL (same fold order -> same doubles)
     terms = ["vector", "spark", "merge", "window", "scan"]
     docs = load_table(spark, sf_dir, "documents")
     occ = docs.select(
