@@ -913,3 +913,37 @@ def test_triangle_count_closed_wedges_only(spark):
     )
     got2 = {r.id: r.n_triangles for r in triangle_count(edges2).collect()}
     assert got2 == {1: 1, 2: 2, 3: 2, 4: 1}
+
+
+def test_lsh_bucket_cap_drops_hot_bucket_only(spark):
+    from odbc2parquet_spark.operators.similarity import lsh_bucket_pairs
+
+    # bucket 1 holds 4 ids (hot), bucket 2 holds 2 (cool); cap at 3
+    sig = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 1), (10, 2), (11, 2)], ["vec_id", "sig"]
+    )
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in lsh_bucket_pairs(sig, prefix_bits=8, max_bucket=3).collect()
+    }
+    assert pairs == {(10, 11)}  # hot bucket contributes nothing
+    uncapped = lsh_bucket_pairs(sig, prefix_bits=8, max_bucket=100).collect()
+    assert len(uncapped) == 6 + 1  # C(4,2) + C(2,2)
+
+
+def test_minhash_band_cap_drops_hot_band_bucket_only(spark):
+    from odbc2parquet_spark.operators.dedup import lsh_candidate_pairs
+
+    # identical signatures collide in EVERY band; ids 1-4 share one
+    # signature (hot), ids 10-11 share another (cool). Cap at 3 removes
+    # the hot group's buckets in all bands but keeps the cool pair.
+    rows = [(i, 7, 7, 7, 7, 7, 7, 7, 7) for i in (1, 2, 3, 4)]
+    rows += [(i, 9, 9, 9, 9, 9, 9, 9, 9) for i in (10, 11)]
+    sig = spark.createDataFrame(
+        rows, ["id"] + [f"mh{j}" for j in range(8)]
+    )
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in lsh_candidate_pairs(sig, bands=4, rows_per_band=2, max_bucket=3).collect()
+    }
+    assert pairs == {(10, 11)}
