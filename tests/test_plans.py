@@ -217,3 +217,20 @@ def test_parquet_aggregate_pushdown(spark, sf_dir):
     finally:
         spark.conf.unset("spark.sql.sources.useV1SourceList")
         spark.conf.set("spark.sql.parquet.aggregatePushdown", "false")
+
+
+def test_bm25_topk_is_take_ordered(plans):
+    # the top-20 must plan as TakeOrderedAndProject (distributed partial
+    # top-k); a global Sort before the limit would single-partition the
+    # per-doc score table
+    plan = plans["tx_bm25_topk"]
+    assert "TakeOrderedAndProject" in plan, "bm25 lost its partial top-k"
+
+
+def test_semantic_cells_pairs_by_cell_equijoin(plans):
+    # the SemDeDup pairwise pass must be an equi-join keyed on the cell
+    # id (SortMergeJoin/ShuffledHashJoin) — a nested-loop pairing would
+    # be the N^2 shape the cell scoping exists to avoid. (The only BNLJ
+    # allowed is the bounded corpus x 16-centroid assign.)
+    plan = plans["dd_semantic_cells"]
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
