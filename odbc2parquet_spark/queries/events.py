@@ -637,9 +637,9 @@ def ev_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM b
     )
     SELECT event_type, CAST(MAX(total) AS BIGINT) AS n,
-           ROUND((MIN(CASE WHEN cum >= CEIL(0.5 * total) THEN bin END) + 1) * 0.01, 6) AS p50,
-           ROUND((MIN(CASE WHEN cum >= CEIL(0.95 * total) THEN bin END) + 1) * 0.01, 6) AS p95,
-           ROUND((MIN(CASE WHEN cum >= CEIL(0.99 * total) THEN bin END) + 1) * 0.01, 6) AS p99
+           CAST(ROUND((MIN(CASE WHEN cum >= CEIL(0.5 * total) THEN bin END) + 1) * 0.01, 6) AS DOUBLE) AS p50,
+           CAST(ROUND((MIN(CASE WHEN cum >= CEIL(0.95 * total) THEN bin END) + 1) * 0.01, 6) AS DOUBLE) AS p95,
+           CAST(ROUND((MIN(CASE WHEN cum >= CEIL(0.99 * total) THEN bin END) + 1) * 0.01, 6) AS DOUBLE) AS p99
     FROM cum GROUP BY event_type
     """,
 )
