@@ -52,6 +52,7 @@ _PRIORITY = [
     "dd_semantic_cells",
     "tx_bm25_topk",
     "sim_triangle_count",
+    "sim_ivf_refine",
 ]
 
 

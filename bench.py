@@ -135,6 +135,7 @@ HEADLINE = [
     "tx_bm25_topk",
     "q_fuzzy_match",
     "sim_triangle_count",
+    "sim_ivf_refine",
 ]
 
 

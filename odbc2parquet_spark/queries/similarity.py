@@ -835,3 +835,41 @@ def sim_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     edges = S.lsh_bucket_pairs(S.lsh_signatures(emb, _N_PLANES, _DIM), prefix_bits=8)
     return triangle_count(edges.select("id_a", "id_b"))
+
+
+@query(
+    "sim_ivf_refine",
+    oracle="WITH "
+    + _CENT_CTE
+    + """,
+    ax AS (
+        SELECT a.centroid_id AS cell, i - 1 AS dim,
+               CAST(e.embedding[i] AS DOUBLE) AS x
+        FROM assign a
+        JOIN embeddings e ON e.vec_id = a.vec_id,
+             UNNEST(generate_series(1, len(e.embedding))) AS t(i)
+    )
+    SELECT cell, dim,
+           ROUND(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(25,10))) AS DOUBLE)
+                 / COUNT(*), 6) AS c
+    FROM ax GROUP BY cell, dim
+    """,
+)
+def sim_ivf_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd refinement step, hash-verified: assign every vector to
+    its nearest seed centroid, then the element-wise mean per cell on
+    exact decimals (order-independent sums -> both engines agree
+    bit-for-bit, where a float avg would depend on reduction order).
+    This puts the core step of the iterative ivf_refine_centroids
+    operator under the oracle gate — the k-means loop itself stays
+    Spark-only, but each step it takes is exactly this query. Narrow
+    (cell, dim, c) scalar rows; the groupBy ships k*d groups regardless
+    of corpus size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign = S.ivf_assign(emb, S.ivf_seed_centroids(emb, _K_CELLS)).select(
+        "vec_id", "centroid_id"
+    )
+    av = emb.join(assign, "vec_id")
+    return S.label_centroids(av, label_col="centroid_id").select(
+        F.col("label").alias("cell"), "dim", "c"
+    )

@@ -45,6 +45,8 @@ BOUNDED_CROSS_OK = {
     "dd_semantic_cells",     # corpus x 16 centroids assign (the SemDeDup cell
                              # pass itself is an equi-join on cell id)
     "tx_bm25_topk",          # 1-row avgdl/n_docs stats broadcast
+    "sim_ivf_refine",        # corpus x 16 centroids assign feeding the
+                             # decimal-exact Lloyd mean
 }
 ALL_PAIRS_OK |= BOUNDED_CROSS_OK
 
