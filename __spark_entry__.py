@@ -53,6 +53,7 @@ _PRIORITY = [
     "tx_bm25_topk",
     "sim_triangle_count",
     "sim_ivf_refine",
+    "q_fuzzy_match",
 ]
 
 

@@ -297,6 +297,14 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     both joins are equi-joins so a 1000-executor cluster partitions by
     the join node. Returns (id, n_triangles) for nodes in >=1 triangle.
     """
+    # the edge list is referenced three times (both wedge sides + the
+    # closing join); without a persist each branch re-runs the caller's
+    # edge-construction subplan (e.g. the whole LSH bucket expansion).
+    # Narrow two-long rows -> cheap to cache; ContextCleaner reclaims it
+    # once the returned plan is unreferenced.
+    from pyspark import StorageLevel
+
+    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
     ab = edges.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
     bc = edges.select(F.col("id_a").alias("b"), F.col("id_b").alias("c"))
     wedges = ab.join(bc, "b")

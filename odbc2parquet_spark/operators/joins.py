@@ -88,6 +88,7 @@ def blocked_fuzzy_match(
     probe_id: str,
     master_id: str,
     max_distance: int | None = None,
+    max_block: int | None = None,
 ) -> DataFrame:
     """Entity resolution: match each probe record to the master record
     with the minimum Levenshtein distance WITHIN its blocking key.
@@ -95,8 +96,11 @@ def blocked_fuzzy_match(
     Returns (probe_id, matched_id, distance). Blocking is the classic ER
     scale move: the pairwise edit-distance pass runs inside one block
     (equi-join on ``block_col``), so cost is sum(block^2) not |probe| x
-    |master|; at 100 TB the block key is also the shuffle key, and a
-    skewed block is capped the same way the LSH bucket caps work. The
+    |master|; at 100 TB the block key is also the shuffle key, and
+    ``max_block`` caps a skewed block the same way the LSH bucket caps
+    work — master rows in an over-cap block are dropped (a window count
+    before the join), trading those probes' matches for boundedness,
+    exactly the recall/boundedness trade the LSH paths make. The
     argmin is a per-probe window with id tiebreak (deterministic across
     engines); ``max_distance`` optionally drops non-matches before the
     window so a probe with no plausible candidate emits nothing.
@@ -113,6 +117,13 @@ def blocked_fuzzy_match(
         F.col(block_col).alias("blk"),
         F.col(text_col).alias("mtext"),
     )
+    if max_block is not None:
+        wb = W.partitionBy("blk")
+        m = (
+            m.withColumn("block_n", F.count("*").over(wb))
+            .filter(F.col("block_n") <= max_block)
+            .drop("block_n")
+        )
     scored = p.join(m, "blk").withColumn(
         "distance", F.levenshtein(F.col("ptext"), F.col("mtext"))
     )

@@ -1113,13 +1113,11 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     from odbc2parquet_spark.operators.joins import blocked_fuzzy_match
 
     cust = load_table(spark, sf_dir, "customer")
-    probes = cust.filter(F.col("c_custkey") % 20 == 0).select(
-        F.col("c_custkey").alias("probe_id"),
-        "c_nationkey",
-        F.translate(F.col("c_name"), "0123456789", "1234567890").alias("c_name"),
+    probes = cust.filter(F.col("c_custkey") % 20 == 0).withColumn(
+        "c_name", F.translate(F.col("c_name"), "0123456789", "1234567890")
     )
     return blocked_fuzzy_match(
-        probes.withColumnRenamed("probe_id", "c_custkey"),
+        probes,
         cust,
         block_col="c_nationkey",
         text_col="c_name",

@@ -198,7 +198,10 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT vec_id, CAST({_sig_sql()} AS BIGINT) AS sig
         FROM embeddings
     ),
-    b AS (SELECT vec_id, sig & 255 AS bucket FROM sig)
+    b AS (
+        SELECT vec_id, sig & 255 AS bucket FROM sig
+        QUALIFY COUNT(*) OVER (PARTITION BY sig & 255) <= 100000
+    )
     SELECT x.vec_id AS id_a, y.vec_id AS id_b, x.bucket
     FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
     """,
@@ -802,7 +805,10 @@ def dd_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH sig AS (
         SELECT vec_id, CAST({{sig}} AS BIGINT) AS sig FROM embeddings
     ),
-    b AS (SELECT vec_id, sig & 255 AS bucket FROM sig),
+    b AS (
+        SELECT vec_id, sig & 255 AS bucket FROM sig
+        QUALIFY COUNT(*) OVER (PARTITION BY sig & 255) <= 100000
+    ),
     edges AS (
         SELECT x.vec_id AS id_a, y.vec_id AS id_b
         FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id

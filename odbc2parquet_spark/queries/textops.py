@@ -1278,14 +1278,16 @@ def tx_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.filter(F.split(F.col("text"), " "), lambda w: w != "")).alias("w"),
     )
-    dl = occ.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    # ONE tokenize+shuffle: per-(doc, word) counts feed BOTH the doc
+    # lengths (sum over words) and the query-term tf rows — deriving dl
+    # straight from occ would re-run the corpus explode a second time.
+    tfw = occ.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    dl = tfw.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = dl.agg(
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
         F.count("*").alias("n_docs"),
     )
-    tf = occ.filter(F.col("w").isin(terms)).groupBy("doc_id", "w").agg(
-        F.count("*").alias("tf")
-    )
+    tf = tfw.filter(F.col("w").isin(terms))
     dfreq = tf.groupBy("w").agg(F.count("*").alias("df"))
     idf = F.log(
         (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1

@@ -117,3 +117,21 @@ def test_blocked_fuzzy_match_argmin_and_cutoff(spark):
         probes, master, "blk", "name", "id", "id", max_distance=2
     ).collect()
     assert {r.probe_id for r in capped} == {10}  # zzzzzz has no match <= 2
+
+
+def test_blocked_fuzzy_match_block_cap(spark):
+    from odbc2parquet_spark.operators.joins import blocked_fuzzy_match
+
+    # block A holds 3 master rows (hot), block B holds 1; cap at 2 drops
+    # every candidate in A so its probe emits nothing, B still matches
+    master = spark.createDataFrame(
+        [(1, "A", "aaa"), (2, "A", "aab"), (3, "A", "abb"), (4, "B", "bbb")],
+        ["id", "blk", "name"],
+    )
+    probes = spark.createDataFrame(
+        [(10, "A", "aaa"), (11, "B", "bbc")], ["id", "blk", "name"]
+    )
+    capped = blocked_fuzzy_match(
+        probes, master, "blk", "name", "id", "id", max_block=2
+    ).collect()
+    assert {(r.probe_id, r.matched_id) for r in capped} == {(11, 4)}
