@@ -54,6 +54,7 @@ _PRIORITY = [
     "sim_triangle_count",
     "sim_ivf_refine",
     "q_fuzzy_match",
+    "mm_audio_rms",
 ]
 
 

@@ -136,6 +136,7 @@ HEADLINE = [
     "q_fuzzy_match",
     "sim_triangle_count",
     "sim_ivf_refine",
+    "mm_audio_rms",
 ]
 
 

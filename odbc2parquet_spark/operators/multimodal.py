@@ -578,3 +578,52 @@ def decode_video_headers(binary_df: DataFrame) -> DataFrame:
             )
 
     return binary_df.select("doc_id", "payload").mapInPandas(run, VIDEO_HEADER_SCHEMA)
+
+
+def _wav_data_span(p: bytes) -> tuple[int, int]:
+    """(offset, size) of the PCM data chunk — the RIFF walk of
+    :func:`parse_wav_header`, returning where the samples live."""
+    if len(p) < 12 or p[:4] != b"RIFF" or p[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    i = 12
+    while i + 8 <= len(p):
+        cid = p[i : i + 4]
+        size = int.from_bytes(p[i + 4 : i + 8], "little")
+        if cid == b"data":
+            return i + 8, size
+        i += 8 + size + (size % 2)
+    raise ValueError("no data chunk")
+
+
+AUDIO_SAMPLE_SCHEMA = "doc_id long, n_int16 long, peak int, sum_sq long"
+
+
+def decode_audio_samples(binary_df: DataFrame) -> DataFrame:
+    """SAMPLE-level PCM decode — not a header walk: locate the data
+    chunk, reinterpret its bytes as little-endian int16, and fold peak +
+    sum-of-squares per payload (numpy, Arrow-batched). PCM needs no
+    codec library, so unlike the pixel/video stand-ins this path decodes
+    REAL samples end-to-end. Emits exact integers (n, peak, sum_sq);
+    derive RMS JVM-side so the rounding semantics match a SQL oracle's
+    ROUND. Corrupt payloads quarantine as NULL rows."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    off, size = _wav_data_span(bytes(payload))
+                    v = np.frombuffer(bytes(payload)[off : off + size - size % 2], "<i2")
+                    v64 = v.astype(np.int64)
+                    rows.append(
+                        (doc_id, len(v), int(np.abs(v64).max()) if len(v) else 0,
+                         int((v64 * v64).sum()))
+                    )
+                except ValueError:
+                    rows.append((doc_id, None, None, None))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_int16", "peak", "sum_sq"]
+            )
+
+    return binary_df.select("doc_id", "payload").mapInPandas(run, AUDIO_SAMPLE_SCHEMA)

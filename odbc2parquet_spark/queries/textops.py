@@ -1315,3 +1315,52 @@ def tx_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rank", F.row_number().over(w)).select(
         "doc_id", "bm25", "n_terms_hit", "rank"
     )
+
+
+@query(
+    "mm_audio_rms",
+    oracle="""
+    WITH p AS (
+        SELECT doc_id, text, length(text) AS n,
+               (length(text) % 2 + 1) AS channels,
+               (length(text) % 500 + 1) AS frames
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, frames * channels AS n_int16,
+               ascii(substring(text, ((2 * t.j) % n) + 1, 1))
+               + 256 * ascii(substring(text, ((2 * t.j + 1) % n) + 1, 1)) AS u
+        FROM p, UNNEST(generate_series(0, frames * channels - 1)) AS t(j)
+    ),
+    v AS (
+        SELECT doc_id, n_int16,
+               CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS v
+        FROM s
+    )
+    SELECT doc_id, CAST(MAX(n_int16) AS BIGINT) AS n_int16,
+           CAST(MAX(ABS(v)) AS INTEGER) AS peak,
+           ROUND(SQRT(CAST(SUM(CAST(v AS BIGINT) * v) AS DOUBLE)
+                      / COUNT(*)), 6) AS rms
+    FROM v GROUP BY doc_id
+    """,
+)
+def mm_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAMPLE-level audio decode, hash-verified: each document's WAV
+    (real RIFF container, text bytes as PCM) has its data chunk
+    reinterpreted as little-endian int16 and folded to (count, peak,
+    sum-of-squares) in numpy; RMS derives JVM-side so ROUND matches the
+    oracle. The oracle rebuilds the exact samples from first principles
+    (byte cycling + two-byte little-endian reassembly + sign fold) in
+    SQL — a hash match proves the Python path decodes true PCM, not a
+    stand-in. PCM needs no codec lib, so this closes the 'deep sample
+    decode stubbed' gap for audio."""
+    docs = load_table(spark, sf_dir, "documents")
+    raw = M.decode_audio_samples(M.encode_wav(docs))
+    return raw.select(
+        "doc_id",
+        "n_int16",
+        "peak",
+        F.round(
+            F.sqrt(F.col("sum_sq").cast("double") / F.col("n_int16")), 6
+        ).alias("rms"),
+    )

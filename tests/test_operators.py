@@ -947,3 +947,20 @@ def test_minhash_band_cap_drops_hot_band_bucket_only(spark):
         for r in lsh_candidate_pairs(sig, bands=4, rows_per_band=2, max_bucket=3).collect()
     }
     assert pairs == {(10, 11)}
+
+
+def test_decode_audio_samples_exact_pcm(spark):
+    from odbc2parquet_spark.operators.multimodal import (
+        decode_audio_samples,
+        synth_wav,
+    )
+
+    # two known int16 samples: 0x0100=256, 0xFF7F=32767 -> peak 32767
+    pcm = bytes([0x00, 0x01, 0xFF, 0x7F])
+    wav = synth_wav(pcm, 8000, 1, 2)
+    df = spark.createDataFrame([(1, bytearray(wav)), (2, bytearray(b"nope"))],
+                               ["doc_id", "payload"])
+    rows = {r.doc_id: r for r in decode_audio_samples(df).collect()}
+    assert rows[1].n_int16 == 2 and rows[1].peak == 32767
+    assert rows[1].sum_sq == 256 * 256 + 32767 * 32767
+    assert rows[2].n_int16 is None  # corrupt payload quarantined
