@@ -55,6 +55,7 @@ _PRIORITY = [
     "sim_ivf_refine",
     "q_fuzzy_match",
     "mm_audio_rms",
+    "mm_pixel_stats",
 ]
 
 

@@ -137,6 +137,7 @@ HEADLINE = [
     "sim_triangle_count",
     "sim_ivf_refine",
     "mm_audio_rms",
+    "mm_pixel_stats",
 ]
 
 

@@ -627,3 +627,54 @@ def decode_audio_samples(binary_df: DataFrame) -> DataFrame:
             )
 
     return binary_df.select("doc_id", "payload").mapInPandas(run, AUDIO_SAMPLE_SCHEMA)
+
+
+PIXEL_STATS_SCHEMA = (
+    "doc_id long, width int, height int, n_pixels long, "
+    "sum_b long, sum_g long, sum_r long"
+)
+
+
+def decode_bmp_pixels(binary_df: DataFrame) -> DataFrame:
+    """TRUE pixel decode for uncompressed 24-bit BMP — no codec library
+    needed: read width/height and the pixel-array offset from the
+    header, reshape the data into 4-byte-aligned rows, strip the row
+    padding, and fold per-channel (B, G, R) sums in numpy. Emits exact
+    integers; derive channel means JVM-side so rounding matches a SQL
+    oracle. Corrupt/non-BMP payloads quarantine as NULL rows."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                p = bytes(payload)
+                try:
+                    if len(p) < 54 or p[:2] != b"BM":
+                        raise ValueError("not a BMP")
+                    off = int.from_bytes(p[10:14], "little")
+                    w = int.from_bytes(p[18:22], "little", signed=True)
+                    h = int.from_bytes(p[22:26], "little", signed=True)
+                    bits = int.from_bytes(p[28:30], "little")
+                    if bits != 24 or w <= 0 or h <= 0:
+                        raise ValueError("not an uncompressed 24-bit BMP")
+                    stride = w * 3 + (4 - (w * 3) % 4) % 4
+                    data = np.frombuffer(p[off : off + stride * h], np.uint8)
+                    if len(data) < stride * h:
+                        raise ValueError("truncated pixel array")
+                    px = data.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+                    s = px.astype(np.int64).sum(axis=(0, 1))
+                    rows.append(
+                        (doc_id, w, h, w * h, int(s[0]), int(s[1]), int(s[2]))
+                    )
+                except ValueError:
+                    rows.append((doc_id, None, None, None, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "n_pixels",
+                    "sum_b", "sum_g", "sum_r",
+                ],
+            )
+
+    return binary_df.select("doc_id", "payload").mapInPandas(run, PIXEL_STATS_SCHEMA)

