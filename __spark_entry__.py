@@ -56,6 +56,7 @@ _PRIORITY = [
     "q_fuzzy_match",
     "mm_audio_rms",
     "mm_pixel_stats",
+    "mm_resize_real",
 ]
 
 

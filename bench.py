@@ -138,6 +138,7 @@ HEADLINE = [
     "sim_ivf_refine",
     "mm_audio_rms",
     "mm_pixel_stats",
+    "mm_resize_real",
 ]
 
 

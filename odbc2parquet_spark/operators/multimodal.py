@@ -678,3 +678,51 @@ def decode_bmp_pixels(binary_df: DataFrame) -> DataFrame:
             )
 
     return binary_df.select("doc_id", "payload").mapInPandas(run, PIXEL_STATS_SCHEMA)
+
+
+RESIZE_REAL_SCHEMA = "doc_id long, out_w int, out_h int, digest string"
+
+
+def resize_bmp_nearest(
+    binary_df: DataFrame, out_w: int = 4, out_h: int = 3
+) -> DataFrame:
+    """Nearest-neighbor resize on TRUE BMP pixels (no codec needed):
+    decode the padded pixel grid, sample src_y = r*h // out_h,
+    src_x = c*w // out_w per output cell, and emit an order-sensitive
+    digest of the sampled B,G,R bytes (md5 over the comma-joined byte
+    values in (r, c, ch) order) — scalar and hashable, so a SQL oracle
+    that reconstructs the same sampled bytes can pin every pixel the
+    resize touched. Corrupt payloads quarantine as NULL rows."""
+    import hashlib
+
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                p = bytes(payload)
+                try:
+                    if len(p) < 54 or p[:2] != b"BM":
+                        raise ValueError("not a BMP")
+                    off = int.from_bytes(p[10:14], "little")
+                    w = int.from_bytes(p[18:22], "little", signed=True)
+                    h = int.from_bytes(p[22:26], "little", signed=True)
+                    if int.from_bytes(p[28:30], "little") != 24 or w <= 0 or h <= 0:
+                        raise ValueError("not an uncompressed 24-bit BMP")
+                    stride = w * 3 + (4 - (w * 3) % 4) % 4
+                    data = np.frombuffer(p[off : off + stride * h], np.uint8)
+                    if len(data) < stride * h:
+                        raise ValueError("truncated pixel array")
+                    px = data.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+                    ys = (np.arange(out_h) * h) // out_h
+                    xs = (np.arange(out_w) * w) // out_w
+                    sampled = px[np.ix_(ys, xs)]  # (out_h, out_w, 3)
+                    joined = ",".join(str(int(v)) for v in sampled.reshape(-1))
+                    digest = hashlib.md5(joined.encode()).hexdigest()
+                    rows.append((doc_id, out_w, out_h, digest))
+                except ValueError:
+                    rows.append((doc_id, None, None, None))
+            yield pd.DataFrame(rows, columns=["doc_id", "out_w", "out_h", "digest"])
+
+    return binary_df.select("doc_id", "payload").mapInPandas(run, RESIZE_REAL_SCHEMA)

@@ -1423,3 +1423,40 @@ def mm_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("sum_g").cast("double") / denom, 6).alias("mean_g"),
         F.round(F.col("sum_r").cast("double") / denom, 6).alias("mean_r"),
     )
+
+
+@query(
+    "mm_resize_real",
+    oracle="""
+    WITH geo AS (
+        SELECT doc_id, text, length(text) AS n,
+               length(text) % 64 + 1 AS w,
+               length(text) % 48 + 1 AS h,
+               (length(text) % 64 + 1) * 3
+               + (4 - ((length(text) % 64 + 1) * 3) % 4) % 4 AS stride
+        FROM documents
+    ),
+    cells AS (
+        SELECT doc_id, t.j AS j,
+               ascii(substring(text,
+                   (((((t.j // 12) * h) // 3) * stride
+                     + ((((t.j // 3) % 4) * w) // 4) * 3
+                     + t.j % 3) % n) + 1, 1)) AS b
+        FROM geo, UNNEST(generate_series(0, 35)) AS t(j)
+    )
+    SELECT doc_id, 4 AS out_w, 3 AS out_h,
+           md5(string_agg(CAST(b AS VARCHAR), ',' ORDER BY j)) AS digest
+    FROM cells GROUP BY doc_id
+    """,
+)
+def mm_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor resize on TRUE pixels, hash-verified: every
+    document's BMP is decoded and downsampled to 4x3 (src = r*h//out_h,
+    c*w//out_w), and the md5 digest of the 36 sampled B,G,R bytes in
+    scan order must equal the oracle's, which re-derives each sampled
+    byte's file offset from stride arithmetic in SQL. Pins both the
+    decode AND the sampling grid — a off-by-one in either side breaks
+    the digest. (mm_resize remains the byte-level thumbnail twin for
+    non-image payloads.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    return M.resize_bmp_nearest(M.encode_bmp(docs), out_w=4, out_h=3)

@@ -984,3 +984,19 @@ def test_decode_bmp_pixels_strips_padding(spark):
     assert (rows[1].width, rows[1].height, rows[1].n_pixels) == (1, 2, 2)
     assert (rows[1].sum_b, rows[1].sum_g, rows[1].sum_r) == (20, 40, 60)
     assert rows[2].width is None  # non-BMP quarantined
+
+
+def test_resize_bmp_nearest_samples_expected_pixels(spark):
+    import hashlib
+
+    from odbc2parquet_spark.operators.multimodal import (
+        resize_bmp_nearest,
+        synth_bmp,
+    )
+
+    # 2x2 image, constant source byte 5 -> every sampled byte is 5
+    bmp = synth_bmp(bytes([5]), 2, 2)
+    df = spark.createDataFrame([(1, bytearray(bmp))], ["doc_id", "payload"])
+    row = resize_bmp_nearest(df, out_w=2, out_h=2).collect()[0]
+    expect = hashlib.md5(",".join(["5"] * 12).encode()).hexdigest()
+    assert (row.out_w, row.out_h, row.digest) == (2, 2, expect)
