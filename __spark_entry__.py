@@ -57,6 +57,7 @@ _PRIORITY = [
     "mm_audio_rms",
     "mm_pixel_stats",
     "mm_resize_real",
+    "mm_frame_index",
 ]
 
 

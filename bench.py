@@ -139,6 +139,7 @@ HEADLINE = [
     "mm_audio_rms",
     "mm_pixel_stats",
     "mm_resize_real",
+    "mm_frame_index",
 ]
 
 

@@ -726,3 +726,171 @@ def resize_bmp_nearest(
             yield pd.DataFrame(rows, columns=["doc_id", "out_w", "out_h", "digest"])
 
     return binary_df.select("doc_id", "payload").mapInPandas(run, RESIZE_REAL_SCHEMA)
+
+
+def synth_mp4_samples(
+    sample_source: bytes, timescale: int, duration: int, n_samples: int
+) -> bytes:
+    """ISO BMFF file WITH a real sample table: ftyp + moov(mvhd +
+    trak(mdia(minf(stbl(stts, stsc, stsz, stco))))) + mdat. Sample i has
+    size (i % 7) + 1; all samples live consecutively in one chunk whose
+    stco offset points into the mdat — the exact structures a production
+    demuxer walks to find frame boundaries before any codec runs."""
+    if not sample_source:
+        sample_source = b"\x00"
+    sizes = [(i % 7) + 1 for i in range(n_samples)]
+    data_size = sum(sizes)
+    reps = data_size // len(sample_source) + 1
+    data = (sample_source * reps)[:data_size]
+
+    stts = _box(
+        b"stts",
+        (0).to_bytes(4, "big") + (1).to_bytes(4, "big")
+        + n_samples.to_bytes(4, "big") + (1).to_bytes(4, "big"),
+    )
+    stsc = _box(
+        b"stsc",
+        (0).to_bytes(4, "big") + (1).to_bytes(4, "big")
+        + (1).to_bytes(4, "big") + n_samples.to_bytes(4, "big")
+        + (1).to_bytes(4, "big"),
+    )
+    stsz = _box(
+        b"stsz",
+        (0).to_bytes(4, "big") + (0).to_bytes(4, "big")
+        + n_samples.to_bytes(4, "big")
+        + b"".join(s.to_bytes(4, "big") for s in sizes),
+    )
+    # stco needs the absolute mdat-data offset, which depends on the moov
+    # size — build once with a placeholder to measure, then for real
+    for chunk_off in (0, None):
+        if chunk_off is None:
+            chunk_off = 24 + len(moov) + 8  # ftyp is fixed 24 bytes
+        stco = _box(
+            b"stco",
+            (0).to_bytes(4, "big") + (1).to_bytes(4, "big")
+            + chunk_off.to_bytes(4, "big"),
+        )
+        stbl = _box(b"stbl", stts + stsc + stsz + stco)
+        minf = _box(b"minf", stbl)
+        mdia = _box(b"mdia", minf)
+        trak = _box(b"trak", mdia)
+        mvhd_body = (
+            (0).to_bytes(4, "big") + (0).to_bytes(4, "big")
+            + (0).to_bytes(4, "big") + timescale.to_bytes(4, "big")
+            + duration.to_bytes(4, "big") + (0x00010000).to_bytes(4, "big")
+            + (0x0100).to_bytes(2, "big") + bytes(10)
+            + b"".join(v.to_bytes(4, "big") for v in
+                       (0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000))
+            + bytes(24) + (2).to_bytes(4, "big")
+        )
+        moov = _box(b"moov", _box(b"mvhd", mvhd_body) + trak)
+    ftyp = _box(b"ftyp", b"isom" + (0).to_bytes(4, "big") + b"isomiso2")
+    return ftyp + moov + _box(b"mdat", data)
+
+
+def _walk_children(p: bytes, start: int, end: int):
+    i = start
+    while i + 8 <= end:
+        size = int.from_bytes(p[i : i + 4], "big")
+        kind = p[i + 4 : i + 8]
+        if size < 8 or i + size > end:
+            raise ValueError("corrupt box size")
+        yield kind, i + 8, i + size
+        i += size
+
+
+def parse_mp4_samples(p: bytes) -> list[tuple[int, int]]:
+    """(file_offset, size) per sample, recovered from the REAL sample
+    table: descend ftyp/moov/trak/mdia/minf/stbl, read stsz sizes and
+    the stco chunk offset, lay samples consecutively from it. Validates
+    every sample lands inside the mdat. This is the codec-free half of
+    frame extraction — what remains after it is pure codec work."""
+    if len(p) < 12 or p[4:8] != b"ftyp":
+        raise ValueError("not an ISO BMFF payload")
+    sizes: list[int] | None = None
+    chunk_off: int | None = None
+    mdat_span: tuple[int, int] | None = None
+
+    def descend(start: int, end: int, path: tuple[bytes, ...]) -> None:
+        nonlocal sizes, chunk_off
+        for kind, body_s, body_e in _walk_children(p, start, end):
+            if kind in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
+                descend(body_s, body_e, path + (kind,))
+            elif kind == b"stsz" and path and path[-1] == b"stbl":
+                count = int.from_bytes(p[body_s + 8 : body_s + 12], "big")
+                sizes = [
+                    int.from_bytes(p[body_s + 12 + 4 * k : body_s + 16 + 4 * k], "big")
+                    for k in range(count)
+                ]
+            elif kind == b"stco" and path and path[-1] == b"stbl":
+                chunk_off = int.from_bytes(p[body_s + 8 : body_s + 12], "big")
+
+    for kind, body_s, body_e in _walk_children(p, 0, len(p)):
+        if kind == b"moov":
+            descend(body_s, body_e, (b"moov",))
+        elif kind == b"mdat":
+            mdat_span = (body_s, body_e)
+    if sizes is None or chunk_off is None or mdat_span is None:
+        raise ValueError("missing sample table or mdat")
+    out = []
+    off = chunk_off
+    for s in sizes:
+        if off < mdat_span[0] or off + s > mdat_span[1]:
+            raise ValueError("sample outside mdat")
+        out.append((off, s))
+        off += s
+    return out
+
+
+FRAME_INDEX_SCHEMA = "doc_id long, sample_idx int, size int, digest string"
+
+
+def video_frame_index(binary_df: DataFrame, every_k: int = 3) -> DataFrame:
+    """Frame sampling on the REAL sample table: every k-th sample's
+    bytes are located via stsz/stco (never by byte stride) and digested
+    (md5 over comma-joined byte values). Corrupt payloads quarantine as
+    NULL rows. The per-sample bytes would feed a codec at 100 TB; the
+    indexing shown here is the distributable, codec-free part."""
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                p = bytes(payload)
+                try:
+                    samples = parse_mp4_samples(p)
+                    for i, (off, size) in enumerate(samples):
+                        if i % every_k:
+                            continue
+                        joined = ",".join(str(b) for b in p[off : off + size])
+                        rows.append(
+                            (doc_id, i, size, hashlib.md5(joined.encode()).hexdigest())
+                        )
+                except ValueError:
+                    rows.append((doc_id, None, None, None))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "sample_idx", "size", "digest"]
+            )
+
+    return binary_df.select("doc_id", "payload").mapInPandas(run, FRAME_INDEX_SCHEMA)
+
+
+def encode_mp4_samples(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Synthesize MP4s WITH sample tables: n % 24 + 1 samples whose data
+    cycles the document's text bytes — the ingestion twin of
+    :func:`video_frame_index`."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                raw = str(text).encode("utf-8")
+                n = len(str(text))
+                mp4 = synth_mp4_samples(
+                    raw, 600 + (n % 5) * 100, (n * 31) % 100_000, n % 24 + 1
+                )
+                rows.append((doc_id, bytearray(mp4), "video/mp4", len(mp4)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload", "mime", "n_bytes"])
+
+    return docs.select("doc_id", text_col).mapInPandas(run, MP4_SCHEMA)

@@ -1460,3 +1460,43 @@ def mm_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-image payloads.)"""
     docs = load_table(spark, sf_dir, "documents")
     return M.resize_bmp_nearest(M.encode_bmp(docs), out_w=4, out_h=3)
+
+
+@query(
+    "mm_frame_index",
+    oracle="""
+    WITH p AS (
+        SELECT doc_id, text, length(text) AS n,
+               length(text) % 24 + 1 AS ns
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, text, n, t.i AS i, (t.i % 7) + 1 AS size_i,
+               28 * (t.i // 7) + ((t.i % 7) * ((t.i % 7) + 1)) // 2 AS p0
+        FROM p, UNNEST(generate_series(0, ns - 1)) AS t(i)
+        WHERE t.i % 3 = 0
+    ),
+    b AS (
+        SELECT doc_id, i, size_i, p0 + u.j AS off,
+               ascii(substring(text, ((p0 + u.j) % n) + 1, 1)) AS byte
+        FROM s, UNNEST(generate_series(0, size_i - 1)) AS u(j)
+    )
+    SELECT doc_id, CAST(i AS INTEGER) AS sample_idx,
+           CAST(size_i AS INTEGER) AS size,
+           md5(string_agg(CAST(byte AS VARCHAR), ',' ORDER BY off)) AS digest
+    FROM b GROUP BY doc_id, i, size_i
+    """,
+)
+def mm_frame_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling on a REAL MP4 sample table, hash-verified: each
+    document becomes an ISO BMFF file with a full stbl hierarchy
+    (stts/stsc/stsz/stco), and every 3rd sample's bytes are located via
+    the stsz sizes + stco chunk offset — never by byte stride — then
+    digested. The oracle re-derives each sample's mdat-relative span
+    from the closed-form prefix sum of the size cycle and rebuilds its
+    bytes in SQL; a hash match proves the demuxer walk reads the actual
+    sample table. This replaces byte-stride frame_sample as the
+    production shape — codec decode of the located samples is the only
+    remaining non-container step."""
+    docs = load_table(spark, sf_dir, "documents")
+    return M.video_frame_index(M.encode_mp4_samples(docs), every_k=3)

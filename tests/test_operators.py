@@ -1000,3 +1000,25 @@ def test_resize_bmp_nearest_samples_expected_pixels(spark):
     row = resize_bmp_nearest(df, out_w=2, out_h=2).collect()[0]
     expect = hashlib.md5(",".join(["5"] * 12).encode()).hexdigest()
     assert (row.out_w, row.out_h, row.digest) == (2, 2, expect)
+
+
+def test_mp4_sample_table_roundtrip_and_bounds(spark):
+    from odbc2parquet_spark.operators.multimodal import (
+        parse_mp4_samples,
+        synth_mp4_samples,
+        video_frame_index,
+    )
+
+    p = synth_mp4_samples(b"abcdef", 600, 500, 9)
+    samples = parse_mp4_samples(p)
+    assert [s for _, s in samples] == [1, 2, 3, 4, 5, 6, 7, 1, 2]
+    # samples reassemble the cycled payload exactly
+    got = b"".join(p[o : o + s] for o, s in samples)
+    total = sum(s for _, s in samples)
+    assert got == (b"abcdef" * (total // 6 + 1))[:total]
+    # frame index takes every 3rd sample; corrupt payload quarantines
+    df = spark.createDataFrame(
+        [(1, bytearray(p)), (2, bytearray(b"AAAAAAAA"))], ["doc_id", "payload"]
+    )
+    rows = {(r.doc_id, r.sample_idx) for r in video_frame_index(df, 3).collect()}
+    assert rows == {(1, 0), (1, 3), (1, 6), (2, None)}
