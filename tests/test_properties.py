@@ -174,3 +174,43 @@ def test_random_bytes_never_parse_as_mp4(blob):
         raise AssertionError("parsed garbage as MP4")
     except ValueError:
         pass
+
+
+@given(
+    st.binary(min_size=0, max_size=128),
+    st.integers(min_value=100, max_value=100_000),
+    st.integers(min_value=0, max_value=2**31 - 1),
+    st.integers(min_value=1, max_value=64),
+)
+@settings(max_examples=100, deadline=None)
+def test_mp4_sample_table_roundtrip(payload, timescale, duration, n_samples):
+    """The sample table must reassemble the cycled payload EXACTLY: every
+    (offset, size) recovered from stsz/stco slices the mdat back into the
+    bytes the encoder wrote, for any payload/sample-count combination."""
+    from odbc2parquet_spark.operators.multimodal import (
+        parse_mp4_header,
+        parse_mp4_samples,
+        synth_mp4_samples,
+    )
+
+    p = synth_mp4_samples(payload, timescale, duration, n_samples)
+    samples = parse_mp4_samples(p)
+    assert [s for _, s in samples] == [(i % 7) + 1 for i in range(n_samples)]
+    total = sum(s for _, s in samples)
+    src = payload if payload else b"\x00"
+    expected = (src * (total // len(src) + 1))[:total]
+    assert b"".join(p[o : o + s] for o, s in samples) == expected
+    # the richer file still satisfies the plain header walk
+    assert parse_mp4_header(p)[:3] == ("isom", timescale, duration)
+
+
+@given(st.binary(min_size=0, max_size=64))
+@settings(max_examples=100, deadline=None)
+def test_random_bytes_never_yield_samples(blob):
+    from odbc2parquet_spark.operators.multimodal import parse_mp4_samples
+
+    assume(blob[4:8] != b"ftyp")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        parse_mp4_samples(blob)
