@@ -20,7 +20,7 @@ from odbc2parquet_spark.operators.dedup import (
     drop_exact_duplicates,
     minhash_near_duplicates,
 )
-from odbc2parquet_spark.operators.text import TOKEN_RE, quality_scores, words
+from odbc2parquet_spark.operators.text import TOKEN_RE, quality_score_col, words
 
 
 def _corpus_stages(
@@ -36,8 +36,11 @@ def _corpus_stages(
     :func:`pipeline_funnel` (the report) — so the published funnel counts
     can never describe a different pipeline than the one that runs.
     """
-    q = quality_scores(docs, text_col).filter(F.col("quality_score") >= min_quality)
-    gated = docs.join(q.select(id_col, "quality_score"), id_col)
+    # Score in place (withColumn, no self-join back to a scored frame):
+    # the gate is one scan with the score as a projected expression.
+    gated = docs.withColumn("quality_score", quality_score_col(text_col)).filter(
+        F.col("quality_score") >= min_quality
+    )
     exact = drop_exact_duplicates(gated, text_col, id_col)
     pairs = minhash_near_duplicates(
         exact, threshold=near_dup_threshold, text_col=text_col, id_col=id_col
@@ -102,6 +105,15 @@ def pipeline_funnel(
     drops the text column wherever the stage doesn't need it); union of
     four 1-row frames, so the report itself costs four passes over
     successively smaller survivor sets and shuffles nothing wide.
+
+    A/B note (sf0.1, same-session, 5 shuffled reps): folding the counts
+    into ONE conditional aggregate over a flagged spine (count(*) /
+    sum(gated) / count(distinct md5(text)) / exact − |losers| with the
+    loser set left-joined in) measured SLOWER — median 3.94s vs 3.44s
+    for this form. The independent 1-row subplans overlap across cores,
+    while the single-agg serializes the whole report behind the MinHash
+    loser join; the stages the fold would deduplicate (raw + gate
+    counts) are the cheap ones. Keep the union form.
     """
     gated, exact, survivors = _corpus_stages(
         docs, min_quality, near_dup_threshold, text_col, id_col

@@ -39,6 +39,32 @@ def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def quality_score_col(text_col: str = "text") -> Column:
+    """The composite quality score as a pure Column expression.
+
+    Exposed separately from :func:`quality_scores` so pipeline stages can
+    gate on quality WITHOUT a self-join back to the scored frame — one
+    scan computes the score in place (`withColumn`), which matters when
+    the gate is the first stage of a long composed plan.
+    """
+    t = F.col(text_col)
+    ws = words(t)
+    n_words = F.size(ws)
+    n_chars = F.length(t)
+    n_alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
+    stops = F.array(*[F.lit(s) for s in ("the", "a", "and", "of", "to", "in", "is")])
+    n_stop = F.size(F.filter(ws, lambda w: F.array_contains(stops, w)))
+    alpha_ratio = n_alpha / n_chars
+    stop_ratio = n_stop / n_words
+    mean_word_len = (n_chars - (n_words - 1)) / n_words
+    return (
+        F.when(n_words >= 10, F.lit(0.25)).otherwise(F.lit(0.0))
+        + alpha_ratio * F.lit(0.25)
+        + stop_ratio * F.lit(0.25)
+        + F.when((mean_word_len >= 3) & (mean_word_len <= 10), F.lit(0.25)).otherwise(F.lit(0.0))
+    )
+
+
 def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic quality signals: length, alpha ratio, stopword ratio,
     mean word length, and a composite score.
@@ -57,12 +83,7 @@ def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     alpha_ratio = n_alpha / n_chars
     stop_ratio = n_stop / n_words
     mean_word_len = (n_chars - (n_words - 1)) / n_words
-    score = (
-        F.when(n_words >= 10, F.lit(0.25)).otherwise(F.lit(0.0))
-        + alpha_ratio * F.lit(0.25)
-        + stop_ratio * F.lit(0.25)
-        + F.when((mean_word_len >= 3) & (mean_word_len <= 10), F.lit(0.25)).otherwise(F.lit(0.0))
-    )
+    score = quality_score_col(text_col)
     return docs.select(
         "doc_id",
         n_words.cast("long").alias("n_words"),
