@@ -58,6 +58,7 @@ _PRIORITY = [
     "mm_pixel_stats",
     "mm_resize_real",
     "mm_frame_index",
+    "sim_pq_adc_topk",
 ]
 
 

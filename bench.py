@@ -140,6 +140,7 @@ HEADLINE = [
     "mm_pixel_stats",
     "mm_resize_real",
     "mm_frame_index",
+    "sim_pq_adc_topk",
 ]
 
 

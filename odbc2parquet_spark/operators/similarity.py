@@ -547,6 +547,88 @@ def pq_assign(
     )
 
 
+def pq_adc_topk(
+    vectors: DataFrame,
+    probes: DataFrame,
+    m: int = 8,
+    k_centroids: int = 16,
+    dim: int = 64,
+    top_k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes — the search half of
+    product quantization (cf. reference's query surface: the engine only
+    moves typed columns; here the "column" is the 8-byte code vector).
+
+    For each probe, distance to a corpus vector is approximated from its
+    codes alone: d2(probe, vec) ~= sum_s ||probe_s - centroid[code_s]||^2.
+    The probe-side lookup table (probe x subspace x centroid -> partial
+    d2) has n_probes*m*k rows — BROADCAST; the corpus contributes only
+    its code rows (narrow ints, 64 floats never re-read). This is the
+    billion-scale ANN serving layout: the big side is 8 bytes/vector and
+    the float arithmetic happens once, on the tiny LUT.
+
+    Shuffle budget: one groupBy (query_id, vec_id) whose input partially
+    aggregates map-side (m rows -> 1), then the per-probe top-k window —
+    both carry corpus x n_probes NARROW rows, never vectors. Partial
+    distances are summed as DECIMAL(20,4) (each term rounded to 4
+    first), so the total is order-independent and engines agree
+    bit-for-bit; the final adc4 is the double cast of that exact sum.
+    """
+    sub = dim // m
+    cb = pq_codebook(vectors, m=m, k=k_centroids, dim=dim, id_col=id_col, vec_col=vec_col)
+    codes = pq_assign(vectors, cb, m=m, dim=dim, id_col=id_col, vec_col=vec_col).select(
+        "vec_id", "subspace", "code"
+    )
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("subspace"),
+                F.slice(F.col(vec_col), s * sub + 1, sub).alias("p8"),
+            )
+            for s in range(m)
+        ]
+    )
+    psub = probes.select(
+        F.col(id_col).alias("query_id"), F.explode(slices).alias("ps")
+    ).select("query_id", F.col("ps.subspace").alias("subspace"), F.col("ps.p8").alias("p8"))
+    pd2 = F.round(
+        _fold_sum(
+            F.zip_with(
+                F.col("p8"),
+                F.col("c8"),
+                lambda x, c: (x.cast("double") - c.cast("double"))
+                * (x.cast("double") - c.cast("double")),
+            )
+        ),
+        4,
+    )
+    lut = psub.join(F.broadcast(cb), "subspace").select(
+        "query_id",
+        "subspace",
+        F.col("cid").alias("code"),
+        pd2.cast("decimal(20,4)").alias("pd2"),
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["subspace", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("pd2").alias("adc_dec"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("adc_dec"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("adc_dec").cast("double").alias("adc4"),
+            "rank",
+        )
+    )
+
+
 def knn_graph(
     vectors: DataFrame,
     k: int = 5,

@@ -410,6 +410,74 @@ def sim_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sim_pq_adc_topk",
+    oracle="""
+    WITH seeds AS (
+        SELECT vec_id AS cid, embedding FROM embeddings ORDER BY vec_id LIMIT 16
+    ),
+    sub AS (
+        SELECT vec_id, CAST(t.s AS INTEGER) AS subspace,
+               list_slice(embedding, s * 8 + 1, s * 8 + 8) AS v8
+        FROM embeddings, UNNEST(generate_series(0, 7)) AS t(s)
+    ),
+    cb AS (
+        SELECT cid, CAST(t.s AS INTEGER) AS subspace,
+               list_slice(embedding, s * 8 + 1, s * 8 + 8) AS c8
+        FROM seeds, UNNEST(generate_series(0, 7)) AS t(s)
+    ),
+    assign_scored AS (
+        SELECT sub.vec_id, sub.subspace, cb.cid,
+               ROUND(list_sum(list_transform(list_zip(sub.v8, cb.c8),
+                        p -> POWER(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE), 2))),
+                     4) AS d2
+        FROM sub JOIN cb ON cb.subspace = sub.subspace
+    ),
+    codes AS (
+        SELECT vec_id, subspace, cid AS code FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, subspace
+                                         ORDER BY d2, cid) AS rn
+            FROM assign_scored
+        ) WHERE rn = 1
+    ),
+    psub AS (
+        SELECT vec_id AS query_id, subspace, v8 AS p8 FROM sub WHERE vec_id < 10
+    ),
+    lut AS (
+        SELECT psub.query_id, cb.subspace, cb.cid AS code,
+               CAST(ROUND(list_sum(list_transform(list_zip(psub.p8, cb.c8),
+                        p -> POWER(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE), 2))),
+                     4) AS DECIMAL(20,4)) AS pd2
+        FROM psub JOIN cb ON cb.subspace = psub.subspace
+    ),
+    adc AS (
+        SELECT l.query_id, c.vec_id, SUM(l.pd2) AS adc_dec
+        FROM codes c
+        JOIN lut l ON l.subspace = c.subspace AND l.code = c.code
+        WHERE c.vec_id != l.query_id
+        GROUP BY l.query_id, c.vec_id
+    )
+    SELECT query_id, vec_id AS neighbor_id,
+           CAST(adc_dec AS DOUBLE) AS adc4, CAST(rnk AS BIGINT) AS rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY adc_dec, vec_id) AS rnk
+        FROM adc
+    ) WHERE rnk <= 10
+    """,
+)
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC search over PQ codes (operators/similarity.pq_adc_topk): the
+    10-probe top-10 answered from 8-byte code vectors + a broadcast
+    probe-side lookup table — the corpus's float vectors are read once
+    (to build codes) and never again. Decimal-exact partial-distance
+    sums make the approximate distances hash-identical across engines."""
+    from odbc2parquet_spark.operators.similarity import pq_adc_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_adc_topk(emb, emb.filter(F.col("vec_id") < 10), m=8, k_centroids=16, dim=64, top_k=10)
+
+
+@query(
     "sim_knn_graph",
     oracle=f"""
     WITH sig AS (

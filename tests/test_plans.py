@@ -91,6 +91,15 @@ def test_ivf_broadcasts_centroids(plans):
     assert "BroadcastExchange" in plans["sim_ivf_assign"]
 
 
+def test_pq_adc_lut_broadcast(plans):
+    # ADC search joins corpus CODES to the probe lookup table — the LUT
+    # (n_probes*m*k rows) must broadcast; a shuffled LUT join would drag
+    # the whole code table through an exchange keyed on (subspace, code)
+    plan = plans["sim_pq_adc_topk"]
+    assert "BroadcastHashJoin" in plan, "ADC lookup-table join lost its broadcast"
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
 def test_simhash_signatures_zero_shuffle(plans):
     # the signature pass is row-local (array_distinct + hash array + bit
     # folds) — a shuffle here would mean the old explode+distinct+groupBy
