@@ -59,6 +59,7 @@ _PRIORITY = [
     "mm_resize_real",
     "mm_frame_index",
     "sim_pq_adc_topk",
+    "sim_ivf_pq_topk",
 ]
 
 

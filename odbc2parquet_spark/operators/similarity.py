@@ -547,6 +547,50 @@ def pq_assign(
     )
 
 
+def _pq_probe_lut(
+    probes: DataFrame,
+    codebook: DataFrame,
+    m: int,
+    dim: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(query_id, subspace, code, pd2): the ADC lookup table — every
+    probe's squared distance to every subspace centroid, each term
+    rounded to 4 decimals then held as DECIMAL(20,4) so downstream sums
+    are order-independent. n_probes*m*k rows; always broadcast."""
+    sub = dim // m
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("subspace"),
+                F.slice(F.col(vec_col), s * sub + 1, sub).alias("p8"),
+            )
+            for s in range(m)
+        ]
+    )
+    psub = probes.select(
+        F.col(id_col).alias("query_id"), F.explode(slices).alias("ps")
+    ).select("query_id", F.col("ps.subspace").alias("subspace"), F.col("ps.p8").alias("p8"))
+    pd2 = F.round(
+        _fold_sum(
+            F.zip_with(
+                F.col("p8"),
+                F.col("c8"),
+                lambda x, c: (x.cast("double") - c.cast("double"))
+                * (x.cast("double") - c.cast("double")),
+            )
+        ),
+        4,
+    )
+    return psub.join(F.broadcast(codebook), "subspace").select(
+        "query_id",
+        "subspace",
+        F.col("cid").alias("code"),
+        pd2.cast("decimal(20,4)").alias("pd2"),
+    )
+
+
 def pq_adc_topk(
     vectors: DataFrame,
     probes: DataFrame,
@@ -576,43 +620,78 @@ def pq_adc_topk(
     first), so the total is order-independent and engines agree
     bit-for-bit; the final adc4 is the double cast of that exact sum.
     """
-    sub = dim // m
     cb = pq_codebook(vectors, m=m, k=k_centroids, dim=dim, id_col=id_col, vec_col=vec_col)
     codes = pq_assign(vectors, cb, m=m, dim=dim, id_col=id_col, vec_col=vec_col).select(
         "vec_id", "subspace", "code"
     )
-    slices = F.array(
-        *[
-            F.struct(
-                F.lit(s).alias("subspace"),
-                F.slice(F.col(vec_col), s * sub + 1, sub).alias("p8"),
-            )
-            for s in range(m)
-        ]
-    )
-    psub = probes.select(
-        F.col(id_col).alias("query_id"), F.explode(slices).alias("ps")
-    ).select("query_id", F.col("ps.subspace").alias("subspace"), F.col("ps.p8").alias("p8"))
-    pd2 = F.round(
-        _fold_sum(
-            F.zip_with(
-                F.col("p8"),
-                F.col("c8"),
-                lambda x, c: (x.cast("double") - c.cast("double"))
-                * (x.cast("double") - c.cast("double")),
-            )
-        ),
-        4,
-    )
-    lut = psub.join(F.broadcast(cb), "subspace").select(
-        "query_id",
-        "subspace",
-        F.col("cid").alias("code"),
-        pd2.cast("decimal(20,4)").alias("pd2"),
-    )
+    lut = _pq_probe_lut(probes, cb, m, dim, id_col, vec_col)
     scored = (
         codes.join(F.broadcast(lut), ["subspace", "code"])
         .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("pd2").alias("adc_dec"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("adc_dec"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("adc_dec").cast("double").alias("adc4"),
+            "rank",
+        )
+    )
+
+
+def ivf_pq_search(
+    vectors: DataFrame,
+    probes: DataFrame,
+    nprobe: int = 4,
+    k_cells: int = 16,
+    m: int = 8,
+    k_centroids: int = 16,
+    dim: int = 64,
+    top_k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: the full billion-scale ANN index — coarse cell routing
+    (IVF) composed with code-book distances (ADC over PQ codes).
+
+    Each query visits only its ``nprobe`` nearest cells, and within them
+    distances come from 8-byte code rows + the broadcast probe LUT — the
+    corpus's float vectors are touched exactly twice, both at INDEX BUILD
+    (cell assignment + code assignment), never at search. At 100 TB the
+    (cell, codes) table is stored partitioned by ``centroid_id``, so the
+    probed-cell filter becomes partition pruning and a search touches
+    ~nprobe/k_cells of the files; the local plan plays the same
+    restriction as one broadcast hash join.
+
+    Shuffle budget at search time: the codes⋈candidates join keyed on
+    vec_id (corpus-sized narrow rows — pre-co-partitioned in the stored
+    layout), the partially-aggregated (query, vec) distance groupBy, and
+    the per-query top-k window. DECIMAL(20,4) partial sums keep results
+    engine-exact.
+    """
+    cents = ivf_seed_centroids(vectors, k_cells, id_col, vec_col)
+    cell = ivf_assign(vectors, cents, id_col, vec_col).select("vec_id", "centroid_id")
+    cb = pq_codebook(vectors, m=m, k=k_centroids, dim=dim, id_col=id_col, vec_col=vec_col)
+    codes = pq_assign(vectors, cb, m=m, dim=dim, id_col=id_col, vec_col=vec_col).select(
+        "vec_id", "subspace", "code"
+    )
+    qprobe = ivf_probe_cells(probes, cents, nprobe, id_col, vec_col).select(
+        "query_id", "centroid_id"
+    )
+    lut = _pq_probe_lut(probes, cb, m, dim, id_col, vec_col)
+    cand = (
+        cell.join(F.broadcast(qprobe), "centroid_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+    scored = (
+        codes.join(cand, "vec_id")
+        .join(F.broadcast(lut), ["query_id", "subspace", "code"])
         .groupBy("query_id", "vec_id")
         .agg(F.sum("pd2").alias("adc_dec"))
     )

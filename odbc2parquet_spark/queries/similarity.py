@@ -478,6 +478,95 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sim_ivf_pq_topk",
+    oracle="WITH "
+    + _CENT_CTE
+    + f""",
+    qprobe AS (
+        SELECT vec_id AS query_id, centroid_id FROM (
+            SELECT v.vec_id, c.centroid_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY ROUND(list_sum(list_transform(
+                                    list_zip(v.embedding, c.centroid),
+                                    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                                / SQRT(v.nsq * c.csq), 4) DESC, c.centroid_id) AS rnk
+            FROM nv v CROSS JOIN nc c
+            WHERE v.vec_id < 10
+        ) WHERE rnk <= {_NPROBE}
+    ),
+    pq_sub AS (
+        SELECT vec_id, CAST(t.s AS INTEGER) AS subspace,
+               list_slice(embedding, s * 8 + 1, s * 8 + 8) AS v8
+        FROM embeddings, UNNEST(generate_series(0, 7)) AS t(s)
+    ),
+    pq_cb AS (
+        SELECT vec_id AS cid, CAST(t.s AS INTEGER) AS subspace,
+               list_slice(embedding, s * 8 + 1, s * 8 + 8) AS c8
+        FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16),
+             UNNEST(generate_series(0, 7)) AS t(s)
+    ),
+    pq_scored AS (
+        SELECT pq_sub.vec_id, pq_sub.subspace, pq_cb.cid,
+               ROUND(list_sum(list_transform(list_zip(pq_sub.v8, pq_cb.c8),
+                        p -> POWER(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE), 2))),
+                     4) AS d2
+        FROM pq_sub JOIN pq_cb ON pq_cb.subspace = pq_sub.subspace
+    ),
+    codes AS (
+        SELECT vec_id, subspace, cid AS code FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, subspace
+                                         ORDER BY d2, cid) AS rn
+            FROM pq_scored
+        ) WHERE rn = 1
+    ),
+    lut AS (
+        SELECT p.vec_id AS query_id, pq_cb.subspace, pq_cb.cid AS code,
+               CAST(ROUND(list_sum(list_transform(list_zip(p.v8, pq_cb.c8),
+                        x -> POWER(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE), 2))),
+                     4) AS DECIMAL(20,4)) AS pd2
+        FROM (SELECT * FROM pq_sub WHERE vec_id < 10) p
+        JOIN pq_cb ON pq_cb.subspace = p.subspace
+    ),
+    cand AS (
+        SELECT q.query_id, a.vec_id
+        FROM assign a JOIN qprobe q ON a.centroid_id = q.centroid_id
+        WHERE q.query_id != a.vec_id
+    ),
+    adc AS (
+        SELECT cd.query_id, cd.vec_id, SUM(l.pd2) AS adc_dec
+        FROM cand cd
+        JOIN codes c ON c.vec_id = cd.vec_id
+        JOIN lut l ON l.query_id = cd.query_id
+                  AND l.subspace = c.subspace AND l.code = c.code
+        GROUP BY cd.query_id, cd.vec_id
+    )
+    SELECT query_id, vec_id AS neighbor_id,
+           CAST(adc_dec AS DOUBLE) AS adc4, CAST(rnk AS BIGINT) AS rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY adc_dec, vec_id) AS rnk
+        FROM adc
+    ) WHERE rnk <= 10
+    """,
+)
+def sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (operators/similarity.ivf_pq_search): coarse cell routing
+    composed with code-book ADC distances — each query visits nprobe=4 of
+    16 cells and scores candidates from 8-byte codes + a broadcast LUT.
+    The composition a real billion-vector index serves; both index
+    structures (cells, codes) are deterministic so the DuckDB oracle
+    rebuilds them bit-for-bit."""
+    from odbc2parquet_spark.operators.similarity import ivf_pq_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_pq_search(
+        emb, emb.filter(F.col("vec_id") < 10),
+        nprobe=_NPROBE, k_cells=_K_CELLS, m=8, k_centroids=16, dim=64, top_k=10,
+    )
+
+
+@query(
     "sim_knn_graph",
     oracle=f"""
     WITH sig AS (

@@ -32,6 +32,8 @@ BOUNDED_CROSS_OK = {
     "q_having_subquery",     # 1-row scalar threshold broadcast
     "sim_ivf_assign",        # corpus x 16 centroids (the assign pass itself)
     "sim_ivf_topk",          # same centroid scoring inside the search
+    "sim_ivf_pq_topk",       # same corpus x 16 centroid cross in the cell
+                             # routing; the ADC/code joins are all equi
     "tx_bigram_surprisal",   # 1-row corpus-total broadcast
     "tx_tfidf_density",      # 1-row doc-count broadcast (idf denominator)
     "tx_mixture_sample",     # 1-row mixture-target + |sources|-row threshold broadcasts
@@ -94,10 +96,18 @@ def test_ivf_broadcasts_centroids(plans):
 def test_pq_adc_lut_broadcast(plans):
     # ADC search joins corpus CODES to the probe lookup table — the LUT
     # (n_probes*m*k rows) must broadcast; a shuffled LUT join would drag
-    # the whole code table through an exchange keyed on (subspace, code)
+    # the whole code table through an exchange keyed on (subspace, code).
+    # Same contract for the IVF-PQ composition (plus its probed-cell
+    # filter, which must also be a broadcast join, never a shuffle).
     plan = plans["sim_pq_adc_topk"]
     assert "BroadcastHashJoin" in plan, "ADC lookup-table join lost its broadcast"
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # The IVF-PQ composition keeps the bounded corpus x 16-centroid BNLJ
+    # from the cell-routing pass (allowlisted in BOUNDED_CROSS_OK); its
+    # ADC/code joins must still be broadcast-hash, never cartesian.
+    plan = plans["sim_ivf_pq_topk"]
+    assert "BroadcastHashJoin" in plan, "sim_ivf_pq_topk: ADC joins lost their broadcast"
+    assert "CartesianProduct" not in plan
 
 
 def test_simhash_signatures_zero_shuffle(plans):
