@@ -60,6 +60,7 @@ _PRIORITY = [
     "mm_frame_index",
     "sim_pq_adc_topk",
     "sim_ivf_pq_topk",
+    "sim_pq_recall",
 ]
 
 

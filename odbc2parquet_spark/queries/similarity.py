@@ -409,10 +409,11 @@ def sim_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_assign(emb, cb, m=8, dim=64)
 
 
-@query(
-    "sim_pq_adc_topk",
-    oracle="""
-    WITH seeds AS (
+#: the ADC pipeline as DuckDB CTEs (codebook -> codes -> probe LUT ->
+#: summed code distances), shared by sim_pq_adc_topk and sim_pq_recall
+#: so the recall evaluation certifies the SAME index the search query
+#: serves from.
+_PQ_ADC_CTES = """seeds AS (
         SELECT vec_id AS cid, embedding FROM embeddings ORDER BY vec_id LIMIT 16
     ),
     sub AS (
@@ -455,7 +456,14 @@ def sim_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN lut l ON l.subspace = c.subspace AND l.code = c.code
         WHERE c.vec_id != l.query_id
         GROUP BY l.query_id, c.vec_id
-    )
+    )"""
+
+
+@query(
+    "sim_pq_adc_topk",
+    oracle="WITH "
+    + _PQ_ADC_CTES
+    + """
     SELECT query_id, vec_id AS neighbor_id,
            CAST(adc_dec AS DOUBLE) AS adc4, CAST(rnk AS BIGINT) AS rank
     FROM (
@@ -563,6 +571,79 @@ def sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_pq_search(
         emb, emb.filter(F.col("vec_id") < 10),
         nprobe=_NPROBE, k_cells=_K_CELLS, m=8, k_centroids=16, dim=64, top_k=10,
+    )
+
+
+@query(
+    "sim_pq_recall",
+    oracle="WITH "
+    + _PQ_ADC_CTES
+    + f""",
+    n AS (
+        SELECT vec_id, embedding,
+               list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nsq
+        FROM embeddings
+    ),
+    exact_scored AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               ROUND({_DOT} / SQRT(a.nsq * b.nsq), 4) AS cos4
+        FROM n a JOIN n b ON a.vec_id < 10 AND a.vec_id != b.vec_id
+    ),
+    exact_top AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY cos4 DESC, neighbor_id) AS rnk
+            FROM exact_scored
+        ) WHERE rnk <= 10
+    ),
+    adc_top AS (
+        SELECT query_id, vec_id AS neighbor_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY adc_dec, vec_id) AS rnk
+            FROM adc
+        ) WHERE rnk <= 10
+    ),
+    hits AS (
+        SELECT a.query_id, COUNT(*) AS n_hits
+        FROM adc_top a
+        JOIN exact_top e ON e.query_id = a.query_id
+                        AND e.neighbor_id = a.neighbor_id
+        GROUP BY a.query_id
+    )
+    SELECT q.query_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(COALESCE(h.n_hits, 0) / 10.0 AS DOUBLE) AS recall10
+    FROM (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 10) q
+    LEFT JOIN hits h ON h.query_id = q.query_id
+    """,
+)
+def sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality evaluation for the PQ path: per probe, how many of
+    the EXACT cosine top-10 the ADC top-10 recovers — the recall@10 a
+    deployment measures on a sampled slice before committing to m/k
+    compression settings (the same eval pattern as sim_candidate_recall
+    for the LSH path)."""
+    from odbc2parquet_spark.operators.similarity import pq_adc_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    adc = pq_adc_topk(emb, probes, m=8, k_centroids=16, dim=64, top_k=10).select(
+        "query_id", "neighbor_id"
+    )
+    exact = S.brute_force_topk(emb, probes, k=10).select("query_id", "neighbor_id")
+    hits = (
+        adc.join(exact, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+    base = probes.select(F.col("vec_id").alias("query_id"))
+    return (
+        base.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        )
+        .withColumn("recall10", (F.col("n_hits") / F.lit(10.0)).cast("double"))
     )
 
 
