@@ -459,6 +459,48 @@ def centroid_outliers(
     )
 
 
+def _pq_split(dim: int, m: int) -> int:
+    """Subspace width, rejecting lossy splits: with dim % m != 0 the
+    trailing dimensions would silently vanish from codebook, codes and
+    LUT alike."""
+    if dim % m:
+        raise ValueError(f"dim={dim} must be divisible by m={m} subspaces")
+    return dim // m
+
+
+def _subspace_melt(vec_col: str, m: int, sub: int, field: str) -> F.Column:
+    """array<struct(subspace, <field>)> of the vector's m contiguous
+    slices — the ONE definition of the PQ subspace layout, shared by
+    codebook build, code assignment and the probe LUT so the three can
+    never disagree on which dimensions belong to which subspace."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("subspace"),
+                F.slice(F.col(vec_col), s * sub + 1, sub).alias(field),
+            )
+            for s in range(m)
+        ]
+    )
+
+
+def _sub_d2(a: F.Column, b: F.Column) -> F.Column:
+    """Squared euclidean distance between two float-array slices, rounded
+    to 4 decimals — the shared PQ distance contract (assignment and LUT
+    must round identically or codes and lookups desynchronize)."""
+    return F.round(
+        _fold_sum(
+            F.zip_with(
+                a,
+                b,
+                lambda x, c: (x.cast("double") - c.cast("double"))
+                * (x.cast("double") - c.cast("double")),
+            )
+        ),
+        4,
+    )
+
+
 def pq_codebook(
     vectors: DataFrame,
     m: int = 8,
@@ -473,19 +515,11 @@ def pq_codebook(
     same no-RNG seeding rule as :func:`ivf_seed_centroids`, so any engine
     rebuilds the codebook bit-for-bit; run Lloyd per subspace when recall
     matters more than reproducibility)."""
-    sub = dim // m
+    sub = _pq_split(dim, m)
     seeds = vectors.orderBy(id_col).limit(k)
-    slices = F.array(
-        *[
-            F.struct(
-                F.lit(s).alias("subspace"),
-                F.slice(F.col(vec_col), s * sub + 1, sub).alias("c8"),
-            )
-            for s in range(m)
-        ]
-    )
     return seeds.select(
-        F.col(id_col).alias("cid"), F.explode(slices).alias("sc")
+        F.col(id_col).alias("cid"),
+        F.explode(_subspace_melt(vec_col, m, sub, "c8")).alias("sc"),
     ).select("cid", F.col("sc.subspace").alias("subspace"), F.col("sc.c8").alias("c8"))
 
 
@@ -509,33 +543,14 @@ def pq_assign(
     (distance, id)-tiebroken winner and partial-aggregates map-side, so
     the shuffle carries exactly the output rows, never the k candidates.
     """
-    sub = dim // m
-    slices = F.array(
-        *[
-            F.struct(
-                F.lit(s).alias("subspace"),
-                F.slice(F.col(vec_col), s * sub + 1, sub).alias("v8"),
-            )
-            for s in range(m)
-        ]
-    )
+    sub = _pq_split(dim, m)
     melted = vectors.select(
-        F.col(id_col).alias("vec_id"), F.explode(slices).alias("sv")
+        F.col(id_col).alias("vec_id"),
+        F.explode(_subspace_melt(vec_col, m, sub, "v8")).alias("sv"),
     ).select("vec_id", F.col("sv.subspace").alias("subspace"), F.col("sv.v8").alias("v8"))
-    d2 = F.round(
-        _fold_sum(
-            F.zip_with(
-                F.col("v8"),
-                F.col("c8"),
-                lambda x, c: (x.cast("double") - c.cast("double"))
-                * (x.cast("double") - c.cast("double")),
-            )
-        ),
-        4,
-    )
     return (
         melted.join(F.broadcast(codebook), "subspace")
-        .withColumn("d2", d2)
+        .withColumn("d2", _sub_d2(F.col("v8"), F.col("c8")))
         .groupBy("vec_id", "subspace")
         .agg(F.min(F.struct(F.col("d2"), F.col("cid"))).alias("best"))
         .select(
@@ -559,35 +574,34 @@ def _pq_probe_lut(
     probe's squared distance to every subspace centroid, each term
     rounded to 4 decimals then held as DECIMAL(20,4) so downstream sums
     are order-independent. n_probes*m*k rows; always broadcast."""
-    sub = dim // m
-    slices = F.array(
-        *[
-            F.struct(
-                F.lit(s).alias("subspace"),
-                F.slice(F.col(vec_col), s * sub + 1, sub).alias("p8"),
-            )
-            for s in range(m)
-        ]
-    )
+    sub = _pq_split(dim, m)
     psub = probes.select(
-        F.col(id_col).alias("query_id"), F.explode(slices).alias("ps")
+        F.col(id_col).alias("query_id"),
+        F.explode(_subspace_melt(vec_col, m, sub, "p8")).alias("ps"),
     ).select("query_id", F.col("ps.subspace").alias("subspace"), F.col("ps.p8").alias("p8"))
-    pd2 = F.round(
-        _fold_sum(
-            F.zip_with(
-                F.col("p8"),
-                F.col("c8"),
-                lambda x, c: (x.cast("double") - c.cast("double"))
-                * (x.cast("double") - c.cast("double")),
-            )
-        ),
-        4,
-    )
     return psub.join(F.broadcast(codebook), "subspace").select(
         "query_id",
         "subspace",
         F.col("cid").alias("code"),
-        pd2.cast("decimal(20,4)").alias("pd2"),
+        _sub_d2(F.col("p8"), F.col("c8")).cast("decimal(20,4)").alias("pd2"),
+    )
+
+
+def _adc_rank(scored: DataFrame, top_k: int) -> DataFrame:
+    """(query_id, vec_id, adc_dec) -> the ranked ADC result frame. One
+    definition of the output contract (asc-distance/asc-id tiebreak,
+    double cast, column names) shared by full-scan ADC and IVF-PQ so the
+    two search shapes can never return inconsistently ranked results."""
+    w = W.partitionBy("query_id").orderBy(F.asc("adc_dec"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("adc_dec").cast("double").alias("adc4"),
+            "rank",
+        )
     )
 
 
@@ -631,17 +645,7 @@ def pq_adc_topk(
         .groupBy("query_id", "vec_id")
         .agg(F.sum("pd2").alias("adc_dec"))
     )
-    w = W.partitionBy("query_id").orderBy(F.asc("adc_dec"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= top_k)
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("adc_dec").cast("double").alias("adc4"),
-            "rank",
-        )
-    )
+    return _adc_rank(scored, top_k)
 
 
 def ivf_pq_search(
@@ -695,17 +699,7 @@ def ivf_pq_search(
         .groupBy("query_id", "vec_id")
         .agg(F.sum("pd2").alias("adc_dec"))
     )
-    w = W.partitionBy("query_id").orderBy(F.asc("adc_dec"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= top_k)
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("adc_dec").cast("double").alias("adc4"),
-            "rank",
-        )
-    )
+    return _adc_rank(scored, top_k)
 
 
 def knn_graph(

@@ -39,14 +39,11 @@ def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def quality_score_col(text_col: str = "text") -> Column:
-    """The composite quality score as a pure Column expression.
-
-    Exposed separately from :func:`quality_scores` so pipeline stages can
-    gate on quality WITHOUT a self-join back to the scored frame — one
-    scan computes the score in place (`withColumn`), which matters when
-    the gate is the first stage of a long composed plan.
-    """
+def _quality_parts(text_col: str) -> dict[str, Column]:
+    """The quality-signal component expressions — ONE definition shared by
+    :func:`quality_score_col` (the gate) and :func:`quality_scores` (the
+    report), so the published per-doc signals always explain the score
+    that gated the doc."""
     t = F.col(text_col)
     ws = words(t)
     n_words = F.size(ws)
@@ -57,12 +54,31 @@ def quality_score_col(text_col: str = "text") -> Column:
     alpha_ratio = n_alpha / n_chars
     stop_ratio = n_stop / n_words
     mean_word_len = (n_chars - (n_words - 1)) / n_words
-    return (
+    score = (
         F.when(n_words >= 10, F.lit(0.25)).otherwise(F.lit(0.0))
         + alpha_ratio * F.lit(0.25)
         + stop_ratio * F.lit(0.25)
         + F.when((mean_word_len >= 3) & (mean_word_len <= 10), F.lit(0.25)).otherwise(F.lit(0.0))
     )
+    return {
+        "n_words": n_words,
+        "n_chars": n_chars,
+        "alpha_ratio": alpha_ratio,
+        "stop_ratio": stop_ratio,
+        "mean_word_len": mean_word_len,
+        "quality_score": score,
+    }
+
+
+def quality_score_col(text_col: str = "text") -> Column:
+    """The composite quality score as a pure Column expression.
+
+    Exposed separately from :func:`quality_scores` so pipeline stages can
+    gate on quality WITHOUT a self-join back to the scored frame — one
+    scan computes the score in place (`withColumn`), which matters when
+    the gate is the first stage of a long composed plan.
+    """
+    return _quality_parts(text_col)["quality_score"]
 
 
 def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -73,17 +89,13 @@ def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     drop too-short docs, low-stopword docs, symbol-heavy docs) as one
     deterministic expression.
     """
-    t = F.col(text_col)
-    ws = words(t)
-    n_words = F.size(ws)
-    n_chars = F.length(t)
-    n_alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
-    stops = F.array(*[F.lit(s) for s in ("the", "a", "and", "of", "to", "in", "is")])
-    n_stop = F.size(F.filter(ws, lambda w: F.array_contains(stops, w)))
-    alpha_ratio = n_alpha / n_chars
-    stop_ratio = n_stop / n_words
-    mean_word_len = (n_chars - (n_words - 1)) / n_words
-    score = quality_score_col(text_col)
+    p = _quality_parts(text_col)
+    n_words = p["n_words"]
+    n_chars = p["n_chars"]
+    alpha_ratio = p["alpha_ratio"]
+    stop_ratio = p["stop_ratio"]
+    mean_word_len = p["mean_word_len"]
+    score = p["quality_score"]
     return docs.select(
         "doc_id",
         n_words.cast("long").alias("n_words"),

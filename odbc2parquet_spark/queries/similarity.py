@@ -409,51 +409,60 @@ def sim_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_assign(emb, cb, m=8, dim=64)
 
 
-#: the ADC pipeline as DuckDB CTEs (codebook -> codes -> probe LUT ->
-#: summed code distances), shared by sim_pq_adc_topk and sim_pq_recall
-#: so the recall evaluation certifies the SAME index the search query
-#: serves from.
-_PQ_ADC_CTES = """seeds AS (
+def _pq_index_ctes(p: str = "") -> str:
+    """The PQ index as DuckDB CTEs (codebook -> codes -> probe LUT) —
+    ONE SQL definition shared by sim_pq_adc_topk, sim_pq_recall and
+    sim_ivf_pq_topk, so every query certifies the SAME index. The
+    ``p`` prefix renames the CTEs when the block composes with other
+    chains (sim_ivf_pq_topk adds the IVF assign CTEs, whose names would
+    otherwise clash)."""
+    return f"""{p}seeds AS (
         SELECT vec_id AS cid, embedding FROM embeddings ORDER BY vec_id LIMIT 16
     ),
-    sub AS (
+    {p}sub AS (
         SELECT vec_id, CAST(t.s AS INTEGER) AS subspace,
                list_slice(embedding, s * 8 + 1, s * 8 + 8) AS v8
         FROM embeddings, UNNEST(generate_series(0, 7)) AS t(s)
     ),
-    cb AS (
+    {p}cb AS (
         SELECT cid, CAST(t.s AS INTEGER) AS subspace,
                list_slice(embedding, s * 8 + 1, s * 8 + 8) AS c8
-        FROM seeds, UNNEST(generate_series(0, 7)) AS t(s)
+        FROM {p}seeds, UNNEST(generate_series(0, 7)) AS t(s)
     ),
-    assign_scored AS (
-        SELECT sub.vec_id, sub.subspace, cb.cid,
-               ROUND(list_sum(list_transform(list_zip(sub.v8, cb.c8),
-                        p -> POWER(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE), 2))),
+    {p}scored AS (
+        SELECT {p}sub.vec_id, {p}sub.subspace, {p}cb.cid,
+               ROUND(list_sum(list_transform(list_zip({p}sub.v8, {p}cb.c8),
+                        x -> POWER(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE), 2))),
                      4) AS d2
-        FROM sub JOIN cb ON cb.subspace = sub.subspace
+        FROM {p}sub JOIN {p}cb ON {p}cb.subspace = {p}sub.subspace
     ),
-    codes AS (
+    {p}codes AS (
         SELECT vec_id, subspace, cid AS code FROM (
             SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, subspace
                                          ORDER BY d2, cid) AS rn
-            FROM assign_scored
+            FROM {p}scored
         ) WHERE rn = 1
     ),
-    psub AS (
-        SELECT vec_id AS query_id, subspace, v8 AS p8 FROM sub WHERE vec_id < 10
+    {p}psub AS (
+        SELECT vec_id AS query_id, subspace, v8 AS p8 FROM {p}sub WHERE vec_id < 10
     ),
-    lut AS (
-        SELECT psub.query_id, cb.subspace, cb.cid AS code,
-               CAST(ROUND(list_sum(list_transform(list_zip(psub.p8, cb.c8),
-                        p -> POWER(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE), 2))),
+    {p}lut AS (
+        SELECT {p}psub.query_id, {p}cb.subspace, {p}cb.cid AS code,
+               CAST(ROUND(list_sum(list_transform(list_zip({p}psub.p8, {p}cb.c8),
+                        x -> POWER(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE), 2))),
                      4) AS DECIMAL(20,4)) AS pd2
-        FROM psub JOIN cb ON cb.subspace = psub.subspace
-    ),
-    adc AS (
+        FROM {p}psub JOIN {p}cb ON {p}cb.subspace = {p}psub.subspace
+    )"""
+
+
+def _pq_adc_scan_cte(p: str = "") -> str:
+    """The full-scan ADC distance CTE (every probe against every code
+    row) — appended after :func:`_pq_index_ctes`."""
+    return f""",
+    {p}adc AS (
         SELECT l.query_id, c.vec_id, SUM(l.pd2) AS adc_dec
-        FROM codes c
-        JOIN lut l ON l.subspace = c.subspace AND l.code = c.code
+        FROM {p}codes c
+        JOIN {p}lut l ON l.subspace = c.subspace AND l.code = c.code
         WHERE c.vec_id != l.query_id
         GROUP BY l.query_id, c.vec_id
     )"""
@@ -462,7 +471,8 @@ _PQ_ADC_CTES = """seeds AS (
 @query(
     "sim_pq_adc_topk",
     oracle="WITH "
-    + _PQ_ADC_CTES
+    + _pq_index_ctes()
+    + _pq_adc_scan_cte()
     + """
     SELECT query_id, vec_id AS neighbor_id,
            CAST(adc_dec AS DOUBLE) AS adc4, CAST(rnk AS BIGINT) AS rank
@@ -503,39 +513,9 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             WHERE v.vec_id < 10
         ) WHERE rnk <= {_NPROBE}
     ),
-    pq_sub AS (
-        SELECT vec_id, CAST(t.s AS INTEGER) AS subspace,
-               list_slice(embedding, s * 8 + 1, s * 8 + 8) AS v8
-        FROM embeddings, UNNEST(generate_series(0, 7)) AS t(s)
-    ),
-    pq_cb AS (
-        SELECT vec_id AS cid, CAST(t.s AS INTEGER) AS subspace,
-               list_slice(embedding, s * 8 + 1, s * 8 + 8) AS c8
-        FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16),
-             UNNEST(generate_series(0, 7)) AS t(s)
-    ),
-    pq_scored AS (
-        SELECT pq_sub.vec_id, pq_sub.subspace, pq_cb.cid,
-               ROUND(list_sum(list_transform(list_zip(pq_sub.v8, pq_cb.c8),
-                        p -> POWER(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE), 2))),
-                     4) AS d2
-        FROM pq_sub JOIN pq_cb ON pq_cb.subspace = pq_sub.subspace
-    ),
-    codes AS (
-        SELECT vec_id, subspace, cid AS code FROM (
-            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, subspace
-                                         ORDER BY d2, cid) AS rn
-            FROM pq_scored
-        ) WHERE rn = 1
-    ),
-    lut AS (
-        SELECT p.vec_id AS query_id, pq_cb.subspace, pq_cb.cid AS code,
-               CAST(ROUND(list_sum(list_transform(list_zip(p.v8, pq_cb.c8),
-                        x -> POWER(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE), 2))),
-                     4) AS DECIMAL(20,4)) AS pd2
-        FROM (SELECT * FROM pq_sub WHERE vec_id < 10) p
-        JOIN pq_cb ON pq_cb.subspace = p.subspace
-    ),
+    """
+    + _pq_index_ctes("pq_")
+    + """,
     cand AS (
         SELECT q.query_id, a.vec_id
         FROM assign a JOIN qprobe q ON a.centroid_id = q.centroid_id
@@ -544,9 +524,9 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     adc AS (
         SELECT cd.query_id, cd.vec_id, SUM(l.pd2) AS adc_dec
         FROM cand cd
-        JOIN codes c ON c.vec_id = cd.vec_id
-        JOIN lut l ON l.query_id = cd.query_id
-                  AND l.subspace = c.subspace AND l.code = c.code
+        JOIN pq_codes c ON c.vec_id = cd.vec_id
+        JOIN pq_lut l ON l.query_id = cd.query_id
+                     AND l.subspace = c.subspace AND l.code = c.code
         GROUP BY cd.query_id, cd.vec_id
     )
     SELECT query_id, vec_id AS neighbor_id,
@@ -577,7 +557,8 @@ def sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sim_pq_recall",
     oracle="WITH "
-    + _PQ_ADC_CTES
+    + _pq_index_ctes()
+    + _pq_adc_scan_cte()
     + f""",
     n AS (
         SELECT vec_id, embedding,

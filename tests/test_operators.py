@@ -677,6 +677,31 @@ def test_pq_codes_pick_nearest_subspace_centroid(spark):
     assert out[(0, 0)] == 0 and out[(0, 1)] == 0
 
 
+def test_pq_adc_search_finds_exact_match_and_rejects_lossy_split(spark):
+    import pytest
+
+    from odbc2parquet_spark.operators.similarity import pq_adc_topk
+
+    # dim=4, m=2; vec 5 is identical to probe 0 -> ADC distance 0, rank 1
+    vecs = spark.createDataFrame(
+        [
+            (0, [0.0, 0.0, 10.0, 10.0]),
+            (1, [5.0, 5.0, 0.0, 0.0]),
+            (2, [9.0, 9.0, 9.0, 9.0]),
+            (5, [0.0, 0.0, 10.0, 10.0]),
+        ],
+        ["vec_id", "embedding"],
+    )
+    probes = vecs.filter("vec_id = 0")
+    out = {r.rank: (r.neighbor_id, r.adc4) for r in
+           pq_adc_topk(vecs, probes, m=2, k_centroids=2, dim=4, top_k=3).collect()}
+    assert out[1] == (5, 0.0)  # the exact duplicate codes identically
+    # a lossy subspace split (dim not divisible by m) must error, not
+    # silently drop trailing dimensions
+    with pytest.raises(ValueError, match="divisible"):
+        pq_adc_topk(vecs, probes, m=3, k_centroids=2, dim=4)
+
+
 def test_count_min_sketch_never_undercounts(spark):
     from odbc2parquet_spark.operators.sketches import cms_estimate, count_min_sketch
 
