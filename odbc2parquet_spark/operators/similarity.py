@@ -212,9 +212,14 @@ def ivf_assign(
     """(vec_id, centroid_id, cos4): each vector's nearest centroid.
 
     Broadcast the centroids (tiny) against the corpus — a map-side join,
-    the corpus never shuffles; the argmax is a per-vector window over
-    k_cells rows with rounded-cosine + id tiebreak for determinism.
-    Norms computed once per row before the cross: one fold per pair.
+    the corpus never shuffles its vectors; the argmax is a groupBy
+    min(struct(-cos4, centroid_id)) — the same lexicographic-struct
+    aggregate as :func:`pq_assign`, giving the (rounded-cosine,
+    id)-tiebroken winner with MAP-SIDE partial aggregation, so the one
+    shuffle carries corpus rows, not corpus x k_cells candidate rows
+    (the previous per-vector window shipped all k_cells candidates
+    through the exchange). Norms computed once per row before the
+    cross: one fold per pair.
     """
     c = F.broadcast(centroids.withColumn("csq", norm_sq(F.col("centroid"))))
     scored = vectors.select(
@@ -227,11 +232,14 @@ def ivf_assign(
             dot(F.col("v"), F.col("centroid")) / F.sqrt(F.col("vsq") * F.col("csq")), 4
         ),
     )
-    w = W.partitionBy("vec_id").orderBy(F.desc("cos4"), F.asc("centroid_id"))
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") == 1)
-        .select("vec_id", "centroid_id", "cos4")
+        scored.groupBy("vec_id")
+        .agg(F.min(F.struct((-F.col("cos4")).alias("ncos"), F.col("centroid_id"))).alias("best"))
+        .select(
+            "vec_id",
+            F.col("best.centroid_id").alias("centroid_id"),
+            (-F.col("best.ncos")).alias("cos4"),
+        )
     )
 
 
