@@ -101,9 +101,13 @@ def blocked_fuzzy_match(
     work — master rows in an over-cap block are dropped (a window count
     before the join), trading those probes' matches for boundedness,
     exactly the recall/boundedness trade the LSH paths make. The
-    argmin is a per-probe window with id tiebreak (deterministic across
-    engines); ``max_distance`` optionally drops non-matches before the
-    window so a probe with no plausible candidate emits nothing.
+    argmin is a groupBy min(struct(distance, matched_id)) — id-tiebroken
+    and deterministic across engines, with MAP-SIDE partial aggregation
+    so the per-probe exchange carries one row per probe, never the
+    probe x block_master candidate volume (the quadratic part of this
+    operator is exactly what should NOT reach the shuffle);
+    ``max_distance`` optionally drops non-matches first so a probe with
+    no plausible candidate emits nothing.
     """
     from pyspark.sql import Window as W
 
@@ -129,9 +133,12 @@ def blocked_fuzzy_match(
     )
     if max_distance is not None:
         scored = scored.filter(F.col("distance") <= max_distance)
-    w = W.partitionBy("probe_id").orderBy(F.asc("distance"), F.asc("matched_id"))
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") == 1)
-        .select("probe_id", "matched_id", "distance")
+        scored.groupBy("probe_id")
+        .agg(F.min(F.struct(F.col("distance"), F.col("matched_id"))).alias("best"))
+        .select(
+            "probe_id",
+            F.col("best.matched_id").alias("matched_id"),
+            F.col("best.distance").alias("distance"),
+        )
     )

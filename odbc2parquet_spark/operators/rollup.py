@@ -103,13 +103,14 @@ def resample_forward_fill(
     )
     from pyspark.sql import Window
 
-    w_last = Window.partitionBy("key", "bucket").orderBy(
-        F.desc("ts_us"), F.desc("id")
-    )
+    # last-write-wins per (key, bucket): max(struct(ts_us, id, v)) — the
+    # (ts_us, id) prefix is unique per event so v never decides the max;
+    # the aggregate partial-combines map-side where the old row_number
+    # window shipped every event in the bucket through the exchange.
     per_bucket = (
-        ev.withColumn("rn", F.row_number().over(w_last))
-        .filter(F.col("rn") == 1)
-        .select("key", "bucket", F.col("v").alias("bucket_last"))
+        ev.groupBy("key", "bucket")
+        .agg(F.max(F.struct(F.col("ts_us"), F.col("id"), F.col("v"))).alias("last"))
+        .select("key", "bucket", F.col("last.v").alias("bucket_last"))
     )
     w_ff = (
         Window.partitionBy("key")
