@@ -61,6 +61,7 @@ _PRIORITY = [
     "sim_pq_adc_topk",
     "sim_ivf_pq_topk",
     "sim_pq_recall",
+    "sim_ivf_pq_recall",
 ]
 
 

@@ -495,10 +495,12 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(emb, emb.filter(F.col("vec_id") < 10), m=8, k_centroids=16, dim=64, top_k=10)
 
 
-@query(
-    "sim_ivf_pq_topk",
-    oracle="WITH "
-    + _CENT_CTE
+#: the composed IVF-PQ chain (IVF assign + probed cells + PQ index +
+#: cell-restricted ADC distances) — shared by sim_ivf_pq_topk and
+#: sim_ivf_pq_recall so the recall evaluation certifies the same
+#: composed index the search serves from.
+_IVF_PQ_CTES = (
+    _CENT_CTE
     + f""",
     qprobe AS (
         SELECT vec_id AS query_id, centroid_id FROM (
@@ -528,7 +530,15 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN pq_lut l ON l.query_id = cd.query_id
                      AND l.subspace = c.subspace AND l.code = c.code
         GROUP BY cd.query_id, cd.vec_id
-    )
+    )"""
+)
+
+
+@query(
+    "sim_ivf_pq_topk",
+    oracle="WITH "
+    + _IVF_PQ_CTES
+    + """
     SELECT query_id, vec_id AS neighbor_id,
            CAST(adc_dec AS DOUBLE) AS adc4, CAST(rnk AS BIGINT) AS rank
     FROM (
@@ -614,6 +624,79 @@ def sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = S.brute_force_topk(emb, probes, k=10).select("query_id", "neighbor_id")
     hits = (
         adc.join(exact, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+    base = probes.select(F.col("vec_id").alias("query_id"))
+    return (
+        base.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        )
+        .withColumn("recall10", (F.col("n_hits") / F.lit(10.0)).cast("double"))
+    )
+
+
+@query(
+    "sim_ivf_pq_recall",
+    oracle="WITH "
+    + _IVF_PQ_CTES
+    + f""",
+    n AS (
+        SELECT vec_id, embedding,
+               list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nsq
+        FROM embeddings
+    ),
+    exact_scored AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               ROUND({_DOT} / SQRT(a.nsq * b.nsq), 4) AS cos4
+        FROM n a JOIN n b ON a.vec_id < 10 AND a.vec_id != b.vec_id
+    ),
+    exact_top AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY cos4 DESC, neighbor_id) AS rnk
+            FROM exact_scored
+        ) WHERE rnk <= 10
+    ),
+    adc_top AS (
+        SELECT query_id, vec_id AS neighbor_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY adc_dec, vec_id) AS rnk
+            FROM adc
+        ) WHERE rnk <= 10
+    ),
+    hits AS (
+        SELECT a.query_id, COUNT(*) AS n_hits
+        FROM adc_top a
+        JOIN exact_top e ON e.query_id = a.query_id
+                        AND e.neighbor_id = a.neighbor_id
+        GROUP BY a.query_id
+    )
+    SELECT q.query_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(COALESCE(h.n_hits, 0) / 10.0 AS DOUBLE) AS recall10
+    FROM (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 10) q
+    LEFT JOIN hits h ON h.query_id = q.query_id
+    """,
+)
+def sim_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the COMPOSED IVF-PQ index vs the exact ground truth —
+    isolates how much the nprobe cell routing loses on top of PQ's code
+    distortion (compare against sim_pq_recall, the full-scan ADC
+    recall): the two-knob tuning readout (nprobe vs m/k) a deployment
+    reads before fixing the index layout."""
+    from odbc2parquet_spark.operators.similarity import ivf_pq_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    approx = ivf_pq_search(
+        emb, probes, nprobe=_NPROBE, k_cells=_K_CELLS, m=8, k_centroids=16, dim=64, top_k=10
+    ).select("query_id", "neighbor_id")
+    exact = S.brute_force_topk(emb, probes, k=10).select("query_id", "neighbor_id")
+    hits = (
+        approx.join(exact, ["query_id", "neighbor_id"], "left_semi")
         .groupBy("query_id")
         .agg(F.count("*").cast("long").alias("n_hits"))
     )
