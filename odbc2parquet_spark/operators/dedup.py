@@ -640,3 +640,101 @@ def bloom_probe(
     return hit.groupBy(id_col).agg(
         (F.min("set_") == 1).alias("maybe_dup")
     )
+
+
+def span_scrub(
+    docs: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document duplicate-SPAN removal (the transform half of Lee et
+    al.'s substring dedup; :func:`repeated_ngram_stats` is the measure
+    half). Every word ``n``-gram occurring in >= 2 distinct documents keeps
+    only its globally-first occurrence (min ``(doc_id, pos)``); every other
+    occurrence has its ``n`` covered token positions deleted from its
+    document. Documents are reassembled from the surviving tokens in
+    order. Emits ``(doc_id, n_tokens, n_removed, scrubbed_hash)`` — the
+    hash certifies the exact surviving token sequence without shipping
+    the rebuilt text.
+
+    Scale shape (reference has no counterpart; this is pipeline surface):
+    the corpus explodes once into (doc, pos, gram-hash) rows — linear in
+    token count, grams carried as 16-hex-char truncated md5, never the
+    text. One groupBy(gram) finds (distinct-doc count, global-first
+    occurrence) with map-side partial min-of-struct; occurrences of
+    duplicated grams join back on the gram hash (shuffle on a
+    high-cardinality key, skew bounded by the occurrence cap of any one
+    span); covered positions explode <= n rows per duplicate occurrence;
+    the per-document rebuild is one sort_array inside an aggregation
+    buffer — no per-doc window, no global sort. At 100 TB every stage is
+    a hash shuffle on gram or doc id; nothing is quadratic in corpus
+    size and nothing returns to the driver.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w"),
+    )
+    parts = [f"ws[i - 1 + {k}]" for k in range(n)]
+    gram_expr = (
+        f"CASE WHEN size(ws) < {n} THEN array() ELSE "
+        f"transform(sequence(1, size(ws) - {n - 1}), "
+        f"i -> substring(md5(concat_ws(' ', {', '.join(parts)})), 1, 16)) END"
+    )
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("ws")
+    ).select("doc_id", F.posexplode(F.expr(gram_expr)).alias("pos", "g"))
+    dup = (
+        grams.groupBy("g")
+        .agg(
+            F.countDistinct("doc_id").alias("nd"),
+            F.min(F.struct("doc_id", "pos")).alias("first_occ"),
+        )
+        .filter(F.col("nd") >= 2)
+        .select("g", "first_occ")
+    )
+    rm = (
+        grams.join(dup, "g")
+        .filter(
+            ~(
+                (F.col("doc_id") == F.col("first_occ.doc_id"))
+                & (F.col("pos") == F.col("first_occ.pos"))
+            )
+        )
+        .select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(pos, pos + {n - 1})")).alias("rm_pos"),
+        )
+        .distinct()
+    )
+    kept = toks.join(
+        rm,
+        (toks.doc_id == rm.doc_id) & (toks.pos == rm.rm_pos),
+        "left_anti",
+    )
+    seq = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "w"))), lambda s: s["w"]
+    )
+    kept_agg = kept.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.md5(F.concat_ws(" ", seq)).alias("scrubbed_hash"),
+    )
+    totals = toks.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_tokens"))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(totals, "doc_id", "left")
+        .join(kept_agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+            (
+                F.coalesce(F.col("n_tokens"), F.lit(0))
+                - F.coalesce(F.col("n_kept"), F.lit(0))
+            )
+            .cast("long")
+            .alias("n_removed"),
+            F.coalesce(F.col("scrubbed_hash"), F.md5(F.lit(""))).alias(
+                "scrubbed_hash"
+            ),
+        )
+    )

@@ -734,3 +734,58 @@ def dd_containment_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("common") / F.col("n") >= 0.8)
         .select("id_a", "id_b", "common", F.col("n").alias("n_a"), "containment")
     )
+
+
+@query(
+    "dd_span_scrub",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    tok AS (
+        SELECT doc_id, i - 1 AS pos, ws[i] AS w
+        FROM w, UNNEST(generate_series(1, len(ws))) AS t(i)
+    ),
+    gr AS (
+        SELECT doc_id, i - 1 AS pos,
+               substring(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+                             || ws[i+3] || ' ' || ws[i+4]), 1, 16) AS g
+        FROM w, UNNEST(generate_series(1, len(ws) - 4)) AS t(i)
+    ),
+    occ AS (
+        SELECT doc_id, pos, g,
+               ROW_NUMBER() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+        FROM gr
+    ),
+    dup AS (SELECT g FROM gr GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+    rm AS (
+        SELECT DISTINCT occ.doc_id, occ.pos + k AS rm_pos
+        FROM occ JOIN dup USING (g), UNNEST(generate_series(0, 4)) AS t(k)
+        WHERE rn >= 2
+    ),
+    kept AS (
+        SELECT tok.doc_id, tok.pos, tok.w
+        FROM tok LEFT JOIN rm ON tok.doc_id = rm.doc_id AND tok.pos = rm.rm_pos
+        WHERE rm.doc_id IS NULL
+    ),
+    ka AS (
+        SELECT doc_id, COUNT(*) AS n_kept,
+               md5(string_agg(w, ' ' ORDER BY pos)) AS h
+        FROM kept GROUP BY doc_id
+    ),
+    tot AS (SELECT doc_id, COUNT(*) AS n_tokens FROM tok GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(tot.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(tot.n_tokens, 0) - COALESCE(ka.n_kept, 0) AS BIGINT)
+               AS n_removed,
+           COALESCE(ka.h, md5('')) AS scrubbed_hash
+    FROM documents d
+    LEFT JOIN tot ON d.doc_id = tot.doc_id
+    LEFT JOIN ka ON d.doc_id = ka.doc_id
+    """,
+)
+def dd_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicate-span REMOVAL with document reassembly
+    (operators/dedup.span_scrub): every 5-gram seen in >= 2 docs keeps only
+    its globally-first occurrence; later occurrences' tokens are scrubbed
+    and the hash of each surviving token sequence is emitted."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.span_scrub(docs, n=5)

@@ -1047,3 +1047,43 @@ def test_mp4_sample_table_roundtrip_and_bounds(spark):
     )
     rows = {(r.doc_id, r.sample_idx) for r in video_frame_index(df, 3).collect()}
     assert rows == {(1, 0), (1, 3), (1, 6), (2, None)}
+
+
+def test_span_scrub_removes_later_occurrences_only(spark):
+    """A 5-word span pasted into doc 2 is scrubbed there and kept in doc 1;
+    unique docs survive untouched; the rebuilt sequence drives the hash."""
+    from odbc2parquet_spark.operators.dedup import span_scrub
+    import hashlib
+
+    span = "a b c d e"
+    docs = spark.createDataFrame(
+        [
+            (1, span + " x y"),          # first occurrence: kept whole
+            (2, "p q " + span + " r"),   # later occurrence: span scrubbed
+            (3, "u v w"),                # unique and shorter than n
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in span_scrub(docs, n=5).collect()}
+    assert rows[1].n_removed == 0 and rows[1].n_tokens == 7
+    assert rows[2].n_removed == 5 and rows[2].n_tokens == 8
+    assert rows[3].n_removed == 0 and rows[3].n_tokens == 3
+    exp2 = hashlib.md5("p q r".encode()).hexdigest()
+    assert rows[2].scrubbed_hash == exp2
+    exp1 = hashlib.md5(("a b c d e x y").encode()).hexdigest()
+    assert rows[1].scrubbed_hash == exp1
+
+
+def test_span_scrub_overlapping_spans_union_positions(spark):
+    """Two overlapping duplicated 5-grams in one doc remove the UNION of
+    their covered positions (6 tokens), not 10."""
+    from odbc2parquet_spark.operators.dedup import span_scrub
+
+    base = "a b c d e f"  # contains 5-grams 'a b c d e' and 'b c d e f'
+    docs = spark.createDataFrame(
+        [(1, base + " z"), (2, "q " + base)],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in span_scrub(docs, n=5).collect()}
+    assert rows[1].n_removed == 0
+    assert rows[2].n_removed == 6 and rows[2].n_tokens == 7
