@@ -1124,3 +1124,48 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         probe_id="c_custkey",
         master_id="c_custkey",
     )
+
+
+def _zorder_oracle() -> str:
+    """Oracle built from the SAME expression generators as the Spark side
+    (operators/clustering.py) — parity is by construction, not by hand."""
+    from odbc2parquet_spark.operators.clustering import cell_sql, zorder_sql
+
+    bits, bucket_bits = 10, 6
+    cx = cell_sql("x", "mnx", "mxx", bits)
+    cy = cell_sql("y", "mny", "mxy", bits)
+    z = zorder_sql(cx, cy, bits, dialect="duckdb")
+    return f"""
+    WITH base AS (
+        SELECT datediff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE)) AS x,
+               l_partkey AS y
+        FROM lineitem
+    ),
+    s AS (SELECT MIN(x) AS mnx, MAX(x) AS mxx, MIN(y) AS mny, MAX(y) AS mxy
+          FROM base),
+    k AS (SELECT x, y, {z} AS zkey FROM base CROSS JOIN s)
+    SELECT CAST(zkey >> {2 * bits - bucket_bits} AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(x) AS BIGINT) AS x_min,
+           CAST(MAX(x) AS BIGINT) AS x_max,
+           CAST(MIN(y) AS BIGINT) AS y_min,
+           CAST(MAX(y) AS BIGINT) AS y_max
+    FROM k GROUP BY 1
+    """
+
+
+@query("q_zorder_cluster", oracle=_zorder_oracle())
+def q_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout certificate (operators/clustering.py): lineitem keyed
+    by the Morton interleave of (ship-day, partkey), split into 64
+    consecutive curve runs, each reporting its bounding rectangle. The
+    reference writes row groups in fetch order (parquet_writer.rs:211-219);
+    this is the layout optimizer a 100 TB table needs so parquet min/max
+    stats prune BOTH a date predicate and a key predicate."""
+    from odbc2parquet_spark.operators.clustering import zorder_bucket_stats
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.datediff(F.to_date("l_shipdate"), F.to_date(F.lit("1995-01-01"))).alias("x"),
+        F.col("l_partkey").alias("y"),
+    )
+    return zorder_bucket_stats(li, "x", "y", bits=10, bucket_bits=6)

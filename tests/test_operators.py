@@ -1087,3 +1087,59 @@ def test_span_scrub_overlapping_spans_union_positions(spark):
     rows = {r.doc_id: r for r in span_scrub(docs, n=5).collect()}
     assert rows[1].n_removed == 0
     assert rows[2].n_removed == 6 and rows[2].n_tokens == 7
+
+
+def test_zorder_buckets_are_tight_rectangles(spark):
+    """On a full 32x32 grid with 5-bit cells, 16 consecutive curve runs
+    must each hold exactly 64 points inside an exact 8x8 rectangle —
+    the defining locality property of the Morton curve."""
+    from odbc2parquet_spark.operators.clustering import zorder_bucket_stats
+
+    pts = spark.createDataFrame(
+        [(x, y) for x in range(32) for y in range(32)], ["x", "y"]
+    )
+    rows = zorder_bucket_stats(pts, "x", "y", bits=5, bucket_bits=4).collect()
+    assert len(rows) == 16
+    for r in rows:
+        assert r.n_rows == 64
+        assert r.x_max - r.x_min == 7 and r.y_max - r.y_min == 7
+
+
+def test_zorder_key_interleaves_bits(spark):
+    """(0,0)->0 (1,0)->1 (0,1)->2 (1,1)->3 on a 2x2 domain."""
+    from odbc2parquet_spark.operators.clustering import zorder_key
+
+    pts = spark.createDataFrame([(0, 0), (1, 0), (0, 1), (1, 1)], ["x", "y"])
+    got = {(r.x, r.y): r.zkey for r in zorder_key(pts, "x", "y", bits=1).collect()}
+    assert got == {(0, 0): 0, (1, 0): 1, (0, 1): 2, (1, 1): 3}
+
+
+def test_zorder_layout_prunes_more_files_than_single_dim_sort(spark, tmp_path):
+    """Write the same grid (a) z-clustered and (b) x-sorted; under a narrow
+    y predicate the z layout must leave fewer files whose [y_min, y_max]
+    overlaps the predicate — the actual data-skipping payoff."""
+    import glob
+    import pyarrow.parquet as pq
+    from odbc2parquet_spark.operators.clustering import cluster_by_zorder
+
+    pts = spark.createDataFrame(
+        [(x, y) for x in range(64) for y in range(64)], ["x", "y"]
+    )
+    zdir, xdir = str(tmp_path / "z"), str(tmp_path / "x")
+    cluster_by_zorder(pts, "x", "y", bits=6, num_partitions=16).write.parquet(zdir)
+    pts.repartitionByRange(16, "x").sortWithinPartitions("x").write.parquet(xdir)
+
+    def overlapping(d, lo, hi):
+        n = 0
+        for f in glob.glob(d + "/part-*.parquet"):
+            t = pq.read_table(f, columns=["y"])
+            if t.num_rows == 0:
+                continue
+            ys = t.column("y").to_pylist()
+            if min(ys) <= hi and max(ys) >= lo:
+                n += 1
+        return n
+
+    z_hit = overlapping(zdir, 10, 13)
+    x_hit = overlapping(xdir, 10, 13)
+    assert z_hit < x_hit, (z_hit, x_hit)
