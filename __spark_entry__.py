@@ -62,6 +62,11 @@ _PRIORITY = [
     "sim_ivf_pq_topk",
     "sim_pq_recall",
     "sim_ivf_pq_recall",
+    # round-4 additions: score their first driver row promptly
+    "dd_span_scrub",
+    "q_zorder_cluster",
+    "ev_pattern_paths",
+    "tx_source_cap",
 ]
 
 

@@ -464,3 +464,33 @@ def tokenize_with_vocab(
             "ids_hash"
         ),
     )
+
+
+def cap_per_source(
+    docs: DataFrame, cap: int, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-domain frequency capping (the RefinedWeb/C4 "no single host
+    dominates the corpus" rule): rank every document within its source by
+    quality (ties broken by id) and mark the top ``cap`` as kept.
+
+    Emits (doc_id, source, quality_score, rk, kept) — callers filter
+    ``kept`` for the capped corpus or aggregate for the audit report.
+
+    Scale note: the per-source window is a single hash shuffle on source.
+    A pathological mega-domain concentrates its rows in one partition; at
+    100 TB the mitigation is a two-phase rank — pre-filter each source
+    with an approximate per-source quality quantile (computed from a
+    sample) so only ~cap survivors per source reach the exact window.
+    The exact window stays the semantic contract either way.
+    """
+    scored = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col("source"),
+        quality_score_col(text_col).alias("quality_score"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    return scored.withColumn("rk", F.row_number().over(w)).withColumn(
+        "kept", F.col("rk") <= F.lit(cap)
+    )

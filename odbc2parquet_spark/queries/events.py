@@ -746,3 +746,47 @@ def ev_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(clicked, F.expr("(t_click - t_view) div 1000000")).otherwise(0)
         ).cast("long").alias("total_lag_s"),
     )
+
+
+@query(
+    "ev_pattern_paths",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type AS e1,
+               LEAD(event_type, 1) OVER w AS e2,
+               LEAD(event_type, 2) OVER w AS e3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT e1 || '>' || e2 || '>' || e3 AS path,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq
+    WHERE e3 IS NOT NULL
+    GROUP BY 1
+    ORDER BY n DESC, path
+    LIMIT 20
+    """,
+)
+def ev_pattern_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern mining: the 20 most common 3-step event-type
+    paths across per-user timelines (the funnel-DISCOVERY dual of
+    ev_funnel, which checks one known path). Two LEADs inside a per-user
+    window — state is two rows per user partition, shuffle is one
+    hash-exchange on user_id, and the count groupBy partial-aggregates
+    map-side; nothing is quadratic in events. Total order (n DESC, path)
+    with unique path keys makes the LIMIT deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    return (
+        seq.groupBy(
+            F.concat_ws(">", "e1", "e2", "e3").alias("path")
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("path"))
+        .limit(20)
+    )

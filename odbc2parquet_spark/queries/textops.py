@@ -1500,3 +1500,52 @@ def mm_frame_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     remaining non-container step."""
     docs = load_table(spark, sf_dir, "documents")
     return M.video_frame_index(M.encode_mp4_samples(docs), every_k=3)
+
+
+@query(
+    "tx_source_cap",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, source,
+               len(list_filter(string_split(text, ' '), w -> w != '')) AS n_words,
+               length(text) AS n_chars,
+               length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+               len(list_filter(string_split(text, ' '),
+                   w -> w IN ('the','a','and','of','to','in','is'))) AS n_stop
+        FROM documents
+    ),
+    q AS (
+        SELECT doc_id, source,
+               (CASE WHEN n_words >= 10 THEN 0.25 ELSE 0.0 END)
+               + (n_alpha / n_chars) * 0.25
+               + (n_stop / n_words) * 0.25
+               + (CASE WHEN (n_chars - (n_words - 1)) / n_words >= 3
+                        AND (n_chars - (n_words - 1)) / n_words <= 10
+                  THEN 0.25 ELSE 0.0 END) AS quality_score
+        FROM base
+    ),
+    r AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                     ORDER BY quality_score DESC, doc_id) AS rk
+        FROM q
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN rk <= 40 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(MIN(CASE WHEN rk <= 40 THEN quality_score END) AS DOUBLE)
+               AS cutoff_quality
+    FROM r GROUP BY source
+    """,
+)
+def tx_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain frequency capping audit (operators/text.cap_per_source):
+    keep the 40 highest-quality documents per source; report per source
+    how many survive and the quality cutoff the cap implies."""
+    ranked = X.cap_per_source(load_table(spark, sf_dir, "documents"), cap=40)
+    return ranked.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.col("kept").cast("int")).cast("long").alias("n_kept"),
+        F.min(F.when(F.col("kept"), F.col("quality_score")))
+        .cast("double")
+        .alias("cutoff_quality"),
+    )
