@@ -67,6 +67,7 @@ _PRIORITY = [
     "q_zorder_cluster",
     "ev_pattern_paths",
     "tx_source_cap",
+    "ev_skew_profile",
 ]
 
 

@@ -142,6 +142,12 @@ HEADLINE = [
     "mm_frame_index",
     "sim_pq_adc_topk",
     "sim_ivf_pq_topk",
+    # round 4: span scrub, Z-order layout, pattern paths, source caps
+    "dd_span_scrub",
+    "q_zorder_cluster",
+    "ev_pattern_paths",
+    "tx_source_cap",
+    "ev_skew_profile",
 ]
 
 

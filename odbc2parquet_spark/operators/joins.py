@@ -17,7 +17,7 @@ splitting oversized partitions; these helpers cover the two cases it can't:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -140,5 +140,48 @@ def blocked_fuzzy_match(
             "probe_id",
             F.col("best.matched_id").alias("matched_id"),
             F.col("best.distance").alias("distance"),
+        )
+    )
+
+
+def skew_profile(df: DataFrame, key_col: str, top_n: int = 5, parallelism: int = 32) -> DataFrame:
+    """Shuffle-skew diagnostic for a prospective join/groupBy key: the
+    ``top_n`` hottest keys with their share of all rows and the salt
+    factor that would re-balance each across ``parallelism`` reducers.
+
+    At 100 TB the first question before any keyed operation is "which keys
+    melt a reducer"; this answers it with one map-side-combined count and
+    a TakeOrdered top-n (top_n rows to the driver-side reduce — never the
+    key histogram itself). ``suggested_salt`` = ceil(cnt * parallelism /
+    total): 1 means the key fits an average reducer, s > 1 means split it
+    into s sub-keys (the :func:`salted_join` fan-out parameter).
+
+    All emitted ratios are exact-integer divisions cast to double, so an
+    external engine reproduces them bit-for-bit.
+    """
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count("*").alias("cnt")
+    )
+    stats = counts.agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.sum("cnt").cast("long").alias("total_rows"),
+    )
+    top = counts.orderBy(F.desc("cnt"), F.asc("key")).limit(top_n)
+    w = Window.orderBy(F.desc("cnt"), F.asc("key"))
+    return (
+        top.crossJoin(F.broadcast(stats))
+        .withColumn("hot_rank", F.row_number().over(w))
+        .select(
+            "hot_rank",
+            F.col("key").cast("long").alias("key"),
+            F.col("cnt").cast("long").alias("cnt"),
+            "total_rows",
+            "n_keys",
+            (F.col("cnt") * F.col("n_keys") / F.col("total_rows"))
+            .cast("double")
+            .alias("skew_ratio"),
+            F.ceil(F.col("cnt") * F.lit(parallelism) / F.col("total_rows"))
+            .cast("long")
+            .alias("suggested_salt"),
         )
     )

@@ -790,3 +790,35 @@ def ev_pattern_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("path"))
         .limit(20)
     )
+
+
+@query(
+    "ev_skew_profile",
+    oracle="""
+    WITH counts AS (
+        SELECT user_id AS key, COUNT(*) AS cnt FROM events GROUP BY user_id
+    ),
+    s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+                 CAST(SUM(cnt) AS BIGINT) AS total_rows FROM counts),
+    top AS (
+        SELECT key, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, key) AS hot_rank
+        FROM counts ORDER BY cnt DESC, key LIMIT 5
+    )
+    SELECT CAST(hot_rank AS INTEGER) AS hot_rank,
+           CAST(key AS BIGINT) AS key,
+           CAST(cnt AS BIGINT) AS cnt,
+           total_rows, n_keys,
+           CAST(cnt * n_keys / total_rows AS DOUBLE) AS skew_ratio,
+           CAST(CEIL(cnt * 32 / total_rows) AS BIGINT) AS suggested_salt
+    FROM top CROSS JOIN s
+    """,
+)
+def ev_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join skew diagnostic (operators/joins.skew_profile): the 5
+    hottest user_ids, each key's share vs a uniform key, and the salting
+    fan-out that re-balances it across 32 reducers — the planning step
+    before ev_salted_join's mitigation."""
+    from odbc2parquet_spark.operators.joins import skew_profile
+
+    ev = load_table(spark, sf_dir, "events")
+    return skew_profile(ev, "user_id", top_n=5, parallelism=32)

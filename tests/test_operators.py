@@ -1143,3 +1143,17 @@ def test_zorder_layout_prunes_more_files_than_single_dim_sort(spark, tmp_path):
     z_hit = overlapping(zdir, 10, 13)
     x_hit = overlapping(xdir, 10, 13)
     assert z_hit < x_hit, (z_hit, x_hit)
+
+
+def test_skew_profile_flags_hot_key_and_salt(spark):
+    """One key holding half the rows gets rank 1, skew_ratio ~ n_keys/2
+    and a salt factor of ~parallelism/2."""
+    from odbc2parquet_spark.operators.joins import skew_profile
+
+    rows = [(0,)] * 50 + [(k,) for k in range(1, 51)]
+    df = spark.createDataFrame(rows, ["k"])
+    out = {r.hot_rank: r for r in skew_profile(df, "k", top_n=3, parallelism=8).collect()}
+    assert out[1].key == 0 and out[1].cnt == 50
+    assert out[1].n_keys == 51 and out[1].total_rows == 100
+    assert out[1].suggested_salt == 4  # ceil(50*8/100)
+    assert out[2].cnt == 1 and out[2].suggested_salt == 1
