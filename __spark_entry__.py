@@ -68,6 +68,8 @@ _PRIORITY = [
     "ev_pattern_paths",
     "tx_source_cap",
     "ev_skew_profile",
+    "mm_dhash",
+    "mm_dhash_pairs",
 ]
 
 

@@ -148,6 +148,8 @@ HEADLINE = [
     "ev_pattern_paths",
     "tx_source_cap",
     "ev_skew_profile",
+    "mm_dhash",
+    "mm_dhash_pairs",
 ]
 
 

@@ -21,7 +21,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 #: output schema of the decoder — what a real image decode would produce.
@@ -894,3 +894,117 @@ def encode_mp4_samples(docs: DataFrame, text_col: str = "text") -> DataFrame:
             yield pd.DataFrame(rows, columns=["doc_id", "payload", "mime", "n_bytes"])
 
     return docs.select("doc_id", text_col).mapInPandas(run, MP4_SCHEMA)
+
+
+DHASH_SCHEMA = "doc_id long, dhash long"
+
+
+def dhash_bmp(binary_df: DataFrame, rows: int = 7, cols: int = 9) -> DataFrame:
+    """Perceptual difference-hash (dHash) on TRUE BMP pixels: decode the
+    padded pixel grid, nearest-sample a ``rows x cols`` grayscale
+    thumbnail (gray = (B+G+R) // 3, integer), and set one bit per
+    horizontal neighbor pair (right > left), bit position
+    ``r * (cols-1) + c``. 7x9 gives 56 bits — always below the int64
+    sign bit, so an external engine's shift arithmetic agrees.
+
+    dHash survives re-encoding/resize, which byte-level hashing does not
+    — this is the image twin of SimHash for near-dup detection. Runs as
+    Arrow-batched mapInPandas (one numpy pass per image); emits one long
+    per image, so the downstream banding join shuffles 8 bytes per image
+    regardless of resolution. Corrupt payloads quarantine as NULL.
+    """
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                p = bytes(payload)
+                try:
+                    if len(p) < 54 or p[:2] != b"BM":
+                        raise ValueError("not a BMP")
+                    off = int.from_bytes(p[10:14], "little")
+                    w = int.from_bytes(p[18:22], "little", signed=True)
+                    h = int.from_bytes(p[22:26], "little", signed=True)
+                    if int.from_bytes(p[28:30], "little") != 24 or w <= 0 or h <= 0:
+                        raise ValueError("not an uncompressed 24-bit BMP")
+                    stride = w * 3 + (4 - (w * 3) % 4) % 4
+                    data = np.frombuffer(p[off : off + stride * h], np.uint8)
+                    if len(data) < stride * h:
+                        raise ValueError("truncated pixel array")
+                    px = data.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+                    ys = (np.arange(rows) * h) // rows
+                    xs = (np.arange(cols) * w) // cols
+                    gray = px[np.ix_(ys, xs)].astype(np.int64).sum(axis=2) // 3
+                    bits = gray[:, 1:] > gray[:, :-1]  # (rows, cols-1)
+                    val = 0
+                    for r in range(rows):
+                        for c in range(cols - 1):
+                            if bits[r, c]:
+                                val |= 1 << (r * (cols - 1) + c)
+                    out.append((doc_id, val))
+                except ValueError:
+                    out.append((doc_id, None))
+            yield pd.DataFrame(out, columns=["doc_id", "dhash"])
+
+    return binary_df.select("doc_id", "payload").mapInPandas(run, DHASH_SCHEMA)
+
+
+def dhash_near_pairs(
+    hashes: DataFrame,
+    bands: int = 4,
+    band_bits: int = 14,
+    max_hamming: int = 6,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-duplicate image pairs from dHash values via banded pigeonhole:
+    any two 56-bit hashes within ``max_hamming`` (< bands * ... pigeonhole
+    guarantee holds when max_hamming < bands) share at least one exact
+    14-bit band, so candidate generation is ``bands`` equi-join buckets —
+    never all-pairs. Buckets above ``max_bucket`` are dropped (degenerate
+    content; same cap policy as the text LSH paths), then the exact
+    Hamming distance (bit_count of xor) verifies each candidate.
+    """
+    mask = (1 << band_bits) - 1
+    melted = hashes.select(
+        F.col("doc_id"),
+        F.col("dhash"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright(F.col("dhash"), b * band_bits)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("key"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bk"),
+    ).select("doc_id", "dhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    w = Window.partitionBy("band", "key")
+    capped = melted.withColumn("bucket_n", F.count("*").over(w)).filter(
+        F.col("bucket_n") <= max_bucket
+    )
+    a = capped.alias("a")
+    b = capped.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.dhash").alias("ha"),
+            F.col("b.dhash").alias("hb"),
+        )
+        .distinct()
+    )
+    dist = F.bit_count(F.expr("ha ^ hb"))
+    return (
+        cand.withColumn("hamming", dist.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

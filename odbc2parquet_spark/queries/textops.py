@@ -1549,3 +1549,92 @@ def tx_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("cutoff_quality"),
     )
+
+
+# dHash oracle CTE: rebuild the 7x9 grayscale thumbnail byte-by-byte from
+# the same stride arithmetic as encode_bmp/synth_bmp, then fold the 56
+# horizontal-neighbor bits into one BIGINT.  Shared by mm_dhash and
+# mm_dhash_pairs so the pair oracle pins the identical hash definition.
+_DHASH_CTE = """
+    geo AS (
+        SELECT doc_id, text, length(text) AS n,
+               length(text) % 64 + 1 AS w,
+               length(text) % 48 + 1 AS h,
+               (length(text) % 64 + 1) * 3
+               + (4 - ((length(text) % 64 + 1) * 3) % 4) % 4 AS stride
+        FROM documents
+    ),
+    cellbytes AS (
+        SELECT doc_id, t.j // 27 AS r, (t.j // 3) % 9 AS c,
+               ascii(substring(text,
+                   ((((t.j // 27) * h // 7) * stride
+                     + (((t.j // 3) % 9) * w // 9) * 3
+                     + t.j % 3) % n) + 1, 1)) AS b
+        FROM geo, UNNEST(generate_series(0, 188)) AS t(j)
+    ),
+    gray AS (
+        SELECT doc_id, r, c, SUM(b) // 3 AS g
+        FROM cellbytes GROUP BY doc_id, r, c
+    ),
+    bits AS (
+        SELECT a.doc_id, a.r, a.c,
+               CASE WHEN b.g > a.g THEN 1 ELSE 0 END AS bit
+        FROM gray a JOIN gray b
+          ON a.doc_id = b.doc_id AND a.r = b.r AND b.c = a.c + 1
+        WHERE a.c < 8
+    ),
+    dh AS (
+        SELECT doc_id,
+               CAST(SUM(CAST(bit AS BIGINT) << (r * 8 + c)) AS BIGINT) AS dhash
+        FROM bits GROUP BY doc_id
+    )"""
+
+
+@query(
+    "mm_dhash",
+    oracle="WITH " + _DHASH_CTE + """
+    SELECT doc_id, dhash FROM dh
+    """,
+)
+def mm_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual difference-hash on TRUE BMP pixels, hash-verified
+    (operators/multimodal.dhash_bmp): nearest-sample a 7x9 grayscale
+    thumbnail and set one bit per brighter-than-left neighbor. The
+    oracle re-derives every sampled byte from stride arithmetic and
+    folds the same 56 bits in SQL — a match pins decode, sampling grid,
+    grayscale fold and bit order at once."""
+    docs = load_table(spark, sf_dir, "documents")
+    return M.dhash_bmp(M.encode_bmp(docs))
+
+
+@query(
+    "mm_dhash_pairs",
+    oracle="WITH " + _DHASH_CTE + """,
+    bands AS (
+        SELECT doc_id, dhash, t.b AS band,
+               (dhash >> (t.b * 14)) & 16383 AS key
+        FROM dh, UNNEST(generate_series(0, 3)) AS t(b)
+    ),
+    capped AS (
+        SELECT doc_id, dhash, band, key FROM bands
+        QUALIFY COUNT(*) OVER (PARTITION BY band, key) <= 1000
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.dhash AS ha, b.dhash AS hb
+        FROM capped a JOIN capped b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+    FROM cand WHERE bit_count(xor(ha, hb)) <= 6
+    """,
+)
+def mm_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs: banded pigeonhole over the 56-bit
+    dHash (4 x 14-bit bands — any pair within Hamming 6 < 4 bands must
+    collide on one band), capped buckets, exact bit_count(xor) verify.
+    The image twin of dd_simhash_banded; candidate generation is 4
+    equi-join buckets, never all-pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    hashes = M.dhash_bmp(M.encode_bmp(docs))
+    return M.dhash_near_pairs(hashes, bands=4, band_bits=14, max_hamming=6)

@@ -1157,3 +1157,32 @@ def test_skew_profile_flags_hot_key_and_salt(spark):
     assert out[1].n_keys == 51 and out[1].total_rows == 100
     assert out[1].suggested_salt == 4  # ceil(50*8/100)
     assert out[2].cnt == 1 and out[2].suggested_salt == 1
+
+
+def test_dhash_identical_images_pair_at_zero(spark):
+    """Two identical BMPs must pair at Hamming 0; the deterministic
+    gradient image pairs with its own copy, not with unrelated noise."""
+    from odbc2parquet_spark.operators.multimodal import (
+        dhash_bmp, dhash_near_pairs, synth_bmp,
+    )
+
+    img_a = synth_bmp(bytes(range(13)), 16, 12)
+    img_b = synth_bmp(b"completely different pixel soup" * 3, 16, 12)
+    df = spark.createDataFrame(
+        [(1, bytearray(img_a)), (2, bytearray(img_a)), (3, bytearray(img_b))],
+        ["doc_id", "payload"],
+    )
+    hashes = dhash_bmp(df)
+    vals = {r.doc_id: r.dhash for r in hashes.collect()}
+    assert vals[1] == vals[2] and vals[1] is not None
+    assert 0 <= vals[1] < (1 << 56)
+    pairs = {(r.id_a, r.id_b): r.hamming for r in dhash_near_pairs(hashes).collect()}
+    assert pairs.get((1, 2)) == 0
+
+
+def test_dhash_corrupt_payload_quarantines(spark):
+    from odbc2parquet_spark.operators.multimodal import dhash_bmp
+
+    df = spark.createDataFrame([(1, bytearray(b"not a bmp"))], ["doc_id", "payload"])
+    rows = dhash_bmp(df).collect()
+    assert rows[0].dhash is None
