@@ -70,6 +70,7 @@ _PRIORITY = [
     "ev_skew_profile",
     "mm_dhash",
     "mm_dhash_pairs",
+    "sim_mmr_topk",
 ]
 
 

@@ -150,6 +150,7 @@ HEADLINE = [
     "ev_skew_profile",
     "mm_dhash",
     "mm_dhash_pairs",
+    "sim_mmr_topk",
 ]
 
 

@@ -925,3 +925,121 @@ def semantic_dedup_cells(
         .withColumn("kept", ~F.col("pruned"))
         .drop("pruned")
     )
+
+
+def mmr_rerank(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k_cand: int = 12,
+    k_sel: int = 4,
+    lam: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-marginal-relevance diversified top-k: greedily pick
+    ``k_sel`` of the ``k_cand`` most-relevant candidates per probe, each
+    step taking argmax of ``lam * rel - (1 - lam) * max_sim_to_selected``
+    (Carbonell & Goldstein '98 — the standard de-redundancy re-rank for
+    retrieval-augmented training-data selection).
+
+    Scale shape: candidate generation is the broadcast-probe top-k scan
+    (corpus never shuffles); everything after operates on k_cand rows per
+    probe. The pairwise candidate-similarity matrix is a per-probe
+    equi-join (k_cand^2 rows per probe, NOT corpus-quadratic), and the
+    greedy loop is UNROLLED into k_sel declarative argmax steps — each a
+    lexicographic struct max with map-side partials, no window, no UDF,
+    no driver round-trip. All similarities are rounded to 4 decimals
+    before any comparison so independent engines agree; lam = 0.5 makes
+    the score arithmetic exact in binary floating point.
+
+    Emits (query_id, step, vec_id, score): step 1 score = relevance,
+    later steps the MMR objective (rounded to 6).
+    """
+    ranked = brute_force_topk(vectors, queries, k=k_cand, id_col=id_col, vec_col=vec_col)
+    cand = ranked.select(
+        F.col("query_id").alias("p"),
+        F.col("neighbor_id").alias("c"),
+        F.col("cosine4").alias("rel"),
+    )
+    cembs = cand.join(
+        vectors.select(F.col(id_col).alias("c"), F.col(vec_col).alias("emb")), "c"
+    ).select("p", "c", "rel", "emb")
+    a, b = cembs.alias("a"), cembs.alias("b")
+    # disjoint column names (sp/c1/c2/s) so the repeated joins below never
+    # collide with the state frame's (p, c, rel, m)
+    sims = (
+        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.c") != F.col("b.c")))
+        .select(
+            F.col("a.p").alias("sp"),
+            F.col("a.c").alias("c1"),
+            F.col("b.c").alias("c2"),
+            F.round(cosine(F.col("a.emb"), F.col("b.emb")), 4).alias("s"),
+        )
+    )
+
+    def argmax(df: DataFrame, score: F.Column) -> DataFrame:
+        """Per-probe argmax with min-id tiebreak, via lexicographic struct
+        max (map-side partial aggregation; no window)."""
+        pick = F.max(F.struct(score.alias("sc"), (-F.col("c")).alias("negc")))
+        return df.groupBy("p").agg(pick.alias("m")).select(
+            "p",
+            (-F.col("m.negc")).alias("sel_c"),
+            F.col("m.sc").alias("sel_score"),
+        )
+
+    out = []
+    # step 1: pure relevance
+    sel = argmax(cand, F.col("rel"))
+    out.append(
+        sel.select(
+            F.col("p").alias("query_id"),
+            F.lit(1).alias("step"),
+            F.col("sel_c").cast("long").alias("vec_id"),
+            F.round(F.col("sel_score"), 6).alias("score"),
+        )
+    )
+    # running state: unselected candidates with max-sim-to-selected
+    state = (
+        cand.join(sel, "p")
+        .filter(F.col("c") != F.col("sel_c"))
+        .join(
+            sims,
+            (F.col("p") == F.col("sp"))
+            & (F.col("c") == F.col("c1"))
+            & (F.col("sel_c") == F.col("c2")),
+        )
+        .select("p", "c", "rel", F.col("s").alias("m"))
+    )
+    for t in range(2, k_sel + 1):
+        score = F.round(F.lit(lam) * F.col("rel") - F.lit(1 - lam) * F.col("m"), 6)
+        stepped = state.withColumn("mmr", score)
+        sel = argmax(stepped, F.col("mmr"))
+        out.append(
+            sel.select(
+                F.col("p").alias("query_id"),
+                F.lit(t).alias("step"),
+                F.col("sel_c").cast("long").alias("vec_id"),
+                F.col("sel_score").alias("score"),
+            )
+        )
+        if t < k_sel:
+            state = (
+                stepped.join(sel, "p")
+                .filter(F.col("c") != F.col("sel_c"))
+                .join(
+                    sims,
+                    (F.col("p") == F.col("sp"))
+                    & (F.col("c") == F.col("c1"))
+                    & (F.col("sel_c") == F.col("c2")),
+                )
+                .select(
+                    "p",
+                    "c",
+                    "rel",
+                    F.greatest(F.col("m"), F.col("s")).alias("m"),
+                )
+            )
+    result = out[0]
+    for df in out[1:]:
+        result = result.unionByName(df)
+    return result

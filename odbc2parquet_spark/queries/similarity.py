@@ -1181,3 +1181,82 @@ def sim_ivf_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.label_centroids(av, label_col="centroid_id").select(
         F.col("label").alias("cell"), "dim", "c"
     )
+
+
+def _mmr_oracle(n_probes: int = 8, k_cand: int = 12, k_sel: int = 4) -> str:
+    """Unrolled MMR oracle: the greedy argmax loop as k_sel chained CTEs,
+    generated so the step count can't drift from the Spark side."""
+    head = f"""
+    WITH n AS (
+        SELECT vec_id, embedding,
+               list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nsq
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT a.vec_id AS p, b.vec_id AS c,
+               ROUND({_DOT} / SQRT(a.nsq * b.nsq), 4) AS rel
+        FROM n a JOIN n b ON a.vec_id < {n_probes} AND a.vec_id != b.vec_id
+    ),
+    cand AS (
+        SELECT p, c, rel FROM scored
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY p ORDER BY rel DESC, c)
+                <= {k_cand}
+    ),
+    sims AS (
+        SELECT x.p, x.c AS c1, y.c AS c2,
+               ROUND({_DOT} / SQRT(a.nsq * b.nsq), 4) AS s
+        FROM cand x JOIN cand y ON x.p = y.p AND x.c != y.c
+        JOIN n a ON a.vec_id = x.c
+        JOIN n b ON b.vec_id = y.c
+    ),
+    sel1 AS (
+        SELECT p, c, rel FROM cand
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY p ORDER BY rel DESC, c) = 1
+    ),
+    st1 AS (
+        SELECT cd.p, cd.c, cd.rel, s.s AS m
+        FROM cand cd
+        JOIN sel1 ON cd.p = sel1.p AND cd.c != sel1.c
+        JOIN sims s ON s.p = cd.p AND s.c1 = cd.c AND s.c2 = sel1.c
+    )"""
+    parts = [head]
+    for t in range(2, k_sel + 1):
+        parts.append(f""",
+    sel{t} AS (
+        SELECT p, c, ROUND(0.5 * rel - 0.5 * m, 6) AS score FROM st{t - 1}
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY p
+                                   ORDER BY ROUND(0.5 * rel - 0.5 * m, 6) DESC,
+                                            c) = 1
+    )""")
+        if t < k_sel:
+            parts.append(f""",
+    st{t} AS (
+        SELECT st.p, st.c, st.rel, GREATEST(st.m, s.s) AS m
+        FROM st{t - 1} st
+        JOIN sel{t} ON st.p = sel{t}.p AND st.c != sel{t}.c
+        JOIN sims s ON s.p = st.p AND s.c1 = st.c AND s.c2 = sel{t}.c
+    )""")
+    selects = [
+        "SELECT p AS query_id, 1 AS step, c AS vec_id, ROUND(rel, 6) AS score"
+        " FROM sel1"
+    ]
+    for t in range(2, k_sel + 1):
+        selects.append(
+            f"SELECT p AS query_id, {t} AS step, c AS vec_id, score FROM sel{t}"
+        )
+    return "".join(parts) + "\n    " + "\n    UNION ALL ".join(selects)
+
+
+@query("sim_mmr_topk", oracle=_mmr_oracle())
+def sim_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance diversified retrieval
+    (operators/similarity.mmr_rerank): exact top-12 candidates per probe,
+    then 4 greedy MMR selections (lam = 0.5) — the de-redundancy re-rank
+    between ANN search and training-data selection. The greedy loop is
+    unrolled into declarative argmax steps (lexicographic struct max, no
+    UDF, no window on the corpus); the oracle restates all 4 steps as
+    chained CTEs, so a hash match pins every selection and score."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 8)
+    return S.mmr_rerank(emb, probes, k_cand=12, k_sel=4, lam=0.5)

@@ -1186,3 +1186,21 @@ def test_dhash_corrupt_payload_quarantines(spark):
     df = spark.createDataFrame([(1, bytearray(b"not a bmp"))], ["doc_id", "payload"])
     rows = dhash_bmp(df).collect()
     assert rows[0].dhash is None
+
+
+def test_mmr_prefers_diverse_over_redundant(spark):
+    """With a near-duplicate of the first pick and a slightly-less-relevant
+    but orthogonal candidate, step 2 must select the orthogonal one."""
+    from odbc2parquet_spark.operators.similarity import mmr_rerank
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),     # probe
+        (1, [0.95, 0.05, 0.0]),   # top relevance
+        (2, [0.95, 0.05, 0.0]),   # exact duplicate direction (sim = 1.0)
+        (3, [0.6, 0.0, 0.8]),     # less relevant, orthogonal-ish
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = mmr_rerank(emb, emb.filter("vec_id = 0"), k_cand=3, k_sel=2, lam=0.5)
+    got = {r.step: r.vec_id for r in out.collect()}
+    assert got[1] == 1          # pure relevance, min-id tiebreak over the dup
+    assert got[2] == 3          # diversity beats the redundant duplicate
