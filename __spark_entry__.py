@@ -71,6 +71,7 @@ _PRIORITY = [
     "mm_dhash",
     "mm_dhash_pairs",
     "sim_mmr_topk",
+    "tx_bpe_pairs",
 ]
 
 

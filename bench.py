@@ -151,6 +151,7 @@ HEADLINE = [
     "mm_dhash",
     "mm_dhash_pairs",
     "sim_mmr_topk",
+    "tx_bpe_pairs",
 ]
 
 

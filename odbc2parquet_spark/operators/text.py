@@ -494,3 +494,88 @@ def cap_per_source(
     return scored.withColumn("rk", F.row_number().over(w)).withColumn(
         "kept", F.col("rk") <= F.lit(cap)
     )
+
+
+def bpe_pair_counts(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Adjacent-symbol pair frequencies — the statistic BPE tokenizer
+    learning maximizes each merge round (Sennrich et al. '16).
+
+    Scale shape: the corpus collapses FIRST to (distinct word, count) —
+    one map-side-combinable groupBy; all later work is per distinct WORD
+    (vocabulary-sized, not corpus-sized), which is what makes tokenizer
+    training on a 100 TB corpus tractable. Symbols start as characters;
+    pairs explode per word (bounded by word length) and sum weighted by
+    word frequency.
+    """
+    words_df = docs.select(
+        F.explode(words(F.col(text_col))).alias("word")
+    ).groupBy("word").agg(F.count("*").alias("wc"))
+    sym = words_df.withColumn(
+        "s", F.filter(F.split(F.col("word"), ""), lambda x: x != "")
+    )
+    pair = F.expr(
+        "CASE WHEN size(s) < 2 THEN array() ELSE "
+        "transform(sequence(1, size(s) - 1), i -> struct(s[i - 1] AS a, s[i] AS b)) END"
+    )
+    return (
+        sym.select("wc", F.explode(pair).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("wc").cast("long").alias("n"))
+    )
+
+
+def bpe_apply_merge(symbols: F.Column, a: str, b: str) -> F.Column:
+    """Apply one BPE merge (a, b) -> ab to a symbol array, leftmost-first
+    (a single left fold — the same greedy order reference BPE uses)."""
+    merged = a + b
+    return F.aggregate(
+        symbols,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_learn(
+    docs: DataFrame, n_merges: int = 5, text_col: str = "text"
+) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` BPE merges: each round counts adjacent pairs on
+    the CURRENT symbolization of the distinct-word table and merges the
+    most frequent pair (ties: lexicographic (a, b)).
+
+    Only ONE row (the argmax pair) returns to the driver per round; the
+    symbol table stays distributed and vocabulary-sized. The per-round
+    argmax uses a TakeOrdered limit(1), not a global window.
+    """
+    words_df = docs.select(
+        F.explode(words(F.col(text_col))).alias("word")
+    ).groupBy("word").agg(F.count("*").alias("wc"))
+    sym = words_df.withColumn(
+        "s", F.filter(F.split(F.col("word"), ""), lambda x: x != "")
+    ).select("wc", "s")
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pair = F.expr(
+            "CASE WHEN size(s) < 2 THEN array() ELSE "
+            "transform(sequence(1, size(s) - 1), i -> struct(s[i - 1] AS a, s[i] AS b)) END"
+        )
+        counts = (
+            sym.select("wc", F.explode(pair).alias("p"))
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("wc").alias("n"))
+        )
+        top = counts.orderBy(F.desc("n"), F.asc("a"), F.asc("b")).limit(1).collect()
+        if not top:
+            break
+        a, b = top[0].a, top[0].b
+        merges.append((a, b))
+        sym = sym.withColumn("s", bpe_apply_merge(F.col("s"), a, b))
+    return merges

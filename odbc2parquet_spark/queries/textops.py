@@ -1638,3 +1638,41 @@ def mm_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     hashes = M.dhash_bmp(M.encode_bmp(docs))
     return M.dhash_near_pairs(hashes, bands=4, band_bits=14, max_hamming=6)
+
+
+@query(
+    "tx_bpe_pairs",
+    oracle="""
+    WITH wd AS (
+        SELECT w AS word, COUNT(*) AS wc
+        FROM documents,
+             UNNEST(list_filter(string_split(text, ' '), x -> x != '')) AS t(w)
+        GROUP BY w
+    ),
+    sym AS (SELECT word, wc, string_split(word, '') AS s FROM wd),
+    pairs AS (
+        SELECT wc, s[i] AS a, s[i + 1] AS b
+        FROM sym, UNNEST(generate_series(1, len(s) - 1)) AS t(i)
+    ),
+    counts AS (
+        SELECT a, b, CAST(SUM(wc) AS BIGINT) AS n FROM pairs GROUP BY a, b
+    )
+    SELECT a, b, n FROM counts
+    ORDER BY n DESC, a, b LIMIT 20
+    """,
+)
+def tx_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer learning, round-1 statistic (operators/text.
+    bpe_pair_counts): the 20 most frequent adjacent character pairs over
+    the frequency-weighted distinct-word table — the argmax of this table
+    IS the first learned merge. The corpus collapses to vocabulary size
+    before any per-symbol work, which is the property that makes
+    tokenizer training tractable at 100 TB. (The full merge loop is
+    operators/text.bpe_learn, pytest-pinned; each round re-evaluates
+    exactly this query on the updated symbolization.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        X.bpe_pair_counts(docs)
+        .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+        .limit(20)
+    )

@@ -1204,3 +1204,33 @@ def test_mmr_prefers_diverse_over_redundant(spark):
     got = {r.step: r.vec_id for r in out.collect()}
     assert got[1] == 1          # pure relevance, min-id tiebreak over the dup
     assert got[2] == 3          # diversity beats the redundant duplicate
+
+
+def test_bpe_learn_merges_most_frequent_pair_first(spark):
+    """On a corpus dominated by 'ab', the first merge must be (a, b), and
+    applying it must fuse leftmost-first ('aab' -> ['a', 'ab'])."""
+    from odbc2parquet_spark.operators.text import bpe_apply_merge, bpe_learn
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, "ab ab ab aab cd"), (2, "ab aab cd cd")], ["doc_id", "text"]
+    )
+    merges = bpe_learn(docs, n_merges=2)
+    assert merges[0] == ("a", "b")
+
+    seq = spark.createDataFrame([(["a", "a", "b"],)], ["s"]).select(
+        bpe_apply_merge(F.col("s"), "a", "b").alias("m")
+    )
+    assert seq.collect()[0].m == ["a", "ab"]
+
+
+def test_bpe_apply_merge_no_overlap_double_merge(spark):
+    """'aaa' under merge (a, a) becomes ['aa', 'a'] — the merged symbol
+    must not immediately re-merge with the next raw 'a'."""
+    from odbc2parquet_spark.operators.text import bpe_apply_merge
+    from pyspark.sql import functions as F
+
+    seq = spark.createDataFrame([(["a", "a", "a"],)], ["s"]).select(
+        bpe_apply_merge(F.col("s"), "a", "a").alias("m")
+    )
+    assert seq.collect()[0].m == ["aa", "a"]
