@@ -72,6 +72,7 @@ _PRIORITY = [
     "mm_dhash_pairs",
     "sim_mmr_topk",
     "tx_bpe_pairs",
+    "q_dq_checks",
 ]
 
 

@@ -152,6 +152,7 @@ HEADLINE = [
     "mm_dhash_pairs",
     "sim_mmr_topk",
     "tx_bpe_pairs",
+    "q_dq_checks",
 ]
 
 

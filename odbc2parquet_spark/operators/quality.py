@@ -1,0 +1,141 @@
+"""Declarative data-quality validation (Deequ-style rule engine).
+
+The reference trusts the remote DBMS for integrity; a 100 TB lake has no
+DBMS to trust — constraint checking becomes a pipeline stage. This module
+evaluates a rule list against a table and emits one row per rule:
+(rule, column, n_violations, n_rows, pass_).
+
+Scale design:
+- ``not_null`` / ``in_range`` / ``matches`` rules compile to conditional
+  COUNTs inside ONE aggregate over a single scan — adding a rule adds an
+  expression, not a pass.
+- ``unique`` compiles to one groupBy on the key with a duplicate-row sum
+  (map-side partials; the only shuffle, keyed by the candidate key).
+- ``ref_integrity`` compiles to a left-anti join against the dimension's
+  key set (broadcast when small — dimension keys, not dimension rows).
+Each rule family is a separate job only when it genuinely needs its own
+shuffle topology; the scan-level rules always share one pass.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Rule:
+    kind: str                      # not_null | in_range | matches | unique | ref_integrity
+    column: str                    # checked column (or comma-joined key)
+    lo: float | None = None        # in_range
+    hi: float | None = None       # in_range
+    pattern: str | None = None     # matches
+    ref: DataFrame | None = field(default=None, compare=False)  # ref_integrity
+    ref_col: str | None = None     # ref_integrity
+
+
+def not_null(column: str) -> Rule:
+    return Rule("not_null", column)
+
+
+def in_range(column: str, lo: float, hi: float) -> Rule:
+    return Rule("in_range", column, lo=lo, hi=hi)
+
+
+def matches(column: str, pattern: str) -> Rule:
+    return Rule("matches", column, pattern=pattern)
+
+
+def unique(*columns: str) -> Rule:
+    return Rule("unique", ",".join(columns))
+
+
+def ref_integrity(column: str, ref: DataFrame, ref_col: str) -> Rule:
+    return Rule("ref_integrity", column, ref=ref, ref_col=ref_col)
+
+
+def dq_check(df: DataFrame, rules: list[Rule]) -> DataFrame:
+    """Evaluate every rule; return (rule, column, n_violations, n_rows,
+    pass_) — deterministic, one row per rule in rule order."""
+    spark = df.sparkSession
+    total = F.count(F.lit(1))
+
+    scan_rules = [r for r in rules if r.kind in ("not_null", "in_range", "matches")]
+    results: list[DataFrame] = []
+    if scan_rules:
+        aggs = [total.cast("long").alias("_n_rows")]
+        for i, r in enumerate(scan_rules):
+            c = F.col(r.column)
+            if r.kind == "not_null":
+                bad = c.isNull()
+            elif r.kind == "in_range":
+                bad = c.isNull() | (c < F.lit(r.lo)) | (c > F.lit(r.hi))
+            else:
+                bad = c.isNull() | ~c.rlike(r.pattern)
+            aggs.append(F.sum(bad.cast("long")).cast("long").alias(f"_v{i}"))
+        one = df.agg(*aggs)
+        melted = one.select(
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(r.kind).alias("rule"),
+                        F.lit(r.column).alias("column"),
+                        F.col(f"_v{i}").alias("n_violations"),
+                        F.col("_n_rows").alias("n_rows"),
+                    )
+                    for i, r in enumerate(scan_rules)
+                ])
+            ).alias("s")
+        ).select("s.*")
+        results.append(melted)
+
+    n_rows_df = None
+    for r in rules:
+        if r.kind == "unique":
+            cols = [c.strip() for c in r.column.split(",")]
+            dups = (
+                df.groupBy(*[F.col(c) for c in cols])
+                .agg(F.count("*").alias("_c"))
+                .agg(
+                    F.coalesce(
+                        F.sum(F.when(F.col("_c") > 1, F.col("_c"))), F.lit(0)
+                    )
+                    .cast("long")
+                    .alias("n_violations"),
+                    F.sum("_c").cast("long").alias("n_rows"),
+                )
+            )
+            results.append(
+                dups.select(
+                    F.lit("unique").alias("rule"),
+                    F.lit(r.column).alias("column"),
+                    "n_violations",
+                    "n_rows",
+                )
+            )
+        elif r.kind == "ref_integrity":
+            keys = F.broadcast(
+                r.ref.select(F.col(r.ref_col).alias(r.column)).distinct()
+            )
+            if n_rows_df is None:
+                n_rows_df = df.agg(total.cast("long").alias("n_rows"))
+            orphans = (
+                df.join(keys, r.column, "left_anti")
+                .agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
+                .crossJoin(n_rows_df)
+            )
+            results.append(
+                orphans.select(
+                    F.lit("ref_integrity").alias("rule"),
+                    F.lit(r.column).alias("column"),
+                    "n_violations",
+                    "n_rows",
+                )
+            )
+
+    out = results[0]
+    for r_df in results[1:]:
+        out = out.unionByName(r_df)
+    return out.withColumn("pass_", F.col("n_violations") == 0)

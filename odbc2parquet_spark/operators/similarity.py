@@ -735,16 +735,26 @@ def knn_graph(
     sym = lsh_bucket_pairs(sig, prefix_bits, max_bucket, directed=True).select(
         "id_a", "id_b"
     )
-    v = vectors.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_vec"))
-    a = v.withColumnsRenamed({"_vid": "_a_id", "_vec": "_a_vec"})
-    b = v.withColumnsRenamed({"_vid": "_b_id", "_vec": "_b_vec"})
+    # norms once per NODE before the pair joins — cosine() inline would
+    # re-fold both norms for every candidate pair (3x the flops)
+    v = vectors.select(
+        F.col(id_col).alias("_vid"),
+        F.col(vec_col).alias("_vec"),
+        norm_sq(F.col(vec_col)).alias("_nsq"),
+    )
+    a = v.withColumnsRenamed({"_vid": "_a_id", "_vec": "_a_vec", "_nsq": "_a_nsq"})
+    b = v.withColumnsRenamed({"_vid": "_b_id", "_vec": "_b_vec", "_nsq": "_b_nsq"})
     scored = (
         sym.join(a, sym.id_a == a._a_id)
         .join(b, sym.id_b == b._b_id)
         .select(
             F.col("id_a").alias("vec_id"),
             F.col("id_b").alias("neighbor_id"),
-            F.round(cosine(F.col("_a_vec"), F.col("_b_vec")), 4).alias("cos4"),
+            F.round(
+                dot(F.col("_a_vec"), F.col("_b_vec"))
+                / F.sqrt(F.col("_a_nsq") * F.col("_b_nsq")),
+                4,
+            ).alias("cos4"),
         )
     )
     w = W.partitionBy("vec_id").orderBy(F.desc("cos4"), F.asc("neighbor_id"))

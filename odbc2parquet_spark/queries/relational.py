@@ -1169,3 +1169,67 @@ def q_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_partkey").alias("y"),
     )
     return zorder_bucket_stats(li, "x", "y", bits=10, bucket_bits=6)
+
+
+@query(
+    "q_dq_checks",
+    oracle="""
+    WITH scan AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v0,
+               CAST(SUM(CASE WHEN l_discount IS NULL OR l_discount < 0.0
+                             OR l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+               CAST(SUM(CASE WHEN l_quantity IS NULL OR l_quantity < 1.0
+                             OR l_quantity > 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+               CAST(SUM(CASE WHEN l_returnflag IS NULL
+                             OR NOT regexp_matches(l_returnflag, '^[ARN]$')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS v3
+        FROM lineitem
+    ),
+    uq AS (
+        SELECT CAST(COALESCE(SUM(CASE WHEN c > 1 THEN c END), 0) AS BIGINT)
+                   AS n_violations,
+               CAST(SUM(c) AS BIGINT) AS n_rows
+        FROM (SELECT COUNT(*) AS c FROM lineitem
+              GROUP BY l_orderkey, l_linenumber)
+    ),
+    ri AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_violations
+        FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+    )
+    SELECT 'not_null' AS rule, 'l_orderkey' AS "column", v0 AS n_violations,
+           n_rows, v0 = 0 AS pass_ FROM scan
+    UNION ALL
+    SELECT 'in_range', 'l_discount', v1, n_rows, v1 = 0 FROM scan
+    UNION ALL
+    SELECT 'in_range', 'l_quantity', v2, n_rows, v2 = 0 FROM scan
+    UNION ALL
+    SELECT 'matches', 'l_returnflag', v3, n_rows, v3 = 0 FROM scan
+    UNION ALL
+    SELECT 'unique', 'l_orderkey,l_linenumber', n_violations, n_rows,
+           n_violations = 0 FROM uq
+    UNION ALL
+    SELECT 'ref_integrity', 'l_orderkey', ri.n_violations, scan.n_rows,
+           ri.n_violations = 0 FROM ri, scan
+    """,
+)
+def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate (operators/quality.dq_check): six
+    rules over lineitem — null/range/pattern checks fused into ONE scan
+    aggregate, key uniqueness as one groupBy, referential integrity to
+    orders as one broadcast anti-join. The lakehouse constraint check the
+    reference delegates to the source DBMS (it has one; a 100 TB parquet
+    lake does not)."""
+    from odbc2parquet_spark.operators import quality as Q
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    rules = [
+        Q.not_null("l_orderkey"),
+        Q.in_range("l_discount", 0.0, 0.05),
+        Q.in_range("l_quantity", 1.0, 50.0),
+        Q.matches("l_returnflag", "^[ARN]$"),
+        Q.unique("l_orderkey", "l_linenumber"),
+        Q.ref_integrity("l_orderkey", orders, "o_orderkey"),
+    ]
+    return Q.dq_check(li, rules)

@@ -1234,3 +1234,33 @@ def test_bpe_apply_merge_no_overlap_double_merge(spark):
         bpe_apply_merge(F.col("s"), "a", "a").alias("m")
     )
     assert seq.collect()[0].m == ["aa", "a"]
+
+
+def test_dq_check_counts_violations_per_rule(spark):
+    from odbc2parquet_spark.operators import quality as Q
+
+    df = spark.createDataFrame(
+        [(1, 5.0, "A"), (2, -1.0, "B"), (2, 3.0, None), (4, 99.0, "A")],
+        ["id", "v", "flag"],
+    )
+    dim = spark.createDataFrame([(1,), (2,)], ["k"])
+    out = {
+        (r.rule, r.column): r
+        for r in Q.dq_check(
+            df,
+            [
+                Q.not_null("flag"),
+                Q.in_range("v", 0.0, 10.0),
+                Q.matches("flag", "^[AB]$"),
+                Q.unique("id"),
+                Q.ref_integrity("id", dim, "k"),
+            ],
+        ).collect()
+    }
+    assert out[("not_null", "flag")].n_violations == 1
+    assert out[("in_range", "v")].n_violations == 2      # -1.0 and 99.0
+    assert out[("matches", "flag")].n_violations == 1    # the NULL flag
+    assert out[("unique", "id")].n_violations == 2       # both id=2 rows
+    assert out[("ref_integrity", "id")].n_violations == 1  # id=4
+    assert not out[("unique", "id")].pass_
+    assert all(r.n_rows == 4 for r in out.values())
