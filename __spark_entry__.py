@@ -73,6 +73,7 @@ _PRIORITY = [
     "sim_mmr_topk",
     "tx_bpe_pairs",
     "q_dq_checks",
+    "ev_agg_merge",
 ]
 
 

@@ -153,6 +153,7 @@ HEADLINE = [
     "sim_mmr_topk",
     "tx_bpe_pairs",
     "q_dq_checks",
+    "ev_agg_merge",
 ]
 
 

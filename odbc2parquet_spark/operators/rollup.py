@@ -127,3 +127,43 @@ def resample_forward_fill(
             F.col("bucket_last").isNotNull().alias("observed"),
         )
     )
+
+
+def partial_agg_state(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Mergeable aggregate state per key: (n, s, mn, mx) with the sum on
+    exact decimals so merge order can never change the value.
+
+    This is the materialized-view / continuous-aggregate building block:
+    persist the state, and refreshing under new data is a state MERGE
+    (:func:`merge_agg_states`), not a recompute over history — the
+    difference between touching one day and touching 100 TB.
+    """
+    v = F.col(value_col)
+    return df.groupBy(*keys).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(v.cast("decimal(28,6)")).alias("s"),
+        F.min(v).alias("mn"),
+        F.max(v).alias("mx"),
+    )
+
+
+def merge_agg_states(a: DataFrame, b: DataFrame, keys: list[str]) -> DataFrame:
+    """Merge two partial-aggregate states: counts and decimal sums add,
+    min/max fold — the same algebra Spark's own partial aggregation uses
+    map-side, lifted to table level. Associative and commutative, so any
+    number of increments in any order equals the full recompute (the
+    property ev_agg_merge's oracle verifies by recomputing from scratch)."""
+    return (
+        a.unionByName(b)
+        .groupBy(*keys)
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("s").alias("s"),
+            F.min("mn").alias("mn"),
+            F.max("mx").alias("mx"),
+        )
+    )

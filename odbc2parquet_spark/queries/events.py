@@ -822,3 +822,50 @@ def ev_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return skew_profile(ev, "user_id", top_n=5, parallelism=32)
+
+
+@query(
+    "ev_agg_merge",
+    oracle="""
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def ev_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view refresh (operators/rollup.
+    partial_agg_state + merge_agg_states): history and the newest 7 days
+    are aggregated SEPARATELY, then state-merged. The oracle recomputes
+    from scratch — a hash match proves the merge algebra (count/decimal-
+    sum/min/max) is exactly refresh-equivalent, the property that lets a
+    100 TB continuous aggregate touch only the new partition."""
+    from odbc2parquet_spark.operators.rollup import (
+        merge_agg_states,
+        partial_agg_state,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd")
+    )
+    cutoff = ev.agg(F.date_sub(F.max(F.to_date("day")), 7).alias("c"))
+    ev2 = ev.crossJoin(F.broadcast(cutoff))
+    hist = ev2.filter(F.to_date("day") < F.col("c")).drop("c")
+    fresh = ev2.filter(F.to_date("day") >= F.col("c")).drop("c")
+    keys = ["day", "event_type"]
+    merged = merge_agg_states(
+        partial_agg_state(hist, keys, "value"),
+        partial_agg_state(fresh, keys, "value"),
+        keys,
+    )
+    return merged.select(
+        "day",
+        "event_type",
+        "n",
+        F.col("s").cast("double").alias("total_value"),
+        F.col("mn").alias("min_value"),
+        F.col("mx").alias("max_value"),
+    )

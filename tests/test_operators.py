@@ -1264,3 +1264,28 @@ def test_dq_check_counts_violations_per_rule(spark):
     assert out[("ref_integrity", "id")].n_violations == 1  # id=4
     assert not out[("unique", "id")].pass_
     assert all(r.n_rows == 4 for r in out.values())
+
+
+def test_merge_agg_states_equals_full_recompute(spark):
+    """Splitting a table arbitrarily and merging partial states must equal
+    aggregating the whole — in any split, including empty sides."""
+    from odbc2parquet_spark.operators.rollup import (
+        merge_agg_states, partial_agg_state,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("a", 1.5), ("a", 2.5), ("b", -1.0), ("b", 7.0), ("a", 0.0)],
+        ["k", "v"],
+    )
+    full = {r.k: r for r in partial_agg_state(df, ["k"], "v").collect()}
+    merged = merge_agg_states(
+        partial_agg_state(df.filter("v > 1"), ["k"], "v"),
+        partial_agg_state(df.filter("v <= 1"), ["k"], "v"),
+        ["k"],
+    )
+    got = {r.k: r for r in merged.collect()}
+    for k in full:
+        assert got[k].n == full[k].n
+        assert got[k].s == full[k].s
+        assert got[k].mn == full[k].mn and got[k].mx == full[k].mx
