@@ -74,6 +74,7 @@ _PRIORITY = [
     "tx_bpe_pairs",
     "q_dq_checks",
     "ev_agg_merge",
+    "ev_resample_interp",
 ]
 
 

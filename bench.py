@@ -154,6 +154,7 @@ HEADLINE = [
     "tx_bpe_pairs",
     "q_dq_checks",
     "ev_agg_merge",
+    "ev_resample_interp",
 ]
 
 

@@ -167,3 +167,70 @@ def merge_agg_states(a: DataFrame, b: DataFrame, keys: list[str]) -> DataFrame:
             F.max("mx").alias("mx"),
         )
     )
+
+
+def resample_interpolate(
+    events: DataFrame,
+    bucket_seconds: int = 86400,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Regular-grid resampling with LINEAR interpolation: gap buckets get
+    ``vp + (vn - vp) * (b - bp) / (bn - bp)`` between the neighboring
+    observations; leading/trailing gaps fall back to back/forward fill.
+    The time-series twin of :func:`resample_forward_fill` for signals
+    where a step function distorts (sensor feeds, rates).
+
+    Same scale shape: per-key bounds -> exploded grid, one map-side
+    last-write-wins per bucket, then two bounded per-key windows (running
+    last backward, running first forward). The interpolation itself is
+    arithmetic on already-joined rows — no extra shuffle.
+    """
+    base = resample_forward_fill(
+        events, bucket_seconds, key_col, ts_col, value_col, id_col
+    ).select(
+        F.col(key_col).alias("key"),
+        "bucket",
+        F.when(F.col("observed"), F.col("filled_value")).alias("obs_v"),
+        "observed",
+    )
+    from pyspark.sql import Window
+
+    w_back = (
+        Window.partitionBy("key").orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_fwd = (
+        Window.partitionBy("key").orderBy("bucket")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_bucket = F.when(F.col("observed"), F.col("bucket"))
+    stepped = (
+        base.withColumn("vp", F.last("obs_v", ignorenulls=True).over(w_back))
+        .withColumn("bp", F.last(obs_bucket, ignorenulls=True).over(w_back))
+        .withColumn("vn", F.first("obs_v", ignorenulls=True).over(w_fwd))
+        .withColumn("bn", F.first(obs_bucket, ignorenulls=True).over(w_fwd))
+    )
+    interp = F.col("vp") + (F.col("vn") - F.col("vp")) * (
+        (F.col("bucket") - F.col("bp")) / (F.col("bn") - F.col("bp"))
+    )
+    value = (
+        F.when(F.col("observed"), F.col("obs_v"))
+        .when(F.col("bp").isNull(), F.col("vn"))
+        .when(F.col("bn").isNull(), F.col("vp"))
+        .otherwise(interp)
+    )
+    kind = (
+        F.when(F.col("observed"), F.lit("observed"))
+        .when(F.col("bp").isNull(), F.lit("bfill"))
+        .when(F.col("bn").isNull(), F.lit("ffill"))
+        .otherwise(F.lit("interp"))
+    )
+    return stepped.select(
+        F.col("key").alias(key_col),
+        "bucket",
+        F.round(value, 6).alias("value"),
+        kind.alias("kind"),
+    )

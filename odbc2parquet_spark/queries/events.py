@@ -869,3 +869,69 @@ def ev_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mn").alias("min_value"),
         F.col("mx").alias("max_value"),
     )
+
+
+@query(
+    "ev_resample_interp",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id AS key, epoch_us(ts) AS ts_us, event_id AS id, value AS v,
+               CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT) AS bucket
+        FROM events
+    ),
+    bounds AS (SELECT key, MIN(bucket) AS b0, MAX(bucket) AS b1 FROM ev GROUP BY key),
+    grid AS (
+        SELECT key, CAST(t.b AS BIGINT) AS bucket
+        FROM bounds, UNNEST(generate_series(b0, b1)) AS t(b)
+    ),
+    per_bucket AS (
+        SELECT key, bucket, v AS obs_v FROM (
+            SELECT key, bucket, v,
+                   ROW_NUMBER() OVER (PARTITION BY key, bucket
+                                      ORDER BY ts_us DESC, id DESC) AS rn
+            FROM ev
+        ) WHERE rn = 1
+    ),
+    g AS (
+        SELECT grid.key, grid.bucket, p.obs_v,
+               p.obs_v IS NOT NULL AS observed
+        FROM grid LEFT JOIN per_bucket p
+          ON p.key = grid.key AND p.bucket = grid.bucket
+    ),
+    st AS (
+        SELECT key, bucket, obs_v, observed,
+               LAST_VALUE(obs_v IGNORE NULLS) OVER wb AS vp,
+               LAST_VALUE(CASE WHEN observed THEN bucket END IGNORE NULLS)
+                   OVER wb AS bp,
+               FIRST_VALUE(obs_v IGNORE NULLS) OVER wf AS vn,
+               FIRST_VALUE(CASE WHEN observed THEN bucket END IGNORE NULLS)
+                   OVER wf AS bn
+        FROM g
+        WINDOW wb AS (PARTITION BY key ORDER BY bucket
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wf AS (PARTITION BY key ORDER BY bucket
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT key AS user_id, bucket,
+           ROUND(CASE WHEN observed THEN obs_v
+                      WHEN bp IS NULL THEN vn
+                      WHEN bn IS NULL THEN vp
+                      ELSE vp + (vn - vp) * ((bucket - bp) / (bn - bp))
+                 END, 6) AS value,
+           CASE WHEN observed THEN 'observed'
+                WHEN bp IS NULL THEN 'bfill'
+                WHEN bn IS NULL THEN 'ffill'
+                ELSE 'interp' END AS kind
+    FROM st
+    """,
+)
+def ev_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-grid resampling with LINEAR interpolation per user
+    (operators/rollup.resample_interpolate): gap buckets take the
+    straight line between neighboring observations (exact integer bucket
+    ratio, so both engines agree bit-for-bit); leading/trailing gaps
+    back/forward fill."""
+    from odbc2parquet_spark.operators.rollup import resample_interpolate
+
+    ev = load_table(spark, sf_dir, "events")
+    return resample_interpolate(ev, bucket_seconds=86400)

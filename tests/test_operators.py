@@ -1289,3 +1289,23 @@ def test_merge_agg_states_equals_full_recompute(spark):
         assert got[k].n == full[k].n
         assert got[k].s == full[k].s
         assert got[k].mn == full[k].mn and got[k].mx == full[k].mx
+
+
+def test_resample_interpolate_straight_line_and_edges(spark):
+    """Observations at buckets 0 (v=10) and 3 (v=40): buckets 1 and 2 get
+    20 and 30; a leading gap before the first observation backfills."""
+    import datetime
+    from odbc2parquet_spark.operators.rollup import resample_interpolate
+
+    day = 86400
+    rows = [
+        (1, 7, datetime.datetime(2024, 1, 1), 10.0),
+        (2, 7, datetime.datetime(2024, 1, 4), 40.0),
+    ]
+    ev = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "value"])
+    out = {r.bucket - 19723: (r.value, r.kind)
+           for r in resample_interpolate(ev, bucket_seconds=day).collect()}
+    assert out[0] == (10.0, "observed")
+    assert out[1] == (20.0, "interp")
+    assert out[2] == (30.0, "interp")
+    assert out[3] == (40.0, "observed")
