@@ -75,6 +75,7 @@ _PRIORITY = [
     "q_dq_checks",
     "ev_agg_merge",
     "ev_resample_interp",
+    "dd_lsh_recall",
 ]
 
 

@@ -789,3 +789,73 @@ def dd_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the hash of each surviving token sequence is emitted."""
     docs = load_table(spark, sf_dir, "documents")
     return D.span_scrub(docs, n=5)
+
+
+@query(
+    "dd_lsh_recall",
+    oracle="WITH "
+    + _SHINGLES_CTE.format(where="")
+    + f""",
+    sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+    inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS common
+        FROM sh a JOIN sh b ON a.g = b.g AND a.id < b.id
+        GROUP BY a.id, b.id
+    ),
+    truth AS (
+        SELECT id_a, id_b FROM inter
+        JOIN sizes sa ON sa.id = id_a
+        JOIN sizes sb ON sb.id = id_b
+        WHERE common / (sa.n + sb.n - common) >= 0.5
+    ),
+    sig AS (
+        SELECT id, {', '.join(_minhash_min(j) for j in range(8))}
+        FROM sh GROUP BY id
+    ),
+    bands AS (
+        SELECT id, 0 AS band, mh0 || '_' || mh1 AS key FROM sig
+        UNION ALL SELECT id, 1, mh2 || '_' || mh3 FROM sig
+        UNION ALL SELECT id, 2, mh4 || '_' || mh5 FROM sig
+        UNION ALL SELECT id, 3, mh6 || '_' || mh7 FROM sig
+    ),
+    bands_capped AS (
+        SELECT id, band, key FROM bands
+        QUALIFY COUNT(*) OVER (PARTITION BY band, key) <= 1000
+    ),
+    cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM bands_capped a
+        JOIN bands_capped b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+    ),
+    hit AS (SELECT t.id_a, t.id_b FROM truth t JOIN cand c
+            ON c.id_a = t.id_a AND c.id_b = t.id_b)
+    SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_true,
+           CAST((SELECT COUNT(*) FROM hit) AS BIGINT) AS n_found,
+           ROUND(CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
+                 / GREATEST((SELECT COUNT(*) FROM truth), 1), 4) AS recall
+    """,
+)
+def dd_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured candidate recall of the MinHash-LSH banding (4 bands x 2
+    rows) against the exact all-pairs Jaccard >= 0.5 ground truth — the
+    dedup twin of sim_candidate_recall. The all-pairs side is the bounded
+    VERIFICATION operator (oracle-scale only); the banding side is the
+    linear scale path whose recall this certifies."""
+    sh = D.word_shingles(docs := load_table(spark, sf_dir, "documents"), 3)
+    truth = D.jaccard_pairs(sh, threshold=0.5).select("id_a", "id_b")
+    sig = D.minhash_signatures(D.word_shingle_stream(docs, 3), num_hashes=8)
+    cand = D.lsh_candidate_pairs(sig, bands=4, rows_per_band=2).select(
+        "id_a", "id_b"
+    )
+    hit = truth.join(cand, ["id_a", "id_b"], "left_semi")
+    n_true = truth.agg(F.count("*").cast("long").alias("n_true"))
+    n_found = hit.agg(F.count("*").cast("long").alias("n_found"))
+    return n_true.crossJoin(n_found).select(
+        "n_true",
+        "n_found",
+        F.round(
+            F.col("n_found").cast("double")
+            / F.greatest(F.col("n_true"), F.lit(1)),
+            4,
+        ).alias("recall"),
+    )
