@@ -51,6 +51,16 @@ BOUNDED_CROSS_OK = {
     "tx_bm25_topk",          # 1-row avgdl/n_docs stats broadcast
     "sim_ivf_refine",        # corpus x 16 centroids assign feeding the
                              # decimal-exact Lloyd mean
+    # round 4 additions — every cross side is a 1-row aggregate or a
+    # probe-bounded candidate set, never corpus x corpus:
+    "q_zorder_cluster",      # 1-row min/max stats broadcast for the range cells
+    "ev_skew_profile",       # 1-row (n_keys, total) broadcast onto 5 hot keys
+    "ev_agg_merge",          # 1-row refresh-cutoff broadcast
+    "q_dq_checks",           # 1-row row-count broadcast onto the RI orphan count
+    "sim_mmr_topk",          # probe x corpus brute-force candidates (broadcast
+                             # probes) + k_cand^2-per-probe pairwise sims
+    "dd_lsh_recall",         # all-pairs exact-Jaccard GROUND TRUTH (the bounded
+                             # verification side) + 1x1 summary cross
 }
 ALL_PAIRS_OK |= BOUNDED_CROSS_OK
 
