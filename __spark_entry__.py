@@ -76,6 +76,7 @@ _PRIORITY = [
     "ev_agg_merge",
     "ev_resample_interp",
     "dd_lsh_recall",
+    "dd_group_split",
 ]
 
 

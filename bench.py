@@ -155,6 +155,7 @@ HEADLINE = [
     "q_dq_checks",
     "ev_agg_merge",
     "ev_resample_interp",
+    "dd_group_split",
 ]
 
 

@@ -859,3 +859,81 @@ def dd_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("recall"),
     )
+
+
+@query(
+    "dd_group_split",
+    oracle="WITH RECURSIVE "
+    + _SHINGLES_CTE.format(where="").lstrip()
+    + f""",
+    sig AS (
+        SELECT id, {', '.join(_minhash_min(j) for j in range(8))}
+        FROM sh GROUP BY id
+    ),
+    bands AS (
+        SELECT id, 0 AS band, mh0 || '_' || mh1 AS key FROM sig
+        UNION ALL SELECT id, 1, mh2 || '_' || mh3 FROM sig
+        UNION ALL SELECT id, 2, mh4 || '_' || mh5 FROM sig
+        UNION ALL SELECT id, 3, mh6 || '_' || mh7 FROM sig
+    ),
+    bands_capped AS (
+        SELECT id, band, key FROM bands
+        QUALIFY COUNT(*) OVER (PARTITION BY band, key) <= 1000
+    ),
+    cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM bands_capped a
+        JOIN bands_capped b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+    ),
+    sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+    common AS (
+        SELECT c.id_a, c.id_b, COUNT(*) AS common
+        FROM cand c
+        JOIN sh a ON a.id = c.id_a
+        JOIN sh b ON b.id = c.id_b AND b.g = a.g
+        GROUP BY c.id_a, c.id_b
+    ),
+    dup_pairs AS (
+        SELECT id_a, id_b FROM common
+        JOIN sizes sa ON sa.id = id_a
+        JOIN sizes sb ON sb.id = id_b
+        WHERE common / (sa.n + sb.n - common) >= 0.5
+    ),
+    sym AS (SELECT id_a AS src, id_b AS dst FROM dup_pairs
+            UNION SELECT id_b, id_a FROM dup_pairs),
+    cc(id, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT s.dst, c.label FROM cc c JOIN sym s ON s.src = c.id
+    ),
+    clusters AS (SELECT id, MIN(label) AS cluster_id FROM cc GROUP BY id)
+    SELECT c.id AS doc_id, c.cluster_id,
+           CASE WHEN CAST('0x' || substring(md5(CAST(c.cluster_id AS VARCHAR)),
+                                            1, 15) AS BIGINT) % 10 < 9
+                THEN 'train' ELSE 'val' END AS split
+    FROM clusters c
+    """,
+)
+def dd_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val split: near-dup CLUSTERS (MinHash-LSH pairs
+    -> connected components), then a deterministic hash split keyed on
+    the CLUSTER id — every near-duplicate lands on the same side, so the
+    eval set cannot contain paraphrases of training documents (the
+    contamination mode a doc-level split misses). 90/10 by md5 of the
+    cluster label; the oracle recomputes pipeline + components + split
+    end-to-end."""
+    from odbc2parquet_spark.operators.graph import duplicate_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_near_duplicates(docs, threshold=0.5).select("id_a", "id_b")
+    clusters = duplicate_clusters(
+        docs.select(F.col("doc_id").alias("id")), pairs
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    return clusters.select(
+        F.col("id").alias("doc_id"),
+        "cluster_id",
+        F.when(h % 10 < 9, F.lit("train")).otherwise(F.lit("val")).alias("split"),
+    )

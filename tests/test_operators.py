@@ -1309,3 +1309,22 @@ def test_resample_interpolate_straight_line_and_edges(spark):
     assert out[1] == (20.0, "interp")
     assert out[2] == (30.0, "interp")
     assert out[3] == (40.0, "observed")
+
+
+def test_group_split_never_straddles_duplicate_pairs(spark, sf_dir):
+    """No near-dup pair may land in different splits — the leak count the
+    cluster-keyed split exists to make zero."""
+    from odbc2parquet_spark.queries import QUERIES
+    from odbc2parquet_spark.operators import dedup as D
+    from odbc2parquet_spark.catalog import load_table
+
+    split = QUERIES["dd_group_split"](spark, sf_dir).select("doc_id", "split")
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_near_duplicates(docs, threshold=0.5).select("id_a", "id_b")
+    a = split.withColumnsRenamed({"doc_id": "id_a", "split": "sa"})
+    b = split.withColumnsRenamed({"doc_id": "id_b", "split": "sb"})
+    leaks = pairs.join(a, "id_a").join(b, "id_b").filter("sa != sb").count()
+    assert leaks == 0
+    sizes = {r.split: r.n for r in split.groupBy("split").agg(
+        __import__("pyspark").sql.functions.count("*").alias("n")).collect()}
+    assert sizes.get("train", 0) > sizes.get("val", 0) > 0
