@@ -77,6 +77,7 @@ _PRIORITY = [
     "ev_resample_interp",
     "dd_lsh_recall",
     "dd_group_split",
+    "q_bloom_semi_join",
 ]
 
 

@@ -156,6 +156,7 @@ HEADLINE = [
     "ev_agg_merge",
     "ev_resample_interp",
     "dd_group_split",
+    "q_bloom_semi_join",
 ]
 
 

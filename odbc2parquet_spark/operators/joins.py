@@ -185,3 +185,65 @@ def skew_profile(df: DataFrame, key_col: str, top_n: int = 5, parallelism: int =
             .alias("suggested_salt"),
         )
     )
+
+
+def bloom_semi_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    m_bits: int = 4096,
+    k: int = 3,
+) -> DataFrame:
+    """Semi-join with a Bloom runtime filter: build a compact bitset from
+    the small side's keys, pre-filter the big side AT THE SCAN (broadcast
+    bitset words, no shuffle), then the exact semi-join removes the Bloom
+    false positives. Result is EXACTLY ``big`` semi-join ``small`` — the
+    Bloom stage only changes how many big-side rows survive to the real
+    join's exchange.
+
+    This is the optimization that matters at 100 TB: the big side's
+    shuffle volume drops to (true matches + false-positive rate), while
+    the filter itself costs one broadcast of m_bits/32 longs. Spark's own
+    runtime-filter rule does this opportunistically; making it an
+    explicit operator pins the semantics and lets the pipeline author
+    size m for the expected key cardinality.
+
+    Hash family: md5 two-hash (h1 + j*h2) mod m — the oracle-reproducible
+    family every sketch in this repo uses.
+    """
+    def positions(key_col: F.Column) -> F.Column:
+        hexd = F.md5(key_col.cast("string"))
+        h1 = F.conv(F.substring(hexd, 1, 15), 16, 10).cast("long")
+        h2 = F.conv(F.substring(hexd, 16, 15), 16, 10).cast("long")
+        return F.array(*[((h1 + F.lit(j) * h2) % m_bits) for j in range(k)])
+
+    bloom = (
+        small.select(F.explode(positions(F.col(small_key))).alias("p"))
+        .select(
+            (F.col("p") / 32).cast("long").alias("word"),
+            F.expr("shiftleft(1L, cast(p % 32 as int))").alias("b"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("b").alias("bits"))
+    )
+    probe = big.withColumn("_pos", positions(F.col(big_key)))
+    hit = (
+        probe.select("*", F.explode("_pos").alias("p"))
+        .withColumn("word", (F.col("p") / 32).cast("long"))
+        .join(F.broadcast(bloom), "word", "left_outer")
+        .withColumn(
+            "_set",
+            (
+                F.coalesce(F.col("bits"), F.lit(0))
+                .bitwiseAND(F.expr("shiftleft(1L, cast(p % 32 as int))"))
+                != 0
+            ).cast("int"),
+        )
+        .groupBy(*big.columns)
+        .agg(F.min("_set").alias("_all_set"))
+        .filter(F.col("_all_set") == 1)
+        .drop("_all_set", "_pos")
+    )
+    keys = small.select(F.col(small_key).alias(big_key)).distinct()
+    return hit.join(keys, big_key, "left_semi")

@@ -1233,3 +1233,28 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         Q.ref_integrity("l_orderkey", orders, "o_orderkey"),
     ]
     return Q.dq_check(li, rules)
+
+
+@query(
+    "q_bloom_semi_join",
+    oracle="""
+    SELECT o_orderkey, o_custkey FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer
+                        WHERE c_mktsegment = 'BUILDING')
+    """,
+)
+def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filtered semi-join (operators/joins.bloom_semi_join):
+    orders of BUILDING-segment customers, with a broadcast Bloom bitset
+    (built from the customer keys) pruning the fact side BEFORE the
+    exact join's exchange. Result is plan-provably identical to the
+    plain semi-join — the oracle IS the plain semi-join — while at
+    100 TB the fact shuffle carries matches + epsilon instead of the
+    whole table."""
+    from odbc2parquet_spark.operators.joins import bloom_semi_join
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    return bloom_semi_join(orders, cust, "o_custkey", "c_custkey")

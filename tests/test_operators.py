@@ -1328,3 +1328,16 @@ def test_group_split_never_straddles_duplicate_pairs(spark, sf_dir):
     sizes = {r.split: r.n for r in split.groupBy("split").agg(
         __import__("pyspark").sql.functions.count("*").alias("n")).collect()}
     assert sizes.get("train", 0) > sizes.get("val", 0) > 0
+
+
+def test_bloom_semi_join_equals_plain_semi_join(spark):
+    """Bloom pre-filter must not change semantics: exact equality with the
+    plain semi-join, including keys that hash-collide into the filter."""
+    from odbc2parquet_spark.operators.joins import bloom_semi_join
+
+    big = spark.createDataFrame([(i, f"r{i}") for i in range(500)], ["k", "v"])
+    small = spark.createDataFrame([(i * 7,) for i in range(20)], ["sk"])
+    got = sorted(r.k for r in bloom_semi_join(big, small, "k", "sk", m_bits=256).collect())
+    want = sorted(r.k for r in big.join(
+        small.withColumnsRenamed({"sk": "k"}), "k", "left_semi").collect())
+    assert got == want and len(got) == 20
