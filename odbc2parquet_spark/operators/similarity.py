@@ -937,6 +937,7 @@ def semantic_dedup_cells(
     )
 
 
+
 def mmr_rerank(
     vectors: DataFrame,
     queries: DataFrame,
@@ -953,103 +954,107 @@ def mmr_rerank(
     retrieval-augmented training-data selection).
 
     Scale shape: candidate generation is the broadcast-probe top-k scan
-    (corpus never shuffles); everything after operates on k_cand rows per
-    probe. The pairwise candidate-similarity matrix is a per-probe
-    equi-join (k_cand^2 rows per probe, NOT corpus-quadratic), and the
-    greedy loop is UNROLLED into k_sel declarative argmax steps — each a
-    lexicographic struct max with map-side partials, no window, no UDF,
-    no driver round-trip. All similarities are rounded to 4 decimals
-    before any comparison so independent engines agree; lam = 0.5 makes
-    the score arithmetic exact in binary floating point.
+    (corpus never shuffles); then each probe's candidates COLLAPSE TO ONE
+    ROW (an array of k_cand (id, rel, emb, nsq) structs) and the entire
+    greedy loop runs as row-level higher-order expressions — unrolled
+    into ``k_sel`` chained projections, each a fold-argmax over the
+    remaining candidates with the pairwise cosine computed inline. No
+    joins after the one collect_list groupBy, no windows, no UDF, no
+    recomputation: the plan is scan -> shuffle(probe) -> k_sel narrow
+    projections. (A join-per-step formulation measured 70 shuffle
+    exchanges for the same semantics; this is the idiomatic Spark shape
+    for bounded per-group iterative algorithms.) All similarities round
+    to 4 decimals before any comparison so independent engines agree;
+    lam = 0.5 keeps the score arithmetic exact in binary floating point.
 
     Emits (query_id, step, vec_id, score): step 1 score = relevance,
     later steps the MMR objective (rounded to 6).
     """
-    ranked = brute_force_topk(vectors, queries, k=k_cand, id_col=id_col, vec_col=vec_col)
-    cand = ranked.select(
-        F.col("query_id").alias("p"),
+    ranked = brute_force_topk(
+        vectors, queries, k=k_cand, id_col=id_col, vec_col=vec_col
+    )
+    cembs = ranked.join(
+        vectors.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("emb"),
+            norm_sq(F.col(vec_col)).alias("nsq"),
+        ),
+        "neighbor_id",
+    )
+    # one row per probe: candidates sorted by (rel DESC, id ASC) — struct
+    # sort is lexicographic, so negate rel for the descending component
+    cand_struct = F.struct(
+        (-F.col("cosine4")).alias("nr"),
         F.col("neighbor_id").alias("c"),
         F.col("cosine4").alias("rel"),
+        F.col("emb").alias("emb"),
+        F.col("nsq").alias("nsq"),
     )
-    cembs = cand.join(
-        vectors.select(F.col(id_col).alias("c"), F.col(vec_col).alias("emb")), "c"
-    ).select("p", "c", "rel", "emb")
-    a, b = cembs.alias("a"), cembs.alias("b")
-    # disjoint column names (sp/c1/c2/s) so the repeated joins below never
-    # collide with the state frame's (p, c, rel, m)
-    sims = (
-        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.c") != F.col("b.c")))
-        .select(
-            F.col("a.p").alias("sp"),
-            F.col("a.c").alias("c1"),
-            F.col("b.c").alias("c2"),
-            F.round(cosine(F.col("a.emb"), F.col("b.emb")), 4).alias("s"),
-        )
+    per_probe = cembs.groupBy("query_id").agg(
+        F.array_sort(F.collect_list(cand_struct)).alias("C")
     )
 
-    def argmax(df: DataFrame, score: F.Column) -> DataFrame:
-        """Per-probe argmax with min-id tiebreak, via lexicographic struct
-        max (map-side partial aggregation; no window)."""
-        pick = F.max(F.struct(score.alias("sc"), (-F.col("c")).alias("negc")))
-        return df.groupBy("p").agg(pick.alias("m")).select(
-            "p",
-            (-F.col("m.negc")).alias("sel_c"),
-            F.col("m.sc").alias("sel_score"),
+    def pair_cos(x: F.Column, s: F.Column) -> F.Column:
+        return F.round(
+            dot(x["emb"], s["emb"]) / F.sqrt(x["nsq"] * s["nsq"]), 4
         )
 
-    out = []
-    # step 1: pure relevance
-    sel = argmax(cand, F.col("rel"))
-    out.append(
-        sel.select(
-            F.col("p").alias("query_id"),
+    def mmr_score(x: F.Column, selected: F.Column) -> F.Column:
+        m = F.array_max(F.transform(selected, lambda s: pair_cos(x, s)))
+        return F.round(F.lit(lam) * x["rel"] - F.lit(1 - lam) * m, 6)
+
+    def argmax_step(c_col: F.Column, selected: F.Column) -> F.Column:
+        """Fold-argmax over candidates not yet selected: returns
+        struct(score, cand) with min-id tiebreak (order-independent)."""
+        remaining = F.filter(
+            c_col,
+            lambda x: ~F.exists(selected, lambda s: s["c"] == x["c"]),
+        )
+        zero = F.struct(
+            F.lit(-1e308).alias("score"),
+            F.when(F.lit(False), F.element_at(c_col, 1)).alias("cand"),
+        )
+
+        def merge(acc: F.Column, x: F.Column) -> F.Column:
+            sx = mmr_score(x, selected)
+            better = (sx > acc["score"]) | (
+                (sx == acc["score"]) & (x["c"] < acc["cand"]["c"])
+            )
+            return F.when(
+                better, F.struct(sx.alias("score"), x.alias("cand"))
+            ).otherwise(acc)
+
+        return F.aggregate(remaining, zero, merge)
+
+    df = per_probe.withColumn("sel1", F.element_at(F.col("C"), 1))
+    df = df.withColumn("S1", F.array(F.col("sel1")))
+    outputs = [
+        F.struct(
             F.lit(1).alias("step"),
-            F.col("sel_c").cast("long").alias("vec_id"),
-            F.round(F.col("sel_score"), 6).alias("score"),
+            F.col("sel1")["c"].alias("vec_id"),
+            F.round(F.col("sel1")["rel"], 6).alias("score"),
         )
-    )
-    # running state: unselected candidates with max-sim-to-selected
-    state = (
-        cand.join(sel, "p")
-        .filter(F.col("c") != F.col("sel_c"))
-        .join(
-            sims,
-            (F.col("p") == F.col("sp"))
-            & (F.col("c") == F.col("c1"))
-            & (F.col("sel_c") == F.col("c2")),
-        )
-        .select("p", "c", "rel", F.col("s").alias("m"))
-    )
+    ]
     for t in range(2, k_sel + 1):
-        score = F.round(F.lit(lam) * F.col("rel") - F.lit(1 - lam) * F.col("m"), 6)
-        stepped = state.withColumn("mmr", score)
-        sel = argmax(stepped, F.col("mmr"))
-        out.append(
-            sel.select(
-                F.col("p").alias("query_id"),
+        df = df.withColumn(f"best{t}", argmax_step(F.col("C"), F.col(f"S{t - 1}")))
+        df = df.withColumn(
+            f"S{t}",
+            F.concat(F.col(f"S{t - 1}"), F.array(F.col(f"best{t}")["cand"])),
+        )
+        outputs.append(
+            F.struct(
                 F.lit(t).alias("step"),
-                F.col("sel_c").cast("long").alias("vec_id"),
-                F.col("sel_score").alias("score"),
+                F.col(f"best{t}")["cand"]["c"].alias("vec_id"),
+                F.col(f"best{t}")["score"].alias("score"),
             )
         )
-        if t < k_sel:
-            state = (
-                stepped.join(sel, "p")
-                .filter(F.col("c") != F.col("sel_c"))
-                .join(
-                    sims,
-                    (F.col("p") == F.col("sp"))
-                    & (F.col("c") == F.col("c1"))
-                    & (F.col("sel_c") == F.col("c2")),
-                )
-                .select(
-                    "p",
-                    "c",
-                    "rel",
-                    F.greatest(F.col("m"), F.col("s")).alias("m"),
-                )
-            )
-    result = out[0]
-    for df in out[1:]:
-        result = result.unionByName(df)
-    return result
+    return (
+        df.select("query_id", F.explode(F.array(*outputs)).alias("o"))
+        .select(
+            "query_id",
+            F.col("o.step").alias("step"),
+            F.col("o.vec_id").cast("long").alias("vec_id"),
+            F.col("o.score").alias("score"),
+        )
+        .filter(F.col("vec_id").isNotNull())
+    )
