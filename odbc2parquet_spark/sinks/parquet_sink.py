@@ -300,50 +300,6 @@ def _write_with_encodings(
     return sorted(r.file for r in files)
 
 
-def zorder_value(
-    df: DataFrame, cols: tuple[str, str], bits: int = 16
-) -> DataFrame:
-    """Append a ``_zorder_`` column interleaving the bits of two keys.
-
-    Each key is min-max scaled to a ``bits``-bit integer (one tiny global
-    agg broadcast back), then the classic Morton interleave packs both
-    into one long — sorting by it clusters rows so that a file's min/max
-    stats are NARROW IN BOTH DIMENSIONS at once, which single-key range
-    clustering cannot do. Two-predicate scans then skip most files on
-    footer stats (the lakehouse OPTIMIZE ZORDER layout, here as a plain
-    column expression).
-    """
-    a, b = cols
-    stats = df.agg(
-        F.min(a).alias("_amin"), F.max(a).alias("_amax"),
-        F.min(b).alias("_bmin"), F.max(b).alias("_bmax"),
-    )
-    j = df.join(F.broadcast(stats))
-    top = (1 << bits) - 1
-    scale = lambda c, lo, hi: F.least(  # noqa: E731
-        F.lit(top),
-        F.floor(
-            (F.col(c).cast("double") - F.col(lo))
-            / (F.greatest(F.col(hi) - F.col(lo), F.lit(1e-12)))
-            * top
-        ).cast("long"),
-    )
-    xa, xb = scale(a, "_amin", "_amax"), scale(b, "_bmin", "_bmax")
-    z = None
-    for i in range(bits):
-        term = (
-            F.expr(f"shiftleft(shiftright(_xa_, {i}) & 1, {2 * i})")
-            + F.expr(f"shiftleft(shiftright(_xb_, {i}) & 1, {2 * i + 1})")
-        )
-        z = term if z is None else z + term
-    return (
-        j.withColumn("_xa_", xa)
-        .withColumn("_xb_", xb)
-        .withColumn("_zorder_", z)
-        .drop("_amin", "_amax", "_bmin", "_bmax", "_xa_", "_xb_")
-    )
-
-
 def write_zordered(
     df: DataFrame,
     path: str,
@@ -354,12 +310,20 @@ def write_zordered(
     """Write ``df`` laid out in Z-order on two keys: range-partition +
     sort by the Morton value, one file per partition, stats-disjoint in
     both dimensions. At 100 TB this is the layout pass that makes
-    two-predicate scans footer-prunable."""
-    zdf = zorder_value(df, cols, bits)
+    two-predicate scans footer-prunable.
+
+    Key computation delegates to operators/clustering.zorder_key — the
+    exact-integer-arithmetic implementation the q_zorder_cluster oracle
+    pins (this sink had its own double-scaled variant before round 4;
+    one Morton definition now serves layout, stats audit and oracle).
+    """
+    from odbc2parquet_spark.operators.clustering import zorder_key
+
+    zdf = zorder_key(df, cols[0], cols[1], bits)
     (
-        zdf.repartitionByRange(num_files, F.col("_zorder_"))
-        .sortWithinPartitions("_zorder_")
-        .drop("_zorder_")
+        zdf.repartitionByRange(num_files, F.col("zkey"))
+        .sortWithinPartitions("zkey")
+        .drop("zkey")
         .write.mode("overwrite")
         .parquet(path)
     )
