@@ -78,6 +78,7 @@ _PRIORITY = [
     "dd_lsh_recall",
     "dd_group_split",
     "q_bloom_semi_join",
+    "tx_hash_embed",
 ]
 
 

@@ -157,6 +157,7 @@ HEADLINE = [
     "ev_resample_interp",
     "dd_group_split",
     "q_bloom_semi_join",
+    "tx_hash_embed",
 ]
 
 

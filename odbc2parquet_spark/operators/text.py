@@ -579,3 +579,67 @@ def bpe_learn(
         merges.append((a, b))
         sym = sym.withColumn("s", bpe_apply_merge(F.col("s"), a, b))
     return merges
+
+
+def hash_embed(
+    docs: DataFrame, dim: int = 16, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Feature-hashed document embeddings (the hashing trick): each token
+    adds +/-1 to md5-chosen bucket of a ``dim``-wide vector; the result is
+    L2-normalized. No vocabulary, no model — the deterministic text ->
+    vector bridge that lets the ANN/dedup stack (IVF, LSH, SemDeDup) run
+    on corpora that arrive WITHOUT a precomputed embedding column.
+
+    Emits (doc_id, nnz, vec_hash): md5 of the comma-joined 6-rounded
+    components — a scalar certificate of every vector component, ordered.
+
+    Scale shape: tokens explode once; one (doc, bucket) groupBy with
+    map-side +/-1 partials (shuffle rows <= docs x dim); vector assembly
+    is a map_from_entries + dense transform inside the per-doc aggregate,
+    never a pivot. Signs/buckets are md5-derived, engine-reproducible.
+    """
+    h1 = F.conv(F.substring(F.md5(F.col("w")), 1, 15), 16, 10).cast("long")
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(words(F.col(text_col))).alias("w")
+    ).select(
+        "doc_id",
+        (h1 % dim).alias("bucket"),
+        # sign from the next bit of the residue — pure int64 arithmetic
+        # (a double division here would read bits beyond 2^53 exactness)
+        F.when(h1 % (2 * dim) < dim, F.lit(1)).otherwise(F.lit(-1)).alias("sign"),
+    )
+    sums = toks.groupBy("doc_id", "bucket").agg(
+        F.sum("sign").cast("long").alias("s")
+    )
+    per_doc = sums.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("bucket", "s"))).alias("m")
+    )
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda b: F.coalesce(F.element_at(F.col("m"), b), F.lit(0)).cast("double"),
+    )
+    nsq = F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x)
+    normed = F.when(
+        nsq > 0,
+        F.transform(vec, lambda x: F.round(x / F.sqrt(nsq), 6)),
+    ).otherwise(vec)
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("m").isNull(), F.lit(0))
+            .otherwise(F.size(F.col("m")))
+            .cast("int")
+            .alias("nnz"),
+            F.when(
+                F.col("m").isNull(), F.md5(F.lit(""))
+            ).otherwise(
+                F.md5(
+                    F.concat_ws(
+                        ",", F.transform(normed, lambda x: x.cast("string"))
+                    )
+                )
+            ).alias("vec_hash"),
+        )
+    )

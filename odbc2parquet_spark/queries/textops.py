@@ -1676,3 +1676,58 @@ def tx_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
         .limit(20)
     )
+
+
+@query(
+    "tx_hash_embed",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               CAST('0x' || substring(md5(w), 1, 15) AS BIGINT) AS h1
+        FROM documents,
+             UNNEST(list_filter(string_split(text, ' '), x -> x != '')) AS t(w)
+    ),
+    sums AS (
+        SELECT doc_id, h1 % 16 AS bucket,
+               SUM(CASE WHEN h1 % 32 < 16 THEN 1 ELSE -1 END) AS s
+        FROM toks GROUP BY doc_id, h1 % 16
+    ),
+    dense AS (
+        SELECT d.doc_id, g.b AS bucket,
+               CAST(COALESCE(sums.s, 0) AS DOUBLE) AS v
+        FROM (SELECT DISTINCT doc_id FROM documents) d
+        CROSS JOIN (SELECT UNNEST(generate_series(0, 15)) AS b) g
+        LEFT JOIN sums ON sums.doc_id = d.doc_id AND sums.bucket = g.b
+    ),
+    norms AS (
+        SELECT doc_id, SUM(v * v) AS nsq,
+               SUM(CASE WHEN v != 0 THEN 1 ELSE 0 END) AS nnz_dense
+        FROM dense GROUP BY doc_id
+    ),
+    nz AS (SELECT doc_id, COUNT(*) AS nnz FROM sums GROUP BY doc_id),
+    vecs AS (
+        SELECT dense.doc_id,
+               md5(string_agg(
+                   CAST(CASE WHEN norms.nsq > 0
+                             THEN ROUND(v / SQRT(norms.nsq), 6)
+                             ELSE v END AS VARCHAR),
+                   ',' ORDER BY bucket)) AS h
+        FROM dense JOIN norms ON norms.doc_id = dense.doc_id
+        GROUP BY dense.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(nz.nnz, 0) AS INTEGER) AS nnz,
+           COALESCE(v.h, md5('')) AS vec_hash
+    FROM documents d
+    LEFT JOIN nz ON nz.doc_id = d.doc_id
+    LEFT JOIN vecs v ON v.doc_id = d.doc_id
+    """,
+)
+def tx_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashed 16-dim document embeddings (operators/text.
+    hash_embed): the vocabulary-free text -> vector bridge for running
+    the ANN/SemDeDup stack on corpora without embeddings. The oracle
+    rebuilds every signed bucket sum and the L2 normalization in SQL;
+    the md5 certificate pins all 16 components in order."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.hash_embed(docs, dim=16)

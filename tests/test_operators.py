@@ -1341,3 +1341,16 @@ def test_bloom_semi_join_equals_plain_semi_join(spark):
     want = sorted(r.k for r in big.join(
         small.withColumnsRenamed({"sk": "k"}), "k", "left_semi").collect())
     assert got == want and len(got) == 20
+
+
+def test_hash_embed_unit_norm_and_determinism(spark):
+    from odbc2parquet_spark.operators.text import hash_embed
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f"), (3, "")], ["doc_id", "text"]
+    )
+    rows = {r.doc_id: r for r in hash_embed(docs, dim=8).collect()}
+    assert rows[1].vec_hash == rows[2].vec_hash     # content-deterministic
+    assert rows[1].nnz > 0
+    import hashlib
+    assert rows[3].vec_hash != rows[1].vec_hash
