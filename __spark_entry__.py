@@ -79,6 +79,7 @@ _PRIORITY = [
     "dd_group_split",
     "q_bloom_semi_join",
     "tx_hash_embed",
+    "tx_text_ann",
 ]
 
 

@@ -158,6 +158,7 @@ HEADLINE = [
     "dd_group_split",
     "q_bloom_semi_join",
     "tx_hash_embed",
+    "tx_text_ann",
 ]
 
 

@@ -581,22 +581,15 @@ def bpe_learn(
     return merges
 
 
-def hash_embed(
+def hash_embed_vectors(
     docs: DataFrame, dim: int = 16, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Feature-hashed document embeddings (the hashing trick): each token
-    adds +/-1 to md5-chosen bucket of a ``dim``-wide vector; the result is
-    L2-normalized. No vocabulary, no model — the deterministic text ->
-    vector bridge that lets the ANN/dedup stack (IVF, LSH, SemDeDup) run
-    on corpora that arrive WITHOUT a precomputed embedding column.
+    """Feature-hashed document vectors: (doc_id, nnz, vec array<double>).
 
-    Emits (doc_id, nnz, vec_hash): md5 of the comma-joined 6-rounded
-    components — a scalar certificate of every vector component, ordered.
-
-    Scale shape: tokens explode once; one (doc, bucket) groupBy with
-    map-side +/-1 partials (shuffle rows <= docs x dim); vector assembly
-    is a map_from_entries + dense transform inside the per-doc aggregate,
-    never a pivot. Signs/buckets are md5-derived, engine-reproducible.
+    Each token adds +/-1 to an md5-chosen bucket; the vector is
+    L2-normalized and each component rounded to 6 decimals (the rounding
+    makes downstream dot products engine-exact). See :func:`hash_embed`
+    for the scalar-certificate form and the scale notes.
     """
     h1 = F.conv(F.substring(F.md5(F.col("w")), 1, 15), 16, 10).cast("long")
     toks = docs.select(
@@ -623,6 +616,9 @@ def hash_embed(
         nsq > 0,
         F.transform(vec, lambda x: F.round(x / F.sqrt(nsq), 6)),
     ).otherwise(vec)
+    empty = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)), lambda b: F.lit(0.0)
+    )
     return (
         docs.select(F.col(id_col).alias("doc_id"))
         .join(per_doc, "doc_id", "left")
@@ -632,14 +628,33 @@ def hash_embed(
             .otherwise(F.size(F.col("m")))
             .cast("int")
             .alias("nnz"),
-            F.when(
-                F.col("m").isNull(), F.md5(F.lit(""))
-            ).otherwise(
-                F.md5(
-                    F.concat_ws(
-                        ",", F.transform(normed, lambda x: x.cast("string"))
-                    )
-                )
-            ).alias("vec_hash"),
+            F.when(F.col("m").isNull(), empty).otherwise(normed).alias("vec"),
         )
+    )
+
+
+def hash_embed(
+    docs: DataFrame, dim: int = 16, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Feature-hashed document embeddings (the hashing trick): each token
+    adds +/-1 to md5-chosen bucket of a ``dim``-wide vector; the result is
+    L2-normalized. No vocabulary, no model — the deterministic text ->
+    vector bridge that lets the ANN/dedup stack (IVF, LSH, SemDeDup) run
+    on corpora that arrive WITHOUT a precomputed embedding column.
+
+    Emits (doc_id, nnz, vec_hash): md5 of the comma-joined 6-rounded
+    components — a scalar certificate of every vector component, ordered.
+
+    Scale shape: tokens explode once; one (doc, bucket) groupBy with
+    map-side +/-1 partials (shuffle rows <= docs x dim); vector assembly
+    is a map_from_entries + dense transform inside the per-doc aggregate,
+    never a pivot. Signs/buckets are md5-derived, engine-reproducible.
+    """
+    v = hash_embed_vectors(docs, dim, text_col, id_col)
+    return v.select(
+        "doc_id",
+        "nnz",
+        F.md5(
+            F.concat_ws(",", F.transform(F.col("vec"), lambda x: x.cast("string")))
+        ).alias("vec_hash"),
     )

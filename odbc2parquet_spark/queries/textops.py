@@ -1731,3 +1731,84 @@ def tx_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     the md5 certificate pins all 16 components in order."""
     docs = load_table(spark, sf_dir, "documents")
     return X.hash_embed(docs, dim=16)
+
+
+@query(
+    "tx_text_ann",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               CAST('0x' || substring(md5(w), 1, 15) AS BIGINT) AS h1
+        FROM documents,
+             UNNEST(list_filter(string_split(text, ' '), x -> x != '')) AS t(w)
+    ),
+    sums AS (
+        SELECT doc_id, h1 % 16 AS bucket,
+               SUM(CASE WHEN h1 % 32 < 16 THEN 1 ELSE -1 END) AS s
+        FROM toks GROUP BY doc_id, h1 % 16
+    ),
+    dense AS (
+        SELECT d.doc_id, g.b AS bucket,
+               CAST(COALESCE(sums.s, 0) AS DOUBLE) AS v
+        FROM (SELECT DISTINCT doc_id FROM documents) d
+        CROSS JOIN (SELECT UNNEST(generate_series(0, 15)) AS b) g
+        LEFT JOIN sums ON sums.doc_id = d.doc_id AND sums.bucket = g.b
+    ),
+    norms AS (SELECT doc_id, SUM(v * v) AS nsq FROM dense GROUP BY doc_id),
+    unit AS (
+        SELECT dense.doc_id, bucket,
+               CASE WHEN norms.nsq > 0 THEN ROUND(v / SQRT(norms.nsq), 6)
+                    ELSE v END AS u
+        FROM dense JOIN norms ON norms.doc_id = dense.doc_id
+    ),
+    scored AS (
+        SELECT p.doc_id AS query_id, c.doc_id AS neighbor_id,
+               ROUND(SUM(p.u * c.u), 4) AS dot4
+        FROM unit p JOIN unit c
+          ON p.bucket = c.bucket AND p.doc_id < 4 AND p.doc_id != c.doc_id
+        GROUP BY p.doc_id, c.doc_id
+    )
+    SELECT query_id, neighbor_id, dot4, CAST(rnk AS INTEGER) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY dot4 DESC, neighbor_id) AS rnk
+          FROM scored)
+    WHERE rnk <= 5
+    """,
+)
+def tx_text_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end text retrieval WITHOUT a precomputed embedding column:
+    feature-hash every document into a 16-dim unit vector
+    (operators/text.hash_embed_vectors) and run exact top-5 dot-product
+    search for 4 probe documents over the hashed space — the composed
+    pipeline (tokenize -> hash-embed -> ANN) a no-embedding corpus runs.
+    Probes broadcast; the corpus never shuffles for the scoring pass."""
+    from odbc2parquet_spark.operators.similarity import _fold_sum
+
+    docs = load_table(spark, sf_dir, "documents")
+    v = X.hash_embed_vectors(docs, dim=16).select("doc_id", "vec")
+    probes = F.broadcast(
+        v.filter(F.col("doc_id") < 4).withColumnsRenamed(
+            {"doc_id": "query_id", "vec": "qvec"}
+        )
+    )
+    scored = (
+        v.join(probes, F.col("query_id") != F.col("doc_id"))
+        .select(
+            "query_id",
+            F.col("doc_id").alias("neighbor_id"),
+            F.round(
+                _fold_sum(
+                    F.zip_with(
+                        F.col("qvec"), F.col("vec"), lambda a, b: a * b
+                    )
+                ),
+                4,
+            ).alias("dot4"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot4"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "dot4", "rank")
+    )

@@ -61,6 +61,8 @@ BOUNDED_CROSS_OK = {
                              # probes) + k_cand^2-per-probe pairwise sims
     "dd_lsh_recall",         # all-pairs exact-Jaccard GROUND TRUTH (the bounded
                              # verification side) + 1x1 summary cross
+    "tx_text_ann",           # 4 broadcast probe vectors x corpus (the exact
+                             # search baseline over the hashed space)
 }
 ALL_PAIRS_OK |= BOUNDED_CROSS_OK
 
