@@ -227,23 +227,32 @@ def bloom_semi_join(
         .groupBy("word")
         .agg(F.bit_or("b").alias("bits"))
     )
-    probe = big.withColumn("_pos", positions(F.col(big_key)))
-    hit = (
-        probe.select("*", F.explode("_pos").alias("p"))
-        .withColumn("word", (F.col("p") / 32).cast("long"))
-        .join(F.broadcast(bloom), "word", "left_outer")
-        .withColumn(
-            "_set",
-            (
-                F.coalesce(F.col("bits"), F.lit(0))
-                .bitwiseAND(F.expr("shiftleft(1L, cast(p % 32 as int))"))
-                != 0
-            ).cast("int"),
+    # probe: k broadcast hash joins (one per hash function) — NO explode
+    # and NO re-group: the first version exploded 3x rows and regrouped on
+    # every big-side column (a wide-row shuffle that cost more than the
+    # join it was saving); this shape adds zero exchanges to the big side
+    hexd = F.md5(F.col(big_key).cast("string"))
+    h1 = F.conv(F.substring(hexd, 1, 15), 16, 10).cast("long")
+    h2 = F.conv(F.substring(hexd, 16, 15), 16, 10).cast("long")
+    probe = big
+    conds = []
+    for j in range(k):
+        pos = (h1 + F.lit(j) * h2) % m_bits
+        bj = bloom.withColumnsRenamed({"word": f"_w{j}", "bits": f"_bits{j}"})
+        probe = probe.withColumn(f"_p{j}", pos).join(
+            F.broadcast(bj),
+            (F.col(f"_p{j}") / 32).cast("long") == F.col(f"_w{j}"),
+            "left_outer",
         )
-        .groupBy(*big.columns)
-        .agg(F.min("_set").alias("_all_set"))
-        .filter(F.col("_all_set") == 1)
-        .drop("_all_set", "_pos")
-    )
+        conds.append(
+            F.coalesce(F.col(f"_bits{j}"), F.lit(0)).bitwiseAND(
+                F.expr(f"shiftleft(1L, cast(_p{j} % 32 as int))")
+            )
+            != 0
+        )
+    all_set = conds[0]
+    for c in conds[1:]:
+        all_set = all_set & c
+    hit = probe.filter(all_set).select(*big.columns)
     keys = small.select(F.col(small_key).alias(big_key)).distinct()
     return hit.join(keys, big_key, "left_semi")
