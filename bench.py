@@ -159,6 +159,8 @@ HEADLINE = [
     "q_bloom_semi_join",
     "tx_hash_embed",
     "tx_text_ann",
+    "ev_sliding_window",
+    "tm_variant_json",
 ]
 
 

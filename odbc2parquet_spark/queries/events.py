@@ -935,3 +935,40 @@ def ev_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return resample_interpolate(ev, bucket_seconds=86400)
+
+
+@query(
+    "ev_sliding_window",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def ev_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-hour sliding aggregate per user via a RANGE-frame window
+    (the time-based frame ROWS frames can't express: the frame is
+    [t - 1h, t] in event time, however many rows that is). Order key is
+    exact integer microseconds so both engines bound the frame
+    identically; equal-timestamp peers are all in-frame by RANGE
+    semantics, making the result tie-proof. One hash exchange on
+    user_id; per-key state is the frame, bounded by event rate x 1h."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).cast("long").alias("n_1h"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("sum_1h"),
+    )

@@ -303,3 +303,40 @@ def tm_avoid_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("o_totalprice") * 100).cast("long").alias("price_scaled_int"),
         F.col("o_totalprice").cast("decimal(12,2)").cast("string").alias("price_text"),
     )
+
+
+@query(
+    "tm_variant_json",
+    oracle="""
+    SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS k_min,
+           CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS k_max
+    FROM events
+    GROUP BY 1
+    """,
+)
+def tm_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT ingestion (Spark 4's open-ended type the
+    reference's flat model has no analogue for): ``parse_json`` the props
+    column into a VARIANT once, then typed ``variant_get`` extractions —
+    the shredded-at-read path that replaces per-access JSON string
+    parsing. The oracle uses DuckDB's JSON extraction on the same paths;
+    matching aggregates pin that VARIANT decoding preserves the typed
+    values exactly."""
+    from odbc2parquet_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(F.parse_json(F.col("props")).alias("v"))
+    k = F.variant_get(F.col("v"), "$.k", "bigint")
+    return (
+        v.select(k.alias("k"))
+        .groupBy((F.col("k") % 10).alias("k_mod"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.min("k").cast("long").alias("k_min"),
+            F.max("k").cast("long").alias("k_max"),
+        )
+    )
