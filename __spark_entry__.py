@@ -82,6 +82,7 @@ _PRIORITY = [
     "tx_text_ann",
     "ev_sliding_window",
     "tm_variant_json",
+    "mm_png_stats",
 ]
 
 

@@ -161,6 +161,7 @@ HEADLINE = [
     "tx_text_ann",
     "ev_sliding_window",
     "tm_variant_json",
+    "mm_png_stats",
 ]
 
 

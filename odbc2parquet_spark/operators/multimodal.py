@@ -1008,3 +1008,168 @@ def dhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def synth_png(
+    pixel_source: bytes, width: int, height: int, filter_type: int = 0
+) -> bytes:
+    """Construct a VALID 8-bit RGB PNG: signature, IHDR, one zlib IDAT,
+    IEND — correct CRCs throughout, decodable by any viewer. Pixel bytes
+    cycle ``pixel_source`` in scanline order; ``filter_type`` 0 (None)
+    or 1 (Sub) exercises the decoder's unfilter path."""
+    import struct
+    import zlib
+
+    if not pixel_source:
+        pixel_source = b"\x00"
+    row_bytes = width * 3
+    need = row_bytes * height
+    reps = need // len(pixel_source) + 1
+    raw = (pixel_source * reps)[:need]
+    lines = []
+    for r in range(height):
+        line = bytearray(raw[r * row_bytes : (r + 1) * row_bytes])
+        if filter_type == 1:  # Sub: delta vs the pixel 3 bytes left
+            for i in range(row_bytes - 1, 2, -1):
+                line[i] = (line[i] - line[i - 3]) & 0xFF
+        lines.append(bytes([filter_type]) + bytes(line))
+    idat = zlib.compress(b"".join(lines))
+
+    def chunk(kind: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + kind
+            + body
+            + struct.pack(">I", zlib.crc32(kind + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter(raw: bytes, width: int, height: int):
+    """Reverse PNG scanline filtering (types 0-4) for 8-bit RGB.
+
+    Returns an (h, w, 3) uint8 array. Pure numpy + the spec's Paeth
+    predictor — no imaging library."""
+    import numpy as np
+
+    row_bytes = width * 3
+    out = np.zeros((height, row_bytes), dtype=np.uint8)
+    pos = 0
+    for r in range(height):
+        ft = raw[pos]
+        pos += 1
+        line = np.frombuffer(raw[pos : pos + row_bytes], np.uint8).astype(np.int32)
+        pos += row_bytes
+        prev = out[r - 1].astype(np.int32) if r > 0 else np.zeros(row_bytes, np.int32)
+        cur = np.zeros(row_bytes, dtype=np.int32)
+        if ft == 0:
+            cur = line
+        elif ft == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ft in (1, 3, 4):  # Sub / Average / Paeth need a left-scan
+            for i in range(row_bytes):
+                a = cur[i - 3] if i >= 3 else 0
+                b = prev[i]
+                if ft == 1:
+                    v = line[i] + a
+                elif ft == 3:
+                    v = line[i] + (a + b) // 2
+                else:
+                    c = prev[i - 3] if i >= 3 else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    v = line[i] + pred
+                cur[i] = v & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        out[r] = cur.astype(np.uint8)
+    return out.reshape(height, width, 3)
+
+
+def decode_png_pixels(binary_df: DataFrame) -> DataFrame:
+    """TRUE pixel decode for 8-bit RGB PNG using only the standard
+    library's zlib: walk the chunk stream (validating each CRC),
+    concatenate IDAT, inflate, reverse scanline filters (all five spec
+    types), and fold per-channel (R, G, B) sums in numpy. This is a real
+    COMPRESSED-codec decode — the entropy-coded step BMP/WAV never
+    exercised — with no imaging dependency. Corrupt payloads quarantine
+    as NULL rows. Emits the same stats schema as decode_bmp_pixels
+    (channel order documented per format)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                p = bytes(payload)
+                try:
+                    if p[:8] != b"\x89PNG\r\n\x1a\n":
+                        raise ValueError("not a PNG")
+                    pos, w, h, idat = 8, None, None, b""
+                    while pos + 8 <= len(p):
+                        (ln,) = struct.unpack(">I", p[pos : pos + 4])
+                        kind = p[pos + 4 : pos + 8]
+                        body = p[pos + 8 : pos + 8 + ln]
+                        crc = struct.unpack(">I", p[pos + 8 + ln : pos + 12 + ln])[0]
+                        if zlib.crc32(kind + body) & 0xFFFFFFFF != crc:
+                            raise ValueError("bad chunk CRC")
+                        if kind == b"IHDR":
+                            w, h, depth, ctype = struct.unpack(">IIBB", body[:10])
+                            if depth != 8 or ctype != 2:
+                                raise ValueError("not 8-bit RGB")
+                        elif kind == b"IDAT":
+                            idat += body
+                        elif kind == b"IEND":
+                            break
+                        pos += 12 + ln
+                    if w is None or not idat:
+                        raise ValueError("missing IHDR/IDAT")
+                    raw = zlib.decompress(idat)
+                    if len(raw) != h * (w * 3 + 1):
+                        raise ValueError("bad inflated length")
+                    px = _png_unfilter(raw, w, h)
+                    s = px.astype(np.int64).sum(axis=(0, 1))
+                    # PNG stores R,G,B — map into the shared stats schema's
+                    # (sum_b, sum_g, sum_r) slots by channel NAME
+                    rows.append(
+                        (doc_id, w, h, w * h, int(s[2]), int(s[1]), int(s[0]))
+                    )
+                except (ValueError, zlib.error, struct.error):
+                    rows.append((doc_id, None, None, None, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "n_pixels",
+                    "sum_b", "sum_g", "sum_r",
+                ],
+            )
+
+    return binary_df.select("doc_id", "payload").mapInPandas(run, PIXEL_STATS_SCHEMA)
+
+
+def encode_png(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Synthesize a REAL PNG column: each document's text becomes the
+    pixel bytes of a valid zlib-compressed 8-bit RGB PNG (width/height
+    derived from n_chars like encode_bmp)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                raw = str(text).encode("utf-8")
+                png = synth_png(raw, len(str(text)) % 48 + 1, len(str(text)) % 32 + 1)
+                rows.append((doc_id, bytearray(png), "image/png", len(png)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload", "mime", "n_bytes"])
+
+    return docs.select("doc_id", text_col).mapInPandas(run, BMP_SCHEMA)

@@ -1354,3 +1354,34 @@ def test_hash_embed_unit_norm_and_determinism(spark):
     assert rows[1].nnz > 0
     import hashlib
     assert rows[3].vec_hash != rows[1].vec_hash
+
+
+def test_png_decode_all_filter_types_and_corrupt(spark):
+    """The unfilter path must handle Sub/Up-filtered scanlines (a viewer-
+    grade decoder, not just our own filter-0 output); bad CRC and
+    non-PNG payloads quarantine."""
+    from odbc2parquet_spark.operators.multimodal import (
+        decode_png_pixels, synth_png,
+    )
+
+    src = bytes(range(1, 40))
+    png0 = synth_png(src, 5, 4, filter_type=0)
+    png1 = synth_png(src, 5, 4, filter_type=1)
+    corrupt = bytearray(png0)
+    corrupt[20] ^= 0xFF  # break IHDR CRC
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(png0)),
+            (2, bytearray(png1)),
+            (3, bytearray(b"not a png")),
+            (4, corrupt),
+        ],
+        ["doc_id", "payload"],
+    )
+    rows = {r.doc_id: r for r in decode_png_pixels(df).collect()}
+    # identical pixels regardless of the filter used at encode time
+    assert (rows[1].sum_r, rows[1].sum_g, rows[1].sum_b) == (
+        rows[2].sum_r, rows[2].sum_g, rows[2].sum_b,
+    )
+    assert rows[1].n_pixels == 20 and rows[1].sum_r is not None
+    assert rows[3].width is None and rows[4].width is None
