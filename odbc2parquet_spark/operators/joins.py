@@ -144,6 +144,88 @@ def blocked_fuzzy_match(
     )
 
 
+def deletion_blocked_fuzzy_match(
+    probes: DataFrame,
+    master: DataFrame,
+    token_col: str,
+    text_col: str,
+    probe_id: str,
+    master_id: str,
+    token_len: int,
+    block_col: str | None = None,
+    max_block: int | None = 50,
+) -> DataFrame:
+    """Entity resolution with DELETION-NEIGHBORHOOD blocking: each record
+    emits ``token_len`` block keys — its identifying token with one
+    character position removed — so a record with a single-character typo
+    in the token still shares a key with its master, and each block holds
+    at most |alphabet| candidates NO MATTER how large the table grows
+    (two records share the key for position i iff they agree on every
+    other token character, so a block is one token-neighborhood, not a
+    population slice). This is the bounded-block fix for the classic ER
+    scale failure where a coarse demographic block (nation, zip, ...)
+    grows linearly with the data and pairwise work grows quadratically.
+
+    Candidate pairs from ANY shared key are deduplicated, scored with
+    full-text Levenshtein, and reduced to a per-probe argmin via
+    min(struct(distance, matched_id)) — map-side partial aggregation, so
+    the exchange carries one row per probe. ``block_col`` optionally
+    prefixes keys with a coarse partition (tenant, nation) purely for key
+    namespacing; ``max_block`` is a backstop cap on master rows per key
+    (cannot trigger for single-typo neighborhoods over a digit alphabet,
+    where blocks are <= 10, but guards degenerate token distributions).
+
+    Returns (probe_id, matched_id, distance).
+    """
+    from pyspark.sql import Window as W
+
+    def keyed(df: DataFrame, id_col: str, out_id: str, out_text: str) -> DataFrame:
+        prefix = (
+            F.concat(F.col(block_col).cast("string"), F.lit(":"))
+            if block_col is not None
+            else F.lit("")
+        )
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.col(text_col).alias(out_text),
+            F.explode(F.sequence(F.lit(0), F.lit(token_len - 1))).alias("pos"),
+            F.col(token_col).alias("tok"),
+            prefix.alias("pfx"),
+        ).select(
+            out_id,
+            out_text,
+            F.concat(
+                F.col("pfx"),
+                F.col("pos").cast("string"),
+                F.lit(":"),
+                F.expr("concat(substring(tok, 1, pos), substring(tok, pos + 2))"),
+            ).alias("bkey"),
+        )
+
+    pk = keyed(probes, probe_id, "probe_id", "ptext")
+    mk = keyed(master, master_id, "matched_id", "mtext")
+    if max_block is not None:
+        wb = W.partitionBy("bkey")
+        mk = (
+            mk.withColumn("block_n", F.count("*").over(wb))
+            .filter(F.col("block_n") <= max_block)
+            .drop("block_n")
+        )
+    pairs = pk.join(mk, "bkey").select(
+        "probe_id", "ptext", "matched_id", "mtext"
+    ).distinct()
+    return (
+        pairs.withColumn("distance", F.levenshtein(F.col("ptext"), F.col("mtext")))
+        .groupBy("probe_id")
+        .agg(F.min(F.struct(F.col("distance"), F.col("matched_id"))).alias("best"))
+        .select(
+            "probe_id",
+            F.col("best.matched_id").alias("matched_id"),
+            F.col("best.distance").alias("distance"),
+        )
+    )
+
+
 def skew_profile(df: DataFrame, key_col: str, top_n: int = 5, parallelism: int = 32) -> DataFrame:
     """Shuffle-skew diagnostic for a prospective join/groupBy key: the
     ``top_n`` hottest keys with their share of all rows and the salt

@@ -135,3 +135,45 @@ def test_blocked_fuzzy_match_block_cap(spark):
         probes, master, "blk", "name", "id", "id", max_block=2
     ).collect()
     assert {(r.probe_id, r.matched_id) for r in capped} == {(11, 4)}
+
+
+def test_deletion_blocked_fuzzy_match_single_typo(spark):
+    from odbc2parquet_spark.operators.joins import deletion_blocked_fuzzy_match
+
+    # master tokens are 4-digit ids; probe 10 typos ONE digit of master 1's
+    # token (1234 -> 1239): deletion-neighborhood keys still collide on the
+    # key that removes the typo'd position, so the match is found without
+    # any population-sized block
+    master = spark.createDataFrame(
+        [(1, "1234", "acct-1234"), (2, "5678", "acct-5678"), (3, "1299", "acct-1299")],
+        ["id", "tok", "name"],
+    )
+    probes = spark.createDataFrame(
+        [(10, "1239", "acct-1239"), (11, "5678", "acct-5678")], ["id", "tok", "name"]
+    )
+    got = {
+        r.probe_id: (r.matched_id, r.distance)
+        for r in deletion_blocked_fuzzy_match(
+            probes, master, "tok", "name", "id", "id", token_len=4
+        ).collect()
+    }
+    assert got[10] == (1, 1)  # 1239 vs 1234: one edit; 1299 is dist 2
+    assert got[11] == (2, 0)  # exact token -> exact name
+
+
+def test_deletion_blocked_fuzzy_match_bounded_blocks(spark):
+    from odbc2parquet_spark.operators.joins import deletion_blocked_fuzzy_match
+
+    # every master shares the same 3-char suffix; a coarse block would put
+    # all of them in one block, but deletion keys keep each block to the
+    # <=|alphabet| records agreeing on ALL other positions — assert the
+    # backstop cap never drops the true match even with max_block=10
+    master = spark.createDataFrame(
+        [(i, f"{i:03d}X", f"m-{i:03d}X") for i in range(100)],
+        ["id", "tok", "name"],
+    )
+    probes = spark.createDataFrame([(1000, "042Y", "m-042Y")], ["id", "tok", "name"])
+    got = deletion_blocked_fuzzy_match(
+        probes, master, "tok", "name", "id", "id", token_len=4, max_block=10
+    ).collect()
+    assert len(got) == 1 and got[0].matched_id == 42 and got[0].distance == 1
