@@ -239,7 +239,11 @@ def skew_profile(df: DataFrame, key_col: str, top_n: int = 5, parallelism: int =
     into s sub-keys (the :func:`salted_join` fan-out parameter).
 
     All emitted ratios are exact-integer divisions cast to double, so an
-    external engine reproduces them bit-for-bit.
+    external engine reproduces them bit-for-bit. The key is emitted as a
+    STRING so any join-key type (string, date, numeric, composite concat)
+    survives in the profile output — a long cast would NULL every
+    non-numeric hot key and collapse the diagnostic; tiebreak ordering
+    still happens on the native key type before the cast.
     """
     counts = df.groupBy(F.col(key_col).alias("key")).agg(
         F.count("*").alias("cnt")
@@ -255,7 +259,7 @@ def skew_profile(df: DataFrame, key_col: str, top_n: int = 5, parallelism: int =
         .withColumn("hot_rank", F.row_number().over(w))
         .select(
             "hot_rank",
-            F.col("key").cast("long").alias("key"),
+            F.col("key").cast("string").alias("key"),
             F.col("cnt").cast("long").alias("cnt"),
             "total_rows",
             "n_keys",

@@ -933,6 +933,10 @@ def dhash_bmp(binary_df: DataFrame, rows: int = 7, cols: int = 9) -> DataFrame:
                     if len(data) < stride * h:
                         raise ValueError("truncated pixel array")
                     px = data.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+                    # positive-height BMPs store scanlines bottom-up; flip
+                    # so thumbnail row 0 is the IMAGE's top row and the
+                    # hash matches a standard dHash fed the same image
+                    px = px[::-1]
                     ys = (np.arange(rows) * h) // rows
                     xs = (np.arange(cols) * w) // cols
                     gray = px[np.ix_(ys, xs)].astype(np.int64).sum(axis=2) // 3

@@ -62,6 +62,15 @@ def dq_check(df: DataFrame, rules: list[Rule]) -> DataFrame:
     spark = df.sparkSession
     total = F.count(F.lit(1))
 
+    known = ("not_null", "in_range", "matches", "unique", "ref_integrity")
+    unknown = [r.kind for r in rules if r.kind not in known]
+    if unknown:
+        raise ValueError(
+            f"unknown dq rule kind(s) {unknown!r}; expected one of {known}"
+        )
+    if not rules:
+        raise ValueError("dq_check requires at least one rule")
+
     scan_rules = [r for r in rules if r.kind in ("not_null", "in_range", "matches")]
     results: list[DataFrame] = []
     if scan_rules:

@@ -644,6 +644,11 @@ def hash_embed(
 
     Emits (doc_id, nnz, vec_hash): md5 of the comma-joined 6-rounded
     components — a scalar certificate of every vector component, ordered.
+    Components are rendered through DECIMAL(9,6) (fixed-point, full
+    scale) before hashing: a raw double->string cast renders |v| < 1e-3
+    in scientific notation on the JVM ("4.0E-4") but fixed-point in
+    DuckDB ("0.0004"), so long documents (whose unit-vector components
+    drop below 1e-3) would silently break cross-engine hash parity.
 
     Scale shape: tokens explode once; one (doc, bucket) groupBy with
     map-side +/-1 partials (shuffle rows <= docs x dim); vector assembly
@@ -655,6 +660,11 @@ def hash_embed(
         "doc_id",
         "nnz",
         F.md5(
-            F.concat_ws(",", F.transform(F.col("vec"), lambda x: x.cast("string")))
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.col("vec"), lambda x: x.cast("decimal(9,6)").cast("string")
+                ),
+            )
         ).alias("vec_hash"),
     )

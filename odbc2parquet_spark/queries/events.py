@@ -805,7 +805,7 @@ def ev_pattern_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM counts ORDER BY cnt DESC, key LIMIT 5
     )
     SELECT CAST(hot_rank AS INTEGER) AS hot_rank,
-           CAST(key AS BIGINT) AS key,
+           CAST(key AS VARCHAR) AS key,
            CAST(cnt AS BIGINT) AS cnt,
            total_rows, n_keys,
            CAST(cnt * n_keys / total_rows AS DOUBLE) AS skew_ratio,

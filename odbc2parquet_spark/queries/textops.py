@@ -1567,7 +1567,7 @@ _DHASH_CTE = """
     cellbytes AS (
         SELECT doc_id, t.j // 27 AS r, (t.j // 3) % 9 AS c,
                ascii(substring(text,
-                   ((((t.j // 27) * h // 7) * stride
+                   (((h - 1 - ((t.j // 27) * h // 7)) * stride
                      + (((t.j // 3) % 9) * w // 9) * 3
                      + t.j % 3) % n) + 1, 1)) AS b
         FROM geo, UNNEST(generate_series(0, 188)) AS t(j)
@@ -1708,9 +1708,9 @@ def tx_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs AS (
         SELECT dense.doc_id,
                md5(string_agg(
-                   CAST(CASE WHEN norms.nsq > 0
+                   CAST(CAST(CASE WHEN norms.nsq > 0
                              THEN ROUND(v / SQRT(norms.nsq), 6)
-                             ELSE v END AS VARCHAR),
+                             ELSE v END AS DECIMAL(9,6)) AS VARCHAR),
                    ',' ORDER BY bucket)) AS h
         FROM dense JOIN norms ON norms.doc_id = dense.doc_id
         GROUP BY dense.doc_id

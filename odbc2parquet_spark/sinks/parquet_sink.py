@@ -316,6 +316,9 @@ def write_zordered(
     exact-integer-arithmetic implementation the q_zorder_cluster oracle
     pins (this sink had its own double-scaled variant before round 4;
     one Morton definition now serves layout, stats audit and oracle).
+    Like zorder_key, ``cols`` should be integer-domain; pre-scale
+    fractional float keys (multiply + floor) so the 2^bits cell grid has
+    resolution to cluster on — see zorder_key's docstring.
     """
     from odbc2parquet_spark.operators.clustering import zorder_key
 

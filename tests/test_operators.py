@@ -1153,10 +1153,22 @@ def test_skew_profile_flags_hot_key_and_salt(spark):
     rows = [(0,)] * 50 + [(k,) for k in range(1, 51)]
     df = spark.createDataFrame(rows, ["k"])
     out = {r.hot_rank: r for r in skew_profile(df, "k", top_n=3, parallelism=8).collect()}
-    assert out[1].key == 0 and out[1].cnt == 50
+    assert out[1].key == "0" and out[1].cnt == 50
     assert out[1].n_keys == 51 and out[1].total_rows == 100
     assert out[1].suggested_salt == 4  # ceil(50*8/100)
     assert out[2].cnt == 1 and out[2].suggested_salt == 1
+
+
+def test_skew_profile_string_keys_survive(spark):
+    """Non-numeric join keys (the operator's documented general use) must
+    appear verbatim in the profile — a long cast would NULL them all and
+    collapse distinct hot keys into one row."""
+    from odbc2parquet_spark.operators.joins import skew_profile
+
+    rows = [("us-east",)] * 10 + [("eu-west",)] * 5 + [("ap-south",)]
+    df = spark.createDataFrame(rows, ["region"])
+    out = {r.hot_rank: r.key for r in skew_profile(df, "region", top_n=3).collect()}
+    assert out == {1: "us-east", 2: "eu-west", 3: "ap-south"}
 
 
 def test_dhash_identical_images_pair_at_zero(spark):
@@ -1266,6 +1278,20 @@ def test_dq_check_counts_violations_per_rule(spark):
     assert all(r.n_rows == 4 for r in out.values())
 
 
+def test_dq_check_rejects_empty_and_unknown_rules(spark):
+    """A misconfigured quality gate must FAIL LOUDLY: a typo'd rule kind
+    or an empty rule list raises instead of silently passing."""
+    import pytest
+
+    from odbc2parquet_spark.operators import quality as Q
+
+    df = spark.createDataFrame([(1,)], ["id"])
+    with pytest.raises(ValueError, match="at least one rule"):
+        Q.dq_check(df, [])
+    with pytest.raises(ValueError, match="unknown dq rule"):
+        Q.dq_check(df, [Q.Rule(kind="nott_null", column="id")])
+
+
 def test_merge_agg_states_equals_full_recompute(spark):
     """Splitting a table arbitrarily and merging partial states must equal
     aggregating the whole — in any split, including empty sides."""
@@ -1354,6 +1380,32 @@ def test_hash_embed_unit_norm_and_determinism(spark):
     assert rows[1].nnz > 0
     import hashlib
     assert rows[3].vec_hash != rows[1].vec_hash
+
+
+def test_hash_embed_long_doc_cross_engine_hash(spark):
+    """Regression: a >1000-token document yields unit-vector components
+    below 1e-3, which Spark's raw double->string cast renders in
+    scientific notation ("4.0E-4") while DuckDB renders fixed-point —
+    the DECIMAL(9,6) render in vec_hash must keep the engines in
+    lockstep for ANY component magnitude."""
+    import duckdb
+
+    from odbc2parquet_spark.operators.text import hash_embed
+    from odbc2parquet_spark.queries import ORACLES
+
+    long_text = " ".join(f"tok{i}" for i in range(2000))
+    data = [(0, long_text), (1, "hello world"), (2, "")]
+    got = {
+        r.doc_id: (r.nnz, r.vec_hash)
+        for r in hash_embed(
+            spark.createDataFrame(data, ["doc_id", "text"]), dim=16
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", data)
+    exp = {r[0]: (r[1], r[2]) for r in con.execute(ORACLES["tx_hash_embed"]).fetchall()}
+    assert got == exp
 
 
 def test_png_decode_all_filter_types_and_corrupt(spark):
