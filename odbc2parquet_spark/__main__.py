@@ -41,6 +41,13 @@ def _add_sink_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--single-file", action="store_true")
     p.add_argument("--column-compression-default", default="zstd")
     p.add_argument(
+        "--column-compression-level-default",
+        type=int,
+        default=None,
+        help="compression level for the chosen codec (reference "
+        "src/main.rs:160-168; zstd levels 1-22, default left to the codec)",
+    )
+    p.add_argument(
         "--parquet-column-encoding",
         action="append",
         default=[],
@@ -113,8 +120,39 @@ def _parse_encodings(pairs: list[str]) -> dict[str, str] | None:
     return out
 
 
+#: verbosity count -> Spark log level (reference src/main.rs:29-44 maps
+#: -q and -v counts onto env_logger filters; log4j is the JVM analogue)
+VERBOSITY_LEVELS = {0: "ERROR", 1: "WARN", 2: "INFO", 3: "DEBUG"}
+
+
+def log_level_for(verbose: int, quiet: bool) -> str:
+    """-q silences everything; each -v opens one tier, capped at DEBUG."""
+    if quiet:
+        return "OFF"
+    return VERBOSITY_LEVELS[min(verbose, max(VERBOSITY_LEVELS))]
+
+
 def _build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(prog="odbc2parquet_spark")
+    ap.add_argument(
+        "-v",
+        "--verbose",
+        action="count",
+        default=0,
+        help="increase log verbosity (-v WARN, -vv INFO, -vvv DEBUG); "
+        "default shows errors only",
+    )
+    ap.add_argument(
+        "-q",
+        "--quiet",
+        action="store_true",
+        help="suppress all logging (wins over -v, like the reference)",
+    )
+    ap.add_argument(
+        "--no-color",
+        action="store_true",
+        help="accepted for CLI parity; Spark's log4j output is uncolored",
+    )
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     q = sub.add_parser("query", help="SQL -> parquet")
@@ -139,7 +177,12 @@ def _build_parser() -> argparse.ArgumentParser:
     sub.add_parser("list-drivers")
     sub.add_parser("list-data-sources")
     comp = sub.add_parser("completions", help="emit a shell completion script")
-    comp.add_argument("shell", nargs="?", default="bash", choices=["bash", "zsh"])
+    comp.add_argument(
+        "shell",
+        nargs="?",
+        default="bash",
+        choices=["bash", "zsh", "fish", "powershell", "elvish"],
+    )
     return ap
 
 
@@ -174,6 +217,55 @@ def _emit_completions(ap: argparse.ArgumentParser, shell: str) -> str:
         lines.append("}")
         lines.append("_odbc2parquet_spark")
         return "\n".join(lines)
+    if shell == "fish":
+        lines = []
+        for name in data:
+            lines.append(
+                "complete -c odbc2parquet_spark -n '__fish_use_subcommand' "
+                f"-a {name}"
+            )
+        for name, opts in data.items():
+            for o in opts:
+                lines.append(
+                    f"complete -c odbc2parquet_spark -n "
+                    f"'__fish_seen_subcommand_from {name}' -l {o[2:]}"
+                )
+        return "\n".join(lines)
+    if shell == "powershell":
+        lines = [
+            "Register-ArgumentCompleter -Native -CommandName odbc2parquet_spark "
+            "-ScriptBlock {",
+            "    param($wordToComplete, $commandAst, $cursorPosition)",
+            "    $subs = @{",
+        ]
+        for name, opts in data.items():
+            joined = ", ".join(f"'{o}'" for o in opts)
+            lines.append(f"        '{name}' = @({joined})")
+        lines.append("    }")
+        lines.append("    $words = $commandAst.CommandElements | "
+                     "ForEach-Object { $_.ToString() }")
+        lines.append("    if ($words.Count -le 2) { "
+                     "$subs.Keys | Where-Object { $_ -like \"$wordToComplete*\" } }")
+        lines.append("    elseif ($subs.ContainsKey($words[1])) { "
+                     "$subs[$words[1]] | Where-Object { $_ -like \"$wordToComplete*\" } }")
+        lines.append("}")
+        return "\n".join(lines)
+    if shell == "elvish":
+        lines = ["set edit:completion:arg-completer[odbc2parquet_spark] = {|@words|"]
+        lines.append("  if (== (count $words) 2) {")
+        lines.append("    put " + " ".join(data))
+        lines.append("  } else {")
+        lines.append("    var sub = $words[1]")
+        first = True
+        for name, opts in data.items():
+            kw = "if" if first else "} elif"
+            first = False
+            lines.append(f"    {kw} (eq $sub {name}) {{")
+            lines.append("      put " + (" ".join(opts) if opts else "''"))
+        lines.append("    }")
+        lines.append("  }")
+        lines.append("}")
+        return "\n".join(lines)
     # bash
     lines = ["_odbc2parquet_spark() {", '  local cur prev subs="%s"' % subs]
     lines.append('  cur="${COMP_WORDS[COMP_CWORD]}"')
@@ -200,7 +292,7 @@ def main(argv: list[str] | None = None) -> int:
     from odbc2parquet_spark.session import get_spark
 
     spark = get_spark("cli")
-    spark.sparkContext.setLogLevel("ERROR")
+    spark.sparkContext.setLogLevel(log_level_for(args.verbose, args.quiet))
 
     if args.cmd == "list-drivers":
         from odbc2parquet_spark.sources.listing import list_drivers
@@ -244,6 +336,7 @@ def main(argv: list[str] | None = None) -> int:
         )
         sink = SinkOptions(
             compression=args.column_compression_default,
+            compression_level=args.column_compression_level_default,
             batch_size_rows=args.batch_size_row,
             batch_memory_bytes=args.batch_size_memory,
             row_groups_per_file=args.row_groups_per_file,

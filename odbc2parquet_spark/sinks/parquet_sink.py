@@ -54,9 +54,23 @@ COLUMN_ENCODINGS = {
 }
 
 
+#: codecs whose level knob Spark's parquet writer honors, with the
+#: parquet-mr property that carries it (write options are merged into the
+#: job's hadoop conf by Spark's file sink)
+_SPARK_LEVEL_PROPS = {"zstd": "parquet.compression.codec.zstd.level"}
+#: codecs pyarrow's ParquetWriter accepts a compression_level for
+_PYARROW_LEVEL_CODECS = {"zstd", "gzip", "brotli"}
+
+
 @dataclass
 class SinkOptions:
     compression: str = "zstd"  # reference default (enum_args.rs:56-59)
+    #: --column-compression-level-default (reference src/main.rs:160-168;
+    #: zstd level 3 is the reference default). None = codec default.
+    #: Spark's writer carries the level for zstd via the parquet-mr
+    #: property; the pyarrow encodings sink passes it for
+    #: zstd/gzip/brotli. Unsupported codec+level combinations raise.
+    compression_level: int | None = None
     batch_size_rows: int | None = None  # rows per row-group/file unit
     batch_memory_bytes: int | None = None  # memory cap -> rows via bytes/row
     row_groups_per_file: int = 0  # 0 = no row-group-count splitting
@@ -81,6 +95,30 @@ class SinkOptions:
     #: explicit range-partition count for cluster_by (None = let
     #: spark.sql.shuffle.partitions / AQE decide)
     cluster_partitions: int | None = None
+    #: ``{column: unit}`` (unit in ms/us/ns): write these int-since-midnight
+    #: columns with a REAL Parquet TIME logical type (reference
+    #: time.rs:19-78 annotates TIME(p); Spark has no TIME type, so the
+    #: mapping's ints lose the annotation on the Spark writer path — the
+    #: pyarrow sink restores it by casting the Arrow batches to
+    #: time32(ms)/time64(us|ns) before writing). Directory mode only.
+    time_columns: dict[str, str] | None = None
+
+
+def _compression_options(opts: SinkOptions) -> dict[str, str]:
+    """Writer options for codec + optional level on the SPARK write path."""
+    out = {"compression": opts.compression}
+    if opts.compression_level is not None:
+        prop = _SPARK_LEVEL_PROPS.get(opts.compression)
+        if prop is None:
+            raise ValueError(
+                f"compression_level is not supported for codec "
+                f"{opts.compression!r} on the Spark write path "
+                f"(supported: {sorted(_SPARK_LEVEL_PROPS)}; the pyarrow "
+                f"encodings sink additionally supports "
+                f"{sorted(_PYARROW_LEVEL_CODECS)})"
+            )
+        out[prop] = str(opts.compression_level)
+    return out
 
 
 def rows_per_batch(opts: SinkOptions, bytes_per_row: int) -> int:
@@ -122,6 +160,7 @@ def write_parquet_stdout(df: DataFrame, opts: SinkOptions | None = None) -> int:
         produced = write_parquet(
             df, target, SinkOptions(
                 compression=opts.compression,
+                compression_level=opts.compression_level,
                 batch_size_rows=opts.batch_size_rows,
                 batch_memory_bytes=opts.batch_memory_bytes,
                 no_empty_file=opts.no_empty_file,
@@ -174,15 +213,15 @@ def write_parquet(df: DataFrame, path: str, opts: SinkOptions | None = None) -> 
             df = df.repartitionByRange(*cols)
         df = df.sortWithinPartitions(*cols)
 
-    if opts.column_encodings:
+    if opts.column_encodings or opts.time_columns:
         if file_mode:
             raise ValueError(
-                "column_encodings requires directory mode (the pyarrow sink); "
-                "splitting/single_file flags are file-mode only"
+                "column_encodings/time_columns require directory mode (the "
+                "pyarrow sink); splitting/single_file flags are file-mode only"
             )
         return _write_with_encodings(df, path, opts, batch_rows)
 
-    writer = df.write.mode("overwrite").option("compression", opts.compression)
+    writer = df.write.mode("overwrite").options(**_compression_options(opts))
 
     if not file_mode:
         if opts.partition_by:
@@ -201,12 +240,12 @@ def write_parquet(df: DataFrame, path: str, opts: SinkOptions | None = None) -> 
         records_per_file = 0  # single file
 
     staging = path + ".__staging__"
-    w = df.write.mode("overwrite").option("compression", opts.compression)
+    w = df.write.mode("overwrite").options(**_compression_options(opts))
     if records_per_file:
         w = w.option("maxRecordsPerFile", records_per_file)
     else:
         df = df.coalesce(1)
-        w = df.write.mode("overwrite").option("compression", opts.compression)
+        w = df.write.mode("overwrite").options(**_compression_options(opts))
     w.parquet(staging)
 
     parts = sorted(glob.glob(os.path.join(staging, "part-*")))
@@ -246,21 +285,34 @@ def _write_with_encodings(
     the reference's tempfile-until-finalized commit
     (src/query/current_file.rs:14-80).
     """
-    unknown = {
-        c: e for c, e in opts.column_encodings.items() if e not in COLUMN_ENCODINGS
-    }
+    col_encodings = opts.column_encodings or {}
+    unknown = {c: e for c, e in col_encodings.items() if e not in COLUMN_ENCODINGS}
     if unknown:
         raise ValueError(
             f"unknown column encodings {unknown}; valid: {sorted(COLUMN_ENCODINGS)}"
         )
-    missing = set(opts.column_encodings) - set(df.columns)
+    missing = set(col_encodings) - set(df.columns)
     if missing:
         raise ValueError(f"column_encodings for absent columns: {sorted(missing)}")
 
-    encodings = {c: COLUMN_ENCODINGS[e] for c, e in opts.column_encodings.items()}
+    time_cols = opts.time_columns or {}
+    bad_units = {c: u for c, u in time_cols.items() if u not in ("ms", "us", "ns")}
+    if bad_units:
+        raise ValueError(f"time_columns units must be ms/us/ns, got {bad_units}")
+    missing_t = set(time_cols) - set(df.columns)
+    if missing_t:
+        raise ValueError(f"time_columns for absent columns: {sorted(missing_t)}")
+
+    encodings = {c: COLUMN_ENCODINGS[e] for c, e in col_encodings.items()}
     # pyarrow requires dictionary off for explicitly-encoded columns
     dict_cols = [c for c in df.columns if c not in encodings]
     compression = opts.compression
+    compression_level = opts.compression_level
+    if compression_level is not None and compression not in _PYARROW_LEVEL_CODECS:
+        raise ValueError(
+            f"compression_level is not supported for codec {compression!r} "
+            f"(pyarrow sink supports {sorted(_PYARROW_LEVEL_CODECS)})"
+        )
     out_dir = path
     os.makedirs(out_dir, exist_ok=True)
     for stale in glob.glob(os.path.join(out_dir, "part-*")):
@@ -275,13 +327,33 @@ def _write_with_encodings(
         final = os.path.join(out_dir, f"part-{pid:05d}.parquet")
         tmp = final + ".tmp"
         writer = None
+
+        def cast_times(batch):
+            """int-since-midnight -> Arrow TIME so the parquet footer
+            carries the TIME(ms/us/ns) logical annotation (B7)."""
+            if not time_cols:
+                return batch
+            arrays, fields = [], []
+            for i, field in enumerate(batch.schema):
+                arr = batch.column(i)
+                unit = time_cols.get(field.name)
+                if unit == "ms":
+                    arr = arr.cast(pa.int32()).cast(pa.time32("ms"))
+                elif unit in ("us", "ns"):
+                    arr = arr.cast(pa.int64()).cast(pa.time64(unit))
+                arrays.append(arr)
+                fields.append(pa.field(field.name, arr.type, field.nullable))
+            return pa.RecordBatch.from_arrays(arrays, schema=pa.schema(fields))
+
         try:
             for batch in batches:
+                batch = cast_times(batch)
                 if writer is None:
                     writer = pq.ParquetWriter(
                         tmp,
                         batch.schema,
                         compression=compression,
+                        compression_level=compression_level,
                         use_dictionary=dict_cols,
                         column_encoding=encodings,
                     )

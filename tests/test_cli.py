@@ -136,6 +136,54 @@ def test_cli_completions_scripts(capsys):
     assert zsh.startswith("#compdef") and "--column-length-limit" in zsh
 
 
+def test_cli_completions_all_clap_shells(capsys):
+    """Reference emits clap completions for every shell
+    (src/main.rs:363-367); fish/powershell/elvish join bash/zsh."""
+    rc = main(["completions", "fish"])
+    assert rc == 0
+    fish = capsys.readouterr().out
+    assert "__fish_use_subcommand' -a query" in fish
+    assert "__fish_seen_subcommand_from query' -l avoid-decimal" in fish
+
+    rc = main(["completions", "powershell"])
+    assert rc == 0
+    ps = capsys.readouterr().out
+    assert ps.startswith("Register-ArgumentCompleter")
+    assert "'--column-compression-level-default'" in ps
+
+    rc = main(["completions", "elvish"])
+    assert rc == 0
+    elv = capsys.readouterr().out
+    assert elv.startswith("set edit:completion:arg-completer")
+    assert "--single-file" in elv
+
+
+def test_cli_verbosity_maps_to_log_levels():
+    """-q / -v / -vv / -vvv parity (reference src/main.rs:29-44): counts
+    map onto log4j levels, quiet wins, excess -v caps at DEBUG."""
+    from odbc2parquet_spark.__main__ import log_level_for
+
+    assert log_level_for(0, False) == "ERROR"
+    assert log_level_for(1, False) == "WARN"
+    assert log_level_for(2, False) == "INFO"
+    assert log_level_for(3, False) == "DEBUG"
+    assert log_level_for(9, False) == "DEBUG"
+    assert log_level_for(2, True) == "OFF"
+
+
+def test_cli_global_flags_accepted(spark, sf_dir, tmp_path, capsys):
+    """-v/-q/--no-color parse before the subcommand and the query still
+    runs (flag placement parity with the reference's global clap args)."""
+    out = str(tmp_path / "v.par")
+    rc = main(
+        ["-v", "--no-color", "query", "--tables-dir", sf_dir, "--single-file",
+         out, "SELECT r_regionkey FROM region"]
+    )
+    assert rc == 0
+    assert pq.read_table(out).num_rows == 5
+    spark.sparkContext.setLogLevel("ERROR")  # restore for other tests
+
+
 def test_cli_query_stdout_stream(spark, sf_dir, tmp_path):
     # A8: out='-' streams one parquet file to stdout (pipeable)
     import io

@@ -336,3 +336,100 @@ def test_compact_parquet_recovers_from_crashed_swap(spark, tmp_path):
     assert before == 8 and after == 1
     assert spark.read.parquet(out).count() == 1000
     assert not os.path.exists(out + "_compact_old")
+
+
+def test_compression_level_changes_bytes_spark_path(spark, tmp_path):
+    """--column-compression-level-default parity (reference
+    src/main.rs:160-168): the level must actually reach the codec — the
+    same data written at zstd level 1 vs 19 produces different bytes,
+    with 19 no larger."""
+    from odbc2parquet_spark.sinks.parquet_sink import write_parquet
+
+    df = spark.range(100_000).selectExpr(
+        "id", "md5(cast(id % 2000 as string)) as s"
+    )
+    sizes = {}
+    for lvl in (1, 19):
+        out = str(tmp_path / f"lvl{lvl}.par")
+        write_parquet(df, out, SinkOptions(single_file=True, compression_level=lvl))
+        assert pq.ParquetFile(out).metadata.row_group(0).column(0).compression == "ZSTD"
+        sizes[lvl] = os.path.getsize(out)
+    assert sizes[1] != sizes[19]
+    assert sizes[19] <= sizes[1]
+
+
+def test_compression_level_pyarrow_sink_and_validation(spark, tmp_path):
+    from odbc2parquet_spark.sinks.parquet_sink import write_parquet
+
+    df = spark.range(0, 50_000, 1, 2).selectExpr(
+        "id", "md5(cast(id % 1000 as string)) as s"
+    )
+    sizes = {}
+    for lvl in (1, 9):
+        out = str(tmp_path / f"gz{lvl}")
+        files = write_parquet(
+            df,
+            out,
+            SinkOptions(
+                compression="gzip",
+                compression_level=lvl,
+                column_encodings={"id": "delta-binary-packed"},
+            ),
+        )
+        assert pq.ParquetFile(files[0]).metadata.row_group(0).column(0).compression == "GZIP"
+        sizes[lvl] = sum(os.path.getsize(f) for f in files)
+    assert sizes[1] != sizes[9] and sizes[9] <= sizes[1]
+
+    # gzip has no level knob on the Spark writer path -> loud error
+    with pytest.raises(ValueError, match="not supported for codec 'gzip'"):
+        write_parquet(
+            df,
+            str(tmp_path / "bad.par"),
+            SinkOptions(compression="gzip", compression_level=5, single_file=True),
+        )
+
+
+def test_time_columns_write_real_parquet_time_type(spark, tmp_path):
+    """B7 nice-to-have from the SURVEY risk register: the pyarrow sink can
+    annotate int-since-midnight columns with a REAL Parquet TIME logical
+    type (reference time.rs:19-78), so external readers see TIME, not
+    bare ints."""
+    import datetime
+
+    df = spark.range(0, 1000, 1, 2).selectExpr(
+        "id",
+        "cast((id * 37) % 86400000 as int) as t_ms",
+        "cast((id * 91) % 86400000000 as long) as t_us",
+    )
+    out = str(tmp_path / "times")
+    files = write_parquet(
+        df, out, SinkOptions(time_columns={"t_ms": "ms", "t_us": "us"})
+    )
+    schema = pq.ParquetFile(files[0]).schema_arrow
+    import pyarrow as pa
+
+    assert schema.field("t_ms").type == pa.time32("ms")
+    assert schema.field("t_us").type == pa.time64("us")
+    assert schema.field("id").type == pa.int64()
+    # values survive: 61_000 ms -> 00:01:01
+    t = pq.read_table(out).to_pylist()
+    by_id = {r["id"]: r for r in t}
+    assert by_id[0]["t_ms"] == datetime.time(0, 0)
+    ms = (123 * 37) % 86400000
+    assert by_id[123]["t_ms"] == datetime.time(
+        ms // 3600000, ms % 3600000 // 60000, ms % 60000 // 1000, ms % 1000 * 1000
+    )
+
+
+def test_time_columns_validation(spark, tmp_path):
+    df = spark.range(5).selectExpr("id", "cast(id as int) as t")
+    with pytest.raises(ValueError, match="units must be ms/us/ns"):
+        write_parquet(df, str(tmp_path / "a"), SinkOptions(time_columns={"t": "sec"}))
+    with pytest.raises(ValueError, match="absent columns"):
+        write_parquet(df, str(tmp_path / "b"), SinkOptions(time_columns={"zzz": "ms"}))
+    with pytest.raises(ValueError, match="directory mode"):
+        write_parquet(
+            df,
+            str(tmp_path / "c.par"),
+            SinkOptions(time_columns={"t": "ms"}, single_file=True),
+        )
