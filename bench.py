@@ -162,6 +162,8 @@ HEADLINE = [
     "ev_sliding_window",
     "tm_variant_json",
     "mm_png_stats",
+    # round 5: production-shape batched BPE (50 merges, ~5 rounds)
+    "tx_bpe_learn50",
 ]
 
 
@@ -199,7 +201,17 @@ def main() -> None:
     # medians over shuffled orders cancel position effects.
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
 
-    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    # SPARK_GRAFT_BENCH_ONLY="q1,q2" restricts the suite (scaling studies
+    # re-measure just the worst scalers at a new decade without paying for
+    # the full 120+-query sweep twice)
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    headline = (
+        [q for q in HEADLINE if q in {s.strip() for s in only.split(",")}]
+        if only
+        else HEADLINE
+    )
+
+    samples: dict[str, list[float]] = {name: [] for name in headline}
     samples["transfer_lineitem"] = []
     transfer_rows = 0
 
@@ -228,7 +240,7 @@ def main() -> None:
             transfer_rows = li.count()
 
     for rep in range(reps):
-        order: list[str] = ["transfer_lineitem", *HEADLINE]
+        order: list[str] = ["transfer_lineitem", *headline]
         random.Random(rep).shuffle(order)
         for name in order:
             if name == "transfer_lineitem":

@@ -1852,3 +1852,24 @@ def mm_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.select(
         "doc_id", "width", "height", "n_pixels", "sum_b", "sum_g", "sum_r"
     )
+
+
+@query("tx_bpe_learn50")
+def tx_bpe_learn50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-shape BPE learning (operators/text.bpe_learn_batched):
+    50 merges in ~5 Spark rounds of 10 symbol-disjoint merges each —
+    one bounded pair-count TakeOrdered per round plus one Arrow-batched
+    merge application over the distinct-word symbol table, instead of 50
+    driver round-trips. No SQL oracle: the round loop is an iterative
+    algorithm outside ANSI SQL (driver records the rows-only check);
+    exactness is pinned by pytest — batch=1 reproduces sequential
+    bpe_learn merge-for-merge, and batches are deterministic across runs.
+    Emits the learned merge table (merge_rank, a, b)."""
+    from odbc2parquet_spark.operators.text import bpe_learn_batched
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_learn_batched(docs, n_merges=50, batch=10)
+    return spark.createDataFrame(
+        [(i + 1, a, b) for i, (a, b) in enumerate(merges)],
+        "merge_rank int, a string, b string",
+    )

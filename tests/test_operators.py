@@ -1437,3 +1437,41 @@ def test_png_decode_all_filter_types_and_corrupt(spark):
     )
     assert rows[1].n_pixels == 20 and rows[1].sum_r is not None
     assert rows[3].width is None and rows[4].width is None
+
+
+def test_bpe_learn_batched_batch1_equals_sequential(spark):
+    """batch=1 must reproduce the strictly-sequential bpe_learn exactly
+    (same merges, same order) — the batched operator is a superset, not
+    a different algorithm."""
+    from odbc2parquet_spark.operators.text import bpe_learn, bpe_learn_batched
+
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest low low"), (2, "new newer newest new")],
+        ["doc_id", "text"],
+    )
+    seq = bpe_learn(docs, n_merges=6)
+    one = bpe_learn_batched(docs, n_merges=6, batch=1)
+    assert one == seq
+
+
+def test_bpe_learn_batched_disjoint_and_deterministic(spark):
+    """Batched selection picks only symbol-disjoint pairs per round, the
+    full 20-merge table is deterministic across runs, and every merge's
+    parts existed as symbols when it was selected (a valid merge
+    hierarchy)."""
+    from odbc2parquet_spark.operators.text import bpe_learn_batched
+
+    docs = spark.createDataFrame(
+        [(i, f"the quick brown fox jumps over the lazy dog {i % 3}")
+         for i in range(30)],
+        ["doc_id", "text"],
+    )
+    a = bpe_learn_batched(docs, n_merges=20, batch=5)
+    b = bpe_learn_batched(docs, n_merges=20, batch=5)
+    assert a == b and len(a) == 20
+    # valid hierarchy: each merge's symbols are single chars or earlier outputs
+    produced = set()
+    for x, y in a:
+        for part in (x, y):
+            assert len(part) == 1 or part in produced, (x, y)
+        produced.add(x + y)
