@@ -162,8 +162,11 @@ HEADLINE = [
     "ev_sliding_window",
     "tm_variant_json",
     "mm_png_stats",
-    # round 5: production-shape batched BPE (50 merges, ~5 rounds)
+    # round 5: production-shape batched BPE (50 merges, ~5 rounds),
+    # systematic PPS corpus sampling, decayed per-user EWMA
     "tx_bpe_learn50",
+    "tx_pps_sample",
+    "ev_ewma_decay",
 ]
 
 

@@ -234,3 +234,41 @@ def resample_interpolate(
         F.round(value, 6).alias("value"),
         kind.alias("kind"),
     )
+
+
+def ewma_last_n(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    n: int = 8,
+) -> DataFrame:
+    """Exponentially weighted moving average over the last ``n``
+    observations per key, decay 1/2 — the freshness-decayed engagement /
+    rate metric every event pipeline keeps per user.
+
+    ENGINE-EXACT by construction: with alpha = 1/2 the weights are powers
+    of two, so every product ``value * 2^j`` is an EXACT double scaling
+    (exponent shift, no rounding), and the numerator/denominator are
+    built as one fixed left-to-right expression tree over LAG columns —
+    two IEEE engines evaluate it to the identical bit pattern, which is
+    what lets the DuckDB oracle hash-match raw doubles with no rounding
+    fudge. Adjusted (pandas ewm adjust=True) semantics at series heads:
+    missing lags drop out of BOTH numerator and denominator.
+
+    One window (hash shuffle on the key) and n LAGs — no self-joins, no
+    per-key collect; scales as a single keyed exchange.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    lags = [F.col(value_col)] + [
+        F.lag(value_col, i).over(w) for i in range(1, n)
+    ]
+    num = F.lit(0.0)
+    den = F.lit(0)
+    for i, lg in enumerate(lags):
+        wt = 1 << (n - 1 - i)  # 2^(n-1), 2^(n-2), ..., 1
+        num = num + F.coalesce(lg, F.lit(0.0)) * F.lit(float(wt))
+        den = den + F.when(lg.isNull(), F.lit(0)).otherwise(F.lit(wt))
+    return df.withColumn("ewma", num / den)

@@ -93,3 +93,91 @@ def mixture_sample(
         .filter(h < F.col("_thr_"))
         .drop("_src_", "_thr_")
     )
+
+
+def pps_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Systematic probability-proportional-to-size (PPS) sampling: draw
+    exactly ``k`` units (with multiplicity) so each row's expected draw
+    count is k * w / W — the quality/length-weighted corpus subsampling
+    step of a training-data pipeline, in PURE INTEGER arithmetic so any
+    engine reproduces the sample bit-for-bit (no pow/log priorities,
+    whose 1-ulp libm differences can flip ranks across engines).
+
+    Construction: rows are ordered by a hash of their id (a deterministic
+    pseudo-random permutation — systematic sampling needs random order to
+    avoid periodicity bias), the integer weights are prefix-summed, and k
+    equally spaced points (2j+1)W/(2k) are dropped onto [0, W); a row is
+    drawn once per point inside its weight interval:
+    ``hits(x) = clamp(floor((2kx + W - 1) / (2W)), 0, k)`` at the
+    interval ends, n_hits = hits(cum) - hits(cum - w).
+
+    Scale shape: the prefix sum uses the same two-pass scheme as
+    pack_shards_two_pass — per-partition sums to the driver
+    (num_partitions longs), exclusive offsets broadcast back, local
+    window cumsum per partition. No global-window funnel; the total W
+    falls out of pass 1 for free.
+
+    Returns (id, weight, n_hits) for rows with n_hits > 0.
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    keyed = df.select(
+        F.col(id_col),
+        F.col(weight_col).cast("long").alias("w"),
+        _hash60(F.col(id_col)).alias("_h_"),
+    )
+    ranged = keyed.repartitionByRange(
+        num_partitions, F.col("_h_"), F.col(id_col)
+    ).sortWithinPartitions("_h_", id_col)
+    with_pid = ranged.withColumn("_pid_", F.spark_partition_id()).persist()
+    psums = {
+        r._pid_: r.s
+        for r in with_pid.groupBy("_pid_").agg(F.sum("w").alias("s")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(psums):
+        offsets[pid] = acc
+        acc += psums[pid]
+    total_w = acc
+    offset_df = F.broadcast(
+        spark.createDataFrame(
+            [(pid, off) for pid, off in offsets.items()], ["_pid_", "_offset_"]
+        )
+    )
+    wl = (
+        Window.partitionBy("_pid_")
+        .orderBy("_h_", id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (F.sum("w").over(wl) + F.col("_offset_")).alias("cum")
+
+    # hits(x) via INT64 `div` (never double division — exact at any W)
+    def hits(num_col: str) -> str:
+        return (
+            f"least(cast({k} as bigint), greatest(cast(0 as bigint), "
+            f"{num_col} div {2 * total_w}))"
+        )
+
+    out = (
+        with_pid.join(offset_df, "_pid_")
+        .select(id_col, "w", cum)
+        .withColumn("_hi_", 2 * F.lit(k) * F.col("cum") + F.lit(total_w - 1))
+        .withColumn(
+            "_lo_",
+            2 * F.lit(k) * (F.col("cum") - F.col("w")) + F.lit(total_w - 1),
+        )
+        .select(
+            id_col,
+            F.col("w").alias("weight"),
+            (F.expr(hits("_hi_")) - F.expr(hits("_lo_"))).cast("long").alias("n_hits"),
+        )
+        .filter(F.col("n_hits") > 0)
+    )
+    return out

@@ -972,3 +972,49 @@ def ev_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_1h"),
     )
+
+
+@query(
+    "ev_ewma_decay",
+    oracle="""
+    WITH lagged AS (
+        SELECT user_id, event_id, value,
+               LAG(value, 1) OVER w AS l1, LAG(value, 2) OVER w AS l2,
+               LAG(value, 3) OVER w AS l3, LAG(value, 4) OVER w AS l4,
+               LAG(value, 5) OVER w AS l5, LAG(value, 6) OVER w AS l6,
+               LAG(value, 7) OVER w AS l7
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id,
+           (0.0 + COALESCE(value, 0.0) * 128.0 + COALESCE(l1, 0.0) * 64.0
+                + COALESCE(l2, 0.0) * 32.0 + COALESCE(l3, 0.0) * 16.0
+                + COALESCE(l4, 0.0) * 8.0 + COALESCE(l5, 0.0) * 4.0
+                + COALESCE(l6, 0.0) * 2.0 + COALESCE(l7, 0.0) * 1.0)
+           / (CASE WHEN value IS NULL THEN 0 ELSE 128 END
+              + CASE WHEN l1 IS NULL THEN 0 ELSE 64 END
+              + CASE WHEN l2 IS NULL THEN 0 ELSE 32 END
+              + CASE WHEN l3 IS NULL THEN 0 ELSE 16 END
+              + CASE WHEN l4 IS NULL THEN 0 ELSE 8 END
+              + CASE WHEN l5 IS NULL THEN 0 ELSE 4 END
+              + CASE WHEN l6 IS NULL THEN 0 ELSE 2 END
+              + CASE WHEN l7 IS NULL THEN 0 ELSE 1 END) AS ewma
+    FROM lagged WHERE event_id % 97 = 0
+    """,
+)
+def ev_ewma_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness-decayed per-user engagement (operators/rollup.
+    ewma_last_n): EWMA with decay 1/2 over each user's last 8 events.
+    Power-of-two weights make every product an exact double scaling and
+    the fixed left-to-right expression tree evaluates bit-identically on
+    any IEEE engine — the oracle hash-matches RAW doubles, no rounding
+    fudge. One keyed window, 7 LAGs, no self-join; output thinned to
+    event_id % 97 for a bounded certificate."""
+    from odbc2parquet_spark.operators.rollup import ewma_last_n
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ewma_last_n(ev, "user_id", ["ts", "event_id"], "value", n=8)
+        .filter(F.col("event_id") % 97 == 0)
+        .select("user_id", "event_id", "ewma")
+    )

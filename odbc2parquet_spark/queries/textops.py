@@ -1873,3 +1873,40 @@ def tx_bpe_learn50(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i + 1, a, b) for i, (a, b) in enumerate(merges)],
         "merge_rank int, a string, b string",
     )
+
+
+@query(
+    "tx_pps_sample",
+    oracle="""
+    WITH keyed AS (
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+               CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) AS h
+        FROM documents
+    ),
+    tot AS (SELECT SUM(w) AS tw FROM keyed),
+    cums AS (
+        SELECT doc_id, w, SUM(w) OVER (ORDER BY h, doc_id) AS cum FROM keyed
+    )
+    SELECT * FROM (
+        SELECT doc_id, w AS weight,
+               CAST(LEAST(500, GREATEST(0, (2 * 500 * cum + tw - 1) // (2 * tw)))
+                  - LEAST(500, GREATEST(0, (2 * 500 * (cum - w) + tw - 1) // (2 * tw)))
+                  AS BIGINT) AS n_hits
+        FROM cums CROSS JOIN tot
+    ) WHERE n_hits > 0
+    """,
+)
+def tx_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted corpus subsample via systematic PPS sampling
+    (operators/sampling.pps_sample): exactly 500 draws, expected draw
+    count k*w/W per document, hash-permuted order, ALL-INTEGER hit
+    arithmetic (no pow/log priorities whose 1-ulp libm differences flip
+    ranks across engines — the reason this certificate can hash-match).
+    Spark side runs the two-pass prefix sum (per-partition sums +
+    broadcast offsets, no global-window funnel); the oracle is the
+    one-window reference."""
+    from odbc2parquet_spark.operators.sampling import pps_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pps_sample(docs, "n_chars", k=500, id_col="doc_id")

@@ -1475,3 +1475,58 @@ def test_bpe_learn_batched_disjoint_and_deterministic(spark):
         for part in (x, y):
             assert len(part) == 1 or part in produced, (x, y)
         produced.add(x + y)
+
+
+def test_pps_sample_exact_k_and_proportionality(spark):
+    """Systematic PPS: total draws are EXACTLY k, a zero-weight row is
+    never drawn, and a row holding half the total weight gets ~half the
+    draws (multiplicity for heavy items)."""
+    from odbc2parquet_spark.operators.sampling import pps_sample
+
+    rows = [(i, 10) for i in range(100)] + [(1000, 1000)]  # heavy item
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    out = pps_sample(df, "w", k=40, id_col="doc_id").collect()
+    assert sum(r.n_hits for r in out) == 40
+    heavy = {r.doc_id: r.n_hits for r in out}.get(1000, 0)
+    assert 15 <= heavy <= 25  # expected 20 = k * 1000/2000
+    assert all(r.n_hits >= 1 for r in out)
+
+    zero = spark.createDataFrame([(1, 0), (2, 5)], ["doc_id", "w"])
+    z = pps_sample(zero, "w", k=3, id_col="doc_id").collect()
+    assert {r.doc_id for r in z} == {2} and z[0].n_hits == 3
+
+
+def test_pps_sample_partitioning_independent(spark):
+    """The sample is a pure function of (ids, weights, k) — repartitioning
+    the input must not change a single draw (the property Spark's own
+    df.sample lacks)."""
+    from odbc2parquet_spark.operators.sampling import pps_sample
+
+    df = spark.createDataFrame(
+        [(i, 1 + (i * 7) % 23) for i in range(500)], ["doc_id", "w"]
+    )
+    a = {(r.doc_id, r.n_hits) for r in pps_sample(df, "w", 50).collect()}
+    b = {
+        (r.doc_id, r.n_hits)
+        for r in pps_sample(df.repartition(17), "w", 50, num_partitions=5).collect()
+    }
+    assert a == b and sum(h for _, h in a) == 50
+
+
+def test_ewma_last_n_known_values(spark):
+    """EWMA decay 1/2, adjusted: series [1, 2, 4] gives
+    head 1, then (2*128 + 1*64)/192, then (4*128 + 2*64 + 1*32)/224."""
+    from odbc2parquet_spark.operators.rollup import ewma_last_n
+
+    df = spark.createDataFrame(
+        [(1, 1, 1.0), (1, 2, 2.0), (1, 3, 4.0), (2, 1, 7.0)],
+        ["uid", "seq", "value"],
+    )
+    out = {
+        (r.uid, r.seq): r.ewma
+        for r in ewma_last_n(df, "uid", ["seq"], "value", n=8).collect()
+    }
+    assert out[(1, 1)] == 1.0
+    assert out[(1, 2)] == (2 * 128 + 1 * 64) / 192
+    assert out[(1, 3)] == (4 * 128 + 2 * 64 + 1 * 32) / 224
+    assert out[(2, 1)] == 7.0  # independent key, fresh head
