@@ -170,6 +170,29 @@ HEADLINE = [
 ]
 
 
+#: hard cap for the stdout summary line — the driver keeps only the last
+#: 2000 chars of bench output, so the line must survive tail truncation
+#: (round-4 artifact lost its head when the full queries dict outgrew it)
+SUMMARY_LINE_BUDGET = 1800
+
+
+def compact_summary(summary_base: dict, timings: dict[str, float]) -> str:
+    """ONE JSON line <= SUMMARY_LINE_BUDGET chars: the headline fields
+    plus as many of the SLOWEST per-query timings as fit (always
+    including transfer_lineitem); the full dict lives in queries_detail.
+    """
+    slowest = sorted(timings.items(), key=lambda kv: -kv[1])
+    inline: dict[str, float] = {}
+    if "transfer_lineitem" in timings:
+        inline["transfer_lineitem"] = timings["transfer_lineitem"]
+    for name, sec in slowest:
+        trial = {**inline, name: sec}
+        if len(json.dumps({**summary_base, "queries": trial})) > SUMMARY_LINE_BUDGET:
+            break
+        inline = trial
+    return json.dumps({**summary_base, "queries": inline})
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -283,14 +306,7 @@ def main() -> None:
     with open(detail_path, "w") as fh:
         json.dump({**summary_base, "queries": timings}, fh)
 
-    slowest = sorted(timings.items(), key=lambda kv: -kv[1])
-    inline: dict[str, float] = {"transfer_lineitem": timings["transfer_lineitem"]}
-    for name, sec in slowest:
-        trial = {**inline, name: sec}
-        if len(json.dumps({**summary_base, "queries": trial})) > 1800:
-            break
-        inline = trial
-    print(json.dumps({**summary_base, "queries": inline}))
+    print(compact_summary(summary_base, timings))
 
 
 if __name__ == "__main__":

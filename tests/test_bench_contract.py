@@ -1,0 +1,54 @@
+"""The driver keeps only the last 2000 chars of bench stdout; the summary
+line is the scored artifact (BENCH_r4 was lost to tail truncation when
+the full queries dict outgrew the tail). These tests pin the contract
+without starting Spark."""
+
+import json
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from bench import HEADLINE, SUMMARY_LINE_BUDGET, compact_summary
+
+
+def _base(n):
+    return {
+        "metric": "headline_suite_total",
+        "value": 123.456,
+        "unit": "sec",
+        "sf": 0.1,
+        "reps": 3,
+        "n_queries": n,
+        "transfer_rows_per_sec": 374766,
+        "queries_detail": "/root/repo/BENCH_DETAIL.json",
+    }
+
+
+def test_summary_line_survives_tail_truncation():
+    timings = {f"q_quite_long_query_name_{i:04d}": 0.1 + i * 0.013 for i in range(300)}
+    timings["transfer_lineitem"] = 1.7
+    line = compact_summary(_base(len(timings)), timings)
+    assert len(line) <= SUMMARY_LINE_BUDGET < 2000
+    # parse exactly as a tail-truncating driver would
+    tail = ("earlier noise\n" * 200 + line)[-2000:]
+    parsed = json.loads(tail.strip().split("\n")[-1])
+    assert parsed["metric"] == "headline_suite_total"
+    assert parsed["value"] == 123.456
+    assert "transfer_lineitem" in parsed["queries"]
+    # the slowest query must be present inline
+    slowest = max(timings, key=timings.get)
+    assert slowest in parsed["queries"]
+
+
+def test_summary_includes_everything_when_small():
+    timings = {"q1": 1.0, "q2": 2.0, "transfer_lineitem": 3.0}
+    parsed = json.loads(compact_summary(_base(3), timings))
+    assert parsed["queries"] == timings
+
+
+def test_headline_has_no_duplicates_or_unknown_queries():
+    assert len(HEADLINE) == len(set(HEADLINE))
+    from odbc2parquet_spark.queries import QUERIES
+
+    missing = [q for q in HEADLINE if q not in QUERIES]
+    assert missing == []
