@@ -61,3 +61,53 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+DECAYED_RATE_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("ewma", T.DoubleType()),
+    ]
+)
+
+_EWMA_STATE_SCHEMA = "n LONG, ewma DOUBLE"
+
+
+def _update_decayed_rate(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    n, ewma = state.get if state.exists else (0, None)
+    for pdf in pdfs:
+        # deterministic in-batch order: the event-time column if present,
+        # else the arrival frame order
+        if "ts" in pdf.columns:
+            pdf = pdf.sort_values("ts", kind="stable")
+        for v in pdf["value"]:
+            v = float(v)
+            ewma = v if ewma is None else 0.5 * v + 0.5 * ewma
+            n += 1
+    state.update((n, ewma))
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "ewma": [ewma]})
+
+
+def decayed_user_rate(events: DataFrame) -> DataFrame:
+    """Streaming twin of operators/rollup.ewma_last_n: a per-user
+    recursively decayed value (alpha = 1/2, ewma' = v/2 + ewma/2) carried
+    across micro-batches in the state store — the unbounded-stream form
+    of the decayed engagement metric (the batch operator is the adjusted
+    last-n window; the streaming form is the classic recursive filter,
+    O(1) state per key: one long + one double).
+
+    With alpha = 1/2 every update is halving arithmetic — exact double
+    scaling plus one rounding add — so a restart-and-replay from the
+    checkpoint reproduces bit-identical state. Emits the post-batch
+    (n_events, ewma) snapshot per key touched; append-mode compatible.
+    """
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_decayed_rate,
+        outputStructType=DECAYED_RATE_SCHEMA,
+        stateStructType=_EWMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

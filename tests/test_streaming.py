@@ -253,3 +253,57 @@ def test_streaming_upsert_recovers_snapshot_from_backup(spark, tmp_path):
     got = {r["k"]: (r["v"], r["seq"]) for r in spark.read.parquet(state).collect()}
     # key 9 survived the crash via backup restore; key 1 took the update
     assert got == {1: ("new", 5), 9: ("keep", 1)}
+
+
+def test_decayed_user_rate_state_across_batches(spark, tmp_path):
+    """Recursive EWMA state (alpha=1/2) must carry across availableNow
+    micro-batches: user 1 sees 8, 4 in batch 1 (ewma 6.0) then 10 in
+    batch 2 -> 0.5*10 + 0.5*6 = 8.0."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import types as T
+
+    from odbc2parquet_spark.streaming.stateful import decayed_user_rate
+
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+
+    def run_batch(rows, subdir):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / subdir)
+        )
+        stream = spark.readStream.schema(schema).option(
+            "recursiveFileLookup", "true"
+        ).parquet(str(src))
+        q = (
+            decayed_user_rate(stream)
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_batch([(1, 1, 8.0), (1, 2, 4.0), (2, 1, 3.0)], "b1")
+    run_batch([(1, 3, 10.0)], "b2")
+
+    res = spark.read.parquet(str(out))
+    final = {
+        r.user_id: (r.n_events, r.ewma)
+        for r in res.groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "ewma")).alias("s"))
+        .select("user_id", "s.n_events", "s.ewma")
+        .collect()
+    }
+    assert final[1] == (3, 8.0)   # (8 -> 6 -> 8): order by ts, state carried
+    assert final[2] == (1, 3.0)
