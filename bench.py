@@ -167,6 +167,8 @@ HEADLINE = [
     "tx_bpe_learn50",
     "tx_pps_sample",
     "ev_ewma_decay",
+    "tx_dedup_normalize",
+    "ev_attribution",
 ]
 
 

@@ -39,6 +39,33 @@ def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def dedup_normal_form(text_col: str = "text") -> Column:
+    """The canonical text form exact/near dedup hashes on (the C4 /
+    Lee-et-al convention): lowercase, every non-alphanumeric run collapsed
+    to a single space, ends trimmed. Case and punctuation variants of the
+    same sentence map to one canonical string, so md5(dedup_normal_form)
+    catches duplicates raw md5(text) misses.
+
+    Pure built-ins (lower/regexp_replace/trim) — whole-stage-codegen'd,
+    runs at scan speed. ASCII-only folding: for multilingual corpora swap
+    ``lower`` for an ICU case fold upstream; the DuckDB oracle matches on
+    ASCII, which is what the gate certifies.
+    """
+    return F.trim(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " "))
+
+
+def normalize_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc normalization report: raw vs canonical length + the
+    canonical-form hash (the key exact dedup would group on)."""
+    norm = dedup_normal_form(text_col)
+    return docs.select(
+        "doc_id",
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+        F.length(norm).cast("long").alias("n_norm_chars"),
+        F.md5(norm).alias("norm_hash"),
+    )
+
+
 def _quality_parts(text_col: str) -> dict[str, Column]:
     """The quality-signal component expressions — ONE definition shared by
     :func:`quality_score_col` (the gate) and :func:`quality_scores` (the

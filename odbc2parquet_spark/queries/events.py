@@ -359,6 +359,66 @@ def ev_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ev_attribution",
+    oracle="""
+    WITH conv AS (
+        SELECT user_id, event_id AS conv_id, ts, value
+        FROM events WHERE event_type = 'purchase'
+    ),
+    tch AS (
+        SELECT user_id, ts, event_type AS channel
+        FROM events WHERE event_type IN ('click', 'view', 'signup')
+    ),
+    per AS (
+        SELECT c.conv_id, c.value, t.channel, COUNT(*) AS n_channel
+        FROM conv c JOIN tch t
+          ON c.user_id = t.user_id
+         AND t.ts <= c.ts AND t.ts >= c.ts - INTERVAL 7 DAY
+        GROUP BY 1, 2, 3
+    ),
+    tot AS (SELECT conv_id, SUM(n_channel) AS n_total FROM per GROUP BY 1)
+    SELECT per.channel AS channel,
+           ROUND(CAST(SUM(CAST(per.value * per.n_channel / tot.n_total
+                               AS DECIMAL(25,12))) AS DOUBLE), 6)
+               AS credited_value,
+           CAST(SUM(per.n_channel) AS BIGINT) AS n_touches,
+           CAST(COUNT(DISTINCT per.conv_id) AS BIGINT) AS n_conversions
+    FROM per JOIN tot USING (conv_id)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def ev_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution (operators/attribution.py): each
+    purchase's value splits equally across the same user's click/view/
+    signup touches in the 7 days before it. Equi-join on user_id with a
+    range residual (bounded like a watermarked interval join — never a
+    cross join); the pair set collapses to (conversion, channel) counts
+    with map-side partials before any arithmetic; credits are
+    DECIMAL(25,12) so the final per-channel sums are order-independent."""
+    from odbc2parquet_spark.operators.attribution import linear_attribution
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("conv_id"), "ts", "value"
+    )
+    tch = ev.filter(F.col("event_type").isin("click", "view", "signup")).select(
+        "user_id", "ts", F.col("event_type").alias("channel")
+    )
+    per = linear_attribution(conv, tch, key="user_id", window="7 days")
+    return (
+        per.groupBy("channel")
+        .agg(
+            F.round(F.sum("credit").cast("double"), 6).alias("credited_value"),
+            F.sum("n_channel").cast("long").alias("n_touches"),
+            F.countDistinct("conv_id").cast("long").alias("n_conversions"),
+        )
+        .orderBy("channel")
+    )
+
+
+@query(
     "ev_props_json",
     oracle="""
     SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k_bucket,

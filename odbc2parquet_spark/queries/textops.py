@@ -32,6 +32,28 @@ def tx_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "tx_dedup_normalize",
+    oracle="""
+    SELECT doc_id,
+           length(text) AS n_chars,
+           length(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+               AS n_norm_chars,
+           md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+               AS norm_hash
+    FROM documents
+    """,
+)
+def tx_dedup_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup canonicalization (operators/text.dedup_normal_form): the
+    C4/Lee-et-al normal form — lowercase, punctuation runs to one space,
+    trim — whose md5 is the key case/punct-insensitive exact dedup groups
+    on. Zero shuffles; the whole transform is three codegen'd string
+    built-ins, so at 100 TB it rides the scan. Composes with dd_exact:
+    hash norm_hash instead of md5(text) to fold trivial variants."""
+    return X.normalize_stats(load_table(spark, sf_dir, "documents"))
+
+
+@query(
     "tx_quality_scores",
     oracle="""
     WITH base AS (

@@ -1530,3 +1530,63 @@ def test_ewma_last_n_known_values(spark):
     assert out[(1, 2)] == (2 * 128 + 1 * 64) / 192
     assert out[(1, 3)] == (4 * 128 + 2 * 64 + 1 * 32) / 224
     assert out[(2, 1)] == 7.0  # independent key, fresh head
+
+
+def test_dedup_normal_form_folds_variants(spark):
+    """Case/punctuation variants share one canonical hash; distinct text
+    stays distinct."""
+    df = spark.createDataFrame(
+        [
+            (1, "Hello, World!"),
+            (2, "hello   world"),
+            (3, "HELLO-world..."),
+            (4, "goodbye world"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in X.normalize_stats(df).collect()}
+    assert out[1].norm_hash == out[2].norm_hash == out[3].norm_hash
+    assert out[4].norm_hash != out[1].norm_hash
+    assert out[1].n_norm_chars == len("hello world")
+    assert out[1].n_chars == len("Hello, World!")
+
+
+def test_linear_attribution_credit_conservation(spark):
+    """Per-conversion credits sum to the conversion value; touches outside
+    the look-back window and other users' touches never credit; a
+    conversion with zero in-window touches drops out."""
+    import datetime as dt
+    from decimal import Decimal
+
+    from odbc2parquet_spark.operators.attribution import linear_attribution
+
+    t0 = dt.datetime(2024, 1, 10, 12, 0, 0)
+
+    def ts(days):
+        return t0 + dt.timedelta(days=days)
+
+    conv = spark.createDataFrame(
+        [(1, 100, ts(0), 9.0), (1, 101, ts(20), 6.0), (2, 102, ts(0), 5.0)],
+        ["user_id", "conv_id", "ts", "value"],
+    )
+    touches = spark.createDataFrame(
+        [
+            (1, ts(-1), "click"),
+            (1, ts(-2), "click"),
+            (1, ts(-3), "view"),
+            (1, ts(-30), "view"),  # outside the 7-day window for both convs
+            (3, ts(-1), "click"),  # other user
+        ],
+        ["user_id", "ts", "channel"],
+    )
+    rows = linear_attribution(conv, touches, key="user_id").collect()
+    by_conv = {}
+    for r in rows:
+        by_conv.setdefault(r.conv_id, []).append(r)
+    # conv 101 (no touches in window) and user-2's conv 102 drop out
+    assert set(by_conv) == {100}
+    got = {r.channel: (r.n_channel, r.n_total, r.credit) for r in by_conv[100]}
+    assert got["click"][0] == 2 and got["view"][0] == 1
+    assert got["click"][1] == got["view"][1] == 3
+    total = sum(c for _, _, c in got.values())
+    assert abs(total - Decimal("9.0")) < Decimal("0.000001")
