@@ -531,6 +531,69 @@ def pq_codebook(
     ).select("cid", F.col("sc.subspace").alias("subspace"), F.col("sc.c8").alias("c8"))
 
 
+def pq_refine_codebook(
+    vectors: DataFrame,
+    codebook: DataFrame,
+    m: int = 8,
+    dim: int = 64,
+    iterations: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-subspace Lloyd refinement of a PQ codebook — the quality lever
+    over the deterministic low-id seeding: assign codes, replace each
+    centroid with the mean of its assigned slices, repeat.
+
+    Each iteration is one broadcast assign (pq_assign) + one
+    (subspace, code, pos) mean — m*k*sub groups, tiny — so the corpus is
+    scanned twice per round and nothing corpus-sized ever shuffles wide
+    rows. Cells that attract no vectors drop out (dead centroids —
+    identical semantics in the SQL oracle, which groups by assigned
+    codes only).
+
+    Determinism contract (the reason this refines hash-identically on
+    any engine): per-position means are DECIMAL(25,12) exact sums
+    divided once, rounded to 6 decimals, cast to float — the same
+    order-independence rule as every other cross-engine aggregate here.
+    """
+    sub = _pq_split(dim, m)
+    cur = codebook
+    for _ in range(iterations):
+        melted = vectors.select(
+            F.col(id_col).alias("vec_id"),
+            F.explode(_subspace_melt(vec_col, m, sub, "v8")).alias("sv"),
+        ).select(
+            "vec_id", F.col("sv.subspace").alias("subspace"), F.col("sv.v8").alias("v8")
+        )
+        codes = pq_assign(vectors, cur, m=m, dim=dim, id_col=id_col, vec_col=vec_col)
+        assigned = codes.join(melted, ["vec_id", "subspace"]).select(
+            "subspace", "code", "v8"
+        )
+        cur = (
+            assigned.select("subspace", "code", F.posexplode("v8").alias("pos", "x"))
+            .groupBy("subspace", "code", "pos")
+            .agg(
+                F.round(
+                    F.sum(F.col("x").cast("double").cast("decimal(25,12)")).cast(
+                        "double"
+                    )
+                    / F.count(F.lit(1)),
+                    6,
+                ).alias("mval")
+            )
+            .groupBy("subspace", "code")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "mval"))).alias("pm"))
+            .select(
+                F.col("code").alias("cid"),
+                "subspace",
+                F.transform(
+                    F.col("pm"), lambda s: s.getField("mval").cast("float")
+                ).alias("c8"),
+            )
+        )
+    return cur
+
+
 def pq_assign(
     vectors: DataFrame,
     codebook: DataFrame,
@@ -622,6 +685,7 @@ def pq_adc_topk(
     top_k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codebook: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k over PQ codes — the search half of
     product quantization (cf. reference's query surface: the engine only
@@ -641,8 +705,17 @@ def pq_adc_topk(
     distances are summed as DECIMAL(20,4) (each term rounded to 4
     first), so the total is order-independent and engines agree
     bit-for-bit; the final adc4 is the double cast of that exact sum.
+
+    ``codebook`` overrides the default deterministic-seed build — pass a
+    :func:`pq_refine_codebook` output to search on Lloyd-refined cells.
     """
-    cb = pq_codebook(vectors, m=m, k=k_centroids, dim=dim, id_col=id_col, vec_col=vec_col)
+    cb = (
+        codebook
+        if codebook is not None
+        else pq_codebook(
+            vectors, m=m, k=k_centroids, dim=dim, id_col=id_col, vec_col=vec_col
+        )
+    )
     codes = pq_assign(vectors, cb, m=m, dim=dim, id_col=id_col, vec_col=vec_col).select(
         "vec_id", "subspace", "code"
     )

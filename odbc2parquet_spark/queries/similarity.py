@@ -638,6 +638,139 @@ def sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: one Lloyd step on the PQ codebook + re-derived codes/LUT/ADC — appended
+#: after _pq_index_ctes(); mirrors operators/similarity.pq_refine_codebook
+#: (decimal-exact per-position means, round 6, float cast; dead cells drop).
+_PQ_LLOYD_CTES = """,
+    rav AS (
+        SELECT c.subspace, c.code, s.v8
+        FROM codes c JOIN sub s ON s.vec_id = c.vec_id AND s.subspace = c.subspace
+    ),
+    rmean AS (
+        SELECT subspace, code, CAST(t.p AS INTEGER) AS pos,
+               ROUND(CAST(SUM(CAST(CAST(v8[CAST(t.p AS INTEGER)] AS DOUBLE)
+                                   AS DECIMAL(25,12))) AS DOUBLE) / COUNT(*), 6)
+                   AS mval
+        FROM rav, UNNEST(generate_series(1, 8)) AS t(p)
+        GROUP BY 1, 2, 3
+    ),
+    rcb AS (
+        SELECT subspace, code AS cid,
+               list_transform(list(mval ORDER BY pos), x -> CAST(x AS FLOAT)) AS c8
+        FROM rmean GROUP BY 1, 2
+    ),
+    rscored AS (
+        SELECT sub.vec_id, sub.subspace, rcb.cid,
+               ROUND(list_sum(list_transform(list_zip(sub.v8, rcb.c8),
+                        x -> POWER(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE), 2))),
+                     4) AS d2
+        FROM sub JOIN rcb ON rcb.subspace = sub.subspace
+    ),
+    rcodes AS (
+        SELECT vec_id, subspace, cid AS code FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, subspace
+                                         ORDER BY d2, cid) AS rn
+            FROM rscored
+        ) WHERE rn = 1
+    ),
+    rlut AS (
+        SELECT psub.query_id, rcb.subspace, rcb.cid AS code,
+               CAST(ROUND(list_sum(list_transform(list_zip(psub.p8, rcb.c8),
+                        x -> POWER(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE), 2))),
+                     4) AS DECIMAL(20,4)) AS pd2
+        FROM psub JOIN rcb ON rcb.subspace = psub.subspace
+    ),
+    radc AS (
+        SELECT l.query_id, c.vec_id, SUM(l.pd2) AS adc_dec
+        FROM rcodes c
+        JOIN rlut l ON l.subspace = c.subspace AND l.code = c.code
+        WHERE c.vec_id != l.query_id
+        GROUP BY 1, 2
+    )"""
+
+
+@query(
+    "sim_pq_lloyd_recall",
+    oracle="WITH "
+    + _pq_index_ctes()
+    + _PQ_LLOYD_CTES
+    + f""",
+    n AS (
+        SELECT vec_id, embedding,
+               list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nsq
+        FROM embeddings
+    ),
+    exact_scored AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               ROUND({_DOT} / SQRT(a.nsq * b.nsq), 4) AS cos4
+        FROM n a JOIN n b ON a.vec_id < 10 AND a.vec_id != b.vec_id
+    ),
+    exact_top AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY cos4 DESC, neighbor_id) AS rnk
+            FROM exact_scored
+        ) WHERE rnk <= 10
+    ),
+    adc_top AS (
+        SELECT query_id, vec_id AS neighbor_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY adc_dec, vec_id) AS rnk
+            FROM radc
+        ) WHERE rnk <= 10
+    ),
+    hits AS (
+        SELECT a.query_id, COUNT(*) AS n_hits
+        FROM adc_top a
+        JOIN exact_top e ON e.query_id = a.query_id
+                        AND e.neighbor_id = a.neighbor_id
+        GROUP BY a.query_id
+    )
+    SELECT q.query_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(COALESCE(h.n_hits, 0) / 10.0 AS DOUBLE) AS recall10
+    FROM (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 10) q
+    LEFT JOIN hits h ON h.query_id = q.query_id
+    """,
+)
+def sim_pq_lloyd_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of ADC search on a Lloyd-REFINED PQ codebook (one
+    iteration of operators/similarity.pq_refine_codebook over the
+    deterministic seeds) — the quality lever on sim_pq_recall's baseline:
+    same probes, same exact ground truth, refined cells. The oracle
+    re-derives the Lloyd step (assign -> decimal-exact per-position
+    means -> re-assign -> re-search) entirely in SQL, so the refined
+    index is certified end-to-end, not just the final counts."""
+    from odbc2parquet_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codebook,
+        pq_refine_codebook,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = pq_codebook(emb, m=8, k=16, dim=64)
+    rcb = pq_refine_codebook(emb, cb, m=8, dim=64, iterations=1)
+    probes = emb.filter(F.col("vec_id") < 10)
+    adc = pq_adc_topk(emb, probes, m=8, dim=64, top_k=10, codebook=rcb).select(
+        "query_id", "neighbor_id"
+    )
+    exact = S.brute_force_topk(emb, probes, k=10).select("query_id", "neighbor_id")
+    hits = (
+        adc.join(exact, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+    base = probes.select(F.col("vec_id").alias("query_id"))
+    return (
+        base.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        )
+        .withColumn("recall10", (F.col("n_hits") / F.lit(10.0)).cast("double"))
+    )
+
+
 @query(
     "sim_ivf_pq_recall",
     oracle="WITH "

@@ -1590,3 +1590,34 @@ def test_linear_attribution_credit_conservation(spark):
     assert got["click"][1] == got["view"][1] == 3
     total = sum(c for _, _, c in got.values())
     assert abs(total - Decimal("9.0")) < Decimal("0.000001")
+
+
+def test_pq_refine_reduces_distortion(spark):
+    """One Lloyd step on the PQ codebook must not increase total
+    quantization distortion (sum of nearest-centroid d2 over all
+    vectors/subspaces) — the k-means monotonicity invariant."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(64):
+        center = [float(rng.choice([0, 10]))] * 16
+        rows.append((i, [c + rng.uniform(-1, 1) for c in center]))
+    vecs = spark.createDataFrame(rows, ["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+    cb0 = S.pq_codebook(vecs, m=2, k=4, dim=16)
+    cb1 = S.pq_refine_codebook(vecs, cb0, m=2, dim=16, iterations=1)
+
+    def distortion(cb):
+        return (
+            S.pq_assign(vecs, cb, m=2, dim=16)
+            .agg(F.sum("dist4").cast("double"))
+            .collect()[0][0]
+        )
+
+    d0, d1 = distortion(cb0), distortion(cb1)
+    assert d1 <= d0
+    # refined centroids keep the subspace layout: 2 subspaces, <= 4 cells
+    per_sub = {r.subspace: r.n for r in cb1.groupBy("subspace").agg(F.count("*").alias("n")).collect()}
+    assert set(per_sub) == {0, 1} and all(n <= 4 for n in per_sub.values())
