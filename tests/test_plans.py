@@ -18,6 +18,7 @@ ALL_PAIRS_OK = {
     "dd_embedding_cosine",   # all-pairs verification (sim_lsh_* / sim_ivf_* scale paths)
     "sim_candidate_recall",  # recall evaluation vs the all-pairs ground truth (bounded slice)
     "sim_pq_recall",         # same: ADC recall@10 vs the brute-force ground truth
+    "sim_pq_lloyd_recall",   # same ground truth, Lloyd-refined codebook
     "sim_ivf_pq_recall",     # same ground truth for the composed IVF-PQ index
     "sim_bruteforce_topk",   # exactness baseline: broadcast probes BY DESIGN
     "q_scalar_functions",    # no join at all; harmless
