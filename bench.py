@@ -169,6 +169,7 @@ HEADLINE = [
     "ev_ewma_decay",
     "tx_dedup_normalize",
     "ev_attribution",
+    "ev_winsorize",
 ]
 
 

@@ -148,3 +148,35 @@ def dq_check(df: DataFrame, rules: list[Rule]) -> DataFrame:
     for r_df in results[1:]:
         out = out.unionByName(r_df)
     return out.withColumn("pass_", F.col("n_violations") == 0)
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    lo: float = 0.05,
+    hi: float = 0.95,
+) -> DataFrame:
+    """Per-group robust outlier clipping: value clamped to that group's
+    exact [lo, hi] percentile band (winsorization — the standard
+    heavy-tail taming step before scaling/averaging a feature).
+
+    Two passes over the data, both linear: one groupBy computing the
+    exact interpolated percentiles (per-group sort — the same cost
+    contract as q_percentiles; swap `percentile` for `approx_percentile`
+    at 100 TB when sketch error is acceptable), then the group-sized
+    stats frame broadcasts back and the clamp is a codegen'd
+    least/greatest expression. Percentile bounds are rounded to 6
+    decimals so both engines clamp against identical thresholds
+    (Spark `percentile` == DuckDB `quantile_cont`).
+
+    Adds columns ``p_lo``, ``p_hi``, ``<value_col>_w`` (clipped value).
+    """
+    stats = df.groupBy(group_col).agg(
+        F.round(F.expr(f"percentile({value_col}, {lo})"), 6).alias("p_lo"),
+        F.round(F.expr(f"percentile({value_col}, {hi})"), 6).alias("p_hi"),
+    )
+    v = F.col(value_col)
+    return df.join(F.broadcast(stats), group_col).withColumn(
+        f"{value_col}_w", F.least(F.greatest(v, F.col("p_lo")), F.col("p_hi"))
+    )

@@ -359,6 +359,71 @@ def ev_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ev_winsorize",
+    oracle="""
+    WITH s AS (
+        SELECT event_type,
+               ROUND(quantile_cont(value, 0.05), 6) AS p_lo,
+               ROUND(quantile_cont(value, 0.95), 6) AS p_hi
+        FROM events GROUP BY 1
+    )
+    SELECT e.event_type AS event_type, p_lo, p_hi,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN value < p_lo THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clipped_low,
+           CAST(SUM(CASE WHEN value > p_hi THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clipped_high,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_raw,
+           ROUND(CAST(SUM(CAST(LEAST(GREATEST(value, p_lo), p_hi)
+                               AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_winsorized
+    FROM events e JOIN s USING (event_type)
+    GROUP BY 1, 2, 3 ORDER BY 1
+    """,
+)
+def ev_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type winsorization report (operators/quality.winsorize):
+    exact [p05, p95] clamp bands, clip counts, and the mean before/after
+    — the heavy-tail taming step run before averaging a metric. Bands
+    round to 6 decimals so both engines clamp identically; means are
+    decimal-exact sums divided once. Two linear passes + a group-sized
+    broadcast — at 100 TB swap the exact percentile for
+    approx_percentile (same shape, no per-group sort)."""
+    from odbc2parquet_spark.operators.quality import winsorize
+
+    ev = load_table(spark, sf_dir, "events")
+    w = winsorize(ev, "value", "event_type", lo=0.05, hi=0.95)
+    return (
+        w.groupBy("event_type", "p_lo", "p_hi")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("value") < F.col("p_lo")).cast("long")).alias(
+                "n_clipped_low"
+            ),
+            F.sum((F.col("value") > F.col("p_hi")).cast("long")).alias(
+                "n_clipped_high"
+            ),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_raw"),
+            F.round(
+                F.sum(F.col("value_w").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_winsorized"),
+        )
+        .select(
+            "event_type", "p_lo", "p_hi", "n", "n_clipped_low",
+            "n_clipped_high", "mean_raw", "mean_winsorized",
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
     "ev_attribution",
     oracle="""
     WITH conv AS (

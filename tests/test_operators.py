@@ -1621,3 +1621,21 @@ def test_pq_refine_reduces_distortion(spark):
     # refined centroids keep the subspace layout: 2 subspaces, <= 4 cells
     per_sub = {r.subspace: r.n for r in cb1.groupBy("subspace").agg(F.count("*").alias("n")).collect()}
     assert set(per_sub) == {0, 1} and all(n <= 4 for n in per_sub.values())
+
+
+def test_winsorize_clamps_to_group_band(spark):
+    """Values outside a group's [p_lo, p_hi] band clamp to it; in-band
+    values and other groups' bands are untouched."""
+    from odbc2parquet_spark.operators.quality import winsorize
+
+    rows = [("a", float(v)) for v in [0, 10, 20, 30, 40, 50, 60, 70, 80, 1000]]
+    rows += [("b", 5.0), ("b", 6.0), ("b", 7.0)]
+    df = spark.createDataFrame(rows, ["g", "value"])
+    out = {(r.g, r.value): r for r in winsorize(df, "value", "g").collect()}
+    a_hi = out[("a", 1000.0)]
+    assert a_hi.value_w == a_hi.p_hi < 1000.0
+    a_lo = out[("a", 0.0)]
+    assert a_lo.value_w == a_lo.p_lo > 0.0
+    assert out[("a", 40.0)].value_w == 40.0
+    b = out[("b", 6.0)]
+    assert b.value_w == 6.0 and b.p_lo != a_lo.p_lo
