@@ -170,6 +170,7 @@ HEADLINE = [
     "tx_dedup_normalize",
     "ev_attribution",
     "ev_winsorize",
+    "ev_time_to_convert",
 ]
 
 

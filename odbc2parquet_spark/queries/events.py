@@ -359,6 +359,95 @@ def ev_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ev_time_to_convert",
+    oracle="""
+    WITH su AS (
+        SELECT user_id, MIN(ts) AS signup_ts
+        FROM events WHERE event_type = 'signup' GROUP BY 1
+    ),
+    fp AS (
+        SELECT su.user_id, su.signup_ts, MIN(e.ts) AS conv_ts
+        FROM su LEFT JOIN events e
+          ON e.user_id = su.user_id AND e.event_type = 'purchase'
+         AND e.ts >= su.signup_ts
+        GROUP BY 1, 2
+    ),
+    mx AS (SELECT MAX(ts) AS max_ts FROM events),
+    subj AS (
+        SELECT date_diff('day', CAST(signup_ts AS DATE),
+                         CAST(COALESCE(conv_ts, max_ts) AS DATE)) AS t_obs,
+               conv_ts IS NOT NULL AS converted
+        FROM fp, mx
+    ),
+    per_t AS (
+        SELECT t_obs AS t, COUNT(*) AS n_all,
+               SUM(CASE WHEN converted THEN 1 ELSE 0 END) AS n_events
+        FROM subj GROUP BY 1
+    ),
+    cum AS (
+        SELECT t, n_all, n_events,
+               COALESCE(SUM(n_all) OVER (ORDER BY t ROWS BETWEEN
+                        UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_prior,
+               SUM(n_all) OVER () AS n_total
+        FROM per_t
+    )
+    SELECT CAST(t AS BIGINT) AS t_days,
+           CAST(n_total - n_prior AS BIGINT) AS n_risk,
+           CAST(n_events AS BIGINT) AS n_events,
+           ROUND(n_events * 1.0 / (n_total - n_prior), 6) AS hazard
+    FROM cum WHERE n_events > 0 ORDER BY t_days
+    """,
+)
+def ev_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup-to-first-purchase survival life table (operators/survival.
+    km_hazard_table): per day-since-signup, subjects still at risk, the
+    conversions that day, and the discrete hazard d/n — users who never
+    purchase are right-censored at the dataset's last timestamp. Exact
+    integer counts + one final division, so the table (and any KM
+    product folded from it) is engine-identical. The subjects build is
+    two keyed aggs + a 1-row max-ts broadcast; the life table groups by
+    duration (calendar-sized) and windows over THOSE rows only."""
+    from odbc2parquet_spark.operators.survival import km_hazard_table
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    su = ev.filter(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("ts").alias("signup_ts")
+    )
+    pu = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    fp = (
+        su.join(
+            pu,
+            (su["user_id"] == pu["p_user"]) & (pu["p_ts"] >= su["signup_ts"]),
+            "left",
+        )
+        .groupBy("user_id", "signup_ts")
+        .agg(F.min("p_ts").alias("conv_ts"))
+    )
+    mx = ev.agg(F.max("ts").alias("max_ts"))
+    subj = fp.crossJoin(F.broadcast(mx)).select(
+        F.datediff(
+            F.to_date(F.coalesce(F.col("conv_ts"), F.col("max_ts"))),
+            F.to_date(F.col("signup_ts")),
+        ).alias("t_obs"),
+        F.col("conv_ts").isNotNull().alias("converted"),
+    )
+    return (
+        km_hazard_table(subj, "t_obs", "converted")
+        .select(
+            F.col("t").cast("long").alias("t_days"),
+            "n_risk",
+            "n_events",
+            "hazard",
+        )
+        .orderBy("t_days")
+    )
+
+
+@query(
     "ev_winsorize",
     oracle="""
     WITH s AS (

@@ -1639,3 +1639,21 @@ def test_winsorize_clamps_to_group_band(spark):
     assert out[("a", 40.0)].value_w == 40.0
     b = out[("b", 6.0)]
     assert b.value_w == 6.0 and b.p_lo != a_lo.p_lo
+
+
+def test_km_hazard_table_known_values(spark):
+    """Textbook life table: 5 subjects, events at t=1 (2 subjects) and
+    t=3 (1), censored at t=2 and t=3. n_risk counts censored-at-t as
+    still at risk; censor-only durations emit no row."""
+    from odbc2parquet_spark.operators.survival import km_hazard_table
+
+    subj = spark.createDataFrame(
+        [(1, True), (1, True), (2, False), (3, True), (3, False)],
+        ["t_obs", "converted"],
+    )
+    rows = {r.t: r for r in km_hazard_table(subj).collect()}
+    assert set(rows) == {1, 3}
+    assert rows[1].n_risk == 5 and rows[1].n_events == 2
+    assert rows[1].hazard == 0.4
+    assert rows[3].n_risk == 2 and rows[3].n_events == 1
+    assert rows[3].hazard == 0.5

@@ -54,6 +54,7 @@ BOUNDED_CROSS_OK = {
                              # decimal-exact Lloyd mean
     # round 4 additions — every cross side is a 1-row aggregate or a
     # probe-bounded candidate set, never corpus x corpus:
+    "ev_time_to_convert",    # 1-row max-ts broadcast (the censoring horizon)
     "q_zorder_cluster",      # 1-row min/max stats broadcast for the range cells
     "ev_skew_profile",       # 1-row (n_keys, total) broadcast onto 5 hot keys
     "ev_agg_merge",          # 1-row refresh-cutoff broadcast
