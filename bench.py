@@ -171,6 +171,7 @@ HEADLINE = [
     "ev_attribution",
     "ev_winsorize",
     "ev_time_to_convert",
+    "ev_ab_test",
 ]
 
 

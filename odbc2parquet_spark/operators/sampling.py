@@ -181,3 +181,26 @@ def pps_sample(
         .filter(F.col("n_hits") > 0)
     )
     return out
+
+
+def ab_assign(
+    df: DataFrame, key_col: str, salt: str = "exp", n_variants: int = 2
+) -> DataFrame:
+    """Deterministic experiment assignment: variant = hash-slot of the
+    unit key (same contract as the train/val split — no RNG, no state; a
+    unit keeps its arm across reruns, partitionings and engines, and any
+    engine can re-derive the assignment for audit). ``salt`` namespaces
+    the experiment so concurrent experiments assign independently.
+
+    Adds a ``variant`` column 'A', 'B', ... — pure map expression, zero
+    shuffles. Assigning on the USER key (not the event) keeps all of a
+    unit's events in one arm, the correctness condition for any
+    per-unit experiment metric.
+    """
+    if not 2 <= n_variants <= 26:
+        raise ValueError(f"n_variants must be in [2, 26], got {n_variants}")
+    slot = _hash60(F.concat(F.lit(f"{salt}:"), F.col(key_col).cast("string"))) % n_variants
+    variant = F.when(slot == 0, "A")
+    for i in range(1, n_variants):
+        variant = variant.when(slot == i, chr(ord("A") + i))
+    return df.withColumn("variant", variant)

@@ -359,6 +359,128 @@ def ev_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ev_ab_test",
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                             THEN CAST(value AS DECIMAL(18,6))
+                             ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+                   AS spend
+        FROM events GROUP BY 1
+    ),
+    a AS (
+        SELECT spend,
+               CASE WHEN CAST('0x' || substring(md5('exp:' ||
+                         CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) % 2 = 0
+                    THEN 'A' ELSE 'B' END AS variant
+        FROM u
+    ),
+    agg AS (
+        SELECT CAST(SUM(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+               CAST(SUM(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+               CAST(SUM(CASE WHEN variant = 'A'
+                             THEN CAST(spend AS DECIMAL(25,10))
+                             ELSE CAST(0 AS DECIMAL(25,10)) END) AS DOUBLE) AS s1_a,
+               CAST(SUM(CASE WHEN variant = 'B'
+                             THEN CAST(spend AS DECIMAL(25,10))
+                             ELSE CAST(0 AS DECIMAL(25,10)) END) AS DOUBLE) AS s1_b,
+               CAST(SUM(CASE WHEN variant = 'A'
+                             THEN CAST(spend * spend AS DECIMAL(30,10))
+                             ELSE CAST(0 AS DECIMAL(30,10)) END) AS DOUBLE) AS s2_a,
+               CAST(SUM(CASE WHEN variant = 'B'
+                             THEN CAST(spend * spend AS DECIMAL(30,10))
+                             ELSE CAST(0 AS DECIMAL(30,10)) END) AS DOUBLE) AS s2_b
+        FROM a
+    )
+    SELECT n_a, n_b,
+           ROUND(s1_a / n_a, 6) AS mean_a,
+           ROUND(s1_b / n_b, 6) AS mean_b,
+           ROUND((s1_a / n_a - s1_b / n_b)
+                 / SQRT(((s2_a - s1_a * s1_a / n_a) / (n_a - 1)) / n_a
+                        + ((s2_b - s1_b * s1_b / n_b) / (n_b - 1)) / n_b), 6)
+               AS z_stat
+    FROM agg
+    """,
+)
+def ev_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment analysis (operators/sampling.ab_assign): users hash-
+    assigned to arms A/B by salted slot (deterministic, auditable — the
+    same no-RNG contract as the train/val split, so any engine re-derives
+    who was in which arm), per-arm mean user spend, and the Welch
+    z-statistic on the spend difference. Per-user spend and the arm-level
+    s1/s2 moments are decimal-exact sums (order-independent); the
+    mean/variance/z arithmetic is IEEE double in an order the oracle
+    mirrors token-for-token (sqrt is correctly-rounded per IEEE-754, so
+    even z hash-matches). Scale: one per-user agg + one 6-counter fold —
+    nothing wider than a user row ever shuffles."""
+    from odbc2parquet_spark.operators.sampling import ab_assign
+
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.col("value").cast("decimal(18,6)"),
+            ).otherwise(F.lit(0).cast("decimal(18,6)"))
+        )
+        .cast("double")
+        .alias("spend")
+    )
+    a = ab_assign(users, "user_id", salt="exp", n_variants=2)
+    spend = F.col("spend")
+    agg = a.agg(
+        F.sum((F.col("variant") == "A").cast("long")).alias("n_a"),
+        F.sum((F.col("variant") == "B").cast("long")).alias("n_b"),
+        F.sum(
+            F.when(F.col("variant") == "A", spend.cast("decimal(25,10)")).otherwise(
+                F.lit(0).cast("decimal(25,10)")
+            )
+        )
+        .cast("double")
+        .alias("s1_a"),
+        F.sum(
+            F.when(F.col("variant") == "B", spend.cast("decimal(25,10)")).otherwise(
+                F.lit(0).cast("decimal(25,10)")
+            )
+        )
+        .cast("double")
+        .alias("s1_b"),
+        F.sum(
+            F.when(
+                F.col("variant") == "A", (spend * spend).cast("decimal(30,10)")
+            ).otherwise(F.lit(0).cast("decimal(30,10)"))
+        )
+        .cast("double")
+        .alias("s2_a"),
+        F.sum(
+            F.when(
+                F.col("variant") == "B", (spend * spend).cast("decimal(30,10)")
+            ).otherwise(F.lit(0).cast("decimal(30,10)"))
+        )
+        .cast("double")
+        .alias("s2_b"),
+    )
+    n_a, n_b = F.col("n_a"), F.col("n_b")
+    s1_a, s1_b = F.col("s1_a"), F.col("s1_b")
+    s2_a, s2_b = F.col("s2_a"), F.col("s2_b")
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.round(s1_a / n_a, 6).alias("mean_a"),
+        F.round(s1_b / n_b, 6).alias("mean_b"),
+        F.round(
+            (s1_a / n_a - s1_b / n_b)
+            / F.sqrt(
+                ((s2_a - s1_a * s1_a / n_a) / (n_a - F.lit(1))) / n_a
+                + ((s2_b - s1_b * s1_b / n_b) / (n_b - F.lit(1))) / n_b
+            ),
+            6,
+        ).alias("z_stat"),
+    )
+
+
+@query(
     "ev_time_to_convert",
     oracle="""
     WITH su AS (

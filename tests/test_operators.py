@@ -1657,3 +1657,27 @@ def test_km_hazard_table_known_values(spark):
     assert rows[1].hazard == 0.4
     assert rows[3].n_risk == 2 and rows[3].n_events == 1
     assert rows[3].hazard == 0.5
+
+
+def test_ab_assign_deterministic_and_unit_stable(spark):
+    """Assignment is a pure function of (salt, key): stable across
+    partitionings, different across salts, and every key lands in a
+    valid arm."""
+    import pytest as _pytest
+
+    from odbc2parquet_spark.operators.sampling import ab_assign
+
+    df = spark.createDataFrame([(i,) for i in range(200)], ["uid"])
+    a1 = {r.uid: r.variant for r in ab_assign(df, "uid", salt="e1").collect()}
+    a2 = {
+        r.uid: r.variant
+        for r in ab_assign(df.repartition(7), "uid", salt="e1").collect()
+    }
+    b = {r.uid: r.variant for r in ab_assign(df, "uid", salt="e2").collect()}
+    assert a1 == a2
+    assert set(a1.values()) == {"A", "B"}
+    assert a1 != b  # a different experiment reshuffles arms
+    three = {r.variant for r in ab_assign(df, "uid", n_variants=3).collect()}
+    assert three == {"A", "B", "C"}
+    with _pytest.raises(ValueError):
+        ab_assign(df, "uid", n_variants=1)
