@@ -172,6 +172,8 @@ HEADLINE = [
     "ev_winsorize",
     "ev_time_to_convert",
     "ev_ab_test",
+    "q_nest_order_lines",
+    "q_k_anonymity",
 ]
 
 

@@ -180,3 +180,28 @@ def winsorize(
     return df.join(F.broadcast(stats), group_col).withColumn(
         f"{value_col}_w", F.least(F.greatest(v, F.col("p_lo")), F.col("p_hi"))
     )
+
+
+def k_anonymity_audit(
+    df: DataFrame, quasi_cols: list[str], k: int
+) -> DataFrame:
+    """Privacy audit: quasi-identifier combinations shared by fewer than
+    ``k`` rows — the groups where an individual is re-identifiable by
+    joining on those columns alone. Returns one row per at-risk group
+    (the quasi values + its count); an empty result certifies the table
+    k-anonymous over ``quasi_cols``.
+
+    One hash aggregation with map-side partials; the output is bounded
+    by the number of SMALL groups, so at 100 TB the audit returns the
+    risk surface, never the data. Suppression/generalization is the
+    caller's policy decision — this operator only finds the groups.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .filter(F.col("n_rows") < k)
+    )

@@ -1301,3 +1301,77 @@ def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_mktsegment") == "BUILDING"
     )
     return bloom_semi_join(orders, cust, "o_custkey", "c_custkey")
+
+
+@query(
+    "q_nest_order_lines",
+    oracle="""
+    SELECT l_orderkey AS o_key,
+           COUNT(*) AS n_lines,
+           md5(string_agg(CAST(l_linenumber AS VARCHAR) || ','
+                          || CAST(l_partkey AS VARCHAR) || ','
+                          || CAST(l_suppkey AS VARCHAR), '|'
+                          ORDER BY l_linenumber, l_partkey, l_suppkey))
+               AS lines_hash
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def q_nest_order_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Denormalization export (operators/nesting.nest_children): each
+    order's lineitems re-assembled into a sorted array<struct> — the
+    nested-parquet layout the flat reference engine cannot write
+    (SURVEY §1: its writer has no nested types) and the join-free shape
+    document/feature stores serve from. The certificate digests the
+    nested column through a canonical string (struct order = lexicographic
+    on the packed fields, mirrored by the oracle's ORDER BY), proving
+    membership AND order; the nested write itself is pytest-gated
+    (read-back schema equality)."""
+    from odbc2parquet_spark.operators.nesting import nest_children
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    nested = nest_children(
+        li, "l_orderkey", ["l_linenumber", "l_partkey", "l_suppkey"], "lines"
+    )
+    return nested.select(
+        F.col("l_orderkey").alias("o_key"),
+        F.size("lines").cast("long").alias("n_lines"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.col("lines"),
+                    lambda s: F.concat_ws(
+                        ",",
+                        s.getField("l_linenumber").cast("string"),
+                        s.getField("l_partkey").cast("string"),
+                        s.getField("l_suppkey").cast("string"),
+                    ),
+                ),
+                "|",
+            )
+        ).alias("lines_hash"),
+    )
+
+
+@query(
+    "q_k_anonymity",
+    oracle="""
+    SELECT c_nationkey, c_mktsegment, COUNT(*) AS n_rows
+    FROM customer
+    GROUP BY 1, 2
+    HAVING COUNT(*) < 8
+    """,
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy audit (operators/quality.k_anonymity_audit): customer
+    (nation, segment) quasi-identifier groups with fewer than k=8
+    members — the re-identification risk surface a release gate checks
+    before publishing. One map-side-combined aggregation; output is
+    bounded by the number of SMALL groups, so the audit stays tiny at
+    any table size."""
+    from odbc2parquet_spark.operators.quality import k_anonymity_audit
+
+    cust = load_table(spark, sf_dir, "customer")
+    return k_anonymity_audit(cust, ["c_nationkey", "c_mktsegment"], k=8)

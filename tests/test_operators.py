@@ -1681,3 +1681,45 @@ def test_ab_assign_deterministic_and_unit_stable(spark):
     assert three == {"A", "B", "C"}
     with _pytest.raises(ValueError):
         ab_assign(df, "uid", n_variants=1)
+
+
+def test_nest_children_roundtrip_nested_parquet(spark, tmp_path):
+    """The nested array<struct> survives a parquet write/read with schema
+    intact, and child order is deterministic regardless of partitioning."""
+    from odbc2parquet_spark.operators.nesting import nest_children
+
+    rows = [(1, 2, "b"), (1, 1, "a"), (2, 5, "z"), (1, 3, "c")]
+    ch = spark.createDataFrame(rows, ["pk", "seq", "payload"])
+    nested = nest_children(ch, "pk", ["seq", "payload"], "items")
+    out = str(tmp_path / "nested")
+    nested.write.mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    assert back.schema["items"].dataType.simpleString() == (
+        "array<struct<seq:bigint,payload:string>>"
+    )
+    got = {r.pk: [(i.seq, i.payload) for i in r.items] for r in back.collect()}
+    assert got[1] == [(1, "a"), (2, "b"), (3, "c")]
+    reparted = {
+        r.pk: [(i.seq, i.payload) for i in r.items]
+        for r in nest_children(ch.repartition(5), "pk", ["seq", "payload"], "items").collect()
+    }
+    assert reparted == {r.pk: [(i.seq, i.payload) for i in r.items] for r in nested.collect()}
+
+
+def test_k_anonymity_audit_finds_small_groups(spark):
+    import pytest as _pytest
+
+    from odbc2parquet_spark.operators.quality import k_anonymity_audit
+
+    rows = [("US", "a")] * 5 + [("US", "b")] * 2 + [("DE", "a")]
+    df = spark.createDataFrame(rows, ["country", "seg"])
+    risky = {
+        (r.country, r.seg): r.n_rows
+        for r in k_anonymity_audit(df, ["country", "seg"], k=3).collect()
+    }
+    assert risky == {("US", "b"): 2, ("DE", "a"): 1}
+    assert k_anonymity_audit(df, ["country", "seg"], k=2).count() == 1
+    with _pytest.raises(ValueError):
+        k_anonymity_audit(df, [], k=3)
+    with _pytest.raises(ValueError):
+        k_anonymity_audit(df, ["country"], k=1)
