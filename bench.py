@@ -174,6 +174,7 @@ HEADLINE = [
     "ev_ab_test",
     "q_nest_order_lines",
     "q_k_anonymity",
+    "q_tree_closure",
 ]
 
 

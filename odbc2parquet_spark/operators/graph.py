@@ -315,3 +315,51 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         .groupBy("id")
         .agg(F.count("*").cast("long").alias("n_triangles"))
     )
+
+
+def tree_ancestry(edges: DataFrame, rounds: int = 8) -> DataFrame:
+    """Root and depth for every node of a forest — the recursive-CTE
+    workload (org charts, category trees, BOM explosion) Spark SQL has
+    no operator for, computed in O(log depth) self-joins by pointer
+    doubling instead of the depth-many iterations a literal recursive
+    walk would take.
+
+    ``edges`` holds one row per node: (node, parent); a root points at
+    itself. Invariant per round: state(x) = (cur, d) means cur is x's
+    2^k-th ancestor (clamped at its root) and d the real hop count to
+    it. Doubling composes the state with itself — after ``rounds``
+    rounds every node whose depth is <= 2^rounds has cur = its root and
+    d = its depth (256 deep by default: any realistic hierarchy; raise
+    ``rounds`` logarithmically for pathological chains).
+
+    Scale shape: each round is ONE equi-join of the state with itself on
+    the node key — 8 narrow shuffles total regardless of depth;
+    localCheckpoint truncates the self-feeding plan like the connected-
+    components fixpoints above.
+    """
+    state = edges.select(
+        F.col("node"),
+        F.when(F.col("parent") == F.col("node"), F.col("node"))
+        .otherwise(F.col("parent"))
+        .alias("cur"),
+        F.when(F.col("parent") == F.col("node"), F.lit(0))
+        .otherwise(F.lit(1))
+        .cast("long")
+        .alias("depth"),
+    ).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        hop = state.select(
+            F.col("node").alias("j_node"),
+            F.col("cur").alias("j_cur"),
+            F.col("depth").alias("j_depth"),
+        )
+        state = (
+            state.join(hop, state["cur"] == hop["j_node"])
+            .select(
+                "node",
+                F.col("j_cur").alias("cur"),
+                (F.col("depth") + F.col("j_depth")).alias("depth"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return state.select("node", F.col("cur").alias("root_key"), "depth")

@@ -1375,3 +1375,38 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cust = load_table(spark, sf_dir, "customer")
     return k_anonymity_audit(cust, ["c_nationkey", "c_mktsegment"], k=8)
+
+
+@query(
+    "q_tree_closure",
+    oracle="""
+    WITH RECURSIVE walk(node, cur, depth) AS (
+        SELECT c_custkey, c_custkey, 0 FROM customer
+        UNION ALL
+        SELECT node, cur // 4, depth + 1 FROM walk WHERE cur > 3
+    )
+    SELECT node AS custkey, CAST(cur AS BIGINT) AS root_key,
+           CAST(depth AS BIGINT) AS depth
+    FROM walk WHERE cur <= 3
+    """,
+)
+def q_tree_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive-CTE parity (operators/graph.tree_ancestry): root and
+    depth over a deterministic forest on the customer keys (parent =
+    key div 4; keys <= 3 are roots). Spark has no WITH RECURSIVE — the
+    operator answers the same closure in O(log depth) pointer-doubling
+    self-joins (8 narrow shuffles cover depth 256; a literal recursive
+    walk pays one pass PER LEVEL). The oracle IS DuckDB's native
+    recursive CTE, so the two formulations must agree node-for-node."""
+    from odbc2parquet_spark.operators.graph import tree_ancestry
+
+    cust = load_table(spark, sf_dir, "customer")
+    edges = cust.select(
+        F.col("c_custkey").alias("node"),
+        F.when(F.col("c_custkey") <= 3, F.col("c_custkey"))
+        .otherwise(F.expr("c_custkey div 4"))
+        .alias("parent"),
+    )
+    return tree_ancestry(edges).select(
+        F.col("node").alias("custkey"), "root_key", "depth"
+    )

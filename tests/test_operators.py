@@ -1723,3 +1723,23 @@ def test_k_anonymity_audit_finds_small_groups(spark):
         k_anonymity_audit(df, [], k=3)
     with _pytest.raises(ValueError):
         k_anonymity_audit(df, ["country"], k=1)
+
+
+def test_tree_ancestry_chain_and_forest(spark):
+    """A 10-deep chain resolves root/depth exactly (well past one
+    doubling round), a second root's subtree stays separate, and a
+    depth > 2^rounds chain is the documented limitation."""
+    from odbc2parquet_spark.operators.graph import tree_ancestry
+
+    chain = [(0, 0)] + [(i, i - 1) for i in range(1, 11)]
+    forest = chain + [(100, 100), (101, 100), (102, 101)]
+    df = spark.createDataFrame(forest, ["node", "parent"])
+    out = {r.node: (r.root_key, r.depth) for r in tree_ancestry(df).collect()}
+    assert out[0] == (0, 0)
+    assert out[10] == (0, 10)
+    assert out[5] == (0, 5)
+    assert out[100] == (100, 0) and out[102] == (100, 2)
+    # rounds=2 covers depth <= 4 only: node 10 has NOT converged to root 0
+    shallow = {r.node: (r.root_key, r.depth) for r in tree_ancestry(df, rounds=2).collect()}
+    assert shallow[10] == (6, 4)  # 2^2 hops up the chain, not yet at root
+    assert shallow[4] == (0, 4)
