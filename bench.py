@@ -175,6 +175,7 @@ HEADLINE = [
     "q_nest_order_lines",
     "q_k_anonymity",
     "q_tree_closure",
+    "ev_peak_concurrency",
 ]
 
 

@@ -63,3 +63,66 @@ def range_join(
     )
     joined = binned_points.join(binned_intervals, on, how)
     return joined.drop("__bin")
+
+
+def sweep_line_concurrency(
+    intervals: DataFrame,
+    start_col: str,
+    end_col: str,
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Interval-overlap counting by sweep line: every interval emits a
+    (+1 at start, -1 at end) event point; the running sum of deltas in
+    (t, delta) order IS the number of concurrently-open intervals at
+    each point (ends apply before starts at ties — end-exclusive
+    intervals never overlap themselves). The classic peak-concurrency /
+    capacity-planning primitive Spark has no operator for.
+
+    Scale shape: NO global window — the running sum is the same
+    two-pass distributed prefix sum as pack_shards_two_pass
+    (range-partition by the sweep key, per-partition sums to the driver
+    [num_partitions longs, never data], local cumsum + partition
+    offset). Per-day maxima downstream are order-invariant within a
+    tie group (equal (t, delta) rows interchange without changing any
+    group's max), so the output is deterministic on any engine.
+
+    Returns (t, delta, concurrency) — one row per event point.
+    """
+    spark = intervals.sparkSession
+    pts = intervals.select(
+        F.col(start_col).alias("t"), F.lit(1).alias("delta")
+    ).unionAll(
+        intervals.select(F.col(end_col).alias("t"), F.lit(-1).alias("delta"))
+    )
+    ranged = pts.repartitionByRange(num_partitions, "t", "delta").sortWithinPartitions(
+        "t", "delta"
+    )
+    # persist so both passes see the SAME sampled range boundaries
+    # (same contract as pack_shards_two_pass)
+    with_pid = ranged.withColumn("_pid_", F.spark_partition_id()).persist()
+    psums = {
+        r._pid_: r.s
+        for r in with_pid.groupBy("_pid_").agg(F.sum("delta").alias("s")).collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(psums):
+        offsets[pid] = acc
+        acc += psums[pid]
+    from pyspark.sql import Window
+
+    offset_df = F.broadcast(
+        spark.createDataFrame(
+            [(pid, off) for pid, off in offsets.items()], ["_pid_", "_offset_"]
+        )
+    )
+    wl = (
+        Window.partitionBy("_pid_")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return with_pid.join(offset_df, "_pid_").select(
+        "t",
+        "delta",
+        (F.sum("delta").over(wl) + F.col("_offset_")).cast("long").alias("concurrency"),
+    )

@@ -359,6 +359,80 @@ def ev_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ev_peak_concurrency",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts,
+               epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id
+                                                     ORDER BY ts)) AS gap_us
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN gap_us IS NULL OR gap_us > 600000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM ordered
+    ),
+    numbered AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM flagged
+    ),
+    sess AS (
+        SELECT epoch_us(MIN(ts)) // 1000000 AS session_start,
+               (epoch_us(MAX(ts)) + 600000000) // 1000000 AS session_end
+        FROM numbered GROUP BY user_id, session_no
+    ),
+    pts AS (
+        SELECT session_start AS t, 1 AS delta FROM sess
+        UNION ALL
+        SELECT session_end AS t, -1 AS delta FROM sess
+    ),
+    run AS (
+        SELECT t, delta,
+               SUM(delta) OVER (ORDER BY t, delta
+                                ROWS UNBOUNDED PRECEDING) AS conc
+        FROM pts
+    )
+    SELECT CAST(FLOOR(t / 86400) * 86400 AS BIGINT) AS day_start,
+           CAST(MAX(conc) AS BIGINT) AS peak_concurrency,
+           CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_session_starts
+    FROM run GROUP BY 1 ORDER BY 1
+    """,
+)
+def ev_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily peak concurrent sessions (operators/ranges.
+    sweep_line_concurrency over the session_window intervals): the
+    capacity-planning number — how many users were on AT ONCE — via the
+    sweep-line running sum, computed as a two-pass distributed prefix
+    sum (no global window; the driver sees num_partitions longs). The
+    oracle rebuilds sessions with gaps-and-islands SQL and sweeps with
+    a plain window — two independent formulations, one hash."""
+    from odbc2parquet_spark.operators.ranges import sweep_line_concurrency
+
+    ev = load_table(spark, sf_dir, "events")
+    sess = sessionized_counts(ev, gap="10 minutes").select(
+        F.unix_seconds(F.col("session_start").cast("timestamp")).alias("s"),
+        F.unix_seconds(F.col("session_end").cast("timestamp")).alias("e"),
+    )
+    run = sweep_line_concurrency(sess, "s", "e")
+    return (
+        run.groupBy(
+            (F.floor(F.col("t") / 86400) * 86400).cast("long").alias("day_start")
+        )
+        .agg(
+            F.max("concurrency").cast("long").alias("peak_concurrency"),
+            F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_session_starts"),
+        )
+        .orderBy("day_start")
+    )
+
+
+@query(
     "ev_ab_test",
     oracle="""
     WITH u AS (

@@ -1743,3 +1743,24 @@ def test_tree_ancestry_chain_and_forest(spark):
     shallow = {r.node: (r.root_key, r.depth) for r in tree_ancestry(df, rounds=2).collect()}
     assert shallow[10] == (6, 4)  # 2^2 hops up the chain, not yet at root
     assert shallow[4] == (0, 4)
+
+
+def test_sweep_line_concurrency_known_peak(spark):
+    """Three overlapping intervals: concurrency peaks at 3 inside the
+    triple overlap; an end and a start at the same instant do NOT
+    overlap (end applies first); partitioning never changes the sweep."""
+    from odbc2parquet_spark.operators.ranges import sweep_line_concurrency
+
+    iv = [(0, 10), (5, 15), (8, 12), (15, 20)]  # (15,20) abuts (5,15)
+    df = spark.createDataFrame(iv, ["s", "e"])
+    out = sweep_line_concurrency(df, "s", "e")
+    peak = out.agg(F.max("concurrency")).collect()[0][0]
+    assert peak == 3
+    at15 = {
+        (r.delta, r.concurrency)
+        for r in out.filter(F.col("t") == 15).collect()
+    }
+    # end of (5,15) drops to N, then start of (15,20) returns to N+1 = 1->...
+    assert (1, 1) in at15  # the start at 15 sees concurrency 1, not 2
+    reparted = sweep_line_concurrency(df.repartition(5), "s", "e", num_partitions=3)
+    assert {tuple(r) for r in reparted.collect()} == {tuple(r) for r in out.collect()}
