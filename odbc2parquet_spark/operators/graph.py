@@ -325,7 +325,10 @@ def tree_ancestry(edges: DataFrame, rounds: int = 8) -> DataFrame:
     walk would take.
 
     ``edges`` holds one row per node: (node, parent); a root points at
-    itself. Invariant per round: state(x) = (cur, d) means cur is x's
+    itself. Every parent must itself appear as a node row — a dangling
+    parent makes its whole subtree vanish at the first doubling (the
+    composition join is inner); validate upstream if the hierarchy may
+    be truncated. Invariant per round: state(x) = (cur, d) means cur is x's
     2^k-th ancestor (clamped at its root) and d the real hop count to
     it. Doubling composes the state with itself — after ``rounds``
     rounds every node whose depth is <= 2^rounds has cur = its root and

@@ -104,6 +104,10 @@ def sweep_line_concurrency(
         r._pid_: r.s
         for r in with_pid.groupBy("_pid_").agg(F.sum("delta").alias("s")).collect()
     }
+    if not psums:  # empty input: no rows to offset (createDataFrame([]) would throw)
+        return with_pid.select(
+            "t", "delta", F.lit(0).cast("long").alias("concurrency")
+        ).limit(0)
     offsets: dict[int, int] = {}
     acc = 0
     for pid in sorted(psums):

@@ -1764,3 +1764,16 @@ def test_sweep_line_concurrency_known_peak(spark):
     assert (1, 1) in at15  # the start at 15 sees concurrency 1, not 2
     reparted = sweep_line_concurrency(df.repartition(5), "s", "e", num_partitions=3)
     assert {tuple(r) for r in reparted.collect()} == {tuple(r) for r in out.collect()}
+
+
+def test_sweep_line_concurrency_empty_input(spark):
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from odbc2parquet_spark.operators.ranges import sweep_line_concurrency
+
+    empty = spark.createDataFrame(
+        [], StructType([StructField("s", LongType()), StructField("e", LongType())])
+    )
+    out = sweep_line_concurrency(empty, "s", "e")
+    assert out.count() == 0
+    assert out.columns == ["t", "delta", "concurrency"]
