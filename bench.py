@@ -176,6 +176,7 @@ HEADLINE = [
     "q_k_anonymity",
     "q_tree_closure",
     "ev_peak_concurrency",
+    "ev_mad_outliers",
 ]
 
 

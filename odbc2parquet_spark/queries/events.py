@@ -359,6 +359,53 @@ def ev_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ev_mad_outliers",
+    oracle="""
+    WITH m AS (
+        SELECT event_type, ROUND(quantile_cont(value, 0.5), 6) AS med
+        FROM events GROUP BY 1
+    ),
+    d AS (
+        SELECT e.event_type, e.value, m.med
+        FROM events e JOIN m USING (event_type)
+    ),
+    md AS (
+        SELECT event_type, med,
+               ROUND(quantile_cont(ABS(value - med), 0.5), 6) AS mad
+        FROM d GROUP BY 1, 2
+    )
+    SELECT d.event_type AS event_type, md.med, md.mad,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN ABS(d.value - md.med) > 4.4478 * md.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM d JOIN md USING (event_type)
+    GROUP BY 1, 2, 3 ORDER BY 1
+    """,
+)
+def ev_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAD-based robust outlier report per event type (operators/quality.
+    mad_outliers): median, median-absolute-deviation and the count
+    beyond the 3-sigma-equivalent band — the detector that still works
+    when the outliers themselves contaminate the spread (the z-score
+    report ev_value_anomalies is the non-robust twin). Medians round to
+    6 decimals so both engines compare identical thresholds."""
+    from odbc2parquet_spark.operators.quality import mad_outliers
+
+    ev = load_table(spark, sf_dir, "events")
+    flagged = mad_outliers(ev, "value", "event_type", k=4.4478)
+    return (
+        flagged.groupBy("event_type", "med", "mad")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value_outlier").cast("long"))
+            .cast("long")
+            .alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
     "ev_peak_concurrency",
     oracle="""
     WITH ordered AS (

@@ -1777,3 +1777,18 @@ def test_sweep_line_concurrency_empty_input(spark):
     out = sweep_line_concurrency(empty, "s", "e")
     assert out.count() == 0
     assert out.columns == ["t", "delta", "concurrency"]
+
+
+def test_mad_outliers_robust_to_contamination(spark):
+    """A group whose outlier would inflate the std enough to hide from a
+    z-score detector is still flagged by MAD; clean rows are not."""
+    from odbc2parquet_spark.operators.quality import mad_outliers
+
+    rows = [("a", float(v)) for v in [10, 11, 12, 10, 11, 12, 10, 11, 12, 1000]]
+    rows += [("b", 5.0), ("b", 5.1), ("b", 4.9)]
+    df = spark.createDataFrame(rows, ["g", "value"])
+    out = mad_outliers(df, "value", "g").collect()
+    flagged = {(r.g, r.value) for r in out if r.value_outlier}
+    assert flagged == {("a", 1000.0)}
+    a = next(r for r in out if r.g == "a" and r.value == 10.0)
+    assert a.med == 11.0 and a.mad == 1.0
