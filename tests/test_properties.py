@@ -214,3 +214,121 @@ def test_random_bytes_never_yield_samples(blob):
 
     with _pytest.raises(ValueError):
         parse_mp4_samples(blob)
+
+
+def test_sweep_line_matches_reference_batch(spark):
+    """300 seeded random intervals: the distributed two-pass sweep equals
+    a single-threaded reference sweep point-for-point (same tie rule:
+    ends before starts), and the final running sum returns to zero."""
+    from odbc2parquet_spark.operators.ranges import sweep_line_concurrency
+
+    rng = random.Random(7)
+    iv = []
+    for _ in range(300):
+        s = rng.randrange(0, 1000)
+        iv.append((s, s + rng.randrange(1, 50)))
+    df = spark.createDataFrame(iv, ["s", "e"])
+    got = sorted(
+        (r.t, r.delta, r.concurrency)
+        for r in sweep_line_concurrency(df, "s", "e", num_partitions=8).collect()
+    )
+    pts = sorted([(s, 1) for s, _ in iv] + [(e, -1) for _, e in iv])
+    run, expect = 0, []
+    for t, d in pts:
+        run += d
+        expect.append((t, d, run))
+    assert got == sorted(expect)
+    assert run == 0
+
+
+def test_tree_ancestry_matches_reference_batch(spark):
+    """400-node seeded random forest: pointer doubling agrees with a
+    single-threaded parent chase for every node."""
+    from odbc2parquet_spark.operators.graph import tree_ancestry
+
+    rng = random.Random(11)
+    parent = {0: 0, 1: 1}
+    for n in range(2, 400):
+        parent[n] = n if rng.random() < 0.02 else rng.randrange(0, n)
+    df = spark.createDataFrame(sorted(parent.items()), ["node", "parent"])
+    got = {r.node: (r.root_key, r.depth) for r in tree_ancestry(df).collect()}
+
+    def chase(n):
+        d = 0
+        while parent[n] != n:
+            n = parent[n]
+            d += 1
+        return n, d
+
+    assert got == {n: chase(n) for n in parent}
+
+
+def test_km_hazard_matches_reference_batch(spark):
+    """500 seeded random subjects: the life table equals the
+    single-threaded reference (at-risk convention: censored-at-t counts
+    in n_risk(t); censor-only durations emit no row)."""
+    from collections import Counter
+
+    from odbc2parquet_spark.operators.survival import km_hazard_table
+
+    rng = random.Random(3)
+    subj = [(rng.randrange(0, 30), rng.random() < 0.6) for _ in range(500)]
+    df = spark.createDataFrame(subj, ["t_obs", "converted"])
+    got = {r.t: (r.n_risk, r.n_events, r.hazard) for r in km_hazard_table(df).collect()}
+
+    all_t = Counter(t for t, _ in subj)
+    ev_t = Counter(t for t, c in subj if c)
+    expect = {}
+    for t, d in sorted(ev_t.items()):
+        n_risk = sum(n for tt, n in all_t.items() if tt >= t)
+        expect[t] = (n_risk, d, round(d / n_risk, 6))
+    assert got == expect
+
+
+def test_linear_attribution_conservation_batch(spark):
+    """Seeded random event streams: every surviving conversion's credits
+    sum to its value (within decimal(25,12) rounding) and no credit ever
+    references an out-of-window or other-user touch."""
+    import datetime as dt
+    from decimal import Decimal
+
+    from odbc2parquet_spark.operators.attribution import linear_attribution
+
+    rng = random.Random(19)
+    t0 = dt.datetime(2024, 3, 1)
+    conv_rows, touch_rows = [], []
+    for cid in range(60):
+        uid = rng.randrange(8)
+        conv_rows.append(
+            (uid, cid, t0 + dt.timedelta(hours=rng.randrange(0, 720)),
+             round(rng.uniform(1, 50), 2))
+        )
+    for _ in range(400):
+        uid = rng.randrange(8)
+        touch_rows.append(
+            (uid, t0 + dt.timedelta(hours=rng.randrange(-24, 720)),
+             rng.choice(["click", "view"]))
+        )
+    conv = spark.createDataFrame(conv_rows, ["user_id", "conv_id", "ts", "value"])
+    tch = spark.createDataFrame(touch_rows, ["user_id", "ts", "channel"])
+    rows = linear_attribution(conv, tch, key="user_id", window="7 days").collect()
+    by_conv = {}
+    for r in rows:
+        by_conv.setdefault(r.conv_id, []).append(r)
+    conv_map = {c: (u, ts, v) for u, c, ts, v in conv_rows}
+    for cid, rs in by_conv.items():
+        uid, cts, val = conv_map[cid]
+        total = sum(r.credit for r in rs)
+        assert abs(total - Decimal(str(val))) < Decimal("0.000001")
+        n_expected = sum(
+            1 for (u, ts, _) in touch_rows
+            if u == uid and ts <= cts and ts >= cts - dt.timedelta(days=7)
+        )
+        assert sum(r.n_channel for r in rs) == n_expected > 0
+    # conversions absent from the output truly had zero in-window touches
+    for cid, (uid, cts, _) in conv_map.items():
+        if cid not in by_conv:
+            assert not any(
+                u == uid and ts <= cts and ts >= cts - dt.timedelta(days=7)
+                for (u, ts, _) in touch_rows
+            )
