@@ -177,6 +177,7 @@ HEADLINE = [
     "q_tree_closure",
     "ev_peak_concurrency",
     "ev_mad_outliers",
+    "ev_rolling_trend",
 ]
 
 

@@ -14,7 +14,7 @@ order) — the property the oracle checks.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 #: supported bucket widths, seconds
@@ -272,3 +272,57 @@ def ewma_last_n(
         num = num + F.coalesce(lg, F.lit(0.0)) * F.lit(float(wt))
         den = den + F.when(lg.isNull(), F.lit(0)).otherwise(F.lit(wt))
     return df.withColumn("ewma", num / den)
+
+
+def rolling_trend(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    n: int = 8,
+) -> DataFrame:
+    """Per-key rolling OLS slope over the trailing ``n`` observations —
+    the linear-trend detector (is this user's metric rising or falling,
+    and how fast) complementing ewma_last_n's level tracker.
+
+    x is the observation index within the key (regular spacing — the
+    slope is per-observation change), y the value. slope =
+    (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) with every S an EXACT decimal sum
+    over the frame (order-independent) cast to double once; the closed
+    form is IEEE arithmetic both engines evaluate identically. Rows with
+    fewer than 2 observations in the frame are dropped (the denominator
+    is provably nonzero for n_window >= 2 since x is strictly
+    increasing).
+
+    One keyed window, two passes of column arithmetic, no joins.
+    """
+    wk = Window.partitionBy(key_col).orderBy(*order_cols)
+    frame = wk.rowsBetween(-(n - 1), 0)
+    x = F.row_number().over(wk)
+    base = df.withColumn("_x_", x).withColumn(
+        "_y_", F.col(value_col).cast("decimal(18,6)")
+    )
+    sx = F.sum(F.col("_x_").cast("decimal(18,0)")).over(frame)
+    sy = F.sum("_y_").over(frame)
+    sxy = F.sum((F.col("_x_").cast("decimal(18,0)") * F.col("_y_")).cast("decimal(30,6)")).over(frame)
+    # cast to long before squaring: row_number is int32 and x^2 overflows
+    # it past x ~ 46k (a heavy key at scale)
+    sxx = F.sum(
+        (F.col("_x_").cast("long") * F.col("_x_")).cast("decimal(18,0)")
+    ).over(frame)
+    cnt = F.count(F.lit(1)).over(frame)
+    out = (
+        base.withColumn("n_window", cnt.cast("long"))
+        .withColumn("_sx_", sx.cast("double"))
+        .withColumn("_sy_", sy.cast("double"))
+        .withColumn("_sxy_", sxy.cast("double"))
+        .withColumn("_sxx_", sxx.cast("double"))
+        .filter(F.col("n_window") >= 2)
+    )
+    nn = F.col("n_window")
+    slope = (nn * F.col("_sxy_") - F.col("_sx_") * F.col("_sy_")) / (
+        nn * F.col("_sxx_") - F.col("_sx_") * F.col("_sx_")
+    )
+    return out.withColumn("slope", F.round(slope, 6)).drop(
+        "_x_", "_y_", "_sx_", "_sy_", "_sxy_", "_sxx_"
+    )

@@ -359,6 +359,51 @@ def ev_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ev_rolling_trend",
+    oracle="""
+    WITH numbered AS (
+        SELECT user_id, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS x
+        FROM events
+    ),
+    wind AS (
+        SELECT user_id, event_id,
+               COUNT(*) OVER w AS n_window,
+               CAST(SUM(CAST(x AS DECIMAL(18,0))) OVER w AS DOUBLE) AS sx,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sy,
+               CAST(SUM(CAST(CAST(x AS DECIMAL(18,0))
+                             * CAST(value AS DECIMAL(18,6))
+                             AS DECIMAL(30,6))) OVER w AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(x * x AS DECIMAL(18,0))) OVER w AS DOUBLE) AS sxx
+        FROM numbered
+        WINDOW w AS (PARTITION BY user_id ORDER BY x
+                     ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_id, CAST(n_window AS BIGINT) AS n_window,
+           ROUND((n_window * sxy - sx * sy)
+                 / (n_window * sxx - sx * sx), 6) AS slope
+    FROM wind WHERE n_window >= 2 AND event_id % 97 = 0
+    """,
+)
+def ev_rolling_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling OLS slope over each user's last 8 events (operators/
+    rollup.rolling_trend) — the linear-trend detector complementing the
+    EWMA level tracker: every regression sum is an exact decimal over
+    the frame, the closed-form slope is mirrored-token IEEE arithmetic,
+    so the slopes hash-match across engines. One keyed window, no
+    joins; output thinned to event_id % 97 for a bounded certificate."""
+    from odbc2parquet_spark.operators.rollup import rolling_trend
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        rolling_trend(ev, "user_id", ["ts", "event_id"], "value", n=8)
+        .filter(F.col("event_id") % 97 == 0)
+        .select("user_id", "event_id", "n_window", "slope")
+    )
+
+
+@query(
     "ev_mad_outliers",
     oracle="""
     WITH m AS (

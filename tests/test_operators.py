@@ -1792,3 +1792,19 @@ def test_mad_outliers_robust_to_contamination(spark):
     assert flagged == {("a", 1000.0)}
     a = next(r for r in out if r.g == "a" and r.value == 10.0)
     assert a.med == 11.0 and a.mad == 1.0
+
+
+def test_rolling_trend_known_slopes(spark):
+    """A perfectly linear series has slope == its increment everywhere;
+    a constant series has slope 0; the first row (n_window=1) drops."""
+    from odbc2parquet_spark.operators.rollup import rolling_trend
+
+    rows = [(1, i, 3.0 + 2.0 * i) for i in range(12)]  # slope 2
+    rows += [(2, i, 7.0) for i in range(5)]            # slope 0
+    df = spark.createDataFrame(rows, ["uid", "seq", "value"])
+    out = {(r.uid, r.seq): (r.n_window, r.slope) for r in
+           rolling_trend(df, "uid", ["seq"], "value", n=8).collect()}
+    assert (1, 0) not in out and (2, 0) not in out
+    assert out[(1, 3)] == (4, 2.0)
+    assert out[(1, 11)] == (8, 2.0)  # full window, still exact
+    assert out[(2, 4)] == (5, 0.0)
