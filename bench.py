@@ -178,6 +178,12 @@ HEADLINE = [
     "ev_peak_concurrency",
     "ev_mad_outliers",
     "ev_rolling_trend",
+    # round 5 (cont.): drift / rank-statistic monitoring layer
+    "ev_psi_drift",
+    "ev_ks_test",
+    "ev_roc_auc",
+    "q_gini_supplier",
+    "q_chi_square_priority",
 ]
 
 

@@ -1,0 +1,373 @@
+"""Distribution-drift and rank-statistic operators — the monitoring layer.
+
+A 100 TB training pipeline re-ingests sources continuously; the question
+"did this source's distribution move since the last snapshot?" must be
+answerable without sampling to the driver. These operators compute the
+standard drift / discrimination statistics (PSI, Kolmogorov-Smirnov D,
+ROC-AUC, Gini concentration, chi-square independence) as pure DataFrame
+plans whose only driver traffic is per-partition partial sums
+(``prefix_sums``: num_partitions longs, never data).
+
+Scale shapes (each documented per function):
+
+- every statistic first collapses the corpus to a bounded intermediate —
+  fixed bins (PSI), distinct values (KS/AUC/Gini), or a contingency grid
+  (chi-square) — with map-side combine, so the shuffled volume is the
+  cardinality of the *statistic*, not the data;
+- cumulative distribution functions are distributed prefix sums
+  (range-partition + per-partition offsets), NOT single-reducer global
+  windows;
+- all cross-engine-fragile arithmetic (ln, division chains) happens on
+  values already rounded to 6 decimals, and multi-term totals are summed
+  as DECIMAL so addition order cannot change the hash.
+
+Reference scope note: the reference (odbc2parquet) moves bytes and leaves
+statistics to the DBMS; here Spark IS the engine, so the monitoring
+surface is first-class (same rationale as operators/quality.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: rounded per-term contributions are summed exactly in this decimal type
+_DEC = "decimal(24,6)"
+
+
+def prefix_sums(
+    df: DataFrame,
+    order_cols: list[str],
+    sum_cols: list[str],
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Inclusive distributed prefix sums of ``sum_cols`` in ``order_cols``
+    order — the generalized two-pass pattern of pack_shards_two_pass /
+    sweep_line_concurrency, for any number of summed columns at once.
+
+    Pass 1 range-partitions by the ordering key and collects ONE row of
+    partial sums per partition (num_partitions × len(sum_cols) longs to
+    the driver — never data). Pass 2 adds the exclusive partition offset
+    to a partition-local running sum. Output: input columns plus
+    ``c_<col>`` (inclusive cumulative) per summed column.
+    """
+    spark = df.sparkSession
+    ranged = df.repartitionByRange(
+        num_partitions, *[F.col(c) for c in order_cols]
+    ).sortWithinPartitions(*order_cols)
+    # persist so both passes see the SAME sampled range boundaries
+    with_pid = ranged.withColumn("_pid_", F.spark_partition_id()).persist()
+    psums = with_pid.groupBy("_pid_").agg(
+        *[F.sum(c).alias(c) for c in sum_cols]
+    ).collect()
+    if not psums:
+        out = with_pid
+        for c in sum_cols:
+            out = out.withColumn(f"c_{c}", F.lit(0).cast("long"))
+        return out.drop("_pid_").limit(0)
+    acc = {c: 0 for c in sum_cols}
+    rows = []
+    for r in sorted(psums, key=lambda r: r._pid_):
+        rows.append((r._pid_, *[acc[c] for c in sum_cols]))
+        for c in sum_cols:
+            acc[c] += r[c]
+    offset_df = F.broadcast(
+        spark.createDataFrame(rows, ["_pid_", *[f"_off_{c}_" for c in sum_cols]])
+    )
+    wl = (
+        Window.partitionBy("_pid_")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = with_pid.join(offset_df, "_pid_")
+    for c in sum_cols:
+        out = out.withColumn(
+            f"c_{c}", (F.sum(c).over(wl) + F.col(f"_off_{c}_")).cast("long")
+        )
+    return out.drop("_pid_", *[f"_off_{c}_" for c in sum_cols])
+
+
+def psi_drift(
+    df: DataFrame,
+    value_col: str,
+    in_b,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Population Stability Index between two populations of ``value_col``
+    (rows where boolean column expression ``in_b`` holds are population B,
+    the rest population A — e.g. this week's ingest vs the reference
+    snapshot).
+
+    Bins are ``n_bins`` fixed-width intervals of the pooled [min, max]
+    range — a pure map expression once the 1-row (min, max) aggregate is
+    broadcast, so binning rides the scan. Counts per (bin, population)
+    partial-aggregate map-side; every downstream term operates on
+    ``n_bins`` rows. Laplace smoothing ((n+1)/(N+n_bins)) keeps empty
+    bins finite and is mirrored in the oracle. Empty bins still emit a
+    row (bins come from a 1-row sequence explode, observed counts LEFT
+    join on), because their smoothed terms contribute to the index.
+
+    Returns one row per bin: (bin, n_a, n_b, psi_term) with psi_term =
+    (p_a - p_b) * ln(p_a / p_b) rounded to 6 decimals; the index is the
+    exact decimal sum of the terms (see the registered query).
+    """
+    flagged = df.select(
+        F.col(value_col).alias("v"), in_b.cast("boolean").alias("_b_")
+    )
+    stats = flagged.agg(
+        F.min("v").alias("mn"),
+        F.max("v").alias("mx"),
+        F.sum(F.when(~F.col("_b_"), 1).otherwise(0)).cast("long").alias("n_a_tot"),
+        F.sum(F.when(F.col("_b_"), 1).otherwise(0)).cast("long").alias("n_b_tot"),
+    )
+    binned = flagged.crossJoin(F.broadcast(stats)).select(
+        F.least(
+            F.floor(
+                (F.col("v") - F.col("mn"))
+                / ((F.col("mx") - F.col("mn")) / F.lit(float(n_bins)))
+            ),
+            F.lit(n_bins - 1),
+        )
+        .cast("long")
+        .alias("bin"),
+        "_b_",
+    )
+    counts = binned.groupBy("bin").agg(
+        F.sum(F.when(~F.col("_b_"), 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("_b_"), 1).otherwise(0)).cast("long").alias("n_b"),
+    )
+    grid = stats.select(
+        F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))).alias("bin"),
+        "n_a_tot",
+        "n_b_tot",
+    ).select(F.col("bin").cast("long").alias("bin"), "n_a_tot", "n_b_tot")
+    pa = (F.col("n_a") + 1).cast("double") / (
+        F.col("n_a_tot") + F.lit(n_bins)
+    ).cast("double")
+    pb = (F.col("n_b") + 1).cast("double") / (
+        F.col("n_b_tot") + F.lit(n_bins)
+    ).cast("double")
+    return (
+        grid.join(counts, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("n_a", F.lit(0)).cast("long").alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).cast("long").alias("n_b"),
+            "n_a_tot",
+            "n_b_tot",
+        )
+        .select(
+            "bin",
+            "n_a",
+            "n_b",
+            F.round((pa - pb) * F.log(pa / pb), 6).alias("psi_term"),
+        )
+    )
+
+
+def ks_two_sample(
+    df: DataFrame,
+    value_col: str,
+    in_b,
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic: D = max over x of
+    |F_a(x) - F_b(x)| between the two populations of ``value_col``.
+
+    The corpus collapses to one row per DISTINCT value first (map-side
+    combined counts), so the prefix-sum stage shuffles the value
+    cardinality, not the row count; the empirical CDFs are distributed
+    prefix sums (``prefix_sums`` — no global window). The per-value gap
+    |c_a/N_a - c_b/N_b| is mirrored IEEE division on exact integer
+    cumulative counts; the max is order-independent after rounding to 6.
+
+    Returns one row: (n_a, n_b, d_stat).
+    """
+    flagged = df.select(
+        F.col(value_col).alias("v"), in_b.cast("boolean").alias("_b_")
+    )
+    per_value = flagged.groupBy("v").agg(
+        F.sum(F.when(~F.col("_b_"), 1).otherwise(0)).cast("long").alias("na"),
+        F.sum(F.when(F.col("_b_"), 1).otherwise(0)).cast("long").alias("nb"),
+    )
+    cum = prefix_sums(per_value, ["v"], ["na", "nb"], num_partitions)
+    totals = per_value.agg(
+        F.sum("na").cast("long").alias("n_a"), F.sum("nb").cast("long").alias("n_b")
+    )
+    return (
+        cum.crossJoin(F.broadcast(totals))
+        .select(
+            "n_a",
+            "n_b",
+            F.round(
+                F.abs(
+                    F.col("c_na").cast("double") / F.col("n_a").cast("double")
+                    - F.col("c_nb").cast("double") / F.col("n_b").cast("double")
+                ),
+                6,
+            ).alias("d"),
+        )
+        .groupBy("n_a", "n_b")
+        .agg(F.max("d").alias("d_stat"))
+    )
+
+
+def rank_auc(
+    df: DataFrame,
+    score_col: str,
+    is_pos,
+    num_partitions: int = 32,
+) -> DataFrame:
+    """ROC-AUC of ``score_col`` ranking the positive class (rows where
+    ``is_pos`` holds) — the Mann-Whitney U statistic with exact
+    average-rank tie handling, in pure integer arithmetic.
+
+    Shape: corpus → one row per distinct score (map-side combined
+    (n_pos, n_neg)), cumulative negatives below each score via
+    ``prefix_sums``, then the doubled U statistic
+    ``U2 = Σ n_pos(s) * (2 * negs_below(s) + n_neg(s))`` — a BIGINT, so
+    both engines agree bit-for-bit; the single division
+    ``AUC = U2 / (2 * N_pos * N_neg)`` happens once, rounded to 6.
+
+    Returns one row: (n_pos, n_neg, auc).
+    """
+    flagged = df.select(
+        F.col(score_col).alias("s"), is_pos.cast("boolean").alias("_p_")
+    )
+    per_score = flagged.groupBy("s").agg(
+        F.sum(F.when(F.col("_p_"), 1).otherwise(0)).cast("long").alias("np"),
+        F.sum(F.when(~F.col("_p_"), 1).otherwise(0)).cast("long").alias("nn"),
+    )
+    cum = prefix_sums(per_score, ["s"], ["nn"], num_partitions)
+    u2 = cum.agg(
+        F.sum(
+            F.col("np") * (2 * (F.col("c_nn") - F.col("nn")) + F.col("nn"))
+        )
+        .cast("long")
+        .alias("u2"),
+        F.sum("np").cast("long").alias("n_pos"),
+        F.sum("nn").cast("long").alias("n_neg"),
+    )
+    return u2.select(
+        "n_pos",
+        "n_neg",
+        F.round(
+            F.col("u2").cast("double")
+            / (2 * F.col("n_pos") * F.col("n_neg")).cast("double"),
+            6,
+        ).alias("auc"),
+    )
+
+
+def gini_concentration(
+    df: DataFrame,
+    value_col: str,
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Gini coefficient of the ``value_col`` distribution (one row per
+    unit, e.g. revenue per supplier) — the inequality/concentration
+    number behind "the top 1% of domains contribute 60% of tokens".
+
+    Uses the sorted-multiset identity G = Σ_i (2i - n - 1)·x_i / (n·Σx),
+    evaluated per distinct-value GROUP: a run of ``c`` equal values ``v``
+    starting after cumulative position ``p`` contributes
+    ``v · c · (2p + c - n)`` — exact DECIMAL × BIGINT arithmetic, so the
+    numerator is order-independent. Distinct values collapse map-side;
+    positions come from ``prefix_sums`` (no global window); the final
+    division is the only float step, rounded to 6.
+
+    ``value_col`` must be a decimal/integer type for exactness.
+
+    Returns one row: (n, total, gini).
+    """
+    per_value = df.groupBy(F.col(value_col).alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    cum = prefix_sums(per_value, ["v"], ["c"], num_partitions)
+    totals = per_value.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("v") * F.col("c")).alias("total"),
+    )
+    contrib = cum.crossJoin(F.broadcast(totals)).select(
+        "n",
+        "total",
+        (
+            F.col("v")
+            * F.col("c")
+            * (2 * (F.col("c_c") - F.col("c")) + F.col("c") - F.col("n"))
+        ).alias("term"),
+    )
+    return (
+        contrib.groupBy("n", "total")
+        .agg(F.sum("term").alias("num"))
+        .select(
+            "n",
+            "total",
+            F.round(
+                F.col("num").cast("double")
+                / (F.col("n") * F.col("total")).cast("double"),
+                6,
+            ).alias("gini"),
+        )
+    )
+
+
+def chi_square_independence(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns — "is label distribution independent of source?", the
+    stratification audit for mixture sampling.
+
+    Shape: ONE groupBy(a, b) over the corpus (map-side combined) yields
+    the contingency table; marginals re-aggregate the table itself
+    (never the data); the full level grid is the bounded
+    |levels_a| × |levels_b| cross of the two marginal frames, LEFT-joined
+    with observed counts because zero-observed cells still contribute
+    their expectation. Per-cell terms (o - e)²/e are mirrored IEEE on
+    exact integer marginals, rounded to 6, and summed as DECIMAL so the
+    statistic is order-independent.
+
+    Returns one row: (n, levels_a, levels_b, dof, chi2).
+    """
+    obs = df.groupBy(
+        F.col(col_a).alias("a"), F.col(col_b).alias("b")
+    ).agg(F.count(F.lit(1)).cast("long").alias("o"))
+    row_tot = obs.groupBy("a").agg(F.sum("o").cast("long").alias("rt"))
+    col_tot = obs.groupBy("b").agg(F.sum("o").cast("long").alias("ct"))
+    grand = obs.agg(F.sum("o").cast("long").alias("n"))
+    grid = (
+        row_tot.crossJoin(F.broadcast(col_tot))
+        .crossJoin(F.broadcast(grand))
+        .join(obs, ["a", "b"], "left")
+        .select(
+            "n",
+            "rt",
+            "ct",
+            F.coalesce("o", F.lit(0)).cast("long").alias("o"),
+        )
+    )
+    e = (F.col("rt") * F.col("ct")).cast("double") / F.col("n").cast("double")
+    terms = grid.select(
+        "n",
+        F.round((F.col("o") - e) * (F.col("o") - e) / e, 6)
+        .cast(_DEC)
+        .alias("term"),
+    )
+    levels = row_tot.agg(F.count(F.lit(1)).cast("long").alias("la")).crossJoin(
+        col_tot.agg(F.count(F.lit(1)).cast("long").alias("lb"))
+    )
+    return (
+        terms.groupBy("n")
+        .agg(F.sum("term").cast("double").alias("chi2"))
+        .crossJoin(F.broadcast(levels))
+        .select(
+            "n",
+            F.col("la").alias("levels_a"),
+            F.col("lb").alias("levels_b"),
+            ((F.col("la") - 1) * (F.col("lb") - 1)).cast("long").alias("dof"),
+            "chi2",
+        )
+    )

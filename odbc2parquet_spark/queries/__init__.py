@@ -46,3 +46,4 @@ from odbc2parquet_spark.queries import dedup  # noqa: E402,F401
 from odbc2parquet_spark.queries import similarity  # noqa: E402,F401
 from odbc2parquet_spark.queries import textops  # noqa: E402,F401
 from odbc2parquet_spark.queries import events  # noqa: E402,F401
+from odbc2parquet_spark.queries import monitor  # noqa: E402,F401

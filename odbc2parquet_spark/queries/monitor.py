@@ -1,0 +1,274 @@
+"""Drift / rank-statistic monitoring queries — operators/drift.py surface.
+
+The statistics a continuously-ingesting training pipeline runs between
+snapshots: PSI (did the distribution move?), Kolmogorov-Smirnov (same,
+non-parametric), ROC-AUC (does a score separate a class?), Gini
+concentration (how skewed is the contribution per unit?), chi-square
+(are two categorical columns independent?).
+
+Every query follows the repo's cross-engine determinism contract:
+integer/decimal-exact accumulation, mirrored IEEE token order for the
+few float steps, ROUND(...,6) before any order-sensitive reduction, and
+DECIMAL sums for multi-term totals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from odbc2parquet_spark.catalog import load_table
+from odbc2parquet_spark.operators.drift import (
+    chi_square_independence,
+    gini_concentration,
+    ks_two_sample,
+    psi_drift,
+    rank_auc,
+)
+from odbc2parquet_spark.queries import query
+
+
+@query(
+    "ev_psi_drift",
+    oracle="""
+    WITH f AS (
+        SELECT value AS v, (event_type = 'purchase') AS b FROM events
+    ),
+    stats AS (
+        SELECT MIN(v) AS mn, MAX(v) AS mx,
+               CAST(SUM(CASE WHEN NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n_a_tot,
+               CAST(SUM(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS n_b_tot
+        FROM f
+    ),
+    binned AS (
+        SELECT CAST(LEAST(FLOOR((f.v - s.mn) / ((s.mx - s.mn) / 10.0)), 9)
+                    AS BIGINT) AS bin,
+               f.b
+        FROM f, stats s
+    ),
+    counts AS (
+        SELECT bin,
+               CAST(SUM(CASE WHEN NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+               CAST(SUM(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        FROM binned GROUP BY 1
+    ),
+    grid AS (
+        SELECT g.bin, s.n_a_tot, s.n_b_tot
+        FROM stats s, (SELECT UNNEST(generate_series(0, 9)) AS bin) g
+    )
+    SELECT CAST(g.bin AS BIGINT) AS bin,
+           COALESCE(c.n_a, 0) AS n_a,
+           COALESCE(c.n_b, 0) AS n_b,
+           ROUND((CAST(COALESCE(c.n_a, 0) + 1 AS DOUBLE)
+                      / CAST(g.n_a_tot + 10 AS DOUBLE)
+                  - CAST(COALESCE(c.n_b, 0) + 1 AS DOUBLE)
+                      / CAST(g.n_b_tot + 10 AS DOUBLE))
+                 * LN((CAST(COALESCE(c.n_a, 0) + 1 AS DOUBLE)
+                           / CAST(g.n_a_tot + 10 AS DOUBLE))
+                      / (CAST(COALESCE(c.n_b, 0) + 1 AS DOUBLE)
+                           / CAST(g.n_b_tot + 10 AS DOUBLE))),
+                 6) AS psi_term
+    FROM grid g LEFT JOIN counts c USING (bin)
+    ORDER BY 1
+    """,
+)
+def ev_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the `value` distribution: purchase
+    events vs everything else (operators/drift.psi_drift). Binning is a
+    pure map expression over a broadcast 1-row (min, max); all index
+    arithmetic runs on 10 bin rows. The per-bin terms hash-match because
+    ln/division run on identical IEEE tokens and round to 6 before
+    comparison; summing the terms (the index itself) is an exact decimal
+    fold the caller does over 10 rows."""
+    ev = load_table(spark, sf_dir, "events")
+    return psi_drift(
+        ev, "value", F.col("event_type") == "purchase", n_bins=10
+    ).orderBy("bin")
+
+
+@query(
+    "ev_ks_test",
+    oracle="""
+    WITH f AS (
+        SELECT value AS v, (event_type = 'purchase') AS b
+        FROM events WHERE event_type IN ('view', 'purchase')
+    ),
+    pv AS (
+        SELECT v,
+               CAST(SUM(CASE WHEN NOT b THEN 1 ELSE 0 END) AS BIGINT) AS na,
+               CAST(SUM(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS nb
+        FROM f GROUP BY 1
+    ),
+    cum AS (
+        SELECT SUM(na) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS c_na,
+               SUM(nb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS c_nb
+        FROM pv
+    ),
+    tot AS (
+        SELECT CAST(SUM(na) AS BIGINT) AS n_a,
+               CAST(SUM(nb) AS BIGINT) AS n_b
+        FROM pv
+    )
+    SELECT t.n_a AS n_a, t.n_b AS n_b,
+           MAX(ROUND(ABS(CAST(c.c_na AS DOUBLE) / CAST(t.n_a AS DOUBLE)
+                         - CAST(c.c_nb AS DOUBLE) / CAST(t.n_b AS DOUBLE)),
+                     6)) AS d_stat
+    FROM cum c, tot t GROUP BY 1, 2
+    """,
+)
+def ev_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov D between purchase and view event
+    values (operators/drift.ks_two_sample). The corpus collapses to one
+    row per distinct value map-side; both empirical CDFs are distributed
+    prefix sums (prefix_sums two-pass — driver sees num_partitions
+    longs, never data); the max gap reduces order-independently after
+    rounding. The oracle rebuilds the CDFs with a plain SQL window."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    return ks_two_sample(ev, "value", F.col("event_type") == "purchase")
+
+
+@query(
+    "ev_roc_auc",
+    oracle="""
+    WITH f AS (
+        SELECT value AS s, (event_type = 'purchase') AS p
+        FROM events WHERE event_type IN ('view', 'purchase')
+    ),
+    ps AS (
+        SELECT s,
+               CAST(SUM(CASE WHEN p THEN 1 ELSE 0 END) AS BIGINT) AS np,
+               CAST(SUM(CASE WHEN NOT p THEN 1 ELSE 0 END) AS BIGINT) AS nn
+        FROM f GROUP BY 1
+    ),
+    cum AS (
+        SELECT np, nn,
+               SUM(nn) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) AS c_nn
+        FROM ps
+    ),
+    u AS (
+        SELECT CAST(SUM(np * (2 * (c_nn - nn) + nn)) AS BIGINT) AS u2,
+               CAST(SUM(np) AS BIGINT) AS n_pos,
+               CAST(SUM(nn) AS BIGINT) AS n_neg
+        FROM cum
+    )
+    SELECT n_pos, n_neg,
+           ROUND(CAST(u2 AS DOUBLE) / CAST(2 * n_pos * n_neg AS DOUBLE), 6)
+               AS auc
+    FROM u
+    """,
+)
+def ev_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC of `value` ranking purchase vs view events (operators/
+    drift.rank_auc) — Mann-Whitney U with exact average-rank tie
+    handling. The doubled U statistic is a BIGINT (no float until the
+    one final division), so both engines agree bit-for-bit; cumulative
+    negative counts come from the distributed prefix sum, never a
+    global window."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    return rank_auc(ev, "value", F.col("event_type") == "purchase")
+
+
+@query(
+    "q_gini_supplier",
+    oracle="""
+    WITH rev AS (
+        SELECT l_suppkey,
+               SUM(CAST(l_extendedprice * (1 - l_discount)
+                        AS DECIMAL(18,6))) AS v
+        FROM lineitem GROUP BY 1
+    ),
+    pv AS (
+        SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM rev GROUP BY 1
+    ),
+    cum AS (
+        SELECT v, c,
+               SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS c_c
+        FROM pv
+    ),
+    tot AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n, SUM(v * c) AS total FROM pv
+    ),
+    agg AS (
+        SELECT t.n AS n, t.total AS total,
+               SUM(u.v * u.c * (2 * (u.c_c - u.c) + u.c - t.n)) AS num
+        FROM cum u, tot t GROUP BY 1, 2
+    )
+    SELECT n, CAST(total AS DOUBLE) AS total,
+           ROUND(CAST(num AS DOUBLE) / CAST(n * total AS DOUBLE), 6) AS gini
+    FROM agg
+    """,
+)
+def q_gini_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of revenue concentration across suppliers
+    (operators/drift.gini_concentration) — "how unequal is the
+    contribution per unit", the statistic behind source-mix caps
+    (tx_source_cap decides; this measures). Per-supplier revenue is a
+    decimal-exact aggregate; the sorted-multiset identity evaluates per
+    DISTINCT revenue group with positions from the distributed prefix
+    sum, so the numerator is exact integer×decimal arithmetic and the
+    single division rounds at the end."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(18,6)"
+            )
+        ).alias("v")
+    )
+    g = gini_concentration(rev, "v")
+    return g.select(
+        "n",
+        F.col("total").cast("double").alias("total"),
+        "gini",
+    )
+
+
+@query(
+    "q_chi_square_priority",
+    oracle="""
+    WITH obs AS (
+        SELECT o_orderpriority AS a, o_orderstatus AS b,
+               CAST(COUNT(*) AS BIGINT) AS o
+        FROM orders GROUP BY 1, 2
+    ),
+    rt AS (SELECT a, CAST(SUM(o) AS BIGINT) AS rt FROM obs GROUP BY 1),
+    ct AS (SELECT b, CAST(SUM(o) AS BIGINT) AS ct FROM obs GROUP BY 1),
+    g AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM obs),
+    grid AS (
+        SELECT g.n, rt.rt, ct.ct, COALESCE(obs.o, 0) AS o
+        FROM rt CROSS JOIN ct CROSS JOIN g
+        LEFT JOIN obs ON obs.a = rt.a AND obs.b = ct.b
+    ),
+    terms AS (
+        SELECT n,
+               CAST(ROUND(
+                   (o - CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE))
+                   * (o - CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE))
+                   / (CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE)),
+                   6) AS DECIMAL(24,6)) AS term
+        FROM grid
+    ),
+    lv AS (
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM rt) AS la,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM ct) AS lb
+    )
+    SELECT t.n AS n, lv.la AS levels_a, lv.lb AS levels_b,
+           CAST((lv.la - 1) * (lv.lb - 1) AS BIGINT) AS dof,
+           CAST(SUM(t.term) AS DOUBLE) AS chi2
+    FROM terms t, lv GROUP BY 1, 2, 3, 4
+    """,
+)
+def q_chi_square_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test of order priority × order status
+    (operators/drift.chi_square_independence) — the stratification audit
+    ("is the label mix independent of the source?"). One groupBy builds
+    the contingency table; marginals and the full level grid are
+    table-sized (bounded |levels|² cross, LEFT-joined so zero-observed
+    cells still contribute their expectation); per-cell terms round to 6
+    then sum as DECIMAL so the statistic is order-independent."""
+    orders = load_table(spark, sf_dir, "orders")
+    return chi_square_independence(orders, "o_orderpriority", "o_orderstatus")

@@ -1,0 +1,128 @@
+"""Known-value checks for operators/drift.py — statistics with closed
+forms on hand-built inputs, so a regression is a wrong NUMBER, not just
+a changed hash."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from odbc2parquet_spark.operators.drift import (
+    chi_square_independence,
+    gini_concentration,
+    ks_two_sample,
+    prefix_sums,
+    psi_drift,
+    rank_auc,
+)
+
+
+def test_prefix_sums_matches_global_window(spark):
+    rows = [(i, (i * 7) % 5 + 1, (i * 3) % 4) for i in range(500)]
+    df = spark.createDataFrame(rows, ["k", "x", "y"])
+    out = {
+        r.k: (r.c_x, r.c_y)
+        for r in prefix_sums(df, ["k"], ["x", "y"], num_partitions=8).collect()
+    }
+    cx = cy = 0
+    for k, x, y in rows:
+        cx += x
+        cy += y
+        assert out[k] == (cx, cy)
+
+
+def test_prefix_sums_empty_input(spark):
+    df = spark.createDataFrame([], "k long, x long")
+    assert prefix_sums(df, ["k"], ["x"]).count() == 0
+
+
+def test_ks_identical_samples_is_zero(spark):
+    # same distribution in both populations -> every CDF gap is 0
+    rows = [(float(v), b) for v in range(50) for b in (True, False)]
+    df = spark.createDataFrame(rows, ["v", "b"])
+    r = ks_two_sample(df, "v", F.col("b")).collect()[0]
+    assert (r.n_a, r.n_b, r.d_stat) == (50, 50, 0.0)
+
+
+def test_ks_disjoint_samples_is_one(spark):
+    rows = [(float(v), False) for v in range(30)] + [
+        (float(v + 100), True) for v in range(30)
+    ]
+    df = spark.createDataFrame(rows, ["v", "b"])
+    assert ks_two_sample(df, "v", F.col("b")).collect()[0].d_stat == 1.0
+
+
+def test_auc_perfect_separation(spark):
+    rows = [(float(s), True) for s in range(10, 20)] + [
+        (float(s), False) for s in range(10)
+    ]
+    df = spark.createDataFrame(rows, ["s", "p"])
+    r = rank_auc(df, "s", F.col("p")).collect()[0]
+    assert (r.n_pos, r.n_neg, r.auc) == (10, 10, 1.0)
+
+
+def test_auc_ties_average_to_half(spark):
+    # all scores equal -> AUC must be exactly 0.5 via average-rank ties
+    rows = [(1.0, i % 2 == 0) for i in range(40)]
+    df = spark.createDataFrame(rows, ["s", "p"])
+    assert rank_auc(df, "s", F.col("p")).collect()[0].auc == 0.5
+
+
+def test_gini_equal_values_is_zero(spark):
+    from decimal import Decimal
+
+    df = spark.createDataFrame(
+        [(Decimal("5.000000"),)] * 20, "v decimal(18,6)"
+    )
+    r = gini_concentration(df, "v").collect()[0]
+    assert r.n == 20 and r.gini == 0.0
+
+
+def test_gini_single_owner(spark):
+    # one unit owns everything: G = (n-1)/n
+    from decimal import Decimal
+
+    vals = [(Decimal("0.000000"),)] * 9 + [(Decimal("10.000000"),)]
+    df = spark.createDataFrame(vals, "v decimal(18,6)")
+    assert gini_concentration(df, "v").collect()[0].gini == pytest.approx(
+        0.9, abs=1e-9
+    )
+
+
+def test_chi_square_independent_is_zero(spark):
+    # perfectly proportional table -> expected == observed -> chi2 = 0
+    rows = []
+    for a in ("x", "y"):
+        for b, c in (("u", 10), ("w", 30)):
+            rows += [(a, b)] * c
+    df = spark.createDataFrame(rows, ["a", "b"])
+    r = chi_square_independence(df, "a", "b").collect()[0]
+    assert (r.n, r.dof, r.chi2) == (80, 1, 0.0)
+
+
+def test_chi_square_missing_cell_counts_expectation(spark):
+    # a zero-observed cell must still contribute (0-e)^2/e = e
+    rows = [("x", "u")] * 10 + [("x", "w")] * 10 + [("y", "u")] * 10
+    df = spark.createDataFrame(rows, ["a", "b"])
+    r = chi_square_independence(df, "a", "b").collect()[0]
+    # classic 2x2 chi2 = n(ad-bc)^2 / (row1 row2 col1 col2)
+    expected = 30 * (10 * 0 - 10 * 10) ** 2 / (20 * 10 * 20 * 10)
+    assert r.chi2 == pytest.approx(expected, abs=1e-6)
+    assert r.dof == 1
+
+
+def test_psi_identical_populations_near_zero(spark):
+    rows = [(float(v % 37), v % 2 == 0) for v in range(1000)]
+    df = spark.createDataFrame(rows, ["v", "b"])
+    out = psi_drift(df, "v", F.col("b"), n_bins=10).collect()
+    assert len(out) == 10
+    assert sum(abs(r.psi_term) for r in out) < 0.01
+
+
+def test_psi_shifted_population_detects_drift(spark):
+    rows = [(float(v % 50), False) for v in range(1000)] + [
+        (float(v % 50) + 40.0, True) for v in range(1000)
+    ]
+    df = spark.createDataFrame(rows, ["v", "b"])
+    out = psi_drift(df, "v", F.col("b"), n_bins=10).collect()
+    assert sum(r.psi_term for r in out) > 0.5  # "significant drift" band
+    # every bin emits a row even if one side is empty there
+    assert {r.bin for r in out} == set(range(10))

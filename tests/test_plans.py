@@ -65,6 +65,12 @@ BOUNDED_CROSS_OK = {
                              # verification side) + 1x1 summary cross
     "tx_text_ann",           # 4 broadcast probe vectors x corpus (the exact
                              # search baseline over the hashed space)
+    # round 5 drift/rank statistics — every cross side is a 1-row
+    # aggregate (min/max, totals) or the bounded |levels|x|levels| grid:
+    "ev_psi_drift",          # 1-row (min,max,totals) broadcast for binning
+    "ev_ks_test",            # 1-row totals broadcast onto the CDF gap
+    "q_gini_supplier",       # 1-row (n,total) broadcast onto distinct values
+    "q_chi_square_priority", # bounded levels_a x levels_b marginal grid
 }
 ALL_PAIRS_OK |= BOUNDED_CROSS_OK
 
