@@ -184,6 +184,7 @@ HEADLINE = [
     "ev_roc_auc",
     "q_gini_supplier",
     "q_chi_square_priority",
+    "sim_covariance",
 ]
 
 

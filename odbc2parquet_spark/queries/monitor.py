@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from odbc2parquet_spark.catalog import load_table
 from odbc2parquet_spark.operators.drift import (
     chi_square_independence,
+    covariance_matrix,
     gini_concentration,
     ks_two_sample,
     psi_drift,
@@ -272,3 +273,51 @@ def q_chi_square_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     then sum as DECIMAL so the statistic is order-independent."""
     orders = load_table(spark, sf_dir, "orders")
     return chi_square_independence(orders, "o_orderpriority", "o_orderstatus")
+
+
+@query(
+    "sim_covariance",
+    oracle="""
+    WITH cx AS (
+        SELECT vec_id, i - 1 AS dim,
+               CAST(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,6))
+                    * 1000000 AS BIGINT) AS x6
+        FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+    ),
+    sums AS (
+        SELECT dim, SUM(x6) AS sx FROM cx GROUP BY 1
+    ),
+    pairs AS (
+        SELECT a.dim AS i, b.dim AS j,
+               SUM(a.x6 * b.x6) AS sxy,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM cx a JOIN cx b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+        GROUP BY 1, 2
+    )
+    SELECT CAST(p.i AS BIGINT) AS i, CAST(p.j AS BIGINT) AS j, p.n AS n,
+           ROUND((CAST(p.sxy AS DOUBLE)
+                  - CAST(si.sx AS DOUBLE) * CAST(sj.sx AS DOUBLE)
+                      / CAST(p.n AS DOUBLE))
+                 / 1000000000000.0
+                 / CAST(p.n - 1 AS DOUBLE),
+                 6) + 0.0 AS cov
+    FROM pairs p
+    JOIN sums si ON si.dim = p.i
+    JOIN sums sj ON sj.dim = p.j
+    ORDER BY 1, 2
+    """,
+)
+def sim_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding covariance matrix (operators/drift.covariance_matrix) —
+    the embedding-space drift statistic (compare snapshots to detect
+    encoder or corpus shift; the input to whitening/PCA). The Spark side
+    is an Arrow-batched numpy partial-Gram pass: each batch emits its
+    exact int64 X\u1d40\u00b7X (d(d+1)/2 rows per BATCH, not per row), partials
+    merge in one DECIMAL groupBy — statistic-sized shuffle, exact
+    integer arithmetic until one final division. Elements quantize at
+    10\u2076 exactly as the engines' DECIMAL(18,6) cast (float32 \u00d7 10\u2076 is
+    exact in float64), so the oracle's self-join formulation lands on
+    identical integers; covariance_matrix_decimal is the pure-Catalyst
+    twin, equality-tested in tests/test_drift.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return covariance_matrix(emb, "embedding", dim=64).orderBy("i", "j")

@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from odbc2parquet_spark.operators.drift import (
     chi_square_independence,
+    covariance_matrix,
     gini_concentration,
     ks_two_sample,
     prefix_sums,
@@ -126,3 +127,39 @@ def test_psi_shifted_population_detects_drift(spark):
     assert sum(r.psi_term for r in out) > 0.5  # "significant drift" band
     # every bin emits a row even if one side is empty there
     assert {r.bin for r in out} == set(range(10))
+
+
+def test_covariance_matrix_known_values(spark):
+    # three 2-d vectors with hand-computable covariance:
+    # x = [1,2,3], y = [2,4,6] -> var(x)=1, cov(x,y)=2, var(y)=4 (n-1 denom)
+    rows = [([1.0, 2.0],), ([2.0, 4.0],), ([3.0, 6.0],)]
+    df = spark.createDataFrame(rows, "embedding array<double>")
+    out = {(r.i, r.j): r.cov for r in covariance_matrix(df, dim=2).collect()}
+    assert out == {(0, 0): 1.0, (0, 1): 2.0, (1, 1): 4.0}
+
+
+def test_covariance_matrix_zero_is_positive(spark):
+    # a constant dimension must emit +0.0 (never IEEE -0.0 — the
+    # cross-engine hash canonicalizes by repr)
+    import math
+
+    rows = [([5.0, float(i)],) for i in range(4)]
+    df = spark.createDataFrame(rows, "embedding array<double>")
+    out = {(r.i, r.j): r.cov for r in covariance_matrix(df, dim=2).collect()}
+    assert out[(0, 0)] == 0.0 and math.copysign(1.0, out[(0, 0)]) > 0
+    assert out[(0, 1)] == 0.0 and math.copysign(1.0, out[(0, 1)]) > 0
+
+
+def test_covariance_twins_identical(spark, sf_dir):
+    # the Arrow matmul scale path and the pure-Catalyst decimal twin must
+    # produce bit-identical rows (shared integer-scaled projection)
+    from odbc2parquet_spark.catalog import load_table
+    from odbc2parquet_spark.operators.drift import covariance_matrix_decimal
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    fast = {(r.i, r.j): (r.n, r.cov) for r in covariance_matrix(emb, dim=64).collect()}
+    slow = {
+        (r.i, r.j): (r.n, r.cov)
+        for r in covariance_matrix_decimal(emb, dim=64).collect()
+    }
+    assert fast == slow and len(fast) == 64 * 65 // 2
