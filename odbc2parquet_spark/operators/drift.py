@@ -375,10 +375,17 @@ def covariance_matrix(
 
     Returns one row per (i, j) with i <= j: (i, j, n, cov).
     """
+    sxy_df, sums = _gram_partials(vectors, vec_col, dim)
+    return _cov_project(sxy_df, sums, decimals)
+
+
+def _gram_partials(vectors: DataFrame, vec_col: str, dim: int):
+    """The shared Arrow-batched integer Gram pass behind
+    :func:`covariance_matrix` and :func:`correlation_matrix`: per-batch
+    exact int64 Xᵀ·X + per-dim sums (d(d+1)/2 + d rows per BATCH), merged
+    in one DECIMAL(38,0) groupBy. Returns (sxy_df(i,j,sxy,n), sums(d,sx))."""
     import numpy as np
     import pandas as pd
-
-    iu0, iu1 = None, None  # built lazily per worker
 
     def gram_batches(batches):
         for pdf in batches:
@@ -424,7 +431,134 @@ def covariance_matrix(
         .groupBy(F.col("i").alias("d"))
         .agg(F.sum(F.col("sxy").cast("decimal(38,0)")).alias("sx"))
     )
-    return _cov_project(sxy_df, sums, decimals)
+    return sxy_df, sums
+
+
+def correlation_matrix(
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 16,
+    decimals: int = 6,
+) -> DataFrame:
+    """Upper-triangle Pearson correlation matrix of an embedding column —
+    the scale-free twin of :func:`covariance_matrix` (feature-redundancy
+    audit: highly correlated dimensions signal a collapsed encoder or a
+    copied feature; the drift comparison that survives re-normalization).
+
+    Same scale shape as the covariance: ONE Arrow-batched integer Gram
+    pass (shared, :func:`_gram_partials`), one statistic-sized DECIMAL
+    groupBy, then a projection over d(d+1)/2 rows joined with the d-row
+    diagonal (broadcast). The ×10⁶ quantization scale cancels in the
+    ratio; numerator and variance terms follow ONE mirrored IEEE token
+    sequence (see the registered oracle) so both engines land on the
+    same double before the final ROUND. Zero-variance dimensions emit
+    NULL (mirrored CASE), never a 0/0 NaN.
+
+    Returns one row per (i, j) with i <= j: (i, j, n, corr).
+    """
+    sxy_df, sums = _gram_partials(vectors, vec_col, dim)
+    nd = F.col("n").cast("double")
+
+    def var_term(sxy, sx):
+        return sxy.cast("double") - sx.cast("double") * sx.cast("double") / nd
+
+    diag = (
+        sxy_df.filter(F.col("i") == F.col("j"))
+        .join(sums.withColumnRenamed("d", "i"), "i")
+        .select(F.col("i").alias("d"), var_term(F.col("sxy"), F.col("sx")).alias("var"))
+    )
+    si = sums.select(F.col("d").alias("i"), F.col("sx").alias("sx_i"))
+    sj = sums.select(F.col("d").alias("j"), F.col("sx").alias("sx_j"))
+    vi = diag.select(F.col("d").alias("i"), F.col("var").alias("var_i"))
+    vj = diag.select(F.col("d").alias("j"), F.col("var").alias("var_j"))
+    num = (
+        F.col("sxy").cast("double")
+        - F.col("sx_i").cast("double") * F.col("sx_j").cast("double") / nd
+    )
+    return (
+        sxy_df.join(F.broadcast(si), "i")
+        .join(F.broadcast(sj), "j")
+        .join(F.broadcast(vi), "i")
+        .join(F.broadcast(vj), "j")
+        .select(
+            F.col("i").cast("long").alias("i"),
+            F.col("j").cast("long").alias("j"),
+            "n",
+            F.when(
+                (F.col("var_i") <= 0) | (F.col("var_j") <= 0), F.lit(None)
+            )
+            .otherwise(
+                F.round(
+                    num / F.sqrt(F.col("var_i") * F.col("var_j")), decimals
+                )
+                + F.lit(0.0)
+            )
+            .alias("corr"),
+        )
+    )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """CUSUM changepoint detection per group: the day t maximizing
+    |Σ_{i<=t}(x_i - mean)| over the group's daily totals — the standard
+    "when did this metric's level shift?" statistic a monitoring layer
+    runs per source/event-type between snapshots.
+
+    Scale shape: the corpus collapses to (group, day) totals map-side in
+    one combinable groupBy (the shuffle is calendar-sized, not
+    data-sized); everything after operates on days-per-group partitions —
+    bounded by the calendar, so the per-group windows never concentrate
+    the corpus on one reducer. Exactness: daily totals are 6-decimal
+    DECIMAL sums scaled to int64 (x6); the deviation statistic is kept
+    as the INTEGER D_t = n·(Σ_{i<=t} x6_i) - t·(Σ x6) — exact bigint
+    arithmetic, order-independent — and only the final reported d_stat
+    divides by n·10⁶. Ties on |D_t| break to the earliest day (mirrored
+    rank order).
+
+    Returns one row per group: (group, n_days, change_day, d_stat).
+    """
+    g = F.col(group_col)
+    daily = (
+        df.groupBy(g.alias("g"), F.to_date(F.col(ts_col)).alias("day"))
+        .agg(
+            F.sum(F.round(F.col(value_col), 6).cast("decimal(18,6)")).alias("x")
+        )
+        .select("g", "day", (F.col("x") * 1000000).cast("long").alias("x6"))
+    )
+    totals = daily.groupBy("g").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("x6").cast("long").alias("tot"),
+    )
+    w = Window.partitionBy("g").orderBy("day")
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    scored = (
+        daily.join(F.broadcast(totals), "g")
+        .withColumn("t", F.row_number().over(w).cast("long"))
+        .withColumn("c", F.sum("x6").over(wc).cast("long"))
+        .withColumn(
+            "absd", F.abs(F.col("n_days") * F.col("c") - F.col("t") * F.col("tot"))
+        )
+    )
+    wr = Window.partitionBy("g").orderBy(F.desc("absd"), F.asc("day"))
+    return (
+        scored.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("g").alias(group_col),
+            "n_days",
+            F.col("day").alias("change_day"),
+            F.round(
+                F.col("absd").cast("double")
+                / (F.col("n_days").cast("double") * F.lit(1000000.0)),
+                6,
+            ).alias("d_stat"),
+        )
+    )
 
 
 def covariance_matrix_decimal(

@@ -20,7 +20,9 @@ from pyspark.sql import functions as F
 from odbc2parquet_spark.catalog import load_table
 from odbc2parquet_spark.operators.drift import (
     chi_square_independence,
+    correlation_matrix,
     covariance_matrix,
+    cusum_changepoint,
     gini_concentration,
     ks_two_sample,
     psi_drift,
@@ -321,3 +323,108 @@ def sim_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin, equality-tested in tests/test_drift.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     return covariance_matrix(emb, "embedding", dim=64).orderBy("i", "j")
+
+
+@query(
+    "sim_correlation",
+    oracle="""
+    WITH cx AS (
+        SELECT vec_id, i - 1 AS dim,
+               CAST(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,6))
+                    * 1000000 AS BIGINT) AS x6
+        FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+    ),
+    sums AS (
+        SELECT dim, CAST(SUM(x6) AS DECIMAL(38,0)) AS sx FROM cx GROUP BY 1
+    ),
+    pairs AS (
+        SELECT a.dim AS i, b.dim AS j,
+               CAST(SUM(a.x6 * b.x6) AS DECIMAL(38,0)) AS sxy,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM cx a JOIN cx b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+        GROUP BY 1, 2
+    ),
+    diag AS (
+        SELECT p.i AS d, p.n,
+               CAST(p.sxy AS DOUBLE)
+                 - CAST(s.sx AS DOUBLE) * CAST(s.sx AS DOUBLE)
+                     / CAST(p.n AS DOUBLE) AS var
+        FROM pairs p JOIN sums s ON s.dim = p.i
+        WHERE p.i = p.j
+    )
+    SELECT CAST(p.i AS BIGINT) AS i, CAST(p.j AS BIGINT) AS j, p.n AS n,
+           CASE WHEN vi.var <= 0 OR vj.var <= 0 THEN NULL
+                ELSE ROUND((CAST(p.sxy AS DOUBLE)
+                            - CAST(si.sx AS DOUBLE) * CAST(sj.sx AS DOUBLE)
+                                / CAST(p.n AS DOUBLE))
+                           / SQRT(vi.var * vj.var), 6) + 0.0
+           END AS corr
+    FROM pairs p
+    JOIN sums si ON si.dim = p.i
+    JOIN sums sj ON sj.dim = p.j
+    JOIN diag vi ON vi.d = p.i
+    JOIN diag vj ON vj.d = p.j
+    ORDER BY 1, 2
+    """,
+)
+def sim_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding Pearson correlation matrix
+    (operators/drift.correlation_matrix) — the scale-free twin of
+    sim_covariance: dimension-redundancy audit (correlated dims signal a
+    collapsed encoder), robust to re-normalization between snapshots.
+    Shares the single Arrow-batched integer-Gram pass with the
+    covariance; the projection joins the d-row diagonal broadcast-side
+    and mirrors one IEEE token sequence with the oracle, so the only
+    float steps land on identical doubles before ROUND. Zero-variance
+    dims emit NULL via the same CASE on both engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return correlation_matrix(emb, "embedding", dim=64).orderBy("i", "j")
+
+
+@query(
+    "ev_cusum",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type AS g, CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(18,6)))
+                    * 1000000 AS BIGINT) AS x6
+        FROM events GROUP BY 1, 2
+    ),
+    totals AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(x6) AS BIGINT) AS tot
+        FROM daily GROUP BY 1
+    ),
+    scored AS (
+        SELECT d.g, d.day, t.n_days,
+               ABS(t.n_days * SUM(d.x6) OVER (PARTITION BY d.g ORDER BY d.day
+                                              ROWS UNBOUNDED PRECEDING)
+                   - (ROW_NUMBER() OVER (PARTITION BY d.g ORDER BY d.day))
+                       * t.tot) AS absd
+        FROM daily d JOIN totals t ON t.g = d.g
+    ),
+    ranked AS (
+        SELECT g, day, n_days, absd,
+               ROW_NUMBER() OVER (PARTITION BY g ORDER BY absd DESC, day ASC)
+                   AS rk
+        FROM scored
+    )
+    SELECT g AS event_type, n_days, day AS change_day,
+           ROUND(CAST(absd AS DOUBLE)
+                 / (CAST(n_days AS DOUBLE) * 1000000.0), 6) AS d_stat
+    FROM ranked WHERE rk = 1
+    ORDER BY event_type
+    """,
+)
+def ev_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint per event type (operators/drift.cusum_changepoint):
+    the day maximizing |cumulative deviation from the mean| of daily value
+    totals — "when did this metric's level shift?". The corpus collapses
+    to calendar-sized (type, day) totals map-side; the deviation statistic
+    D_t = n·cum(x6) - t·tot stays exact int64 (daily totals are 6-decimal
+    DECIMAL sums scaled to ×10⁶ ints) so argmax and tiebreak (earliest
+    day) are order-independent; only the reported d_stat divides, once,
+    at the end. Per-group windows span days-per-type — bounded by the
+    calendar, never data-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    return cusum_changepoint(ev, "ts", "value", "event_type").orderBy("event_type")

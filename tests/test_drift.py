@@ -163,3 +163,42 @@ def test_covariance_twins_identical(spark, sf_dir):
         for r in covariance_matrix_decimal(emb, dim=64).collect()
     }
     assert fast == slow and len(fast) == 64 * 65 // 2
+
+
+def test_correlation_matrix_known_values(spark):
+    from odbc2parquet_spark.operators.drift import correlation_matrix
+
+    # dim0 and dim1 perfectly correlated, dim2 anti-correlated with dim0,
+    # dim3 constant (zero variance -> NULL)
+    rows = [
+        ([1.0, 2.0, -1.0, 7.0],),
+        ([2.0, 4.0, -2.0, 7.0],),
+        ([3.0, 6.0, -3.0, 7.0],),
+    ]
+    df = spark.createDataFrame(rows, "embedding array<double>")
+    out = {(r.i, r.j): r.corr for r in correlation_matrix(df, dim=4).collect()}
+    assert out[(0, 0)] == 1.0 and out[(1, 1)] == 1.0
+    assert out[(0, 1)] == 1.0
+    assert out[(0, 2)] == -1.0
+    assert out[(0, 3)] is None and out[(3, 3)] is None
+
+
+def test_cusum_changepoint_level_shift(spark):
+    import datetime
+
+    from odbc2parquet_spark.operators.drift import cusum_changepoint
+
+    # 10 days at 1.0 then 10 days at 5.0: |cusum| peaks at the shift
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (base + datetime.timedelta(days=d), "m", 1.0 if d < 10 else 5.0)
+        for d in range(20)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+    out = cusum_changepoint(df, "ts", "value", "event_type").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_days == 20
+    assert r.change_day == datetime.date(2024, 1, 10)  # last pre-shift day
+    # mean = 3.0; S_10 = 10*(1-3) = -20 -> d_stat = 20.0
+    assert r.d_stat == 20.0
