@@ -45,32 +45,35 @@ def prefix_sums(
     order — the generalized two-pass pattern of pack_shards_two_pass /
     sweep_line_concurrency, for any number of summed columns at once.
 
-    Pass 1 range-partitions by the ordering key and collects ONE row of
-    partial sums per partition (num_partitions × len(sum_cols) longs to
-    the driver — never data). Pass 2 adds the exclusive partition offset
-    to a partition-local running sum. Output: input columns plus
+    Bucketing is the literal-boundary scheme of operators/bucketing.py:
+    a one-off approx-quantile pass embeds monotone bucket boundaries as
+    plan literals, so pass 1 (per-bucket sums — num_partitions ×
+    len(sum_cols) longs to the driver, never data) and pass 2 (bucket
+    offset + bucket-local running sum) recompute identical buckets from
+    the source scan. Nothing is persisted, checkpointed, or pinned —
+    the full input never touches executor storage, which is the only
+    shape that survives a 100 TB input. Output: input columns plus
     ``c_<col>`` (inclusive cumulative) per summed column.
     """
+    from odbc2parquet_spark.operators.bucketing import (
+        bucket_offsets,
+        order_bucket_col,
+    )
+
     spark = df.sparkSession
-    ranged = df.repartitionByRange(
-        num_partitions, *[F.col(c) for c in order_cols]
-    ).sortWithinPartitions(*order_cols)
-    # persist so both passes see the SAME sampled range boundaries
-    with_pid = ranged.withColumn("_pid_", F.spark_partition_id()).persist()
-    psums = with_pid.groupBy("_pid_").agg(
-        *[F.sum(c).alias(c) for c in sum_cols]
-    ).collect()
-    if not psums:
+    with_pid = df.withColumn(
+        "_pid_", order_bucket_col(df, order_cols[0], num_partitions)
+    )
+    offsets, _ = bucket_offsets(with_pid, sum_cols)
+    if not offsets[sum_cols[0]]:
         out = with_pid
         for c in sum_cols:
             out = out.withColumn(f"c_{c}", F.lit(0).cast("long"))
         return out.drop("_pid_").limit(0)
-    acc = {c: 0 for c in sum_cols}
-    rows = []
-    for r in sorted(psums, key=lambda r: r._pid_):
-        rows.append((r._pid_, *[acc[c] for c in sum_cols]))
-        for c in sum_cols:
-            acc[c] += r[c]
+    rows = [
+        (pid, *[offsets[c][pid] for c in sum_cols])
+        for pid in sorted(offsets[sum_cols[0]])
+    ]
     offset_df = F.broadcast(
         spark.createDataFrame(rows, ["_pid_", *[f"_off_{c}_" for c in sum_cols]])
     )
@@ -121,12 +124,18 @@ def psi_drift(
         F.sum(F.when(F.col("_b_"), 1).otherwise(0)).cast("long").alias("n_b_tot"),
     )
     binned = flagged.crossJoin(F.broadcast(stats)).select(
-        F.least(
-            F.floor(
-                (F.col("v") - F.col("mn"))
-                / ((F.col("mx") - F.col("mn")) / F.lit(float(n_bins)))
-            ),
-            F.lit(n_bins - 1),
+        # zero-range guard: a constant column (mx == mn) would divide by
+        # zero and NULL every bin — collapse it to bin 0 instead
+        # (mirrored in the registered oracle)
+        F.when(F.col("mx") == F.col("mn"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor(
+                    (F.col("v") - F.col("mn"))
+                    / ((F.col("mx") - F.col("mn")) / F.lit(float(n_bins)))
+                ),
+                F.lit(n_bins - 1),
+            )
         )
         .cast("long")
         .alias("bin"),
@@ -370,8 +379,10 @@ def covariance_matrix(
     product exact in float64 (24+20 mantissa bits < 53), so the numpy
     quantization equals CAST(x AS DECIMAL(18,6)) bit-for-bit;
     :func:`covariance_matrix_decimal` is the engine-side verification
-    twin, equality-tested. Per-batch int64 Gram sums overflow only past
-    ~10^4 rows/batch at |x|≤10³ — far beyond Arrow batch sizes.
+    twin, equality-tested. Int64 Gram accumulation cannot overflow at
+    any magnitude: batches are internally chunked so that
+    chunk_rows·max(|x·10⁶|)² stays below 2⁶², and the chunk partials
+    merge in the DECIMAL(38,0) groupBy.
 
     Returns one row per (i, j) with i <= j: (i, j, n, cov).
     """
@@ -388,32 +399,40 @@ def _gram_partials(vectors: DataFrame, vec_col: str, dim: int):
     import pandas as pd
 
     def gram_batches(batches):
+        iu = np.triu_indices(dim)
         for pdf in batches:
             if not len(pdf):
                 continue
             X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             # engine-equal quantization: round half away from zero at 1e6
             Xs = (np.sign(X) * np.floor(np.abs(X) * 1e6 + 0.5)).astype(np.int64)
-            G = Xs.T @ Xs
-            iu = np.triu_indices(dim)
-            n = len(pdf)
-            out = pd.DataFrame(
-                {
-                    "i": iu[0].astype(np.int32),
-                    "j": iu[1].astype(np.int32),
-                    "sxy": G[iu],
-                    "n": np.int64(n),
-                }
-            )
-            dsum = pd.DataFrame(
-                {
-                    "i": np.arange(dim, dtype=np.int32),
-                    "j": np.int32(-1),
-                    "sxy": Xs.sum(axis=0),
-                    "n": np.int64(n),
-                }
-            )
-            yield pd.concat([out, dsum], ignore_index=True)
+            # Overflow guard: each Gram entry sums chunk_len products each
+            # bounded by m², so chunk the batch to chunk_len·m² < 2⁶² and
+            # the int64 accumulation is EXACT at any value magnitude —
+            # extra partial rows merge in the DECIMAL(38,0) groupBy anyway.
+            m = int(np.abs(Xs).max(initial=0))
+            chunk = len(pdf) if m == 0 else max(1, (1 << 62) // (m * m))
+            for s in range(0, len(pdf), chunk):
+                Xc = Xs[s : s + chunk]
+                G = Xc.T @ Xc
+                n = len(Xc)
+                out = pd.DataFrame(
+                    {
+                        "i": iu[0].astype(np.int32),
+                        "j": iu[1].astype(np.int32),
+                        "sxy": G[iu],
+                        "n": np.int64(n),
+                    }
+                )
+                dsum = pd.DataFrame(
+                    {
+                        "i": np.arange(dim, dtype=np.int32),
+                        "j": np.int32(-1),
+                        "sxy": Xc.sum(axis=0),
+                        "n": np.int64(n),
+                    }
+                )
+                yield pd.concat([out, dsum], ignore_index=True)
 
     partials = vectors.select(vec_col).mapInPandas(
         gram_batches, "i int, j int, sxy long, n long"

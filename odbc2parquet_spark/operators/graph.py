@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from odbc2parquet_spark.operators.bucketing import release_local_checkpoint
+
 
 def connected_components(
     nodes: DataFrame,
@@ -73,6 +75,9 @@ def connected_components(
                 .limit(1)
                 .count()
             )
+            # the superseded round's checkpoint blocks are dead weight —
+            # release them now instead of relying on a JVM GC cycle
+            release_local_checkpoint(labels)
             labels = new_labels
             if changed == 0:
                 break
@@ -147,6 +152,7 @@ def connected_components_star(
         # Converged when the oriented edge set is stable. Both sides
         # are distinct, so equal counts + empty difference <=> equal.
         stable = small.count() == e.count() and small.exceptAll(e).limit(1).count() == 0
+        release_local_checkpoint(e)  # superseded round: free its blocks
         e = small
         if stable:
             break
@@ -269,6 +275,7 @@ def pagerank_int(
                 .groupBy("id")
                 .agg(F.sum("c").alias("s"))
             )
+            prev = ranks
             ranks = (
                 ids.join(contrib, "id", "left_outer")
                 .select(
@@ -280,6 +287,7 @@ def pagerank_int(
                 )
                 .localCheckpoint(eager=True)
             )
+            release_local_checkpoint(prev)  # superseded round
     finally:
         weighted.unpersist()
     return ranks
@@ -356,6 +364,7 @@ def tree_ancestry(edges: DataFrame, rounds: int = 8) -> DataFrame:
             F.col("cur").alias("j_cur"),
             F.col("depth").alias("j_depth"),
         )
+        prev = state
         state = (
             state.join(hop, state["cur"] == hop["j_node"])
             .select(
@@ -365,4 +374,5 @@ def tree_ancestry(edges: DataFrame, rounds: int = 8) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
+        release_local_checkpoint(prev)  # superseded round
     return state.select("node", F.col("cur").alias("root_key"), "depth")

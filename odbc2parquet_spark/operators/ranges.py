@@ -79,45 +79,44 @@ def sweep_line_concurrency(
     capacity-planning primitive Spark has no operator for.
 
     Scale shape: NO global window — the running sum is the same
-    two-pass distributed prefix sum as pack_shards_two_pass
-    (range-partition by the sweep key, per-partition sums to the driver
-    [num_partitions longs, never data], local cumsum + partition
-    offset). Per-day maxima downstream are order-invariant within a
-    tie group (equal (t, delta) rows interchange without changing any
-    group's max), so the output is deterministic on any engine.
+    two-pass distributed prefix sum as pack_shards_two_pass, bucketed by
+    the literal-boundary scheme of operators/bucketing.py (a one-off
+    approx-quantile pass on the sweep key; bucket boundaries become plan
+    literals so both passes recompute identical buckets — nothing
+    persisted or pinned). Per-partition sums come to the driver
+    [num_partitions longs, never data]; the final pass adds the bucket
+    offset to a bucket-local cumsum. Per-day maxima downstream are
+    order-invariant within a tie group (equal (t, delta) rows
+    interchange without changing any group's max), so the output is
+    deterministic on any engine. Bucketing on t alone is order-safe:
+    equal-t rows share a bucket, and the in-bucket window breaks ties
+    by (t, delta).
 
     Returns (t, delta, concurrency) — one row per event point.
     """
+    from odbc2parquet_spark.operators.bucketing import (
+        bucket_offsets,
+        order_bucket_col,
+    )
+
     spark = intervals.sparkSession
     pts = intervals.select(
         F.col(start_col).alias("t"), F.lit(1).alias("delta")
     ).unionAll(
         intervals.select(F.col(end_col).alias("t"), F.lit(-1).alias("delta"))
     )
-    ranged = pts.repartitionByRange(num_partitions, "t", "delta").sortWithinPartitions(
-        "t", "delta"
-    )
-    # persist so both passes see the SAME sampled range boundaries
-    # (same contract as pack_shards_two_pass)
-    with_pid = ranged.withColumn("_pid_", F.spark_partition_id()).persist()
-    psums = {
-        r._pid_: r.s
-        for r in with_pid.groupBy("_pid_").agg(F.sum("delta").alias("s")).collect()
-    }
-    if not psums:  # empty input: no rows to offset (createDataFrame([]) would throw)
+    with_pid = pts.withColumn("_pid_", order_bucket_col(pts, "t", num_partitions))
+    offsets, _ = bucket_offsets(with_pid, ["delta"])
+    if not offsets["delta"]:  # empty input (createDataFrame([]) would throw)
         return with_pid.select(
             "t", "delta", F.lit(0).cast("long").alias("concurrency")
         ).limit(0)
-    offsets: dict[int, int] = {}
-    acc = 0
-    for pid in sorted(psums):
-        offsets[pid] = acc
-        acc += psums[pid]
     from pyspark.sql import Window
 
     offset_df = F.broadcast(
         spark.createDataFrame(
-            [(pid, off) for pid, off in offsets.items()], ["_pid_", "_offset_"]
+            [(pid, off) for pid, off in offsets["delta"].items()],
+            ["_pid_", "_offset_"],
         )
     )
     wl = (

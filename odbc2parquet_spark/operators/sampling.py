@@ -118,9 +118,13 @@ def pps_sample(
     interval ends, n_hits = hits(cum) - hits(cum - w).
 
     Scale shape: the prefix sum uses the same two-pass scheme as
-    pack_shards_two_pass — per-partition sums to the driver
+    pack_shards_two_pass — per-bucket sums to the driver
     (num_partitions longs), exclusive offsets broadcast back, local
-    window cumsum per partition. No global-window funnel; the total W
+    window cumsum per bucket. Because the ordering key is already a
+    UNIFORM 60-bit hash, buckets are exact equal-width slices of the
+    hash domain — a pure integer expression both passes recompute
+    identically, so nothing is persisted/checkpointed and the buckets
+    are balanced by construction. No global-window funnel; the total W
     falls out of pass 1 for free.
 
     Returns (id, weight, n_hits) for rows with n_hits > 0.
@@ -128,15 +132,15 @@ def pps_sample(
     from pyspark.sql import Window
 
     spark = df.sparkSession
+    width = -(-_HASH_DOMAIN // num_partitions)  # ceil: pid < num_partitions
     keyed = df.select(
         F.col(id_col),
         F.col(weight_col).cast("long").alias("w"),
         _hash60(F.col(id_col)).alias("_h_"),
     )
-    ranged = keyed.repartitionByRange(
-        num_partitions, F.col("_h_"), F.col(id_col)
-    ).sortWithinPartitions("_h_", id_col)
-    with_pid = ranged.withColumn("_pid_", F.spark_partition_id()).persist()
+    with_pid = keyed.withColumn(
+        "_pid_", F.expr(f"cast(_h_ div {width} as int)")
+    )
     psums = {
         r._pid_: r.s
         for r in with_pid.groupBy("_pid_").agg(F.sum("w").alias("s")).collect()
@@ -144,8 +148,17 @@ def pps_sample(
     offsets, acc = {}, 0
     for pid in sorted(psums):
         offsets[pid] = acc
-        acc += psums[pid]
+        acc += psums[pid] or 0
     total_w = acc
+    if not psums or total_w == 0:
+        # empty input (createDataFrame([]) would throw) or all-zero
+        # weights (every n_hits would NULL via div-by-zero): nothing can
+        # be drawn — return an empty frame with the contract schema.
+        return with_pid.select(
+            id_col,
+            F.col("w").alias("weight"),
+            F.lit(0).cast("long").alias("n_hits"),
+        ).limit(0)
     offset_df = F.broadcast(
         spark.createDataFrame(
             [(pid, off) for pid, off in offsets.items()], ["_pid_", "_offset_"]

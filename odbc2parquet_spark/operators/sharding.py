@@ -46,28 +46,31 @@ def pack_shards_two_pass(
     tokens_col: str = "n_tokens",
     num_partitions: int = 32,
 ) -> DataFrame:
-    """Same output as :func:`pack_shards` without the global-window funnel."""
+    """Same output as :func:`pack_shards` without the global-window funnel.
+
+    Buckets come from the literal-boundary scheme of
+    operators/bucketing.py (one approx-quantile pass; boundaries are
+    plan literals, so pass 1 and pass 2 recompute identical buckets
+    from the source scan — no persist/checkpoint, nothing pinned in
+    executor storage). Pass 1 collects per-bucket token sums
+    (num_partitions longs); pass 2 adds the exclusive bucket offset to
+    a bucket-local running sum.
+    """
+    from odbc2parquet_spark.operators.bucketing import (
+        bucket_offsets,
+        order_bucket_col,
+    )
+
     spark = docs_with_tokens.sparkSession
-    ranged = docs_with_tokens.repartitionByRange(
-        num_partitions, F.col(order_col)
-    ).sortWithinPartitions(order_col)
-    # persist so pass 1 and pass 2 see the SAME sampled range boundaries —
-    # re-evaluating repartitionByRange could re-sample and shift rows
-    # between partitions, corrupting the offsets.
-    with_pid = ranged.withColumn("_pid_", F.spark_partition_id()).persist()
-    # pass 1: per-partition sums — num_partitions rows to the driver
-    psums = {
-        r._pid_: r.s
-        for r in with_pid.groupBy("_pid_").agg(F.sum(tokens_col).alias("s")).collect()
-    }
-    offsets = {}
-    acc = 0
-    for pid in sorted(psums):
-        offsets[pid] = acc
-        acc += psums[pid]
+    with_pid = docs_with_tokens.withColumn(
+        "_pid_", order_bucket_col(docs_with_tokens, order_col, num_partitions)
+    )
+    offs, _ = bucket_offsets(with_pid, [tokens_col])
     offset_df = F.broadcast(
         spark.createDataFrame(
-            [(pid, off) for pid, off in offsets.items()], ["_pid_", "_offset_"]
+            [(pid, off) for pid, off in offs[tokens_col].items()]
+            or [(0, 0)],  # empty input: harmless 1-row offset table
+            ["_pid_", "_offset_"],
         )
     )
     # pass 2: local cumsum + partition offset

@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from odbc2parquet_spark.operators.bucketing import release_local_checkpoint
+
 #: regex token pattern shared with the oracle: words | numbers | one symbol.
 TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
@@ -701,9 +703,12 @@ def bpe_learn_batched(
                     out.append(syms)
                 yield pd.DataFrame({"wc": pdf["wc"], "s": out})
 
+        prev = sym
         sym = sym.mapInPandas(
             apply_batch, "wc long, s array<string>"
         ).localCheckpoint()
+        release_local_checkpoint(prev)  # superseded round's blocks
+    release_local_checkpoint(sym)  # merges are collected; table is done
     return merges
 
 

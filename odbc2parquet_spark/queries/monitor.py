@@ -44,8 +44,9 @@ from odbc2parquet_spark.queries import query
         FROM f
     ),
     binned AS (
-        SELECT CAST(LEAST(FLOOR((f.v - s.mn) / ((s.mx - s.mn) / 10.0)), 9)
-                    AS BIGINT) AS bin,
+        SELECT CAST(CASE WHEN s.mx = s.mn THEN 0
+                    ELSE LEAST(FLOOR((f.v - s.mn) / ((s.mx - s.mn) / 10.0)), 9)
+                    END AS BIGINT) AS bin,
                f.b
         FROM f, stats s
     ),

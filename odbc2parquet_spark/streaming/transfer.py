@@ -174,24 +174,22 @@ def late_event_audit(
     before deploying the streaming job.
 
     The running max uses the same two-pass shape as
-    operators/sharding.pack_shards_two_pass: per-partition maxima (one row
+    operators/sharding.pack_shards_two_pass: per-bucket maxima (one row
     each) prefix-combined on the driver and broadcast back, then a local
-    running max per range partition — no global-window funnel.
+    running max per bucket — no global-window funnel. Buckets come from
+    the literal-boundary scheme of operators/bucketing.py: boundaries
+    are plan literals, so both passes recompute identical buckets from
+    the source scan and nothing is persisted, checkpointed, or pinned.
     """
+    from odbc2parquet_spark.operators.bucketing import order_bucket_col
+
     spark = events.sparkSession
     sec = F.unix_micros(F.col(ts_col).cast("timestamp"))
     base = events.select(
         F.col(order_col).alias("_oid_"), sec.alias("_us_"), "event_type"
     )
-    ranged = base.repartitionByRange(num_partitions, F.col("_oid_")).sortWithinPartitions(
-        "_oid_"
-    )
-    # localCheckpoint (NOT persist): same stable-partition guarantee for
-    # the two passes, but the blocks are GC-scoped — persist() registers
-    # in the session cache manager and pins memory until an explicit
-    # unpersist, which a returned lazy DataFrame can never safely issue.
-    with_pid = ranged.withColumn("_pid_", F.spark_partition_id()).localCheckpoint(
-        eager=True
+    with_pid = base.withColumn(
+        "_pid_", order_bucket_col(base, "_oid_", num_partitions)
     )
     pmax = {
         r._pid_: r.m

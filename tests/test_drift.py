@@ -202,3 +202,76 @@ def test_cusum_changepoint_level_shift(spark):
     assert r.change_day == datetime.date(2024, 1, 10)  # last pre-shift day
     # mean = 3.0; S_10 = 10*(1-3) = -20 -> d_stat = 20.0
     assert r.d_stat == 20.0
+
+
+def test_psi_constant_column_collapses_to_bin0(spark):
+    """A constant value column (mx == mn) must not NULL every bin via a
+    zero-width divide: all rows land in bin 0, the other bins emit their
+    smoothed-empty terms, and counts reconcile with the totals."""
+    rows = [(7.0, v % 2 == 0) for v in range(100)]
+    df = spark.createDataFrame(rows, ["v", "b"])
+    out = {r.bin: r for r in psi_drift(df, "v", F.col("b"), n_bins=10).collect()}
+    assert set(out) == set(range(10))
+    assert out[0].n_a == 50 and out[0].n_b == 50
+    assert all(out[b].n_a == 0 and out[b].n_b == 0 for b in range(1, 10))
+    # no row vanished: terms are finite numbers, not NULL
+    assert all(out[b].psi_term is not None for b in range(10))
+
+
+def test_covariance_large_magnitude_chunked_exact(spark):
+    """|x| ~ 1e3 vectors: each int64 Gram product is ~1e18, so an
+    unchunked per-batch sum would wrap after ~9 rows. The chunked
+    accumulation must stay EXACT — bit-identical to the pure-Catalyst
+    decimal twin on 200 such rows in a single Arrow batch."""
+    from odbc2parquet_spark.operators.drift import covariance_matrix_decimal
+
+    rows = [
+        ([1000.0 - i * 0.5, -999.0 + i * 0.25],)
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "embedding array<double>").coalesce(1)
+    fast = {(r.i, r.j): (r.n, r.cov) for r in covariance_matrix(df, dim=2).collect()}
+    slow = {
+        (r.i, r.j): (r.n, r.cov)
+        for r in covariance_matrix_decimal(df, dim=2).collect()
+    }
+    assert fast == slow and len(fast) == 3
+    # sanity: the values are the right order of magnitude, not wrapped
+    assert fast[(0, 0)][1] > 0 and fast[(1, 1)][1] > 0
+
+
+def test_two_pass_ops_leave_no_persistent_rdds(spark):
+    """The two-pass prefix-sum family must not pin blocks in the session
+    cache manager (localCheckpoint, not persist): after running each
+    operator to completion the persistent-RDD registry is empty."""
+    from odbc2parquet_spark.operators.ranges import sweep_line_concurrency
+    from odbc2parquet_spark.operators.sampling import pps_sample
+    from odbc2parquet_spark.operators.sharding import pack_shards_two_pass
+
+    df = spark.createDataFrame([(i, (i * 7) % 5 + 1) for i in range(300)], ["k", "x"])
+    prefix_sums(df, ["k"], ["x"], num_partitions=4).count()
+    iv = spark.createDataFrame([(i, i + 3) for i in range(300)], ["s", "e"])
+    sweep_line_concurrency(iv, "s", "e", num_partitions=4).count()
+    pack_shards_two_pass(
+        df.withColumnRenamed("x", "n_tokens"), budget=50, order_col="k",
+        num_partitions=4,
+    ).count()
+    pps_sample(df, "x", k=10, id_col="k", num_partitions=4).count()
+    assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() == 0
+
+
+def test_iterative_fixpoints_release_superseded_rounds(spark):
+    """Iterative operators checkpoint per round; every SUPERSEDED round's
+    blocks must be explicitly released, so after a run at most the final
+    state (plus nothing else) stays registered."""
+    from odbc2parquet_spark.operators.graph import connected_components
+
+    base = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    nodes = spark.createDataFrame([(i,) for i in range(20)], ["id"])
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 18, 2)], ["src", "dst"]
+    )
+    connected_components(nodes, edges, node_col="id", src_col="src", dst_col="dst").count()
+    after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    # only the final labels checkpoint may remain registered
+    assert after - base <= 1
