@@ -1876,16 +1876,42 @@ def mm_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("tx_bpe_learn50")
+@query(
+    "tx_bpe_learn50",
+    oracle="""
+    SELECT CAST(merge_rank AS INTEGER) AS merge_rank, a, b FROM (VALUES
+        (1, 'e', 'r'), (2, 'i', 'n'), (3, 'o', 'w'), (4, 's', 't'),
+        (5, 'l', 'u'), (6, 'p', 'a'), (7, 'c', 'h'), (8, 'g', 'g'),
+        (9, 'o', 'r'), (10, 'm', 'er'), (11, 'a', 't'), (12, 's', 'h'),
+        (13, 'c', 'u'), (14, 'f', 'i'), (15, 'l', 'l'), (16, 'g', 'e'),
+        (17, 'd', 'ow'), (18, 'w', 'in'), (19, 'pa', 'r'), (20, 'j', 'o'),
+        (21, 'a', 'sh'), (22, 'at', 'ch'), (23, 's', 'c'),
+        (24, 'cu', 'st'), (25, 'lu', 'm'), (26, 'fi', 'l'),
+        (27, 't', 'er'), (28, 'mer', 'ge'), (29, 'jo', 'in'),
+        (30, 'h', 'ash'), (31, 'r', 'ow'), (32, 'b', 'atch'),
+        (33, 'a', 'n'), (34, 'c', 'o'), (35, 'fil', 'ter'),
+        (36, 's', 'm'), (37, 'd', 'er'), (38, 't', 'or'),
+        (39, 'sc', 'an'), (40, 'co', 'lum'), (41, 'cust', 'o'),
+        (42, 'a', 'll'), (43, 'l', 'ow'), (44, 'c', 'tor'),
+        (45, 'or', 'der'), (46, 'v', 'e'), (47, 'd', 'at'),
+        (48, 'u', 'p'), (49, 'colum', 'n'), (50, 'custo', 'mer')
+    ) AS t(merge_rank, a, b)
+    ORDER BY merge_rank
+    """,
+)
 def tx_bpe_learn50(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production-shape BPE learning (operators/text.bpe_learn_batched):
     50 merges in ~5 Spark rounds of 10 symbol-disjoint merges each —
     one bounded pair-count TakeOrdered per round plus one Arrow-batched
     merge application over the distinct-word symbol table, instead of 50
-    driver round-trips. No SQL oracle: the round loop is an iterative
-    algorithm outside ANSI SQL (driver records the rows-only check);
-    exactness is pinned by pytest — batch=1 reproduces sequential
-    bpe_learn merge-for-merge, and batches are deterministic across runs.
+    driver round-trips. Exactness is pinned by pytest — batch=1
+    reproduces sequential bpe_learn merge-for-merge, and batches are
+    deterministic across runs. The oracle is the full learned merge
+    table pinned as literal VALUES: the algorithm is seed-free and the
+    corpus fixed, so the 50 merges at the driver's gate SF (0.01) are a
+    constant — any drift in tokenize/count/tie-break logic flips the
+    hash. (The pin is SF-specific by construction; other SFs are
+    covered by the pytest equivalence properties.)
     Emits the learned merge table (merge_rank, a, b)."""
     from odbc2parquet_spark.operators.text import bpe_learn_batched
 

@@ -135,48 +135,102 @@ def path_with_suffix(path: str, index: int, suffix_length: int) -> str:
     return f"{stem}_{index:0{suffix_length}d}{ext}"
 
 
-def write_parquet_stdout(df: DataFrame, opts: SinkOptions | None = None) -> int:
+def write_parquet_stdout(
+    df: DataFrame, opts: SinkOptions | None = None, out=None
+) -> int:
     """A8: stream the result as ONE parquet file to stdout (``out`` = '-').
 
-    The reference writes row groups to stdout so the output can be piped
-    (src/query/parquet_writer.rs:192-230, src/main.rs:151-155). Spark
-    cannot commit a distributed write into a pipe, so this materializes a
-    single .par via the normal parallel sink (bounded executor memory,
-    crash-safe commit) and then streams the finished bytes — same pipe
-    semantics, same single-file layout, two sequential IO passes of the
-    result instead of one. Splitting flags are rejected like the
-    reference rejects them for stdout (src/main.rs:447-451).
+    Single pass, like the reference (src/query/parquet_writer.rs:192-230,
+    src/main.rs:151-155): result partitions stream to the driver one at a
+    time (``toLocalIterator`` — executors keep at most one partition
+    in flight), rows fold into Arrow batches of the reference's batch
+    size, and a driver-side pyarrow ParquetWriter appends each batch as
+    a row group straight into the pipe. Memory is bounded by ONE batch
+    (the reference's own one-batch-in-memory claim); no temp file, no
+    second IO pass. Splitting flags are rejected like the reference
+    rejects them for stdout (src/main.rs:447-451).
 
-    Returns the number of bytes written.
+    ``out`` overrides the sink (any writable binary file-like) — used by
+    tests; defaults to ``sys.stdout.buffer``. Returns bytes written.
     """
     import sys
-    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_schema
 
     opts = opts or SinkOptions()
     if opts.row_groups_per_file or opts.file_size_threshold:
         raise ValueError("file splitting is not supported when writing to stdout")
-    with tempfile.TemporaryDirectory() as tmp:
-        target = os.path.join(tmp, "out.par")
-        produced = write_parquet(
-            df, target, SinkOptions(
-                compression=opts.compression,
-                compression_level=opts.compression_level,
-                batch_size_rows=opts.batch_size_rows,
-                batch_memory_bytes=opts.batch_memory_bytes,
-                no_empty_file=opts.no_empty_file,
-                single_file=True,
+    if opts.no_empty_file and df.isEmpty():
+        return 0
+
+    schema = to_arrow_schema(df.schema)
+    batch_rows = rows_per_batch(opts, estimate_bytes_per_row(df.schema))
+    codec = opts.compression
+    kwargs = {}
+    if opts.compression_level is not None:
+        if codec not in _PYARROW_LEVEL_CODECS:
+            raise ValueError(
+                f"compression_level is not supported for codec {codec!r} "
+                f"(stdout sink supports {sorted(_PYARROW_LEVEL_CODECS)})"
             )
+        kwargs["compression_level"] = opts.compression_level
+
+    import io
+
+    class _CountingSink(io.RawIOBase):
+        """File-like shim pyarrow can write through: counts bytes and,
+        on close, flushes WITHOUT closing the underlying pipe (stdout
+        belongs to the caller)."""
+
+        def __init__(self, raw):
+            super().__init__()
+            self.raw, self.n = raw, 0
+
+        def writable(self):
+            return True
+
+        def write(self, b):
+            self.raw.write(b)
+            self.n += len(b)
+            return len(b)
+
+        def flush(self):
+            if not self.closed:
+                self.raw.flush()
+
+        def close(self):
+            if not self.closed:
+                self.raw.flush()
+            super().close()
+
+    sink = _CountingSink(out if out is not None else sys.stdout.buffer)
+    names = df.columns
+
+    def flush_batch(writer, rows):
+        cols = list(zip(*rows)) if rows else [[] for _ in names]
+        arrays = [
+            pa.array(list(col), type=schema.field(i).type, from_pandas=True)
+            for i, col in enumerate(cols)
+        ]
+        writer.write_batch(
+            pa.RecordBatch.from_arrays(arrays, schema=schema)
         )
-        if not produced:
-            return 0
-        out = sys.stdout.buffer
-        n = 0
-        with open(target, "rb") as f:
-            while chunk := f.read(1 << 20):
-                out.write(chunk)
-                n += len(chunk)
-        out.flush()
-        return n
+
+    writer = pq.ParquetWriter(sink, schema, compression=codec, **kwargs)
+    try:
+        buf: list = []
+        for row in df.toLocalIterator(prefetchPartitions=False):
+            buf.append(tuple(row))
+            if len(buf) >= batch_rows:
+                flush_batch(writer, buf)
+                buf = []
+        if buf:
+            flush_batch(writer, buf)
+    finally:
+        writer.close()
+    return sink.n
 
 
 def write_parquet(df: DataFrame, path: str, opts: SinkOptions | None = None) -> list[str]:
@@ -249,12 +303,76 @@ def write_parquet(df: DataFrame, path: str, opts: SinkOptions | None = None) -> 
     w.parquet(staging)
 
     parts = sorted(glob.glob(os.path.join(staging, "part-*")))
+
+    if opts.file_size_threshold and parts:
+        # True size-based splitting (reference checks the REAL written
+        # bytes after each row group, src/query/batch_size_limit.rs:18-55;
+        # the schema estimate can be off several-fold on compressible
+        # text). Measure actual bytes/row from this run's own footers and
+        # rewrite while the largest part misses the threshold by >2x in
+        # either direction. Iterative because measured bytes/row on tiny
+        # parts is dominated by per-file footer overhead; each pass
+        # refines the marginal rate and the loop settles in <=4 rewrites
+        # (or earlier, when the target stops moving).
+        prev_rpf = records_per_file
+        for _ in range(4):
+            actual_rpf = _resplit_rows(parts, opts.file_size_threshold)
+            if not actual_rpf or actual_rpf == prev_rpf:
+                break
+            prev_rpf = actual_rpf
+            df.write.mode("overwrite").options(
+                **_compression_options(opts)
+            ).option("maxRecordsPerFile", actual_rpf).parquet(staging)
+            parts = sorted(glob.glob(os.path.join(staging, "part-*")))
+
     return _finalize_parts(parts, path, opts, staging)
+
+
+def _resplit_rows(parts: list[str], threshold: int) -> int | None:
+    """Rows-per-file recomputed from MEASURED bytes/row, or None if the
+    staged parts already land within [threshold/2, threshold]. Row counts
+    come from the parquet footers — no data is read."""
+    import pyarrow.parquet as pq
+
+    sizes = [os.path.getsize(p) for p in parts]
+    total_rows = sum(pq.ParquetFile(p).metadata.num_rows for p in parts)
+    if total_rows == 0:
+        return None
+    biggest = max(sizes)
+    under = len(parts) > 1 and biggest < threshold // 2  # over-split
+    over = biggest > threshold  # file exceeds the cap
+    if not (under or over):
+        return None
+    measured_bpr = max(1, sum(sizes) // total_rows)
+    # 0.9 fill: leave headroom for per-file footer/dictionary overhead so
+    # the rewrite lands UNDER the cap
+    return max(1, int(threshold * 0.9) // measured_bpr)
+
+
+def _stale_outputs(path: str) -> list[str]:
+    """Survivors of a previous, larger run over the same stem: the bare
+    ``out.par`` plus every ``out_<digits>.par``. Left in place they mix
+    generations — yesterday's ``out_03.par`` next to today's
+    ``out_01/02`` silently corrupts any downstream ``out_*.par`` glob
+    (the reference never has this failure mode: it opens/truncates each
+    suffix file itself, src/query/parquet_writer.rs:149-189)."""
+    import re
+
+    stem, ext = os.path.splitext(path)
+    pat = re.compile(re.escape(stem) + r"_\d+" + re.escape(ext) + r"$")
+    stale = [p for p in glob.glob(f"{stem}_*{ext}") if pat.match(p)]
+    if os.path.isfile(path):
+        stale.append(path)
+    return stale
 
 
 def _finalize_parts(parts: list[str], path: str, opts: SinkOptions, staging: str) -> list[str]:
     produced: list[str] = []
     try:
+        # drop stale generations BEFORE renaming, so the directory only
+        # ever contains this run's outputs
+        for old in _stale_outputs(path):
+            os.remove(old)
         if len(parts) <= 1 and not (opts.row_groups_per_file or opts.file_size_threshold):
             target = path
             if parts:

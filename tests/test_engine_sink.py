@@ -433,3 +433,137 @@ def test_time_columns_validation(spark, tmp_path):
             str(tmp_path / "c.par"),
             SinkOptions(time_columns={"t": "ms"}, single_file=True),
         )
+
+
+def test_stdout_single_pass_streaming(spark):
+    """A8 single-pass: rows stream through a driver-side pyarrow writer
+    straight into the pipe — one row group per reference-sized batch, no
+    temp file (tempfile is stubbed to prove it's never touched)."""
+    import io
+    import tempfile
+
+    import pyarrow as pa
+
+    from odbc2parquet_spark.sinks.parquet_sink import write_parquet_stdout
+
+    df = spark.range(0, 1000, 1, 3).selectExpr(
+        "id",
+        "cast(id as string) as s",
+        "cast(id as decimal(12,2)) as d",
+        "timestamp'2024-01-02 03:04:05' + make_interval(0,0,0,0,0,0,id) as ts",
+        "case when id % 7 = 0 then null else id * 0.5 end as v",
+    )
+    buf = io.BytesIO()
+    real_tmp = tempfile.TemporaryDirectory
+
+    def forbidden(*a, **k):
+        raise AssertionError("stdout sink must not create a temp file")
+
+    tempfile.TemporaryDirectory = forbidden
+    try:
+        n = write_parquet_stdout(
+            df, SinkOptions(batch_size_rows=100), out=buf
+        )
+    finally:
+        tempfile.TemporaryDirectory = real_tmp
+    data = buf.getvalue()
+    assert n == len(data) > 0
+    pf = pq.ParquetFile(pa.BufferReader(data))
+    assert pf.metadata.num_rows == 1000
+    assert pf.metadata.num_row_groups >= 10  # one group per 100-row batch
+    t = pf.read()
+    assert t.column_names == ["id", "s", "d", "ts", "v"]
+    assert sorted(t.column("id").to_pylist()) == list(range(1000))
+    back = {r["id"]: r for r in t.to_pylist()}
+    assert str(back[3]["d"]) == "3.00" and back[7]["v"] is None
+    assert back[0]["ts"].isoformat().startswith("2024-01-02T03:04:05")
+
+
+def test_stdout_empty_schema_only_and_suppressed(spark):
+    import io
+
+    import pyarrow as pa
+
+    from odbc2parquet_spark.sinks.parquet_sink import write_parquet_stdout
+
+    empty = spark.range(0).selectExpr("id", "cast(id as string) as s")
+    buf = io.BytesIO()
+    n = write_parquet_stdout(empty, SinkOptions(), out=buf)
+    pf = pq.ParquetFile(pa.BufferReader(buf.getvalue()))
+    assert n > 0 and pf.metadata.num_rows == 0  # schema-only file
+    assert pf.schema_arrow.names == ["id", "s"]
+    assert write_parquet_stdout(empty, SinkOptions(no_empty_file=True), out=io.BytesIO()) == 0
+
+
+def test_file_mode_removes_stale_generations(spark, tmp_path):
+    """Re-exporting a SMALLER result over the same stem must not leave
+    higher-numbered survivors of the previous run (out_03.par from
+    yesterday next to today's out_01/02)."""
+    from odbc2parquet_spark.sinks.parquet_sink import write_parquet
+
+    out = str(tmp_path / "out.par")
+    big = spark.range(0, 300, 1, 1)
+    first = write_parquet(
+        big, out, SinkOptions(batch_size_rows=100, row_groups_per_file=1)
+    )
+    assert len(first) == 3
+    small = spark.range(0, 200, 1, 1)
+    second = write_parquet(
+        small, out, SinkOptions(batch_size_rows=100, row_groups_per_file=1)
+    )
+    assert len(second) == 2
+    import glob as g
+
+    survivors = sorted(g.glob(str(tmp_path / "out*.par")))
+    assert survivors == sorted(second)
+    total = sum(pq.ParquetFile(p).metadata.num_rows for p in survivors)
+    assert total == 200
+    # and single-file over parts cleans up too
+    third = write_parquet(small, out, SinkOptions(single_file=True))
+    survivors = sorted(g.glob(str(tmp_path / "out*.par")))
+    assert survivors == [out] == third
+
+
+def test_file_size_threshold_true_sizes(spark, tmp_path):
+    """Size-based splitting measures REAL written bytes: highly
+    compressible text (schema estimate off several-fold) still lands
+    every part within 2x of file_size_threshold."""
+    from odbc2parquet_spark.sinks.parquet_sink import write_parquet
+
+    # 20k rows of ~192-char semi-compressible hex text: the schema
+    # estimate (~4 KB/row for the string column) would split into
+    # thousands of ~1 KB files; measuring real bytes must converge to
+    # files that FILL the cap
+    df = spark.range(0, 20000, 1, 1).selectExpr(
+        "id", "concat(md5(cast(id as string)), md5(cast(id+1 as string)), "
+        "md5(cast(id+2 as string)), md5(cast(id+3 as string)), "
+        "md5(cast(id+4 as string)), md5(cast(id+5 as string))) as txt"
+    )
+    threshold = 64 * 1024
+    out = str(tmp_path / "sized.par")
+    files = write_parquet(df, out, SinkOptions(file_size_threshold=threshold))
+    sizes = {f: os.path.getsize(f) for f in files}
+    assert all(s <= threshold for s in sizes.values()), sizes
+    # no pathological over-split: the biggest file fills >= half the cap
+    assert max(sizes.values()) >= threshold // 2, sizes
+    total = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    assert total == 20000
+
+
+def test_file_size_threshold_extreme_compression_converges(spark, tmp_path):
+    """~100x-compressible text: the iterative measure converges to few
+    well-filled files (not thousands of footer-dominated 1 KB parts) and
+    never exceeds the cap."""
+    from odbc2parquet_spark.sinks.parquet_sink import write_parquet
+
+    df = spark.range(0, 20000, 1, 1).selectExpr(
+        "id", "repeat('abcdefgh', 25) as txt"
+    )
+    threshold = 64 * 1024
+    files = write_parquet(
+        df, str(tmp_path / "zz.par"), SinkOptions(file_size_threshold=threshold)
+    )
+    sizes = [os.path.getsize(f) for f in files]
+    assert all(s <= threshold for s in sizes)
+    assert len(files) <= 4  # whole result compresses to well under 4 caps
+    assert sum(pq.ParquetFile(f).metadata.num_rows for f in files) == 20000
