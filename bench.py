@@ -185,6 +185,9 @@ HEADLINE = [
     "q_gini_supplier",
     "q_chi_square_priority",
     "sim_covariance",
+    # round 6: correlation matrix + CUSUM changepoint join the audit set
+    "sim_correlation",
+    "ev_cusum",
 ]
 
 

@@ -698,3 +698,43 @@ def chi_square_independence(
             "chi2",
         )
     )
+
+
+def weighted_median(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Global weighted (lower) median: the smallest value v whose
+    inclusive cumulative weight reaches half the total — the robust
+    center of a weighted distribution (quality-weighted corpus length,
+    quantity-weighted price) that a plain percentile can't express.
+
+    Scale shape: values first collapse to (value, total-weight) rows
+    (one groupBy — cardinality is DISTINCT values, not rows), the
+    cumulative weight comes from the literal-boundary two-pass
+    :func:`prefix_sums` (no global window, nothing persisted), and the
+    selection is a filter + 1-row min. Weights cast to long so the
+    half-total comparison is exact integer arithmetic on any engine.
+
+    Returns one row: (wmedian, w_total, n_distinct).
+    """
+    agg = df.groupBy(F.col(value_col).alias("v")).agg(
+        F.sum(F.col(weight_col).cast("long")).alias("w")
+    )
+    cum = prefix_sums(agg, ["v"], ["w"], num_partitions)
+    tot = F.broadcast(
+        agg.agg(
+            F.sum("w").alias("wt"), F.count(F.lit(1)).cast("long").alias("nd")
+        )
+    )
+    return (
+        cum.crossJoin(tot)
+        .filter(2 * F.col("c_w") >= F.col("wt"))
+        .agg(
+            F.min("v").alias("wmedian"),
+            F.min("wt").cast("long").alias("w_total"),
+            F.min("nd").cast("long").alias("n_distinct"),
+        )
+    )

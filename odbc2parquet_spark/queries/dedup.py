@@ -937,3 +937,48 @@ def dd_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_id",
         F.when(h % 10 < 9, F.lit("train")).otherwise(F.lit("val")).alias("split"),
     )
+
+
+@query(
+    "dd_boundary_overlap",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    hb AS (
+        SELECT doc_id,
+               array_to_string(w[1:3], ' ') AS head3,
+               array_to_string(w[-3:], ' ') AS tail3
+        FROM t WHERE len(w) >= 6
+    )
+    SELECT a.doc_id AS src_id, b.doc_id AS dst_id, a.tail3 AS boundary
+    FROM hb a JOIN hb b ON a.tail3 = b.head3 AND a.doc_id <> b.doc_id
+    ORDER BY src_id, dst_id
+    """,
+)
+def dd_boundary_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-boundary duplication: document pairs where one doc's last
+    3 tokens equal another's first 3 — the signature of a single source
+    document split across ingestion shards (each half passes exact and
+    MinHash dedup because neither contains the other). Scale shape: the
+    corpus collapses to one (head-key, tail-key) row per doc, and the
+    pair generation is an EQUI-join on the 3-token boundary key — no
+    similarity scan, no quadratic shape; skewed boundary keys (boilerplate
+    openings) would surface as hot join keys and are exactly what the
+    operator is meant to expose."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    hb = docs.select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(w, 1, 3)).alias("head3"),
+        F.concat_ws(" ", F.slice(w, -3, 3)).alias("tail3"),
+        F.size(w).alias("nw"),
+    ).filter(F.col("nw") >= 6)
+    a = hb.select(F.col("doc_id").alias("src_id"), F.col("tail3").alias("boundary"))
+    b = hb.select(F.col("doc_id").alias("dst_id"), F.col("head3").alias("boundary"))
+    return (
+        a.join(b, "boundary")
+        .filter(F.col("src_id") != F.col("dst_id"))
+        .select("src_id", "dst_id", "boundary")
+        .orderBy("src_id", "dst_id")
+    )

@@ -429,3 +429,157 @@ def ev_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     calendar, never data-sized."""
     ev = load_table(spark, sf_dir, "events")
     return cusum_changepoint(ev, "ts", "value", "event_type").orderBy("event_type")
+
+
+@query(
+    "ev_mase_eval",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    lagged AS (
+        SELECT event_type, d, c,
+               LAG(c, 7) OVER (PARTITION BY event_type ORDER BY d) AS c7,
+               LAG(c, 1) OVER (PARTITION BY event_type ORDER BY d) AS c1
+        FROM daily
+    ),
+    s AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(CASE WHEN c7 IS NOT NULL
+                             THEN ABS(c - c7) END) AS BIGINT) AS sae7,
+               CAST(SUM(CASE WHEN c7 IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n7,
+               CAST(SUM(CASE WHEN c1 IS NOT NULL
+                             THEN ABS(c - c1) END) AS BIGINT) AS sae1,
+               CAST(SUM(CASE WHEN c1 IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n1
+        FROM lagged GROUP BY 1
+    )
+    SELECT event_type, n_days, sae7, sae1,
+           CASE WHEN n7 > 0 AND n1 > 0 AND sae1 > 0
+                THEN ROUND((CAST(sae7 AS DOUBLE) / n7)
+                           / (CAST(sae1 AS DOUBLE) / n1), 6)
+           END AS mase
+    FROM s ORDER BY event_type
+    """,
+)
+def ev_mase_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast quality per event type: MASE = MAE of the
+    weekly-seasonal naive forecast (count 7 days ago) scaled by the MAE
+    of the one-step naive — the standard scale-free check that a daily
+    volume series HAS weekly structure worth modeling (MASE < 1) before
+    anyone ships a forecaster. All error sums are exact integers over
+    per-day counts (counts partial-aggregate map-side; the lag windows
+    run over per-(type, day) rows — calendar-bounded, never data), and
+    the single division is mirrored IEEE on exact integer sums."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count("*").alias("c"))
+    wl = Window.partitionBy("event_type").orderBy("d")
+    lagged = daily.select(
+        "event_type",
+        "c",
+        F.lag("c", 7).over(wl).alias("c7"),
+        F.lag("c", 1).over(wl).alias("c1"),
+    )
+    s = lagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(F.when(F.col("c7").isNotNull(), F.abs(F.col("c") - F.col("c7"))))
+        .cast("long")
+        .alias("sae7"),
+        F.sum(F.when(F.col("c7").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n7"),
+        F.sum(F.when(F.col("c1").isNotNull(), F.abs(F.col("c") - F.col("c1"))))
+        .cast("long")
+        .alias("sae1"),
+        F.sum(F.when(F.col("c1").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+    )
+    mase = F.when(
+        (F.col("n7") > 0) & (F.col("n1") > 0) & (F.col("sae1") > 0),
+        F.round(
+            (F.col("sae7").cast("double") / F.col("n7"))
+            / (F.col("sae1").cast("double") / F.col("n1")),
+            6,
+        ),
+    )
+    return s.select(
+        "event_type", "n_days", "sae7", "sae1", mase.alias("mase")
+    ).orderBy("event_type")
+
+
+@query(
+    "ev_benford_deviation",
+    oracle="""
+    WITH iv AS (
+        SELECT CAST(FLOOR(value * 1000000) AS BIGINT) AS i
+        FROM events WHERE value > 0
+    ),
+    digits AS (
+        SELECT CAST(SUBSTRING(CAST(i AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        FROM iv WHERE i > 0
+    ),
+    obs AS (
+        SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs
+        FROM digits GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM obs),
+    grid AS (
+        SELECT g.digit, t.n, COALESCE(o.n_obs, 0) AS n_obs
+        FROM (SELECT UNNEST(generate_series(1, 9)) AS digit) g
+        CROSS JOIN tot t
+        LEFT JOIN obs o USING (digit)
+    )
+    SELECT CAST(digit AS INTEGER) AS digit, n_obs,
+           ROUND(n * LOG10(1.0 + 1.0 / digit), 6) AS expected,
+           ROUND(ABS(n_obs - n * LOG10(1.0 + 1.0 / digit))
+                 / CAST(n AS DOUBLE), 6) AS abs_dev
+    FROM grid ORDER BY digit
+    """,
+)
+def ev_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of the value column: observed vs expected
+    first-significant-digit counts — the classic fabricated-data /
+    broken-instrumentation detector for ingested numeric feeds. The
+    first digit comes from exact integer string arithmetic
+    (floor(value*1e6) -> leading decimal digit: same IEEE product, same
+    floor, same digits on any engine — no cross-engine log10-boundary
+    risk); counts partial-aggregate map-side and everything downstream
+    runs on 9 digit rows against the broadcast total."""
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.filter(F.col("value") > 0).select(
+        F.floor(F.col("value") * 1000000).cast("long").alias("i")
+    )
+    digits = iv.filter(F.col("i") > 0).select(
+        F.substring(F.col("i").cast("string"), 1, 1).cast("int").alias("digit")
+    )
+    obs = digits.groupBy("digit").agg(F.count("*").cast("long").alias("n_obs"))
+    tot = obs.agg(F.sum("n_obs").cast("long").alias("n"))
+    grid = (
+        tot.select(
+            F.explode(F.sequence(F.lit(1), F.lit(9))).alias("digit"), "n"
+        )
+        .join(obs, "digit", "left")
+        .select(
+            F.col("digit").cast("int").alias("digit"),
+            F.coalesce("n_obs", F.lit(0)).cast("long").alias("n_obs"),
+            "n",
+        )
+    )
+    exp = F.col("n") * F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return grid.select(
+        "digit",
+        "n_obs",
+        F.round(exp, 6).alias("expected"),
+        F.round(F.abs(F.col("n_obs") - exp) / F.col("n").cast("double"), 6).alias(
+            "abs_dev"
+        ),
+    ).orderBy("digit")

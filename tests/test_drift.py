@@ -275,3 +275,28 @@ def test_iterative_fixpoints_release_superseded_rounds(spark):
     after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
     # only the final labels checkpoint may remain registered
     assert after - base <= 1
+
+
+def test_weighted_median_known_values(spark):
+    from odbc2parquet_spark.operators.drift import weighted_median
+
+    # values 1..4 with weights 1,1,1,7: total 10, half 5 -> value 4
+    df = spark.createDataFrame(
+        [(1.0, 1), (2.0, 1), (3.0, 1), (4.0, 7)], ["v", "w"]
+    )
+    r = weighted_median(df, "v", "w").collect()[0]
+    assert r.wmedian == 4.0 and r.w_total == 10 and r.n_distinct == 4
+
+    # symmetric weights: lower weighted median at the first value
+    # reaching half the total (2*cum >= W picks 2: cum(2)=2, W=4)
+    df2 = spark.createDataFrame(
+        [(1.0, 1), (2.0, 1), (3.0, 1), (4.0, 1)], ["v", "w"]
+    )
+    assert weighted_median(df2, "v", "w").collect()[0].wmedian == 2.0
+
+    # duplicate values merge their weights before the cumulative pass
+    df3 = spark.createDataFrame(
+        [(5.0, 1), (5.0, 1), (1.0, 1)], ["v", "w"]
+    )
+    r3 = weighted_median(df3, "v", "w").collect()[0]
+    assert r3.wmedian == 5.0 and r3.n_distinct == 2

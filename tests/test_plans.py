@@ -50,6 +50,8 @@ BOUNDED_CROSS_OK = {
     "dd_semantic_cells",     # corpus x 16 centroids assign (the SemDeDup cell
                              # pass itself is an equi-join on cell id)
     "tx_bm25_topk",          # 1-row avgdl/n_docs stats broadcast
+    "q_weighted_median",     # 1-row (total-weight, distinct-count) broadcast
+    "tx_keyword_topk",       # 1-row n_docs broadcast (idf denominator)
     "sim_ivf_refine",        # corpus x 16 centroids assign feeding the
                              # decimal-exact Lloyd mean
     # round 4 additions — every cross side is a 1-row aggregate or a
