@@ -69,16 +69,22 @@ def reader_for_query(
     reader = (
         spark.read.format("jdbc")
         .options(**connect.to_options())
-        .option("query", query)
         .option("fetchsize", fetch_size)
     )
     if partition_column is not None:
+        # Spark's JDBC source rejects `query` + partitionColumn; the
+        # documented spelling for a partitioned arbitrary query is a
+        # derived-table dbtable: each of the N range-sliced cursors runs
+        # `SELECT * FROM (query) t WHERE partcol BETWEEN ...` remotely.
         reader = (
-            reader.option("partitionColumn", partition_column)
+            reader.option("dbtable", f"({query}) o2p_part_q")
+            .option("partitionColumn", partition_column)
             .option("numPartitions", num_partitions or 8)
             .option("lowerBound", lower_bound)
             .option("upperBound", upper_bound)
         )
+    else:
+        reader = reader.option("query", query)
     if custom_schema is not None:
         reader = reader.option("customSchema", custom_schema)
     return reader

@@ -7,6 +7,12 @@ sys.path.insert(0, "/root/repo")
 SF_DIR = "/root/testdata/sf0.001"
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: integration tests (embedded-DB roundtrips)"
+    )
+
+
 @pytest.fixture(scope="session")
 def spark():
     from odbc2parquet_spark.session import get_spark
