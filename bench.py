@@ -188,6 +188,10 @@ HEADLINE = [
     # round 6: correlation matrix + CUSUM changepoint join the audit set
     "sim_correlation",
     "ev_cusum",
+    # round 6 (cont.): skyline frontier, seasonal decomposition, BPE encode
+    "q_skyline_parts",
+    "ev_stl_decompose",
+    "tx_bpe_encode",
 ]
 
 

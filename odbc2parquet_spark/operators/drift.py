@@ -738,3 +738,65 @@ def weighted_median(
             F.min("nd").cast("long").alias("n_distinct"),
         )
     )
+
+
+def seasonal_decompose(
+    daily: DataFrame,
+    day_col: str = "day",
+    value_col: str = "val_dec",
+    period: int = 7,
+) -> DataFrame:
+    """Classical additive seasonal decomposition of a daily series:
+    value = trend + seasonal + residual (Cleveland's STL ancestor — the
+    moving-average decomposition of Macaulay '31; statsmodels'
+    ``seasonal_decompose`` is the same recipe).
+
+    ``daily`` must be one row per ``day_col`` (a long epoch-day or date)
+    with ``value_col`` an EXACT decimal (order-insensitive sums upstream).
+
+    Determinism contract (hash-matchable across engines): every mean is a
+    single IEEE division of an exact-decimal numerator — trend is the
+    centered ``period``-window sum / period, the seasonal index is the
+    per-phase sum of (period * value - window_sum) / (period * n_phase) —
+    so no floating-point ACCUMULATION happens anywhere; both engines
+    divide identical exact numbers in identical token order. Rows without
+    a full centered window (the series' first/last period/2 days) are
+    dropped, as in statsmodels.
+
+    Scale shape: the input is already aggregated to one row per day, so
+    the unpartitioned centered window is bounded by the calendar (3.6k
+    rows per decade) — a final fold, not a data-sized window; the phase
+    index is a ``period``-row broadcast join.
+    """
+    half = period // 2
+    w = Window.orderBy(day_col).rowsBetween(-half, half)
+    p = F.lit(period)
+    full = (
+        daily.withColumn("_n_", F.count("*").over(w))
+        .withColumn("_s_", F.sum(value_col).over(w))
+        .filter(F.col("_n_") == p)
+        .withColumn("_detr_", F.col(value_col) * p - F.col("_s_"))
+        .withColumn("_phase_", F.pmod(F.col(day_col), p))
+    )
+    phase = full.groupBy("_phase_").agg(
+        F.sum("_detr_").alias("_num_"), F.count("*").alias("_cnt_")
+    )
+    seasonal = phase.select(
+        "_phase_",
+        F.round(
+            F.col("_num_").cast("double") / (p.cast("double") * F.col("_cnt_")), 6
+        ).alias("seasonal"),
+    )
+    return (
+        full.join(F.broadcast(seasonal), "_phase_")
+        .select(
+            F.col(day_col),
+            F.round(F.col(value_col).cast("double"), 6).alias("val"),
+            F.round(F.col("_s_").cast("double") / p, 6).alias("trend"),
+            "seasonal",
+            F.round(
+                F.round(F.col("_detr_").cast("double") / p, 6) - F.col("seasonal"),
+                6,
+            ).alias("resid"),
+        )
+    )

@@ -799,3 +799,47 @@ def hash_embed(
             )
         ).alias("vec_hash"),
     )
+
+
+def bpe_vocab_token_counts(
+    docs: DataFrame, merges: list[tuple[str, str]], text_col: str = "text"
+) -> DataFrame:
+    """Tokenizer APPLICATION: (distinct word, token count) under a learned
+    BPE merge list — the encode half that pairs with :func:`bpe_learn_batched`
+    (learning). The merge list ships to executors in the closure (a merge
+    table is broadcast-sized by construction); each distinct word is
+    encoded ONCE in an Arrow-batched pass, leftmost-first greedy per merge
+    in rank order — byte-for-byte the same loop the learner's apply step
+    uses, so learn-then-encode is self-consistent.
+
+    Scale shape: the corpus collapses to DISTINCT words first, so encode
+    cost is vocabulary-sized no matter the corpus size; callers join the
+    result back on ``word`` (an equi-join Catalyst can plan either side
+    of).
+    """
+    import pandas as pd
+
+    words_df = docs.select(
+        F.explode(words(F.col(text_col))).alias("word")
+    ).distinct()
+    mlist = [(a, b) for a, b in merges]
+
+    def enc(batches):
+        for pdf in batches:
+            counts = []
+            for w in pdf["word"]:
+                syms = list(w)
+                for a, b in mlist:
+                    ab, i, res = a + b, 0, []
+                    while i < len(syms):
+                        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                            res.append(ab)
+                            i += 2
+                        else:
+                            res.append(syms[i])
+                            i += 1
+                    syms = res
+                counts.append(len(syms))
+            yield pd.DataFrame({"word": pdf["word"], "n_tok": counts})
+
+    return words_df.mapInPandas(enc, "word string, n_tok long")

@@ -583,3 +583,59 @@ def ev_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "abs_dev"
         ),
     ).orderBy("digit")
+
+
+@query(
+    "ev_stl_decompose",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day,
+               SUM(CAST(value AS DECIMAL(18,6))) AS val_dec
+        FROM events GROUP BY 1
+    ),
+    win AS (
+        SELECT day, val_dec,
+               COUNT(*) OVER w AS n7,
+               SUM(val_dec) OVER w AS s7
+        FROM daily
+        WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    full_w AS (
+        SELECT day, val_dec, s7, 7 * val_dec - s7 AS detr, day % 7 AS phase
+        FROM win WHERE n7 = 7
+    ),
+    seas AS (
+        SELECT phase,
+               ROUND(CAST(SUM(detr) AS DOUBLE) / (7.0 * COUNT(*)), 6)
+                   AS seasonal
+        FROM full_w GROUP BY 1
+    )
+    SELECT f.day, ROUND(CAST(f.val_dec AS DOUBLE), 6) AS val,
+           ROUND(CAST(f.s7 AS DOUBLE) / 7, 6) AS trend,
+           s.seasonal,
+           ROUND(ROUND(CAST(f.detr AS DOUBLE) / 7, 6) - s.seasonal, 6) AS resid
+    FROM full_w f JOIN seas s USING (phase)
+    ORDER BY f.day
+    """,
+)
+def ev_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of daily revenue
+    (operators/drift.seasonal_decompose): trend = centered 7-day moving
+    average, seasonal = per-weekday mean of the detrended series,
+    residual = the rest — the series monitor that splits "it's Sunday"
+    from "something drifted" before alerting (pairs with ev_cusum, which
+    assumes a de-seasonalized level). Every mean is one IEEE division of
+    an exact-decimal numerator (the detrended series is carried as
+    period*value - window_sum, still exact), so both engines round
+    identical quotients — the hash match certifies the whole
+    decomposition. Edge days without a full centered window are dropped,
+    as in statsmodels' seasonal_decompose."""
+    from odbc2parquet_spark.operators.drift import seasonal_decompose
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.floor(F.unix_seconds(F.col("ts").cast("timestamp")) / 86400)
+        .cast("long")
+        .alias("day")
+    ).agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("val_dec"))
+    return seasonal_decompose(daily, "day", "val_dec", period=7).orderBy("day")

@@ -1449,3 +1449,39 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     return weighted_median(li, "l_extendedprice", "l_quantity")
+
+
+@query(
+    "q_skyline_parts",
+    oracle="""
+    SELECT p.p_partkey AS part_key, p.p_retailprice AS price,
+           CAST(p.p_size AS INTEGER) AS size
+    FROM part p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM part q
+        WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+          AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+    )
+    ORDER BY price
+    """,
+)
+def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto frontier of parts (minimize retail price, maximize
+    size) — the preference query (operators/skyline.skyline_2d). The
+    oracle is the textbook quadratic NOT EXISTS dominance test (fine at
+    oracle scale); the Spark side is the two-pass literal-boundary
+    decomposition — distinct-price collapse, per-bucket prefix maxima via
+    a driver fold over num_buckets values, bucket-local window — with no
+    quadratic shape, so a hash match certifies the decomposition against
+    the definitional form. The reference delegates preference queries to
+    the DBMS like everything else; this is the operator Spark itself
+    lacks."""
+    from odbc2parquet_spark.operators.skyline import skyline_2d
+
+    part = load_table(spark, sf_dir, "part")
+    sky = skyline_2d(part, "p_retailprice", "p_size")
+    return sky.select(
+        F.col("p_partkey").alias("part_key"),
+        F.col("p_retailprice").alias("price"),
+        F.col("p_size").cast("int").alias("size"),
+    ).orderBy("price")

@@ -2128,3 +2128,79 @@ def tx_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "rnk")
     )
+
+
+@query(
+    "tx_bpe_encode",
+    oracle="""
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(fertility AS DOUBLE) AS fertility
+    FROM (VALUES
+        ('src0', 25, 1435, 4717, 3.287108),
+        ('src1', 25, 1540, 5100, 3.311688),
+        ('src10', 25, 1303, 4246, 3.258634),
+        ('src11', 25, 1522, 4988, 3.277267),
+        ('src12', 25, 1272, 4122, 3.240566),
+        ('src13', 25, 1553, 5028, 3.237605),
+        ('src14', 25, 1318, 4304, 3.265554),
+        ('src15', 25, 1298, 4212, 3.244992),
+        ('src16', 25, 1351, 4456, 3.298298),
+        ('src17', 25, 1373, 4398, 3.203205),
+        ('src18', 25, 1364, 4486, 3.288856),
+        ('src19', 25, 1147, 3745, 3.265039),
+        ('src2', 25, 1407, 4625, 3.287136),
+        ('src3', 25, 1384, 4496, 3.248555),
+        ('src4', 25, 1294, 4210, 3.253478),
+        ('src5', 25, 1329, 4327, 3.255831),
+        ('src6', 25, 1266, 4153, 3.280411),
+        ('src7', 25, 1507, 4918, 3.263437),
+        ('src8', 25, 1136, 3773, 3.321303),
+        ('src9', 25, 1366, 4480, 3.279649)
+    ) AS t(source, n_docs, n_words, n_tokens, fertility)
+    ORDER BY source
+    """,
+)
+def tx_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION at corpus scale: learn 20 BPE merges
+    (operators/text.bpe_learn_batched — the production batched learner),
+    encode every document with them (operators/text.
+    bpe_vocab_token_counts — distinct words encoded once in one
+    Arrow-batched pass), and report per-source token counts and
+    FERTILITY (tokens per whitespace word) — the standard tokenizer-
+    efficiency metric a data pipeline tracks per corpus slice. Scale
+    shape: corpus collapses to (source, word, count) with map-side
+    combine before the vocabulary equi-join, so shuffle volume is
+    vocabulary-sized, not token-sized. Like tx_bpe_learn50, the learned
+    merges at the gate SF are a seed-free constant, so the oracle pins
+    the full per-source report as literal VALUES — any drift in
+    learn/encode/count logic flips the hash. (SF-specific pin by
+    construction; cross-SF behavior is covered by the bpe pytest
+    properties.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    merges = X.bpe_learn_batched(docs, n_merges=20, batch=10)
+    vocab = X.bpe_vocab_token_counts(docs, merges)
+    sw = (
+        docs.select("source", F.explode(X.words(F.col("text"))).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count("*").alias("c"))
+    )
+    per_source = sw.join(vocab, "word").groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_words"),
+        F.sum(F.col("c") * F.col("n_tok")).cast("long").alias("n_tokens"),
+    )
+    n_docs = docs.groupBy("source").agg(F.count("*").cast("long").alias("n_docs"))
+    return (
+        n_docs.join(per_source, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_words",
+            "n_tokens",
+            F.round(
+                F.col("n_tokens").cast("double") / F.col("n_words"), 6
+            ).alias("fertility"),
+        )
+        .orderBy("source")
+    )
