@@ -192,6 +192,7 @@ HEADLINE = [
     "q_skyline_parts",
     "ev_stl_decompose",
     "tx_bpe_encode",
+    "mm_scene_cut",
 ]
 
 

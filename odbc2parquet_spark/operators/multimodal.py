@@ -1177,3 +1177,42 @@ def encode_png(docs: DataFrame, text_col: str = "text") -> DataFrame:
             yield pd.DataFrame(rows, columns=["doc_id", "payload", "mime", "n_bytes"])
 
     return docs.select("doc_id", text_col).mapInPandas(run, BMP_SCHEMA)
+
+
+def video_scene_cuts(binary_df: DataFrame, threshold: int = 32) -> DataFrame:
+    """Scene-cut detection plumbing on the REAL sample table: every
+    sample's bytes are located via stsz/stco (:func:`video_frame_index`
+    with ``every_k=1``), digested, and consecutive samples compared by
+    the Hamming distance of their 60-bit digest prefixes — a jump above
+    ``threshold`` bits marks a content discontinuity (the shot-boundary
+    heuristic production pipelines run before any codec; with a codec
+    present the same shape compares per-frame perceptual hashes, see
+    :func:`dhash_bmp`).
+
+    Scale shape: the demuxer walk is the Arrow-batched frame index; the
+    jump test is ONE keyed lag window per document (frames of one video
+    never shuffle apart); the report aggregates map-side to a row per
+    document. Corrupt payloads (NULL sample rows) are quarantined before
+    the window. All integer arithmetic — engine-reproducible.
+
+    Emits (doc_id, n_samples, n_cuts, max_jump).
+    """
+    idx = video_frame_index(binary_df, every_k=1).filter(
+        F.col("sample_idx").isNotNull()
+    )
+    sig = F.conv(F.substring("digest", 1, 15), 16, 10).cast("long")
+    w = Window.partitionBy("doc_id").orderBy("sample_idx")
+    jumps = (
+        idx.withColumn("sig", sig)
+        .withColumn(
+            "dist",
+            F.bit_count(F.col("sig").bitwiseXOR(F.lag("sig").over(w))),
+        )
+    )
+    return jumps.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_samples"),
+        F.sum(
+            F.when(F.col("dist") >= threshold, 1).otherwise(0)
+        ).cast("long").alias("n_cuts"),
+        F.coalesce(F.max("dist"), F.lit(0)).cast("int").alias("max_jump"),
+    )

@@ -2204,3 +2204,60 @@ def tx_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "mm_scene_cut",
+    oracle="""
+    WITH p AS (
+        SELECT doc_id, text, length(text) AS n,
+               length(text) % 24 + 1 AS ns
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, text, n, t.i AS i, (t.i % 7) + 1 AS size_i,
+               28 * (t.i // 7) + ((t.i % 7) * ((t.i % 7) + 1)) // 2 AS p0
+        FROM p, UNNEST(generate_series(0, ns - 1)) AS t(i)
+    ),
+    b AS (
+        SELECT doc_id, i, size_i, p0 + u.j AS off,
+               ascii(substring(text, ((p0 + u.j) % n) + 1, 1)) AS byte
+        FROM s, UNNEST(generate_series(0, size_i - 1)) AS u(j)
+    ),
+    d AS (
+        SELECT doc_id, i,
+               CAST('0x' || substring(
+                   md5(string_agg(CAST(byte AS VARCHAR), ',' ORDER BY off)),
+                   1, 15) AS BIGINT) AS sig
+        FROM b GROUP BY doc_id, i
+    ),
+    j AS (
+        SELECT doc_id, sig,
+               LAG(sig) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+        FROM d
+    ),
+    k AS (
+        SELECT doc_id,
+               CASE WHEN prev IS NULL THEN NULL
+                    ELSE bit_count(xor(sig, prev)) END AS dist
+        FROM j
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(COALESCE(SUM(CASE WHEN dist >= 32 THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_cuts,
+           CAST(COALESCE(MAX(dist), 0) AS INTEGER) AS max_jump
+    FROM k GROUP BY doc_id
+    """,
+)
+def mm_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection on REAL MP4 sample tables (operators/
+    multimodal.video_scene_cuts): the demuxer walk locates every sample
+    via stsz/stco, consecutive samples compare by Hamming distance of
+    their 60-bit digest prefixes, jumps >= 32 bits count as cuts. The
+    oracle rebuilds each sample's bytes in SQL from the closed-form size
+    cycle (the mm_frame_index certificate, extended to every sample) and
+    replays the lag/XOR/popcount pipeline — a hash match certifies the
+    whole demux -> signature -> jump chain. Pure integer arithmetic
+    end-to-end; one keyed window per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return M.video_scene_cuts(M.encode_mp4_samples(docs), threshold=32)

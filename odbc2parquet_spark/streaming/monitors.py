@@ -1,0 +1,155 @@
+"""Streaming duals of the drift monitors (operators/drift.py).
+
+The batch monitors (PSI, CUSUM) compare two snapshots after the fact; a
+100 TB ingest wants the same statistics ON the stream — per-key state
+carried across micro-batches in the state store, alarm rows emitted the
+batch a threshold is crossed. Same applyInPandasWithState shape as
+stateful.py: O(1) state per key (a fixed-width histogram / two CUSUM
+accumulators), Arrow-batched per-batch work, no driver involvement.
+
+Reference parity note: the reference engine has no streaming surface at
+all (it runs one cursor to completion); these are port extensions pinned
+by pytest (tests/test_streaming.py) rather than SQL oracles — the batch
+twins they must agree with ARE oracle-gated (ev_psi_drift, ev_cusum).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql import types as T
+
+PSI_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("n_total", T.LongType()),
+        T.StructField("psi", T.DoubleType()),
+    ]
+)
+
+
+def streaming_psi(
+    events: DataFrame,
+    edges: list[float],
+    ref_probs: list[float],
+    key_col: str = "event_type",
+    value_col: str = "value",
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Per-key Population Stability Index against a FROZEN reference
+    histogram, updated every micro-batch.
+
+    ``edges`` are the interior bin edges of the reference binning (the
+    batch psi_drift bins the same way); ``ref_probs`` the reference bin
+    probabilities (len(edges) + 1 of them, summing to 1). State per key
+    is the running bin-count vector — len(edges)+1 longs, O(1) per key
+    regardless of stream length. Each batch emits the post-batch
+    (key, n_total, psi); psi uses eps-smoothed proportions so empty bins
+    stay finite, matching the batch operator's guard.
+    """
+    import math
+
+    n_bins = len(edges) + 1
+    if len(ref_probs) != n_bins:
+        raise ValueError(f"need {n_bins} ref_probs for {len(edges)} edges")
+    edges_t = tuple(float(e) for e in edges)
+    ref_t = tuple(float(p) for p in ref_probs)
+
+    def update(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import bisect
+
+        counts = list(state.get[0]) if state.exists else [0] * n_bins
+        for pdf in pdfs:
+            for v in pdf[value_col]:
+                counts[bisect.bisect_right(edges_t, float(v))] += 1
+        state.update((counts,))
+        n = sum(counts)
+        psi = 0.0
+        if n:
+            for c, r in zip(counts, ref_t):
+                a = max(c / n, eps)
+                b = max(r, eps)
+                psi += (a - b) * math.log(a / b)
+        yield pd.DataFrame(
+            {"key": [key[0]], "n_total": [n], "psi": [round(psi, 6)]}
+        )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=PSI_SCHEMA,
+        stateStructType="counts ARRAY<LONG>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+CUSUM_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("s_pos", T.DoubleType()),
+        T.StructField("s_neg", T.DoubleType()),
+        T.StructField("alarm", T.BooleanType()),
+    ]
+)
+
+
+def streaming_cusum(
+    events: DataFrame,
+    target_mean: float,
+    slack: float,
+    threshold: float,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Tabular two-sided CUSUM per key (Page '54): s_pos tracks upward
+    level shifts, s_neg downward; ``alarm`` fires the first batch either
+    exceeds ``threshold`` and stays latched (state remembers the crossing
+    — a restart replays to the same latch, so alerting is exactly-once
+    per shift). The batch twin (operators/drift.cusum_changepoint)
+    answers "when did it shift?" retrospectively; this answers "has it
+    shifted?" online with two doubles of state per key.
+
+    In-batch order sorts by ``ts_col`` (stable) so replays are
+    deterministic; recursions are plain IEEE adds in a fixed order.
+    """
+
+    def update(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, s_pos, s_neg, latched = (
+            state.get if state.exists else (0, 0.0, 0.0, False)
+        )
+        for pdf in pdfs:
+            if ts_col in pdf.columns:
+                pdf = pdf.sort_values(ts_col, kind="stable")
+            for v in pdf[value_col]:
+                x = float(v) - target_mean
+                s_pos = max(0.0, s_pos + x - slack)
+                s_neg = min(0.0, s_neg + x + slack)
+                n += 1
+        latched = bool(latched or s_pos > threshold or -s_neg > threshold)
+        state.update((n, s_pos, s_neg, latched))
+        yield pd.DataFrame(
+            {
+                "key": [key[0]],
+                "n": [n],
+                "s_pos": [round(s_pos, 6)],
+                "s_neg": [round(s_neg, 6)],
+                "alarm": [latched],
+            }
+        )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=CUSUM_SCHEMA,
+        stateStructType="n LONG, s_pos DOUBLE, s_neg DOUBLE, latched BOOLEAN",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,5 +1,6 @@
 """Structured Streaming transfer + watermarked aggregation."""
 
+import pytest
 import shutil
 
 from odbc2parquet_spark.catalog import load_table, table_path
@@ -307,3 +308,113 @@ def test_decayed_user_rate_state_across_batches(spark, tmp_path):
     }
     assert final[1] == (3, 8.0)   # (8 -> 6 -> 8): order by ts, state carried
     assert final[2] == (1, 3.0)
+
+
+def test_streaming_psi_state_across_batches(spark, tmp_path):
+    """streaming_psi: bin counts persist across availableNow runs; PSI
+    rises once the observed distribution leaves the reference."""
+    from pyspark.sql import types as T
+
+    from odbc2parquet_spark.streaming.monitors import streaming_psi
+
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+    schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    edges = [0.5]          # two bins: <=0.5 and >0.5
+    ref = [0.5, 0.5]       # reference is 50/50
+
+    def run_batch(rows, subdir):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / subdir)
+        )
+        stream = spark.readStream.schema(schema).option(
+            "recursiveFileLookup", "true"
+        ).parquet(str(src))
+        q = (
+            streaming_psi(stream, edges, ref)
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1 matches the reference: 2 low + 2 high -> psi ~ 0
+    run_batch([("a", 0.1), ("a", 0.2), ("a", 0.9), ("a", 0.8)], "b1")
+    # batch 2 is all-high: cumulative 2 low / 6 high -> psi > 0
+    run_batch([("a", 0.9)] * 4, "b2")
+
+    import pyspark.sql.functions as F
+
+    res = spark.read.parquet(str(out))
+    rows = {r.n_total: r.psi for r in res.filter(F.col("key") == "a").collect()}
+    assert rows[4] == 0.0          # post-batch-1 snapshot: on-reference
+    assert rows[8] > 0.1           # post-batch-2: counts carried, drifted
+    # exact check: p = (0.25, 0.75) vs (0.5, 0.5)
+    import math
+
+    expect = (0.25 - 0.5) * math.log(0.25 / 0.5) + (0.75 - 0.5) * math.log(
+        0.75 / 0.5
+    )
+    assert rows[8] == pytest.approx(expect, abs=1e-6)
+
+
+def test_streaming_cusum_latches_alarm(spark, tmp_path):
+    """streaming_cusum: accumulators persist; alarm latches on a level
+    shift and stays latched even if the signal returns to target."""
+    from pyspark.sql import types as T
+
+    from odbc2parquet_spark.streaming.monitors import streaming_cusum
+
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+    schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+
+    def run_batch(rows, subdir):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / subdir)
+        )
+        stream = spark.readStream.schema(schema).option(
+            "recursiveFileLookup", "true"
+        ).parquet(str(src))
+        q = (
+            streaming_cusum(stream, target_mean=10.0, slack=0.5, threshold=5.0)
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1 on-target: no alarm
+    run_batch([("a", i, 10.0) for i in range(4)], "b1")
+    # batch 2 shifted +3: s_pos grows by 2.5/event -> crosses 5.0
+    run_batch([("a", 10 + i, 13.0) for i in range(3)], "b2")
+    # batch 3 back on target: alarm must STAY latched
+    run_batch([("a", 20 + i, 10.0) for i in range(2)], "b3")
+
+    res = spark.read.parquet(str(out))
+    rows = {r.n: (r.s_pos, r.alarm) for r in res.collect()}
+    assert rows[4] == (0.0, False)
+    assert rows[7][0] == pytest.approx(7.5, abs=1e-6)
+    assert rows[7][1] is True
+    assert rows[9][1] is True      # latched through the recovery batch
