@@ -30,9 +30,23 @@ from pyspark.sql import functions as F
 
 
 def order_bucket_col(
-    df: DataFrame, order_col: str, num_buckets: int, rel_err: float = 0.01
+    df: DataFrame,
+    order_col: str,
+    num_buckets: int,
+    rel_err: float = 0.01,
+    apply_col: str | None = None,
 ) -> Column:
     """A pure-expression bucket column, monotone in ``order_col``.
+
+    ``apply_col`` lets the boundary SAMPLE come from a cheaper proxy than
+    the frame the expression will run on: boundaries are estimated from
+    ``df[order_col]`` but the returned expression compares
+    ``F.col(apply_col)``. Correctness never depends on which frame the
+    boundaries came from (any literal boundary set is monotone); only
+    bucket BALANCE does — so when the real key is derived from an
+    expensive pipeline (e.g. sweep points from sessionized intervals), a
+    same-distribution proxy (the raw event-time column) saves one full
+    recomputation of that pipeline for the quantile pass.
 
     Runs one ``approxQuantile`` job over the (cast-to-double) key —
     Greenwald-Khanna, single pass, ``num_buckets - 1`` doubles to the
@@ -82,6 +96,10 @@ def order_bucket_col(
             }
         ) if sample else []
         lits = [F.lit(v) for v in uniq]
+    if apply_col is not None:
+        key = F.col(apply_col)
+        if isinstance(dt, (NumericType, TimestampType, DateType, BooleanType)):
+            key = key.cast("double")
     bucket: Column = F.lit(0)
     for lv in lits:
         bucket = bucket + F.when(key >= lv, 1).otherwise(0)

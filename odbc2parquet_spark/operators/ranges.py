@@ -70,6 +70,7 @@ def sweep_line_concurrency(
     start_col: str,
     end_col: str,
     num_partitions: int = 32,
+    boundary_source: tuple[DataFrame, str] | None = None,
 ) -> DataFrame:
     """Interval-overlap counting by sweep line: every interval emits a
     (+1 at start, -1 at end) event point; the running sum of deltas in
@@ -92,6 +93,13 @@ def sweep_line_concurrency(
     equal-t rows share a bucket, and the in-bucket window breaks ties
     by (t, delta).
 
+    ``boundary_source`` is an optional (DataFrame, column) pair giving a
+    CHEAP same-distribution proxy for the sweep key (e.g. the raw event
+    time the intervals derive from): the quantile pass then scans the
+    proxy instead of recomputing the whole interval pipeline a third
+    time. Boundaries are plan literals either way, so the proxy affects
+    only bucket balance, never correctness.
+
     Returns (t, delta, concurrency) — one row per event point.
     """
     from odbc2parquet_spark.operators.bucketing import (
@@ -105,7 +113,14 @@ def sweep_line_concurrency(
     ).unionAll(
         intervals.select(F.col(end_col).alias("t"), F.lit(-1).alias("delta"))
     )
-    with_pid = pts.withColumn("_pid_", order_bucket_col(pts, "t", num_partitions))
+    if boundary_source is not None:
+        proxy_df, proxy_col = boundary_source
+        bucket = order_bucket_col(
+            proxy_df, proxy_col, num_partitions, apply_col="t"
+        )
+    else:
+        bucket = order_bucket_col(pts, "t", num_partitions)
+    with_pid = pts.withColumn("_pid_", bucket)
     offsets, _ = bucket_offsets(with_pid, ["delta"])
     if not offsets["delta"]:  # empty input (createDataFrame([]) would throw)
         return with_pid.select(

@@ -300,3 +300,30 @@ def test_weighted_median_known_values(spark):
     )
     r3 = weighted_median(df3, "v", "w").collect()[0]
     assert r3.wmedian == 5.0 and r3.n_distinct == 2
+
+
+def test_sweep_line_boundary_proxy_exact(spark):
+    """A boundary proxy (even a badly-skewed one) changes only bucket
+    balance — concurrency output must be identical to the self-sampled
+    form."""
+    from pyspark.sql import functions as F
+
+    from odbc2parquet_spark.operators.ranges import sweep_line_concurrency
+
+    iv = spark.createDataFrame(
+        [((i * 13) % 97, (i * 13) % 97 + 5) for i in range(500)], ["s", "e"]
+    )
+    base = sweep_line_concurrency(iv, "s", "e", num_partitions=4)
+    # good proxy: the start column itself
+    proxy = iv.select(F.col("s").alias("p"))
+    good = sweep_line_concurrency(
+        iv, "s", "e", num_partitions=4, boundary_source=(proxy, "p")
+    )
+    # pathological proxy: constant column -> a single bucket
+    bad = sweep_line_concurrency(
+        iv, "s", "e", num_partitions=4,
+        boundary_source=(iv.select(F.lit(0.0).alias("p")), "p"),
+    )
+    want = sorted(map(tuple, base.collect()))
+    assert sorted(map(tuple, good.collect())) == want
+    assert sorted(map(tuple, bad.collect())) == want
