@@ -40,6 +40,8 @@ def prefix_sums(
     order_cols: list[str],
     sum_cols: list[str],
     num_partitions: int = 32,
+    boundary_source: tuple[DataFrame, str] | None = None,
+    with_totals: bool = False,
 ) -> DataFrame:
     """Inclusive distributed prefix sums of ``sum_cols`` in ``order_cols``
     order — the generalized two-pass pattern of pack_shards_two_pass /
@@ -54,6 +56,18 @@ def prefix_sums(
     the full input never touches executor storage, which is the only
     shape that survives a 100 TB input. Output: input columns plus
     ``c_<col>`` (inclusive cumulative) per summed column.
+
+    ``boundary_source``: optional (DataFrame, column) proxy for the
+    quantile pass — when ``df`` is itself a derived aggregate (the usual
+    distinct-value collapse), sampling boundaries from the RAW column it
+    collapsed from skips one full recomputation of that aggregation.
+    Boundaries are plan literals either way: a proxy (even a skewed one)
+    affects bucket balance only, never correctness.
+
+    ``with_totals``: additionally attach each summed column's GRAND total
+    as a constant ``t_<col>`` column — the offsets pass already folds it
+    on the driver, so callers that need totals (medians, CDFs) save a
+    separate aggregation pass over ``df``.
     """
     from odbc2parquet_spark.operators.bucketing import (
         bucket_offsets,
@@ -61,14 +75,21 @@ def prefix_sums(
     )
 
     spark = df.sparkSession
-    with_pid = df.withColumn(
-        "_pid_", order_bucket_col(df, order_cols[0], num_partitions)
-    )
-    offsets, _ = bucket_offsets(with_pid, sum_cols)
+    if boundary_source is not None:
+        proxy_df, proxy_col = boundary_source
+        bucket = order_bucket_col(
+            proxy_df, proxy_col, num_partitions, apply_col=order_cols[0]
+        )
+    else:
+        bucket = order_bucket_col(df, order_cols[0], num_partitions)
+    with_pid = df.withColumn("_pid_", bucket)
+    offsets, grand = bucket_offsets(with_pid, sum_cols)
     if not offsets[sum_cols[0]]:
         out = with_pid
         for c in sum_cols:
             out = out.withColumn(f"c_{c}", F.lit(0).cast("long"))
+            if with_totals:
+                out = out.withColumn(f"t_{c}", F.lit(0).cast("long"))
         return out.drop("_pid_").limit(0)
     rows = [
         (pid, *[offsets[c][pid] for c in sum_cols])
@@ -87,6 +108,8 @@ def prefix_sums(
         out = out.withColumn(
             f"c_{c}", (F.sum(c).over(wl) + F.col(f"_off_{c}_")).cast("long")
         )
+        if with_totals:
+            out = out.withColumn(f"t_{c}", F.lit(grand[c]).cast("long"))
     return out.drop("_pid_", *[f"_off_{c}_" for c in sum_cols])
 
 
@@ -199,19 +222,25 @@ def ks_two_sample(
         F.sum(F.when(~F.col("_b_"), 1).otherwise(0)).cast("long").alias("na"),
         F.sum(F.when(F.col("_b_"), 1).otherwise(0)).cast("long").alias("nb"),
     )
-    cum = prefix_sums(per_value, ["v"], ["na", "nb"], num_partitions)
-    totals = per_value.agg(
-        F.sum("na").cast("long").alias("n_a"), F.sum("nb").cast("long").alias("n_b")
+    # boundary proxy = the raw value column (one pruned scan) and totals
+    # from the offsets fold: the distinct-value aggregation computes only
+    # twice (offsets + final) instead of four times
+    cum = prefix_sums(
+        per_value,
+        ["v"],
+        ["na", "nb"],
+        num_partitions,
+        boundary_source=(df.select(F.col(value_col).alias("_v_")), "_v_"),
+        with_totals=True,
     )
     return (
-        cum.crossJoin(F.broadcast(totals))
-        .select(
-            "n_a",
-            "n_b",
+        cum.select(
+            F.col("t_na").alias("n_a"),
+            F.col("t_nb").alias("n_b"),
             F.round(
                 F.abs(
-                    F.col("c_na").cast("double") / F.col("n_a").cast("double")
-                    - F.col("c_nb").cast("double") / F.col("n_b").cast("double")
+                    F.col("c_na").cast("double") / F.col("t_na").cast("double")
+                    - F.col("c_nb").cast("double") / F.col("t_nb").cast("double")
                 ),
                 6,
             ).alias("d"),
@@ -247,7 +276,13 @@ def rank_auc(
         F.sum(F.when(F.col("_p_"), 1).otherwise(0)).cast("long").alias("np"),
         F.sum(F.when(~F.col("_p_"), 1).otherwise(0)).cast("long").alias("nn"),
     )
-    cum = prefix_sums(per_score, ["s"], ["nn"], num_partitions)
+    cum = prefix_sums(
+        per_score,
+        ["s"],
+        ["nn"],
+        num_partitions,
+        boundary_source=(df.select(F.col(score_col).alias("_s_")), "_s_"),
+    )
     u2 = cum.agg(
         F.sum(
             F.col("np") * (2 * (F.col("c_nn") - F.col("nn")) + F.col("nn"))
@@ -292,7 +327,13 @@ def gini_concentration(
     per_value = df.groupBy(F.col(value_col).alias("v")).agg(
         F.count(F.lit(1)).cast("long").alias("c")
     )
-    cum = prefix_sums(per_value, ["v"], ["c"], num_partitions)
+    cum = prefix_sums(
+        per_value,
+        ["v"],
+        ["c"],
+        num_partitions,
+        boundary_source=(df.select(F.col(value_col).alias("_v_")), "_v_"),
+    )
     totals = per_value.agg(
         F.sum("c").cast("long").alias("n"),
         F.sum(F.col("v") * F.col("c")).alias("total"),
@@ -722,20 +763,24 @@ def weighted_median(
     """
     agg = df.groupBy(F.col(value_col).alias("v")).agg(
         F.sum(F.col(weight_col).cast("long")).alias("w")
-    )
-    cum = prefix_sums(agg, ["v"], ["w"], num_partitions)
-    tot = F.broadcast(
-        agg.agg(
-            F.sum("w").alias("wt"), F.count(F.lit(1)).cast("long").alias("nd")
-        )
+    ).withColumn("_one_", F.lit(1).cast("long"))
+    # proxy boundaries from the raw value column + totals from the offsets
+    # fold (grand weight AND distinct count both ride the prefix pass), so
+    # the distinct-value aggregation computes twice, not four times
+    cum = prefix_sums(
+        agg,
+        ["v"],
+        ["w", "_one_"],
+        num_partitions,
+        boundary_source=(df.select(F.col(value_col).alias("_v_")), "_v_"),
+        with_totals=True,
     )
     return (
-        cum.crossJoin(tot)
-        .filter(2 * F.col("c_w") >= F.col("wt"))
+        cum.filter(2 * F.col("c_w") >= F.col("t_w"))
         .agg(
             F.min("v").alias("wmedian"),
-            F.min("wt").cast("long").alias("w_total"),
-            F.min("nd").cast("long").alias("n_distinct"),
+            F.min("t_w").cast("long").alias("w_total"),
+            F.min("t__one_").cast("long").alias("n_distinct"),
         )
     )
 
