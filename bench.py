@@ -316,8 +316,11 @@ def main() -> None:
     # grew past ~125 entries). The inline "queries" dict carries the slowest
     # entries — the ones a reader actually wants — capped so the whole line
     # stays under ~1800 chars; "queries_detail" points at the complete dict.
+    # Subset runs (SPARK_GRAFT_BENCH_ONLY) must not clobber the full-suite
+    # detail the driver/judge reads — they get a side file instead.
+    detail_name = "BENCH_DETAIL_SUBSET.json" if only else "BENCH_DETAIL.json"
     detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+        os.path.dirname(os.path.abspath(__file__)), detail_name
     )
     summary_base = {
         "metric": "headline_suite_total",
