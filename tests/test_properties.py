@@ -332,3 +332,52 @@ def test_linear_attribution_conservation_batch(spark):
                 u == uid and ts <= cts and ts >= cts - dt.timedelta(days=7)
                 for (u, ts, _) in touch_rows
             )
+
+
+def test_skyline_matches_reference_batch(spark):
+    """Seeded random point sets (with heavy ties and degenerate shapes):
+    the two-pass distributed skyline equals the quadratic dominance spec."""
+    from odbc2parquet_spark.operators.skyline import skyline_2d
+
+    rng = random.Random(99)
+    for trial, (nx, ny, n) in enumerate(
+        [(5, 5, 120), (1000, 3, 150), (2, 1000, 150), (50, 50, 300)]
+    ):
+        pts = [(rng.randrange(nx), rng.randrange(ny)) for _ in range(n)]
+        df = spark.createDataFrame(pts, "x int, y int")
+        got = sorted((r.x, r.y) for r in skyline_2d(df, "x", "y", num_partitions=5).collect())
+        want = sorted(
+            (x, y)
+            for x, y in pts
+            if not any(
+                qx <= x and qy >= y and (qx < x or qy > y) for qx, qy in pts
+            )
+        )
+        assert got == want, f"trial {trial}"
+
+
+def test_seasonal_decompose_identity_batch(spark):
+    """Random daily series: output rows satisfy val ≈ trend + seasonal +
+    resid (to rounding), trend is the exact centered mean, and per-phase
+    residual means vanish (the defining property of the phase index)."""
+    from pyspark.sql import functions as F
+
+    from odbc2parquet_spark.operators.drift import seasonal_decompose
+
+    rng = random.Random(7)
+    values = [round(rng.uniform(-50, 50), 3) for _ in range(40)]
+    daily = spark.createDataFrame(
+        [(d, v) for d, v in enumerate(values)], "day long, v double"
+    ).select("day", F.col("v").cast("decimal(18,6)").alias("val_dec"))
+    rows = seasonal_decompose(daily, "day", "val_dec").collect()
+    assert len(rows) == 34
+    for r in rows:
+        assert abs(r.val - (r.trend + r.seasonal + r.resid)) < 5e-6
+        want_trend = sum(values[r.day - 3 : r.day + 4]) / 7
+        assert abs(r.trend - want_trend) < 1e-6
+    # residuals average ~0 within each phase (resid = detrended - phase mean)
+    by_phase: dict[int, list[float]] = {}
+    for r in rows:
+        by_phase.setdefault(r.day % 7, []).append(r.resid)
+    for phase, rs in by_phase.items():
+        assert abs(sum(rs) / len(rs)) < 5e-6, phase
