@@ -180,3 +180,42 @@ class TestDerbyRoundtrip:
             read_query(
                 spark, _connect(derby_url), "SELECT * FROM no_such_table_xyz"
             ).collect()
+
+
+@pytest.mark.slow
+class TestCliDerbyRoundtrip:
+    """The reference user's entry points (`odbc2parquet insert` /
+    `odbc2parquet query` against a connection string), end-to-end over a
+    real JDBC URL. No explicit driver class: DriverManager resolves
+    jdbc:derby: through the service registry, like any vendor URL."""
+
+    def test_insert_then_query_via_cli(
+        self, spark, derby_url, typed_parquet, tmp_path, capsys
+    ):
+        import json
+
+        from odbc2parquet_spark.__main__ import main
+
+        rc = main(["insert", "--jdbc-url", derby_url, typed_parquet, "cli_rt"])
+        assert rc == 0
+        assert json.loads(capsys.readouterr().out)["rows"] == 2
+
+        out = str(tmp_path / "back.par")
+        rc = main(
+            [
+                "query",
+                "--jdbc-url",
+                derby_url,
+                out,
+                'SELECT "i", "s" FROM cli_rt ORDER BY "i"',
+            ]
+        )
+        assert rc == 0
+        assert json.loads(capsys.readouterr().out)["written"] == [out]
+
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(out)
+        assert t.column_names == ["i", "s"]
+        assert t.column("i").to_pylist() == [-1, 42]
+        assert t.column("s").to_pylist() == [None, "Hello, World!"]
