@@ -327,29 +327,29 @@ def gini_concentration(
     per_value = df.groupBy(F.col(value_col).alias("v")).agg(
         F.count(F.lit(1)).cast("long").alias("c")
     )
+    # n rides the offsets fold (with_totals); Σx folds into the SAME final
+    # aggregate as the numerator — the distinct-value aggregation computes
+    # exactly twice (offsets + final), with no separate totals pass
     cum = prefix_sums(
         per_value,
         ["v"],
         ["c"],
         num_partitions,
         boundary_source=(df.select(F.col(value_col).alias("_v_")), "_v_"),
+        with_totals=True,
     )
-    totals = per_value.agg(
-        F.sum("c").cast("long").alias("n"),
-        F.sum(F.col("v") * F.col("c")).alias("total"),
-    )
-    contrib = cum.crossJoin(F.broadcast(totals)).select(
-        "n",
-        "total",
+    contrib = cum.select(
+        F.col("t_c").alias("n"),
+        (F.col("v") * F.col("c")).alias("vc"),
         (
             F.col("v")
             * F.col("c")
-            * (2 * (F.col("c_c") - F.col("c")) + F.col("c") - F.col("n"))
+            * (2 * (F.col("c_c") - F.col("c")) + F.col("c") - F.col("t_c"))
         ).alias("term"),
     )
     return (
-        contrib.groupBy("n", "total")
-        .agg(F.sum("term").alias("num"))
+        contrib.groupBy("n")
+        .agg(F.sum("term").alias("num"), F.sum("vc").alias("total"))
         .select(
             "n",
             "total",
