@@ -39,13 +39,22 @@ def connected_components(
 
     ``nodes`` must contain every id (isolated nodes become their own
     component). Converges in rounds ~ component diameter.
+
+    The propagation state carries ONLY edge-incident nodes: an isolated
+    node can never receive a smaller label, so it joins the result once
+    at the end as its own component (the same late-join the star variant
+    uses). On a near-dup graph the label table is then DUP-sized, not
+    corpus-sized — per-round joins, checkpoints, and change-detection all
+    scale with the duplicate population instead of the full corpus.
     """
     sym = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
         .distinct()
     )
-    labels = nodes.select(F.col(node_col).alias("id"), F.col(node_col).alias("component"))
+    labels = sym.select(F.col("src").alias("id")).distinct().withColumn(
+        "component", F.col("id")
+    )
     # localCheckpoint between rounds: the fixpoint feeds its own output back
     # in, and an un-truncated logical plan doubles per round — Catalyst
     # re-analysis dominates wall time long before data does. On a cluster,
@@ -81,7 +90,15 @@ def connected_components(
             labels = new_labels
             if changed == 0:
                 break
-        return labels
+        return (
+            nodes.select(F.col(node_col).alias("id"))
+            .join(labels.withColumnRenamed("id", "_eid_"),
+                  F.col("id") == F.col("_eid_"), "left")
+            .select(
+                "id",
+                F.coalesce(F.col("component"), F.col("id")).alias("component"),
+            )
+        )
     finally:
         sym.unpersist()
 
