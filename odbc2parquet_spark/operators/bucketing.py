@@ -69,10 +69,18 @@ def order_bucket_col(
     """
     from pyspark.sql.types import BooleanType, DateType, NumericType, TimestampType
 
+    def _as_double(col, typ):
+        # DATE has no direct DOUBLE cast in Spark; unix_date (days since
+        # epoch) is the monotone numeric form. TIMESTAMP→DOUBLE (epoch
+        # seconds) is a legal, monotone cast.
+        if isinstance(typ, DateType):
+            return F.unix_date(col).cast("double")
+        return col.cast("double")
+
     dt = df.schema[order_col].dataType
     if isinstance(dt, (NumericType, TimestampType, DateType, BooleanType)):
         probs = [i / num_buckets for i in range(1, num_buckets)]
-        key = F.col(order_col).cast("double")
+        key = _as_double(F.col(order_col), dt)
         bnds = df.select(key.alias("_k_")).approxQuantile("_k_", probs, rel_err)
         uniq: list = sorted({b for b in bnds if b is not None})
         lits = [F.lit(float(v)) for v in uniq]
@@ -99,7 +107,7 @@ def order_bucket_col(
     if apply_col is not None:
         key = F.col(apply_col)
         if isinstance(dt, (NumericType, TimestampType, DateType, BooleanType)):
-            key = key.cast("double")
+            key = _as_double(key, dt)
     bucket: Column = F.lit(0)
     for lv in lits:
         bucket = bucket + F.when(key >= lv, 1).otherwise(0)

@@ -420,10 +420,12 @@ def covariance_matrix(
     product exact in float64 (24+20 mantissa bits < 53), so the numpy
     quantization equals CAST(x AS DECIMAL(18,6)) bit-for-bit;
     :func:`covariance_matrix_decimal` is the engine-side verification
-    twin, equality-tested. Int64 Gram accumulation cannot overflow at
-    any magnitude: batches are internally chunked so that
-    chunk_rows·max(|x·10⁶|)² stays below 2⁶², and the chunk partials
-    merge in the DECIMAL(38,0) groupBy.
+    twin, equality-tested. Int64 Gram accumulation is exact for
+    |x| < ~3037: batches are internally chunked so that
+    chunk_rows·max(|x·10⁶|)² stays below 2⁶² and the chunk partials
+    merge in the DECIMAL(38,0) groupBy; beyond that bound a SINGLE
+    product would wrap, so the pass raises (rescale, or use the decimal
+    twin) rather than return silently wrong values.
 
     Returns one row per (i, j) with i <= j: (i, j, n, cov).
     """
@@ -449,9 +451,18 @@ def _gram_partials(vectors: DataFrame, vec_col: str, dim: int):
             Xs = (np.sign(X) * np.floor(np.abs(X) * 1e6 + 0.5)).astype(np.int64)
             # Overflow guard: each Gram entry sums chunk_len products each
             # bounded by m², so chunk the batch to chunk_len·m² < 2⁶² and
-            # the int64 accumulation is EXACT at any value magnitude —
-            # extra partial rows merge in the DECIMAL(38,0) groupBy anyway.
+            # the int64 accumulation is exact. Chunking bottoms out at one
+            # row, so m² itself must fit: |x| > ~3037 after the 1e6
+            # quantization would wrap a SINGLE product — refuse loudly
+            # (use covariance_matrix_decimal for such magnitudes) instead
+            # of returning silently wrong statistics.
             m = int(np.abs(Xs).max(initial=0))
+            if m * m >= (1 << 62):
+                raise ValueError(
+                    f"embedding magnitude {m / 1e6:.1f} exceeds the int64 "
+                    "Gram range (|x| < ~3037); rescale the vectors or use "
+                    "covariance_matrix_decimal"
+                )
             chunk = len(pdf) if m == 0 else max(1, (1 << 62) // (m * m))
             for s in range(0, len(pdf), chunk):
                 Xc = Xs[s : s + chunk]
@@ -813,6 +824,15 @@ def seasonal_decompose(
     rows per decade) — a final fold, not a data-sized window; the phase
     index is a ``period``-row broadcast join.
     """
+    if period < 3 or period % 2 == 0:
+        # an even period's centered window spans period+1 rows, so the
+        # full-window filter (_n_ == period) would silently drop EVERY
+        # row; classical decomposition needs the 2×m double-MA there,
+        # which this single-MA recipe deliberately does not implement
+        raise ValueError(
+            f"period must be an odd integer >= 3 (got {period}); even "
+            "periods need the 2xm centered moving average"
+        )
     half = period // 2
     w = Window.orderBy(day_col).rowsBetween(-half, half)
     p = F.lit(period)

@@ -52,8 +52,19 @@ def connected_components(
         .union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
         .distinct()
     )
-    labels = sym.select(F.col("src").alias("id")).distinct().withColumn(
-        "component", F.col("id")
+    # seed from edge-incident nodes THAT EXIST in the node set: a dangling
+    # edge endpoint (filtered upstream) must stay inert — it neither gets
+    # a label nor donates its id as a component minimum, matching the
+    # all-nodes seeding this replaced
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .join(
+            nodes.select(F.col(node_col).alias("id")).distinct(),
+            "id",
+            "left_semi",
+        )
+        .withColumn("component", F.col("id"))
     )
     # localCheckpoint between rounds: the fixpoint feeds its own output back
     # in, and an un-truncated logical plan doubles per round — Catalyst

@@ -102,45 +102,21 @@ def sweep_line_concurrency(
 
     Returns (t, delta, concurrency) — one row per event point.
     """
-    from odbc2parquet_spark.operators.bucketing import (
-        bucket_offsets,
-        order_bucket_col,
-    )
+    from odbc2parquet_spark.operators.drift import prefix_sums
 
-    spark = intervals.sparkSession
     pts = intervals.select(
         F.col(start_col).alias("t"), F.lit(1).alias("delta")
     ).unionAll(
         intervals.select(F.col(end_col).alias("t"), F.lit(-1).alias("delta"))
     )
-    if boundary_source is not None:
-        proxy_df, proxy_col = boundary_source
-        bucket = order_bucket_col(
-            proxy_df, proxy_col, num_partitions, apply_col="t"
-        )
-    else:
-        bucket = order_bucket_col(pts, "t", num_partitions)
-    with_pid = pts.withColumn("_pid_", bucket)
-    offsets, _ = bucket_offsets(with_pid, ["delta"])
-    if not offsets["delta"]:  # empty input (createDataFrame([]) would throw)
-        return with_pid.select(
-            "t", "delta", F.lit(0).cast("long").alias("concurrency")
-        ).limit(0)
-    from pyspark.sql import Window
-
-    offset_df = F.broadcast(
-        spark.createDataFrame(
-            [(pid, off) for pid, off in offsets["delta"].items()],
-            ["_pid_", "_offset_"],
-        )
+    # delegate to the generalized two-pass prefix sum (one implementation
+    # of the bucket/offsets/window plumbing to keep correct, not two);
+    # order (t, delta) puts -1 ends before +1 starts at ties
+    cum = prefix_sums(
+        pts,
+        ["t", "delta"],
+        ["delta"],
+        num_partitions,
+        boundary_source=boundary_source,
     )
-    wl = (
-        Window.partitionBy("_pid_")
-        .orderBy("t", "delta")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    return with_pid.join(offset_df, "_pid_").select(
-        "t",
-        "delta",
-        (F.sum("delta").over(wl) + F.col("_offset_")).cast("long").alias("concurrency"),
-    )
+    return cum.select("t", "delta", F.col("c_delta").alias("concurrency"))

@@ -943,7 +943,9 @@ def dd_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dd_boundary_overlap",
     oracle="""
     WITH t AS (
-        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x != '') AS w
+        FROM documents
     ),
     hb AS (
         SELECT doc_id,

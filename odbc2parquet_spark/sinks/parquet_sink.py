@@ -208,10 +208,33 @@ def write_parquet_stdout(
     sink = _CountingSink(out if out is not None else sys.stdout.buffer)
     names = df.columns
 
+    # TimestampType (instant) columns: toLocalIterator hands the driver
+    # NAIVE datetimes rendered in the OS-local zone, but the Arrow field
+    # is timestamp[us, tz=UTC], which would read them as UTC wall time —
+    # shifting every instant by the host's UTC offset. Normalize through
+    # astimezone(utc) (naive ⇒ assumes local — exactly the zone PySpark
+    # rendered in; aware ⇒ plain conversion), the same pitfall+fix as
+    # writeback._to_dbapi_value.
+    import datetime as _dt
+
+    from pyspark.sql import types as _T
+
+    _utc = _dt.timezone.utc
+    instant_cols = {
+        i for i, f in enumerate(df.schema.fields)
+        if isinstance(f.dataType, _T.TimestampType)
+    }
+
     def flush_batch(writer, rows):
         cols = list(zip(*rows)) if rows else [[] for _ in names]
         arrays = [
-            pa.array(list(col), type=schema.field(i).type, from_pandas=True)
+            pa.array(
+                [v if v is None else v.astimezone(_utc) for v in col]
+                if i in instant_cols
+                else list(col),
+                type=schema.field(i).type,
+                from_pandas=True,
+            )
             for i, col in enumerate(cols)
         ]
         writer.write_batch(
@@ -314,15 +337,44 @@ def write_parquet(df: DataFrame, path: str, opts: SinkOptions | None = None) -> 
         # parts is dominated by per-file footer overhead; each pass
         # refines the marginal rate and the loop settles in <=4 rewrites
         # (or earlier, when the target stops moving).
+        # Rewrites read the STAGED bytes back, never re-execute the source
+        # plan: the first pass already materialized the (possibly
+        # expensive) query, so each refinement is an IO-only pass over
+        # the result, exactly like the reference re-chunking its own
+        # written row groups.
+        import shutil
+
+        import math
+
+        import pyarrow.parquet as _pq
+
         prev_rpf = records_per_file
-        for _ in range(4):
+        spark = df.sparkSession
+        for i in range(4):
             actual_rpf = _resplit_rows(parts, opts.file_size_threshold)
             if not actual_rpf or actual_rpf == prev_rpf:
                 break
             prev_rpf = actual_rpf
-            df.write.mode("overwrite").options(
-                **_compression_options(opts)
-            ).option("maxRecordsPerFile", actual_rpf).parquet(staging)
+            nxt = f"{path}.__staging{i}__"
+            # maxRecordsPerFile splits WITHIN a task but never merges
+            # ACROSS tasks, and the reread inherits one partition per
+            # staged part — coalesce (order-preserving, no shuffle) to a
+            # task count sized for ~32 capped files per task so
+            # over-split parts can actually merge.
+            total_rows = sum(
+                _pq.ParquetFile(p).metadata.num_rows for p in parts
+            )
+            tasks = max(1, math.ceil(total_rows / actual_rpf / 32))
+            (
+                spark.read.parquet(staging)
+                .coalesce(tasks)
+                .write.mode("overwrite")
+                .options(**_compression_options(opts))
+                .option("maxRecordsPerFile", actual_rpf)
+                .parquet(nxt)
+            )
+            shutil.rmtree(staging, ignore_errors=True)
+            staging = nxt
             parts = sorted(glob.glob(os.path.join(staging, "part-*")))
 
     return _finalize_parts(parts, path, opts, staging)

@@ -126,15 +126,28 @@ def streaming_cusum(
         n, s_pos, s_neg, latched = (
             state.get if state.exists else (0, 0.0, 0.0, False)
         )
-        for pdf in pdfs:
-            if ts_col in pdf.columns:
-                pdf = pdf.sort_values(ts_col, kind="stable")
-            for v in pdf[value_col]:
-                x = float(v) - target_mean
-                s_pos = max(0.0, s_pos + x - slack)
-                s_neg = min(0.0, s_neg + x + slack)
-                n += 1
-        latched = bool(latched or s_pos > threshold or -s_neg > threshold)
+        # applyInPandasWithState may deliver one key's micro-batch as
+        # SEVERAL Arrow chunks in arbitrary post-shuffle order; the CUSUM
+        # recursion is order-sensitive (max/min clamping), so sort the
+        # CONCATENATION, never chunk-by-chunk, or replays would diverge.
+        chunks = list(pdfs)
+        whole = (
+            pd.concat(chunks, ignore_index=True)
+            if chunks
+            else pd.DataFrame({value_col: []})
+        )
+        if ts_col in whole.columns:
+            whole = whole.sort_values(ts_col, kind="stable")
+        for v in whole[value_col]:
+            x = float(v) - target_mean
+            s_pos = max(0.0, s_pos + x - slack)
+            s_neg = min(0.0, s_neg + x + slack)
+            n += 1
+            # latch INSIDE the recursion: a crossing that decays back
+            # before batch end must still alarm
+            if s_pos > threshold or -s_neg > threshold:
+                latched = True
+        latched = bool(latched)
         state.update((n, s_pos, s_neg, latched))
         yield pd.DataFrame(
             {

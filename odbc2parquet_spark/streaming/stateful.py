@@ -78,15 +78,19 @@ def _update_decayed_rate(
     key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     n, ewma = state.get if state.exists else (0, None)
-    for pdf in pdfs:
-        # deterministic in-batch order: the event-time column if present,
-        # else the arrival frame order
-        if "ts" in pdf.columns:
-            pdf = pdf.sort_values("ts", kind="stable")
-        for v in pdf["value"]:
-            v = float(v)
-            ewma = v if ewma is None else 0.5 * v + 0.5 * ewma
-            n += 1
+    # one key's micro-batch may arrive as several Arrow chunks in
+    # arbitrary post-shuffle order; the EWMA recursion is order-sensitive,
+    # so sort the CONCATENATION by event time, never chunk-by-chunk
+    chunks = list(pdfs)
+    whole = (
+        pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame({"value": []})
+    )
+    if "ts" in whole.columns:
+        whole = whole.sort_values("ts", kind="stable")
+    for v in whole["value"]:
+        v = float(v)
+        ewma = v if ewma is None else 0.5 * v + 0.5 * ewma
+        n += 1
     state.update((n, ewma))
     yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "ewma": [ewma]})
 

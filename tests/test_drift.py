@@ -327,3 +327,41 @@ def test_sweep_line_boundary_proxy_exact(spark):
     want = sorted(map(tuple, base.collect()))
     assert sorted(map(tuple, good.collect())) == want
     assert sorted(map(tuple, bad.collect())) == want
+
+
+def test_seasonal_decompose_rejects_even_period(spark):
+    from pyspark.sql import functions as F
+
+    from odbc2parquet_spark.operators.drift import seasonal_decompose
+
+    daily = spark.createDataFrame(
+        [(d, float(d)) for d in range(30)], "day long, v double"
+    ).select("day", F.col("v").cast("decimal(18,6)").alias("val_dec"))
+    with pytest.raises(ValueError, match="odd"):
+        seasonal_decompose(daily, "day", "val_dec", period=12)
+
+
+def test_bucketing_date_keys(spark):
+    """DateType ordering keys must bucket (DATE has no DOUBLE cast —
+    unix_date is the monotone numeric form)."""
+    import datetime
+
+    from odbc2parquet_spark.operators.bucketing import order_bucket_col
+
+    rows = [(datetime.date(2024, 1, 1) + datetime.timedelta(days=i), i) for i in range(200)]
+    df = spark.createDataFrame(rows, "d date, x long")
+    b = df.withColumn("_bk_", order_bucket_col(df, "d", 4))
+    got = b.groupBy("_bk_").count().collect()
+    assert sum(r["count"] for r in got) == 200
+    assert len(got) >= 2  # genuinely split, monotone boundaries
+    # monotonicity: max date of bucket k < min date of bucket k+1
+    import itertools
+
+    stats = sorted(
+        (r["_bk_"], r["mn"], r["mx"])
+        for r in b.groupBy("_bk_").agg(
+            F.min("d").alias("mn"), F.max("d").alias("mx")
+        ).collect()
+    )
+    for (b1, _, mx1), (b2, mn2, _) in itertools.pairwise(stats):
+        assert mx1 < mn2, (b1, b2)

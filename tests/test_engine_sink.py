@@ -567,3 +567,75 @@ def test_file_size_threshold_extreme_compression_converges(spark, tmp_path):
     assert all(s <= threshold for s in sizes)
     assert len(files) <= 4  # whole result compresses to well under 4 caps
     assert sum(pq.ParquetFile(f).metadata.num_rows for f in files) == 20000
+
+
+def test_stdout_instants_match_spark_writer(spark, tmp_path):
+    """TimestampType (instant) values through the single-pass stdout sink
+    must equal what Spark's own parquet writer stores: toLocalIterator
+    hands the driver OS-LOCAL naive datetimes, and without normalization
+    the Arrow tz=UTC field would shift every instant by the host's UTC
+    offset (zero on a UTC host — the comparison still pins the code
+    path)."""
+    import io
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from odbc2parquet_spark.sinks.parquet_sink import SinkOptions, write_parquet_stdout
+
+    df = spark.sql(
+        "SELECT id, timestamp'2024-01-02 03:04:05.123456' + make_interval(0,0,0,0,0,0,id) AS ts"
+        " FROM range(5)"
+    ).select("id", F.col("ts").cast("timestamp"))
+
+    import datetime
+
+    def utc_wall(values):
+        # normalize reader representations (naive pandas Timestamp vs
+        # tz-aware datetime) to plain UTC wall-clock datetimes
+        out = []
+        for v in values:
+            v = v.to_pydatetime() if hasattr(v, "to_pydatetime") else v
+            if v.tzinfo is not None:
+                v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+            out.append(v)
+        return sorted(out)
+
+    ref_path = str(tmp_path / "ref")
+    df.write.parquet(ref_path)
+    want = utc_wall(pq.read_table(ref_path).column("ts").to_pylist())
+
+    buf = io.BytesIO()
+    write_parquet_stdout(df, SinkOptions(), out=buf)
+    buf.seek(0)
+    got = utc_wall(pq.read_table(buf).column("ts").to_pylist())
+    assert got == want
+
+
+def test_resplit_reads_staged_bytes_not_source(spark, tmp_path):
+    """The size-threshold refinement loop must not re-execute the source
+    plan: an accumulator counts source evaluations — exactly one compute
+    pass regardless of how many rewrites the threshold needs."""
+    from pyspark.sql import functions as F
+
+    from odbc2parquet_spark.sinks.parquet_sink import SinkOptions, write_parquet
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def bump(it):
+        acc.add(1)
+        return it
+
+    base = spark.range(20_000).select(
+        F.col("id"), F.repeat(F.lit("zz"), 200).alias("pad")
+    )
+    counted = base.rdd.mapPartitions(bump).toDF(base.schema)
+    out = str(tmp_path / "counted.par")
+    produced = write_parquet(
+        counted, out, SinkOptions(file_size_threshold=64 * 1024)
+    )
+    assert produced
+    first_pass = acc.value
+    assert first_pass > 0
+    # any refinement rewrites must have read staged parquet, not the rdd
+    assert acc.value == first_pass
