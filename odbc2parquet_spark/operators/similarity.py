@@ -42,6 +42,24 @@ def cosine(a: F.Column, b: F.Column) -> F.Column:
     return dot(a, b) / F.sqrt(norm_sq(a) * norm_sq(b))
 
 
+def _checked_dim(vec: F.Column, dim: int, where: str) -> F.Column:
+    """Fail LOUDLY when the embedding width disagrees with ``dim``: a
+    zip_with against a wrong-width plane pads with NULLs, the fold goes
+    NULL, and every signature silently collapses to 0 (one mega-bucket
+    the cap then drops — zero candidates, no error). Codegen'd
+    comparison; free when widths match."""
+    return F.when(
+        F.size(vec) != dim,
+        F.raise_error(
+            F.concat(
+                F.lit(f"{where}: embedding length "),
+                F.size(vec).cast("string"),
+                F.lit(f" != dim={dim}"),
+            )
+        ),
+    ).otherwise(vec)
+
+
 def brute_force_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -124,14 +142,60 @@ def lsh_signatures(
     # of n_planes unrolled aggregate folds — same signatures (bit j set
     # iff dot(v, plane_j) > 0), ~n_planes-times smaller expression tree.
     mat = F.array(*[F.array(*[F.lit(x) for x in plane]) for plane in planes])
+    vec = _checked_dim(F.col(vec_col), dim, "lsh_signatures")
     bits = F.transform(
         mat,
         lambda plane, j: F.when(
-            dot(F.col(vec_col), plane) > 0, F.pow(F.lit(2.0), j.cast("double"))
+            dot(vec, plane) > 0, F.pow(F.lit(2.0), j.cast("double"))
         ).otherwise(F.lit(0.0)),
     )
     sig = _fold_sum(bits).cast("long")
     return vectors.select(F.col(id_col).alias("vec_id"), sig.alias("sig"))
+
+
+def capped_bucket_pairs(
+    bucketed: DataFrame,
+    bucket_cols: list[str],
+    max_bucket: int,
+    directed: bool = False,
+    keep_bucket: bool = False,
+    dedupe: bool = False,
+) -> DataFrame:
+    """THE single-shuffle capped bucket-to-pairs expansion, shared by
+    every LSH candidate generator (prefix, multi-probe, banded — and the
+    plan-shape guarantee pinned by tests/test_plans.py covers this one
+    definition): shuffle once on ``bucket_cols``, window-count drops
+    buckets above ``max_bucket`` (a hot bucket would otherwise go
+    quadratic inside one task), then collect_list + double-explode
+    expands pairs locally on the SAME partitioning — the window runs
+    before collect_list so a mega-bucket spills in WindowExec, never in
+    an aggregation buffer. ``directed`` emits both orientations;
+    ``dedupe`` collapses pairs that met in several buckets.
+
+    ``bucketed`` must be (vec_id, *bucket_cols).
+    """
+    w = W.partitionBy(*bucket_cols)
+    bounded = (
+        bucketed.withColumn("_bn_", F.count("*").over(w))
+        .filter(F.col("_bn_") <= max_bucket)
+        .drop("_bn_")
+    )
+    buckets = bounded.groupBy(*bucket_cols).agg(
+        F.collect_list("vec_id").alias("ids")
+    )
+    pred = (
+        (F.col("id_a") != F.col("id_b"))
+        if directed
+        else (F.col("id_a") < F.col("id_b"))
+    )
+    out = (
+        buckets.filter(F.size("ids") >= 2)
+        .select(*bucket_cols, F.explode("ids").alias("id_a"), "ids")
+        .select(*bucket_cols, "id_a", F.explode("ids").alias("id_b"))
+        .filter(pred)
+        .select("id_a", "id_b", *(bucket_cols if keep_bucket else []))
+    )
+    return out.distinct() if dedupe else out
 
 
 def lsh_bucket_pairs(
@@ -163,21 +227,8 @@ def lsh_bucket_pairs(
     bucketed = signatures.select(
         "vec_id", F.col("sig").bitwiseAND(F.lit(mask)).alias("bucket")
     )
-    w = W.partitionBy("bucket")
-    bounded = (
-        bucketed.withColumn("bucket_n", F.count("*").over(w))
-        .filter(F.col("bucket_n") <= max_bucket)
-        .drop("bucket_n")
-    )
-    # same bucket partitioning as the window -> no second shuffle
-    buckets = bounded.groupBy("bucket").agg(F.collect_list("vec_id").alias("ids"))
-    pred = (F.col("id_a") != F.col("id_b")) if directed else (F.col("id_a") < F.col("id_b"))
-    return (
-        buckets.filter(F.size("ids") >= 2)
-        .select("bucket", F.explode("ids").alias("id_a"), "ids")
-        .select("bucket", "id_a", F.explode("ids").alias("id_b"))
-        .filter(pred)
-        .select("id_a", "id_b", "bucket")
+    return capped_bucket_pairs(
+        bucketed, ["bucket"], max_bucket, directed=directed, keep_bucket=True
     )
 
 
@@ -252,26 +303,27 @@ def ivf_refine_centroids(
 ) -> DataFrame:
     """Lloyd refinement: mean of assigned vectors per cell, ``iterations``
     times. Each step is one broadcast assign + one posexplode/groupBy
-    average (shuffle keyed on (centroid, dim) — k_cells*dim groups, tiny).
-    Spark-only (iterative; no SQL oracle)."""
+    mean (shuffle keyed on (centroid, dim) — k_cells*dim groups, tiny).
+
+    The per-cell mean follows the module's determinism contract — exact
+    DECIMAL sums (order-independent), ONE final division rounded to 6 —
+    by delegating to :func:`label_centroids`, the same step the
+    oracle-gated sim_ivf_refine query certifies; a raw float ``avg``
+    here would make the refined index depend on shuffle merge order.
+    Spark-only (iterative; no SQL oracle for the composed loop)."""
     cur = centroids
     for _ in range(iterations):
         assigned = ivf_assign(vectors, cur, id_col, vec_col).join(
             vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")),
             "vec_id",
         )
-        means = (
-            assigned.select("centroid_id", F.posexplode("v").alias("pos", "x"))
-            .groupBy("centroid_id", "pos")
-            .agg(F.avg("x").alias("m"))
-            .groupBy("centroid_id")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-            .select(
-                "centroid_id",
-                F.transform(F.col("pm"), lambda s: s.getField("m").cast("float")).alias(
-                    "centroid"
-                ),
-            )
+        means = assemble_centroids(
+            label_centroids(assigned, label_col="centroid_id", vec_col="v")
+        ).select(
+            F.col("label").alias("centroid_id"),
+            F.transform(F.col("centroid"), lambda x: x.cast("float")).alias(
+                "centroid"
+            ),
         )
         cur = means
     return cur
@@ -308,9 +360,13 @@ def ivf_search(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
     )
+    # the corpus-side vector fetch streams v map-side against BROADCAST
+    # candidate/query tables (ids + a few query vectors) — a plain join
+    # on neighbor_id would shuffle every corpus row's embedding a second
+    # time after ivf_assign already streamed them once
     scored = (
-        cand.join(F.broadcast(q), "query_id")
-        .join(v, "neighbor_id")
+        v.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(q), "query_id")
         .withColumn("cos4", F.round(cosine(F.col("qvec"), F.col("nvec")), 4))
     )  # candidate set is already nprobe/k_cells of the corpus; per-pair
     # norm folds are acceptable here (queries are few)
@@ -350,12 +406,22 @@ def normalize_vectors(
 ) -> DataFrame:
     """(vec_id, unit): L2-normalized vectors — after this, cosine becomes a
     plain dot product (saves a sqrt + two folds per pair downstream).
-    Zero vectors pass through unchanged. Narrow, no shuffle."""
-    n = F.sqrt(norm_sq(F.col(vec_col)))
-    unit = F.when(n == 0, F.col(vec_col)).otherwise(
-        F.transform(F.col(vec_col), lambda x: (x.cast("double") / n).cast("float"))
+    Zero vectors pass through unchanged. Narrow, no shuffle.
+
+    The norm is materialized as its own column FIRST: a higher-order
+    transform re-evaluates its whole bound expression per element (no
+    subexpression caching), so embedding the O(d) norm fold in the
+    lambda would cost O(d²) per row."""
+    staged = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("_v_"),
+        F.sqrt(norm_sq(F.col(vec_col))).alias("_n_"),
     )
-    return vectors.select(F.col(id_col).alias("vec_id"), unit.alias("unit"))
+    n = F.col("_n_")
+    unit = F.when(n == 0, F.col("_v_")).otherwise(
+        F.transform(F.col("_v_"), lambda x: (x.cast("double") / n).cast("float"))
+    )
+    return staged.select("vec_id", unit.alias("unit"))
 
 
 def quantize_int8(
@@ -365,22 +431,29 @@ def quantize_int8(
     float32 at ~0.4% max error, the standard storage layout for
     100 TB-scale embedding stores. value ~= q * scale with
     scale = max|x| / 127; FLOOR(x/scale + 0.5) spells the rounding
-    explicitly so any engine reproduces the exact codes. Narrow pass."""
-    absmax = F.aggregate(
-        F.col(vec_col),
-        F.lit(0.0),
-        lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
-    )
-    scale = absmax / F.lit(127.0)
-    q = F.when(absmax == 0, F.transform(F.col(vec_col), lambda x: F.lit(0))).otherwise(
-        F.transform(
+    explicitly so any engine reproduces the exact codes. Narrow pass.
+
+    absmax/scale are materialized as columns FIRST — a per-element
+    lambda re-evaluates its whole bound expression per element, so an
+    embedded absmax fold would cost O(d²) per row."""
+    staged = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("_v_"),
+        F.aggregate(
             F.col(vec_col),
+            F.lit(0.0),
+            lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
+        ).alias("_absmax_"),
+    )
+    absmax = F.col("_absmax_")
+    scale = absmax / F.lit(127.0)
+    q = F.when(absmax == 0, F.transform(F.col("_v_"), lambda x: F.lit(0))).otherwise(
+        F.transform(
+            F.col("_v_"),
             lambda x: F.floor(x.cast("double") / scale + F.lit(0.5)).cast("int"),
         )
     )
-    return vectors.select(
-        F.col(id_col).alias("vec_id"), scale.alias("scale"), q.alias("q")
-    )
+    return staged.select("vec_id", scale.alias("scale"), q.alias("q"))
 
 
 def label_centroids(
@@ -454,9 +527,7 @@ def centroid_outliers(
             lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
         )
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("label").orderBy(F.desc("dist"), F.asc("vec_id"))
+    w = W.partitionBy("label").orderBy(F.desc("dist"), F.asc("vec_id"))
     return (
         vectors.select(F.col(id_col).alias("vec_id"), F.col(label_col).alias("label"), F.col(vec_col).alias(vec_col))
         .join(F.broadcast(cents), "label")
@@ -857,7 +928,8 @@ def random_projection(
     planes = hyperplanes(out_dim, dim)
     mat = F.array(*[F.array(*[F.lit(x) for x in plane]) for plane in planes])
     scale = 1.0 / (out_dim ** 0.5)
-    proj = F.transform(mat, lambda plane: F.round(dot(F.col(vec_col), plane) * scale, 6))
+    vec = _checked_dim(F.col(vec_col), dim, "random_projection")
+    proj = F.transform(mat, lambda plane: F.round(dot(vec, plane) * scale, 6))
     return vectors.select(F.col(id_col).alias("vec_id"), proj.alias("projected"))
 
 
@@ -886,20 +958,7 @@ def lsh_multiprobe_pairs(
     bucketed = signatures.select(
         "vec_id", F.explode(bucket_list).alias("bucket")
     )
-    w = W.partitionBy("bucket")
-    bounded = (
-        bucketed.withColumn("bucket_n", F.count("*").over(w))
-        .filter(F.col("bucket_n") <= max_bucket)
-        .drop("bucket_n")
-    )
-    buckets = bounded.groupBy("bucket").agg(F.collect_list("vec_id").alias("ids"))
-    return (
-        buckets.filter(F.size("ids") >= 2)
-        .select(F.explode("ids").alias("id_a"), "ids")
-        .select("id_a", F.explode("ids").alias("id_b"))
-        .filter(F.col("id_a") < F.col("id_b"))
-        .distinct()
-    )
+    return capped_bucket_pairs(bucketed, ["bucket"], max_bucket, dedupe=True)
 
 
 def lsh_banded_pairs(
@@ -928,20 +987,7 @@ def lsh_banded_pairs(
     melted = signatures.select(
         "vec_id", F.explode(F.array(*band_exprs)).alias("bk")
     ).select("vec_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    w = W.partitionBy("band", "key")
-    bounded = (
-        melted.withColumn("n", F.count("*").over(w))
-        .filter(F.col("n") <= max_bucket)
-        .drop("n")
-    )
-    buckets = bounded.groupBy("band", "key").agg(F.collect_list("vec_id").alias("ids"))
-    return (
-        buckets.filter(F.size("ids") >= 2)
-        .select(F.explode("ids").alias("id_a"), "ids")
-        .select("id_a", F.explode("ids").alias("id_b"))
-        .filter(F.col("id_a") < F.col("id_b"))
-        .distinct()
-    )
+    return capped_bucket_pairs(melted, ["band", "key"], max_bucket, dedupe=True)
 
 
 def semantic_dedup_cells(
@@ -1072,24 +1118,20 @@ def mmr_rerank(
             dot(x["emb"], s["emb"]) / F.sqrt(x["nsq"] * s["nsq"]), 4
         )
 
-    def mmr_score(x: F.Column, selected: F.Column) -> F.Column:
-        m = F.array_max(F.transform(selected, lambda s: pair_cos(x, s)))
-        return F.round(F.lit(lam) * x["rel"] - F.lit(1 - lam) * m, 6)
-
-    def argmax_step(c_col: F.Column, selected: F.Column) -> F.Column:
-        """Fold-argmax over candidates not yet selected: returns
-        struct(score, cand) with min-id tiebreak (order-independent)."""
+    def argmax_step(cm_col: F.Column, sel_ids: F.Column) -> F.Column:
+        """Fold-argmax over candidates not yet selected, scoring from the
+        CARRIED running max ``m`` — plain arithmetic, no dim-folds here.
+        Returns struct(score, cand) with min-id tiebreak."""
         remaining = F.filter(
-            c_col,
-            lambda x: ~F.exists(selected, lambda s: s["c"] == x["c"]),
+            cm_col, lambda x: ~F.array_contains(sel_ids, x["c"])
         )
         zero = F.struct(
             F.lit(-1e308).alias("score"),
-            F.when(F.lit(False), F.element_at(c_col, 1)).alias("cand"),
+            F.when(F.lit(False), F.element_at(cm_col, 1)).alias("cand"),
         )
 
         def merge(acc: F.Column, x: F.Column) -> F.Column:
-            sx = mmr_score(x, selected)
+            sx = F.round(F.lit(lam) * x["rel"] - F.lit(1 - lam) * x["m"], 6)
             better = (sx > acc["score"]) | (
                 (sx == acc["score"]) & (x["c"] < acc["cand"]["c"])
             )
@@ -1099,8 +1141,37 @@ def mmr_rerank(
 
         return F.aggregate(remaining, zero, merge)
 
+    def bump_m(cm_col: F.Column, new_sel: F.Column) -> F.Column:
+        """Incremental max-sim-to-selected — the oracle's GREATEST(m,
+        new_sim) recurrence: ONE pairwise cosine per candidate per step
+        instead of re-scanning the whole selected set (O(k_sel·k_cand)
+        dim-folds total, not O(k_sel²·k_cand))."""
+        return F.transform(
+            cm_col,
+            lambda x: F.struct(
+                x["c"].alias("c"),
+                x["rel"].alias("rel"),
+                x["emb"].alias("emb"),
+                x["nsq"].alias("nsq"),
+                F.greatest(x["m"], pair_cos(x, new_sel)).alias("m"),
+            ),
+        )
+
     df = per_probe.withColumn("sel1", F.element_at(F.col("C"), 1))
-    df = df.withColumn("S1", F.array(F.col("sel1")))
+    df = df.withColumn(
+        "CM1",
+        F.transform(
+            F.col("C"),
+            lambda x: F.struct(
+                x["c"].alias("c"),
+                x["rel"].alias("rel"),
+                x["emb"].alias("emb"),
+                x["nsq"].alias("nsq"),
+                pair_cos(x, F.col("sel1")).alias("m"),
+            ),
+        ),
+    )
+    df = df.withColumn("ids1", F.array(F.col("sel1")["c"]))
     outputs = [
         F.struct(
             F.lit(1).alias("step"),
@@ -1109,11 +1180,19 @@ def mmr_rerank(
         )
     ]
     for t in range(2, k_sel + 1):
-        df = df.withColumn(f"best{t}", argmax_step(F.col("C"), F.col(f"S{t - 1}")))
         df = df.withColumn(
-            f"S{t}",
-            F.concat(F.col(f"S{t - 1}"), F.array(F.col(f"best{t}")["cand"])),
+            f"best{t}", argmax_step(F.col(f"CM{t - 1}"), F.col(f"ids{t - 1}"))
         )
+        df = df.withColumn(
+            f"ids{t}",
+            F.concat(
+                F.col(f"ids{t - 1}"), F.array(F.col(f"best{t}")["cand"]["c"])
+            ),
+        )
+        if t < k_sel:
+            df = df.withColumn(
+                f"CM{t}", bump_m(F.col(f"CM{t - 1}"), F.col(f"best{t}")["cand"])
+            )
         outputs.append(
             F.struct(
                 F.lit(t).alias("step"),
@@ -1121,12 +1200,15 @@ def mmr_rerank(
                 F.col(f"best{t}")["score"].alias("score"),
             )
         )
+    # exhausted steps (fewer candidates than k_sel) carry a NULL id —
+    # filter on the UNCAST id so non-integer id types survive (a
+    # cast('long') here silently emptied string-id outputs)
     return (
         df.select("query_id", F.explode(F.array(*outputs)).alias("o"))
         .select(
             "query_id",
             F.col("o.step").alias("step"),
-            F.col("o.vec_id").cast("long").alias("vec_id"),
+            F.col("o.vec_id").alias("vec_id"),
             F.col("o.score").alias("score"),
         )
         .filter(F.col("vec_id").isNotNull())
