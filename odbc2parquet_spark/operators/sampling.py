@@ -217,3 +217,41 @@ def ab_assign(
     for i in range(1, n_variants):
         variant = variant.when(slot == i, chr(ord("A") + i))
     return df.withColumn("variant", variant)
+
+
+def reservoir_sample(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    weight_col: str,
+    k: int,
+) -> DataFrame:
+    """Per-group weighted reservoir sample (Efraimidis-Spirakis A-Res):
+    each row draws u = (md5_60(key)+1) / 2^60 and scores u^(1/w); the k
+    highest scores per group are a weighted-without-replacement sample —
+    P(selected) proportional to weight, exactly the distributed
+    equivalent of the classic streaming reservoir.
+
+    Deterministic for the same reason as :func:`hash_sample` (u is a
+    pure row function), so the SAMPLE ITSELF is reproducible across
+    runs, partitionings, and engines — the lineage property training
+    pipelines need. Rows with weight <= 0 are excluded (a zero-weight
+    row can never be drawn; a negative weight is a data error).
+
+    At 100 TB: one keyed window whose partial top-k Spark pushes below
+    the shuffle (WindowGroupLimit), so each task ships at most k rows
+    per group — reservoir semantics without a global sort.
+    """
+    from pyspark.sql import Window
+
+    u = (_hash60(F.col(key_col)) + 1).cast("double") / F.lit(float(_HASH_DOMAIN))
+    akey = F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double"))
+    w = Window.partitionBy(*group_cols).orderBy(F.desc("_akey_"), F.col(key_col))
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("_akey_", akey)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .withColumn("akey6", F.round(F.col("_akey_"), 6))
+        .drop("_akey_")
+    )

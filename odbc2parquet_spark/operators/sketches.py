@@ -184,3 +184,76 @@ def binned_quantiles(
     return cum.groupBy(*group_cols).agg(
         F.max("total").cast("long").alias("n"), *aggs
     )
+
+
+def hll_distinct_per_group(
+    df: DataFrame, group_cols: list[str], col: str, p: int = 8
+) -> DataFrame:
+    """Per-group HyperLogLog distinct-count sketch: (group..., m,
+    zero_regs, estimate).
+
+    The register-array sibling of :func:`kmv_distinct_per_group`
+    (Flajolet et al. 2007): split the 60-bit md5 hash into a p-bit
+    register index and a (60-p)-bit suffix; each register keeps the max
+    rho = leading-zero-count(suffix) + 1; estimate = alpha_m * m^2 /
+    sum_j 2^(-M_j), with the standard small-range correction
+    m * ln(m / V) when V registers are untouched. Reference parity:
+    the reference has no sketches (full-fidelity transfer tool,
+    src/query/mod.rs); this is pipeline-extension surface.
+
+    Cross-engine determinism: rho comes from LENGTH(BIN(suffix)) —
+    integer-exact in both engines; the harmonic sum is carried as the
+    exact DECIMAL integer sum of 2^(61 - M_j) over touched registers
+    plus V * 2^61 for empty ones (common denominator 2^61), so the
+    estimate is ONE final IEEE division (recipe: exact numerators, one
+    division, ROUND). The ln() in the small-range branch is the single
+    libm call both engines must agree on — rounded to 2 decimals, where
+    a 1-ulp divergence cannot surface.
+
+    At 100 TB: the (group, register) groupBy is map-side combinable —
+    each task ships at most m=2^p rows per group regardless of row
+    count, and the register array never materializes wider than m rows.
+    Registers merge by MAX, so per-partition partials combine exactly
+    (the property KMV's top-k also has, but HLL keeps fixed m-row state
+    per group instead of k sorted hashes).
+    """
+    m = 1 << p
+    suffix_bits = 60 - p
+    h = _hash60(F.col(col))
+    idx = h.bitwiseAND(F.lit(m - 1))
+    rest = F.shiftright(h, p)
+    rho = (
+        F.when(rest == 0, F.lit(suffix_bits + 1))
+        .otherwise(F.lit(suffix_bits + 1) - F.length(F.bin(rest)))
+        .cast("int")
+    )
+    regs = (
+        df.select(*group_cols, idx.alias("reg"), rho.alias("rho"))
+        .groupBy(*group_cols, "reg")
+        .agg(F.max("rho").alias("mrho"))
+    )
+    two61 = 1 << 61
+    alpha = 0.7213 / (1.0 + 1.079 / m)  # large-m bias constant
+    per_group = regs.groupBy(*group_cols).agg(
+        F.count("*").alias("touched"),
+        # pow(2, 61-rho) is an exact double for rho >= 1 (integer <= 2^60),
+        # so the decimal cast is lossless — shiftleft would be equivalent
+        # but only accepts a literal bit count
+        F.sum(
+            F.pow(F.lit(2.0), F.lit(61) - F.col("mrho")).cast("decimal(38,0)")
+        ).alias("z_touched"),
+    )
+    v = F.lit(m) - F.col("touched")
+    z_num = F.col("z_touched") + v.cast("decimal(38,0)") * F.lit(two61).cast(
+        "decimal(38,0)"
+    )
+    raw = F.lit(alpha * m * m * float(two61)) / z_num.cast("double")
+    est = F.when(
+        (raw <= 2.5 * m) & (v > 0), F.lit(float(m)) * F.log(F.lit(float(m)) / v)
+    ).otherwise(raw)
+    return per_group.select(
+        *group_cols,
+        F.lit(m).alias("m"),
+        v.cast("long").alias("zero_regs"),
+        F.round(est, 2).alias("estimate"),
+    )

@@ -843,3 +843,42 @@ def bpe_vocab_token_counts(
             yield pd.DataFrame({"word": pdf["word"], "n_tok": counts})
 
     return words_df.mapInPandas(enc, "word string, n_tok long")
+
+
+def novelty_scores(docs: DataFrame, n: int = 2, text_col: str = "text") -> DataFrame:
+    """First-seen n-gram novelty in corpus order (doc_id ascending):
+    (doc_id, n_grams, n_novel, novelty) where a doc's distinct gram is
+    NOVEL iff no lower doc_id contains it — the incremental-information
+    metric curriculum/ordering pipelines use to front-load fresh text
+    (and the streaming dual of boilerplate detection: novelty ~ 0 marks
+    templated tails).
+
+    Grams travel as 60-bit md5 hashes, never raw text, so the single
+    gram-keyed shuffle carries (doc_id, long) rows; first-owner is a
+    MIN window over the gram hash (no self-join), then one groupBy back
+    to doc granularity. Collisions conflate a gram with an earlier one
+    (novelty undercount) at the md5 rate — identical in any engine
+    recomputing the same hashes. Docs with fewer than ``n`` words have
+    no grams and drop out of the output.
+    """
+    from pyspark.sql import Window
+
+    prepared = docs.select("doc_id", words(F.col(text_col)).alias("ws"))
+    gh = F.conv(F.substring(F.md5(F.col("g")), 1, 15), 16, 10).cast("long")
+    grams = (
+        prepared.select(
+            "doc_id",
+            F.explode(F.array_distinct(F.expr(_ngram_array_expr(n)))).alias("g"),
+        )
+        .select("doc_id", gh.alias("gh"))
+        .distinct()
+    )
+    first = F.min("doc_id").over(Window.partitionBy("gh"))
+    flagged = grams.withColumn(
+        "novel", (F.col("doc_id") == first).cast("long")
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"),
+        F.sum("novel").alias("n_novel"),
+        F.round(F.sum("novel") / F.count("*"), 6).alias("novelty"),
+    )

@@ -1530,3 +1530,55 @@ def ev_ewma_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("event_id") % 97 == 0)
         .select("user_id", "event_id", "ewma")
     )
+
+
+@query(
+    "ev_hll_daily_users",
+    oracle="""
+    WITH h AS (
+        SELECT CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day,
+               CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) AS h
+        FROM events
+    ),
+    regs AS (
+        SELECT day, h & 255 AS reg,
+               MAX(CASE WHEN (h >> 8) = 0 THEN 53
+                        ELSE 53 - length(bin(h >> 8)) END) AS mrho
+        FROM h GROUP BY day, h & 255
+    ),
+    g AS (
+        SELECT day, COUNT(*) AS touched,
+               SUM(CAST(CAST(1 AS BIGINT) << (61 - mrho) AS DECIMAL(38,0)))
+                   AS z_touched
+        FROM regs GROUP BY day
+    ),
+    e AS (
+        SELECT day, 256 - touched AS v,
+               1.0854228543761655e+23
+               / CAST(z_touched + CAST(256 - touched AS DECIMAL(38,0))
+                      * CAST(2305843009213693952 AS DECIMAL(38,0)) AS DOUBLE)
+                   AS raw
+        FROM g
+    )
+    SELECT day, 256 AS m, CAST(v AS BIGINT) AS zero_regs,
+           ROUND(CASE WHEN raw <= 640.0 AND v > 0
+                      THEN 256.0 * ln(256.0 / v) ELSE raw END, 2) AS estimate
+    FROM e
+    """,
+)
+def ev_hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per day via per-group HyperLogLog registers
+    (operators/sketches.hll_distinct_per_group, p=8) — the fixed-size
+    mergeable register-array sibling of ev_kmv_daily_users: per-group
+    state is 256 max-rho registers regardless of row count, and the
+    ESTIMATE itself (not just the registers) hash-matches DuckDB because
+    rho is integer-exact (LENGTH(BIN(...))) and the harmonic sum is an
+    exact DECIMAL numerator with one final IEEE division."""
+    from odbc2parquet_spark.operators.sketches import hll_distinct_per_group
+
+    ev = load_table(spark, sf_dir, "events")
+    day = F.floor(F.unix_seconds(F.col("ts").cast("timestamp")) / 86400).cast("long")
+    return hll_distinct_per_group(
+        ev.select(day.alias("day"), "user_id"), ["day"], "user_id", p=8
+    )

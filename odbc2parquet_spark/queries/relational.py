@@ -1485,3 +1485,42 @@ def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_retailprice").alias("price"),
         F.col("p_size").cast("int").alias("size"),
     ).orderBy("price")
+
+
+@query(
+    "q_target_encode",
+    oracle="""
+    WITH g AS (
+        SELECT SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS gs, COUNT(*) AS gn
+        FROM orders
+    ),
+    c AS (
+        SELECT o_orderpriority,
+               SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS s_cat,
+               COUNT(*) AS n_cat
+        FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderkey, o_orderpriority,
+           ROUND((CAST(s_cat - CAST(o_totalprice AS DECIMAL(18,6)) AS DOUBLE)
+                  + 20.0 * (CAST(gs AS DOUBLE) / gn))
+                 / (n_cat - 1 + 20.0), 6) AS enc_loo
+    FROM orders JOIN c USING (o_orderpriority) CROSS JOIN g
+    WHERE o_orderkey % 97 = 0
+    """,
+)
+def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe leave-one-out target encoding of o_orderpriority
+    against o_totalprice (operators/encoding.target_encode_loo,
+    Micci-Barreca smoothing, prior weight 20). Per-category stats come
+    from a map-side-combinable groupBy broadcast back onto the row
+    stream — NEVER a window partitioned by a 5-value categorical, which
+    would funnel 100 TB through 5 tasks. Output thinned to
+    o_orderkey % 97 for a bounded certificate."""
+    from odbc2parquet_spark.operators.encoding import target_encode_loo
+
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        target_encode_loo(orders, "o_orderpriority", "o_totalprice")
+        .filter(F.col("o_orderkey") % 97 == 0)
+        .select("o_orderkey", "o_orderpriority", "enc_loo")
+    )

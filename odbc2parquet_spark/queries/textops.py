@@ -2261,3 +2261,81 @@ def mm_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     end-to-end; one keyed window per document."""
     docs = load_table(spark, sf_dir, "documents")
     return M.video_scene_cuts(M.encode_mp4_samples(docs), threshold=32)
+
+
+@query(
+    "tx_reservoir_sample",
+    oracle="""
+    WITH a AS (
+        SELECT lang, doc_id, n_chars,
+               POWER(
+                   (CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                         AS BIGINT) + 1) / 1152921504606846976.0,
+                   1.0 / n_chars) AS akey
+        FROM documents WHERE n_chars > 0
+    ),
+    r AS (
+        SELECT lang, doc_id, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY akey DESC, doc_id) AS rn,
+               akey
+        FROM a
+    )
+    SELECT lang, doc_id, n_chars, CAST(rn AS BIGINT) AS rn,
+           ROUND(akey, 6) AS akey6
+    FROM r WHERE rn <= 16
+    """,
+)
+def tx_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted reservoir sample per language (operators/sampling.
+    reservoir_sample, Efraimidis-Spirakis A-Res, k=16, weight=n_chars):
+    length-proportional without-replacement document sampling whose
+    SELECTION is a pure row function — reproducible across runs,
+    partitionings, and engines. The per-group top-k runs as a
+    WindowGroupLimit partial below the shuffle, so reservoir semantics
+    cost one bounded window, never a global sort."""
+    from odbc2parquet_spark.operators.sampling import reservoir_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = reservoir_sample(
+        docs.select("lang", "doc_id", "n_chars"),
+        ["lang"], "doc_id", "n_chars", k=16,
+    )
+    return out.select("lang", "doc_id", "n_chars", F.col("rn").cast("long").alias("rn"), "akey6")
+
+
+@query(
+    "tx_novelty",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents
+    ),
+    g AS (
+        SELECT DISTINCT doc_id,
+               CAST('0x' || substring(md5(u), 1, 15) AS BIGINT) AS gh
+        FROM w, UNNEST(CASE WHEN len(ws) < 2 THEN []
+                            ELSE list_transform(range(1, len(ws)),
+                                                i -> ws[i] || ' ' || ws[i+1]) END) AS t(u)
+    ),
+    f AS (
+        SELECT doc_id, gh,
+               CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY gh)
+                    THEN 1 ELSE 0 END AS novel
+        FROM g
+    )
+    SELECT doc_id, COUNT(*) AS n_grams,
+           CAST(SUM(novel) AS BIGINT) AS n_novel,
+           ROUND(CAST(SUM(novel) AS DOUBLE) / COUNT(*), 6) AS novelty
+    FROM f GROUP BY doc_id
+    """,
+)
+def tx_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-seen bigram novelty in corpus order (operators/text.
+    novelty_scores): share of each document's distinct bigrams that no
+    earlier doc_id contains — the incremental-information signal for
+    curriculum ordering and templated-tail detection. Grams shuffle as
+    60-bit hashes (one keyed exchange of (doc_id, long) rows), first
+    owner is a MIN window, no self-join."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.novelty_scores(docs, n=2)

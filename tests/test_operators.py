@@ -1808,3 +1808,87 @@ def test_rolling_trend_known_slopes(spark):
     assert out[(1, 3)] == (4, 2.0)
     assert out[(1, 11)] == (8, 2.0)  # full window, still exact
     assert out[(2, 4)] == (5, 0.0)
+
+
+def test_hll_estimate_accuracy_and_merge_invariance(spark):
+    from odbc2parquet_spark.operators.sketches import hll_distinct_per_group
+
+    df = spark.range(0, 30000).selectExpr(
+        "CAST(id % 3 AS STRING) AS g", "id % 4000 as v"
+    )  # three groups, each covering <= 4000 distinct values
+    est = {r.g: r for r in hll_distinct_per_group(df, ["g"], "v", p=8).collect()}
+    for g in ("0", "1", "2"):
+        exact = df.filter(f"g = '{g}'").select("v").distinct().count()
+        rel = abs(est[g].estimate - exact) / exact
+        assert rel < 0.20, (g, est[g].estimate, exact)  # ~1.04/sqrt(256) regime
+        assert est[g].m == 256
+    # small-cardinality regime: linear counting branch engages and is tight
+    small = hll_distinct_per_group(
+        spark.range(0, 40).selectExpr("'x' AS g", "id as v"), ["g"], "v", p=8
+    ).first()
+    assert abs(small.estimate - 40) / 40 < 0.10
+    assert small.zero_regs > 0
+    # partitioning invariance: registers merge by MAX, so the estimate
+    # cannot depend on how rows were split
+    a = hll_distinct_per_group(df.repartition(64), ["g"], "v", p=8).collect()
+    b = hll_distinct_per_group(df.coalesce(1), ["g"], "v", p=8).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_reservoir_sample_weight_proportional(spark):
+    """A-Res selection probability tracks weight: with weights 10:1 the
+    heavy item family dominates the reservoir; selection is partitioning-
+    independent and excludes non-positive weights."""
+    from odbc2parquet_spark.operators.sampling import reservoir_sample
+
+    rows = [(i, "heavy" if i % 2 == 0 else "light", 10.0 if i % 2 == 0 else 1.0) for i in range(2000)]
+    df = spark.createDataFrame(rows, ["id", "fam", "w"])
+    out = reservoir_sample(df, [], "id", "w", k=200).collect()
+    heavy = sum(1 for r in out if r.fam == "heavy")
+    assert len(out) == 200
+    assert heavy > 150  # E[heavy] ~ 10/11 * 200 = 182
+    # determinism under repartitioning
+    ids_a = sorted(r.id for r in reservoir_sample(df.repartition(32), [], "id", "w", 200).collect())
+    ids_b = sorted(r.id for r in reservoir_sample(df.coalesce(1), [], "id", "w", 200).collect())
+    assert ids_a == ids_b
+    # zero/negative weights can never be drawn
+    dfz = spark.createDataFrame([(1, 0.0), (2, -3.0), (3, 5.0)], ["id", "w"])
+    assert [r.id for r in reservoir_sample(dfz, [], "id", "w", 10).collect()] == [3]
+
+
+def test_novelty_first_seen_semantics(spark):
+    """Doc 1 is fully novel; an exact repeat is fully stale; a doc sharing
+    half its bigrams scores 0.5."""
+    from odbc2parquet_spark.operators.text import novelty_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),          # bigrams: ab bc cd -> all novel
+            (2, "a b c d"),          # exact repeat -> novelty 0
+            (3, "a b x y"),          # ab (seen), bx, xy -> 2/3 novel
+            (4, "z"),                # no bigrams -> absent from output
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in novelty_scores(docs, n=2).collect()}
+    assert 4 not in out
+    assert out[1].novelty == 1.0 and out[1].n_grams == 3
+    assert out[2].novelty == 0.0
+    assert out[3].n_novel == 2 and abs(out[3].novelty - 2 / 3) < 1e-6
+
+
+def test_target_encode_loo_excludes_own_row(spark):
+    """Category mean must exclude the row itself; singleton categories
+    collapse to the prior (global mean)."""
+    from odbc2parquet_spark.operators.encoding import target_encode_loo
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "a", 30.0), (4, "b", 100.0)],
+        ["id", "cat", "y"],
+    )
+    out = {r.id: r.enc_loo for r in target_encode_loo(df, "cat", "y", prior_weight=2.0).collect()}
+    gmean = 160.0 / 4
+    # row 1: (20+30 + 2*40) / (3-1+2) = 130/4
+    assert abs(out[1] - 130.0 / 4) < 1e-6
+    # singleton category: (0 + 2*40) / (1-1+2) = global mean exactly
+    assert abs(out[4] - gmean) < 1e-6
