@@ -193,6 +193,12 @@ HEADLINE = [
     "ev_stl_decompose",
     "tx_bpe_encode",
     "mm_scene_cut",
+    # round 6 (cont.): HLL registers, weighted reservoir, n-gram novelty,
+    # leave-one-out target encoding
+    "ev_hll_daily_users",
+    "tx_reservoir_sample",
+    "tx_novelty",
+    "q_target_encode",
 ]
 
 

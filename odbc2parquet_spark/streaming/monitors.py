@@ -166,3 +166,83 @@ def streaming_cusum(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+DISTINCT_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("estimate", T.DoubleType()),
+    ]
+)
+
+
+def streaming_distinct(
+    events: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "user_id",
+    p: int = 8,
+) -> DataFrame:
+    """Per-key approximate distinct count ON the stream: the HLL
+    register array of operators/sketches.hll_distinct_per_group carried
+    in the state store — m = 2^p one-byte registers per key, O(1)
+    state regardless of stream length, each batch emitting the post-
+    batch (key, n_rows, estimate).
+
+    Same md5 hash split and estimator arithmetic as the batch operator
+    (the tie between them is pytest-pinned: streaming two micro-batches
+    equals the batch sketch over their union, because registers merge by
+    MAX). The batch twin is oracle-gated (ev_hll_daily_users); values
+    are hashed via str(value), so feed integer or string keys — floats
+    would depend on repr.
+    """
+    import hashlib
+
+    m = 1 << p
+    suffix_bits = 60 - p
+    alpha_num = (0.7213 / (1.0 + 1.079 / m)) * m * m * float(1 << 61)
+
+    def update(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            n, regs_b = state.get
+            regs = bytearray(regs_b)
+        else:
+            n, regs = 0, bytearray(m)
+        for pdf in pdfs:
+            for v in pdf[value_col]:
+                h = int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+                idx = h & (m - 1)
+                rest = h >> p
+                rho = (
+                    suffix_bits + 1
+                    if rest == 0
+                    else suffix_bits + 1 - rest.bit_length()
+                )
+                if rho > regs[idx]:
+                    regs[idx] = rho
+                n += 1
+        # exact integer harmonic numerator (common denominator 2^61),
+        # one IEEE division — the batch operator's arithmetic verbatim
+        z_num = sum(1 << (61 - r) for r in regs if r) + regs.count(0) * (1 << 61)
+        raw = alpha_num / float(z_num)
+        v_zero = regs.count(0)
+        if raw <= 2.5 * m and v_zero > 0:
+            import math
+
+            est = float(m) * math.log(float(m) / v_zero)
+        else:
+            est = raw
+        state.update((n, bytes(regs)))
+        yield pd.DataFrame(
+            {"key": [key[0]], "n_rows": [n], "estimate": [round(est, 2)]}
+        )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=DISTINCT_SCHEMA,
+        stateStructType="n LONG, regs BINARY",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -73,6 +73,10 @@ BOUNDED_CROSS_OK = {
     "ev_ks_test",            # 1-row totals broadcast onto the CDF gap
     "q_gini_supplier",       # 1-row (n,total) broadcast onto distinct values
     "q_chi_square_priority", # bounded levels_a x levels_b marginal grid
+    # round 6: LOO target encoding — 1-row (global sum, count) broadcast
+    # crossed onto the row stream; the category side is a broadcast HASH
+    # join on the key, never a nested loop
+    "q_target_encode",
 }
 ALL_PAIRS_OK |= BOUNDED_CROSS_OK
 

@@ -418,3 +418,59 @@ def test_streaming_cusum_latches_alarm(spark, tmp_path):
     assert rows[7][0] == pytest.approx(7.5, abs=1e-6)
     assert rows[7][1] is True
     assert rows[9][1] is True      # latched through the recovery batch
+
+
+def test_streaming_distinct_matches_batch_hll(spark, tmp_path):
+    """streaming_distinct: HLL registers persist across availableNow runs
+    and the post-union estimate equals the batch sketch over the same
+    values (registers merge by MAX, so batching cannot matter)."""
+    from pyspark.sql import types as T
+
+    from odbc2parquet_spark.operators.sketches import hll_distinct_per_group
+    from odbc2parquet_spark.streaming.monitors import streaming_distinct
+
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+    schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("user_id", T.LongType()),
+        ]
+    )
+
+    def run_batch(rows, subdir):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / subdir)
+        )
+        stream = spark.readStream.schema(schema).option(
+            "recursiveFileLookup", "true"
+        ).parquet(str(src))
+        q = (
+            streaming_distinct(stream, "event_type", "user_id", p=8)
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    b1 = [("a", i) for i in range(0, 300)]
+    b2 = [("a", i) for i in range(150, 500)]  # overlaps b1: union = 500 distinct
+    run_batch(b1, "b1")
+    run_batch(b2, "b2")
+
+    import pyspark.sql.functions as F
+
+    res = {r.n_rows: r.estimate for r in spark.read.parquet(str(out)).collect()}
+    assert set(res) == {300, 650}  # post-batch row counts (650 = 300 + 350)
+
+    all_rows = spark.createDataFrame(b1 + b2, schema)
+    batch = hll_distinct_per_group(all_rows, ["event_type"], "user_id", p=8).first()
+    # same registers -> same estimate; the only divergence channel is the
+    # JVM-vs-CPython libm ln in the small-range branch, inside 1 ulp
+    assert res[650] == pytest.approx(batch.estimate, abs=0.01)
+    assert res[650] == pytest.approx(500, rel=0.2)  # ~1.04/sqrt(256) regime
