@@ -199,6 +199,7 @@ HEADLINE = [
     "tx_reservoir_sample",
     "tx_novelty",
     "q_target_encode",
+    "dd_prefix_jaccard",
 ]
 
 

@@ -738,3 +738,70 @@ def span_scrub(
             ),
         )
     )
+
+
+def prefix_jaccard_pairs(
+    shingles: DataFrame,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact set-similarity self-join by PREFIX FILTERING (Chaudhuri et
+    al. 2006 / PPJoin family): all document pairs whose shingle-set
+    Jaccard >= ``threshold``, with recall 1.0 — no banding miss
+    probability, unlike MinHash LSH. ``shingles`` is the same (id, g)
+    distinct-shingle stream the MinHash path consumes (word_shingles).
+
+    The filter: order each doc's shingles by ascending global document
+    frequency (rarest first, ties by shingle); two sets with J >= t MUST
+    share an element within each other's first |d| - ceil(t*|d|) + 1
+    elements, so candidate pairs come from equi-joining ONLY those
+    prefix shingles — the rarest ones, whose buckets stay small exactly
+    where a naive shingle join explodes. A mutual size filter
+    (t*|a| <= |b|, t*|b| <= |a|) rides the candidate join.
+
+    Shuffles: shingle-df groupBy (map-side combined), the df join back,
+    one doc-keyed window (rank + size), the prefix bucket join, and the
+    verification join against per-doc sorted shingle arrays
+    (array_intersect on doc-sized arrays over prefix-bounded candidates
+    — never corpus x corpus). Exact integer counting until one final
+    Jaccard division, ROUND 6; recall 1.0 is the contract the
+    probabilistic path (dd_minhash_lsh) trades away.
+    """
+    # shingles travel as 60-bit md5 hashes from here on — df counting,
+    # ranking, bucket joins and the verification arrays all shuffle longs,
+    # never raw text (collisions conflate shingles at the md5 rate,
+    # identically in any engine recomputing the same hashes)
+    gh = F.conv(F.substring(F.md5(F.col("g")), 1, 15), 16, 10).cast("long")
+    hashed = shingles.select("id", gh.alias("gh")).distinct()
+    df_tab = hashed.groupBy("gh").agg(F.count("*").alias("df"))
+    ranked = hashed.join(df_tab, "gh")
+    w_doc = Window.partitionBy("id").orderBy("df", "gh")
+    sized = ranked.select(
+        "id", "gh",
+        F.row_number().over(w_doc).alias("rn"),
+        F.count("*").over(Window.partitionBy("id")).alias("sz"),
+    )
+    prefix_len = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    prefix = sized.filter(F.col("rn") <= prefix_len).select("id", "gh", "sz")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(b, (F.col("a.gh") == F.col("b.gh")) & (F.col("a.id") < F.col("b.id")))
+        .filter(F.col("b.sz") * F.lit(1.0) >= F.lit(threshold) * F.col("a.sz"))
+        .filter(F.col("a.sz") * F.lit(1.0) >= F.lit(threshold) * F.col("b.sz"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sets = hashed.groupBy("id").agg(
+        F.array_sort(F.collect_list("gh")).alias("ts"), F.count("*").alias("sz")
+    )
+    inter = F.size(F.array_intersect(F.col("ts_a"), F.col("ts_b")))
+    union = F.col("sz_a") + F.col("sz_b") - inter
+    return (
+        cand.join(sets.select(F.col("id").alias("id_a"), F.col("ts").alias("ts_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sets.select(F.col("id").alias("id_b"), F.col("ts").alias("ts_b"), F.col("sz").alias("sz_b")), "id_b")
+        .select(
+            "id_a", "id_b",
+            inter.cast("long").alias("n_inter"),
+            F.round(inter / union, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

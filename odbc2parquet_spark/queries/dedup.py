@@ -984,3 +984,62 @@ def dd_boundary_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src_id", "dst_id", "boundary")
         .orderBy("src_id", "dst_id")
     )
+
+
+@query(
+    "dd_prefix_jaccard",
+    oracle="WITH "
+    + _SHINGLES_CTE.format(where="")
+    + """,
+    shh AS (
+        SELECT DISTINCT id,
+               CAST('0x' || substring(md5(g), 1, 15) AS BIGINT) AS gh
+        FROM sh
+    ),
+    dftab AS (SELECT gh, COUNT(*) AS df FROM shh GROUP BY gh),
+    sized AS (
+        SELECT id, gh,
+               ROW_NUMBER() OVER (PARTITION BY id ORDER BY df, gh) AS rn,
+               COUNT(*) OVER (PARTITION BY id) AS sz
+        FROM shh JOIN dftab USING (gh)
+    ),
+    prefix AS (
+        SELECT id, gh, sz FROM sized WHERE rn <= sz - CEIL(0.6 * sz) + 1
+    ),
+    cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM prefix a JOIN prefix b ON a.gh = b.gh AND a.id < b.id
+        WHERE b.sz * 1.0 >= 0.6 * a.sz AND a.sz * 1.0 >= 0.6 * b.sz
+    ),
+    inter AS (
+        SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+        FROM cand c
+        JOIN shh ta ON ta.id = c.id_a
+        JOIN shh tb ON tb.id = c.id_b AND tb.gh = ta.gh
+        GROUP BY c.id_a, c.id_b
+    ),
+    szs AS (SELECT id, COUNT(*) AS sz FROM shh GROUP BY id)
+    SELECT i.id_a, i.id_b, CAST(n_inter AS BIGINT) AS n_inter,
+           ROUND(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter), 6)
+               AS jaccard
+    FROM inter i
+    JOIN szs sa ON sa.id = i.id_a
+    JOIN szs sb ON sb.id = i.id_b
+    WHERE ROUND(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter), 6) >= 0.6
+    """,
+)
+def dd_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-word-shingle Jaccard >= 0.6 self-join by prefix filtering
+    (operators/dedup.prefix_jaccard_pairs, PPJoin family) over the FULL
+    corpus: recall 1.0 with NO all-pairs shape — candidates come only
+    from equi-joins on each doc's rarest df-ranked prefix shingles, the
+    buckets that stay small by construction. The exact complement to the
+    probabilistic MinHash path (dd_minhash_lsh, same shingle stream,
+    same threshold regime): zero miss rate, for corpora where a
+    contractual no-missed-duplicates bound matters. Contrast
+    dd_ngram_jaccard, whose all-pairs verify shape needs a doc_id < 200
+    slice — this one runs unsliced."""
+    from odbc2parquet_spark.operators.dedup import prefix_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return prefix_jaccard_pairs(D.word_shingles(docs, 3), threshold=0.6)
