@@ -781,12 +781,24 @@ def prefix_jaccard_pairs(
         F.count("*").over(Window.partitionBy("id")).alias("sz"),
     )
     prefix_len = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
-    prefix = sized.filter(F.col("rn") <= prefix_len).select("id", "gh", "sz")
+    prefix = sized.filter(F.col("rn") <= prefix_len).select("id", "gh", "sz", "rn")
     a, b = prefix.alias("a"), prefix.alias("b")
+    # positional filter (the PPJoin refinement over plain prefix
+    # filtering): a match at prefix positions (rn_a, rn_b) caps the
+    # achievable overlap at 1 + min(sz_a - rn_a, sz_b - rn_b), which must
+    # reach the J >= t minimum overlap ceil(t/(1+t) * (sz_a + sz_b)).
+    # t/(1+t) at t=0.6 is exactly 0.375 (3/8) — representable, so the
+    # CEIL boundary is engine-deterministic.
+    frac = threshold / (1.0 + threshold)
+    min_overlap = F.ceil(F.lit(frac) * (F.col("a.sz") + F.col("b.sz")))
+    pos_cap = 1 + F.least(
+        F.col("a.sz") - F.col("a.rn"), F.col("b.sz") - F.col("b.rn")
+    )
     cand = (
         a.join(b, (F.col("a.gh") == F.col("b.gh")) & (F.col("a.id") < F.col("b.id")))
         .filter(F.col("b.sz") * F.lit(1.0) >= F.lit(threshold) * F.col("a.sz"))
         .filter(F.col("a.sz") * F.lit(1.0) >= F.lit(threshold) * F.col("b.sz"))
+        .filter(pos_cap >= min_overlap)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
