@@ -200,6 +200,7 @@ HEADLINE = [
     "tx_novelty",
     "q_target_encode",
     "dd_prefix_jaccard",
+    "q_kmv_overlap",
 ]
 
 

@@ -257,3 +257,48 @@ def hll_distinct_per_group(
         v.cast("long").alias("zero_regs"),
         F.round(est, 2).alias("estimate"),
     )
+
+
+def kmv_overlap_estimate(
+    df_a: DataFrame, col_a: str, df_b: DataFrame, col_b: str, k: int = 256
+) -> DataFrame:
+    """One-row estimate of |A ∩ B| distinct keys from two KMV sketches —
+    the sketch-algebra answer to "how big is this join's key overlap"
+    WITHOUT scanning either side twice (Beyer et al. 2007): the k
+    smallest hashes of A ∪ B are exactly the k smallest of (K_a ∪ K_b),
+    so the union sketch derives from the two k-row sketches alone;
+    Jaccard ≈ |K_union ∩ K_a ∩ K_b| / k; |A ∩ B| ≈ J * |A ∪ B|.
+
+    Columns: (k_used, n_shared, jaccard_est, union_est, inter_est).
+    Everything after the two top-k scans operates on ≤ 2k rows; the
+    estimates are exact-integer counts until single final divisions, so
+    an independent engine reproduces them bit-for-bit. Exact below k
+    (the union sketch holds every hash). The planner use at 100 TB:
+    estimate join selectivity / distinct overlap from k-row sketches
+    maintained per partition or per ingest batch, merged by set-union —
+    the same mergeability HLL registers have, with member identity
+    retained (which HLL cannot answer).
+    """
+    ha = (
+        df_a.select(_hash60(F.col(col_a)).alias("h")).distinct().orderBy("h").limit(k)
+    )
+    hb = (
+        df_b.select(_hash60(F.col(col_b)).alias("h")).distinct().orderBy("h").limit(k)
+    )
+    union_k = ha.unionAll(hb).distinct().orderBy("h").limit(k)
+    both = ha.intersect(hb)  # hashes in K_a ∩ K_b
+    shared = union_k.join(both, "h", "left_semi")
+    stats = union_k.agg(
+        F.count("*").alias("k_used"), F.max("h").alias("hk")
+    ).crossJoin(shared.agg(F.count("*").alias("n_shared")))
+    jacc = F.col("n_shared") / F.col("k_used")
+    union_est = F.when(
+        F.col("k_used") < k, F.col("k_used").cast("double")
+    ).otherwise((F.lit(float(k - 1)) * F.lit(KMV_M)) / F.col("hk"))
+    return stats.select(
+        "k_used",
+        "n_shared",
+        F.round(jacc, 6).alias("jaccard_est"),
+        F.round(union_est, 2).alias("union_est"),
+        F.round(jacc * union_est, 2).alias("inter_est"),
+    )

@@ -1524,3 +1524,54 @@ def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderkey") % 97 == 0)
         .select("o_orderkey", "o_orderpriority", "enc_loo")
     )
+
+
+@query(
+    "q_kmv_overlap",
+    oracle="""
+    WITH ha AS (
+        SELECT DISTINCT CAST('0x' || substring(md5(CAST(c_custkey AS VARCHAR)), 1, 15)
+                              AS BIGINT) AS h
+        FROM customer ORDER BY h LIMIT 256
+    ),
+    hb AS (
+        SELECT DISTINCT CAST('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 15)
+                              AS BIGINT) AS h
+        FROM orders ORDER BY h LIMIT 256
+    ),
+    u AS (
+        SELECT h FROM (SELECT h FROM ha UNION SELECT h FROM hb) ORDER BY h LIMIT 256
+    ),
+    inboth AS (SELECT h FROM ha INTERSECT SELECT h FROM hb),
+    shared AS (SELECT u.h FROM u JOIN inboth USING (h)),
+    s AS (
+        SELECT (SELECT COUNT(*) FROM u) AS k_used,
+               (SELECT MAX(h) FROM u) AS hk,
+               (SELECT COUNT(*) FROM shared) AS n_shared
+    )
+    SELECT k_used, CAST(n_shared AS BIGINT) AS n_shared,
+           ROUND(CAST(n_shared AS DOUBLE) / k_used, 6) AS jaccard_est,
+           ROUND(ue, 2) AS union_est,
+           ROUND((CAST(n_shared AS DOUBLE) / k_used) * ue, 2) AS inter_est
+    FROM (
+        SELECT k_used, n_shared,
+               CASE WHEN k_used < 256 THEN CAST(k_used AS DOUBLE)
+                    ELSE 255.0 * 1152921504606846976.0 / hk END AS ue
+        FROM s
+    )
+    """,
+)
+def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key overlap estimation by KMV sketch algebra (operators/
+    sketches.kmv_overlap_estimate, Beyer et al. 2007): |customers ∩
+    ordering customers| from two 256-hash sketches — the k smallest
+    hashes of the union are derivable from the two sketches alone, so
+    distinct-overlap / join-selectivity estimates cost two top-k scans
+    and ≤ 2k-row algebra, mergeable across partitions and ingest
+    batches. Deterministic md5 hashing makes every derived ESTIMATE
+    hash-match the oracle."""
+    from odbc2parquet_spark.operators.sketches import kmv_overlap_estimate
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return kmv_overlap_estimate(cust, "c_custkey", orders, "o_custkey", k=256)

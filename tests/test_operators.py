@@ -1916,3 +1916,26 @@ def test_prefix_jaccard_matches_all_pairs(spark, sf_dir):
     }
     want = {(r.id_a, r.id_b) for r in jaccard_pairs(sh, threshold=0.5).collect()}
     assert got == want and len(want) > 0
+
+
+def test_kmv_overlap_estimate_accuracy(spark):
+    """Sketch-algebra overlap: A = 0..4999, B = 2500..7499 -> true
+    |A∩B| = 2500, J = 1/3; estimates land in the ~1/sqrt(k) regime, and
+    the small regime (union < k) is exact."""
+    from odbc2parquet_spark.operators.sketches import kmv_overlap_estimate
+
+    a = spark.range(0, 5000).selectExpr("id AS v")
+    b = spark.range(2500, 7500).selectExpr("id AS v")
+    r = kmv_overlap_estimate(a, "v", b, "v", k=256).first()
+    assert r.k_used == 256
+    assert abs(r.jaccard_est - 1 / 3) < 0.12
+    assert abs(r.inter_est - 2500) / 2500 < 0.25
+    small = kmv_overlap_estimate(
+        spark.range(0, 50).selectExpr("id AS v"),
+        "v",
+        spark.range(25, 75).selectExpr("id AS v"),
+        "v",
+        k=256,
+    ).first()
+    assert small.k_used == 75 and small.n_shared == 25
+    assert small.inter_est == 25.0  # exact below k
