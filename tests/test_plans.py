@@ -77,6 +77,10 @@ BOUNDED_CROSS_OK = {
     # crossed onto the row stream; the category side is a broadcast HASH
     # join on the key, never a nested loop
     "q_target_encode",
+    # round 6: KMV overlap — the post-sketch algebra crosses two 1-row
+    # aggregates (k_used/hk x n_shared); everything upstream is two
+    # partial top-k scans over <= 2k hashes
+    "q_kmv_overlap",
 }
 ALL_PAIRS_OK |= BOUNDED_CROSS_OK
 
