@@ -201,6 +201,7 @@ HEADLINE = [
     "q_target_encode",
     "dd_prefix_jaccard",
     "q_kmv_overlap",
+    "q_exact_median",
 ]
 
 

@@ -1575,3 +1575,26 @@ def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     return kmv_overlap_estimate(cust, "c_custkey", orders, "o_custkey", k=256)
+
+
+@query(
+    "q_exact_median",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           ROUND(MEDIAN(l_extendedprice), 6) AS median
+    FROM lineitem
+    """,
+)
+def q_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global median of l_extendedprice with no sort anywhere
+    (operators/selection.kth_smallest): iterative histogram bisection —
+    each round is one filtered scan + one <= 1024-row bucket reduce, the
+    driver sees bucket summaries only, and the range narrows ~1024x per
+    round (3-5 scans at any scale). Returns the true middle value(s),
+    not an approx_percentile estimate; even-count mean matches DuckDB's
+    MEDIAN convention, so the value hash-matches the oracle."""
+    from odbc2parquet_spark.operators.selection import exact_median
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = exact_median(li, "l_extendedprice")
+    return out.select("n_rows", F.round(F.col("median"), 6).alias("median"))

@@ -1939,3 +1939,32 @@ def test_kmv_overlap_estimate_accuracy(spark):
     ).first()
     assert small.k_used == 75 and small.n_shared == 25
     assert small.inter_est == 25.0  # exact below k
+
+
+def test_kth_smallest_exact_selection(spark):
+    """Distributed quickselect returns the bit-exact k-th value: checked
+    against a local sort across odd/even sizes, duplicates, negatives,
+    and boundary ranks."""
+    import random
+
+    from odbc2parquet_spark.operators.selection import exact_median, kth_smallest
+
+    rng = random.Random(7)
+    vals = [rng.uniform(-1e6, 1e6) for _ in range(4001)] + [42.0] * 500
+    df = spark.createDataFrame([(v,) for v in vals], ["v"]).repartition(16)
+    s = sorted(vals)
+    for k in (1, 2, 1000, len(vals) // 2, len(vals) - 1, len(vals)):
+        assert kth_smallest(df, "v", k) == s[k - 1]
+    med = exact_median(df, "v").first()
+    assert med.n_rows == 4501 and med.median == s[2250]  # odd: middle value
+    evals = vals[:4500]
+    edf = spark.createDataFrame([(v,) for v in evals], ["v"]).repartition(8)
+    es = sorted(evals)
+    emed = exact_median(edf, "v").first()
+    assert emed.median == (es[2249] + es[2250]) / 2.0  # even: IEEE mean
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        kth_smallest(df, "v", 0)
+    with _pt.raises(ValueError):
+        kth_smallest(df, "v", len(vals) + 1)
