@@ -202,6 +202,7 @@ HEADLINE = [
     "dd_prefix_jaccard",
     "q_kmv_overlap",
     "q_exact_median",
+    "ev_purged_split",
 ]
 
 

@@ -255,3 +255,49 @@ def reservoir_sample(
         .withColumn("akey6", F.round(F.col("_akey_"), 6))
         .drop("_akey_")
     )
+
+
+def purged_time_split(
+    df: DataFrame,
+    ts_us_col: str,
+    train_frac_tenths: int = 8,
+    embargo_us: int = 86_400_000_000,
+) -> DataFrame:
+    """Leakage-safe temporal train/test split with an embargo gap (the
+    purged split of Lopez de Prado 2018, ch.7): train = rows at or
+    before the cutoff, test = rows after cutoff + embargo, and rows
+    INSIDE the gap are purged — so features built from trailing windows
+    (EWMAs, rolling stats) on test rows can never see train-period
+    events. A plain temporal split leaks through exactly that channel.
+
+    The cutoff is min + (range * train_frac_tenths) DIV 10 in exact
+    integer microseconds (a tenths fraction keeps the boundary
+    engine-exact — 0.8 * a 10^14-µs range in doubles would round), from
+    a 1-row (min, max) broadcast; the labeling is a codegen'd CASE.
+    Returns the bounded per-split certificate (split, n_rows, min_us,
+    max_us); the row-level labeled frame is the same CASE applied
+    upstream of any consumer.
+    """
+    ts = F.col(ts_us_col)
+    bounds = df.agg(F.min(ts).alias("_mn_"), F.max(ts).alias("_mx_"))
+    cutoff = (
+        F.col("_mn_")
+        + ((F.col("_mx_") - F.col("_mn_")) * F.lit(train_frac_tenths)) / F.lit(10)
+    ).cast("long")  # (range*8) < 2^53 is double-exact; /10 rounds and the
+    # long cast truncates IDENTICALLY in any IEEE engine (oracle mirrors
+    # the same product-divide-cast sequence)
+    split = (
+        F.when(ts <= cutoff, F.lit("train"))
+        .when(ts > cutoff + F.lit(embargo_us), F.lit("test"))
+        .otherwise(F.lit("purged"))
+    )
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .select(split.alias("split"), ts.alias("us"))
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("us").alias("min_us"),
+            F.max("us").alias("max_us"),
+        )
+    )

@@ -1582,3 +1582,37 @@ def ev_hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_distinct_per_group(
         ev.select(day.alias("day"), "user_id"), ["day"], "user_id", p=8
     )
+
+
+@query(
+    "ev_purged_split",
+    oracle="""
+    WITH t AS (SELECT epoch_us(ts) AS us FROM events),
+    b AS (SELECT MIN(us) AS mn, MAX(us) AS mx FROM t),
+    lab AS (
+        SELECT us,
+               CASE WHEN us <= mn + CAST((mx - mn) * 8 / 10 AS BIGINT)
+                    THEN 'train'
+                    WHEN us > mn + CAST((mx - mn) * 8 / 10 AS BIGINT)
+                              + 86400000000
+                    THEN 'test'
+                    ELSE 'purged' END AS split
+        FROM t CROSS JOIN b
+    )
+    SELECT split, COUNT(*) AS n_rows,
+           MIN(us) AS min_us, MAX(us) AS max_us
+    FROM lab GROUP BY split
+    """,
+)
+def ev_purged_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe temporal split with a 1-day embargo gap (operators/
+    sampling.purged_time_split, Lopez de Prado's purged split): test
+    rows start one embargo past the 80% time cutoff, so trailing-window
+    features on test data can never see train-period events. The cutoff
+    derives from a 1-row (min, max) broadcast in exact microsecond
+    arithmetic; output is the bounded per-split certificate."""
+    from odbc2parquet_spark.operators.sampling import purged_time_split
+
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return purged_time_split(ev.select(us.alias("us")), "us")

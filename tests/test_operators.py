@@ -1968,3 +1968,20 @@ def test_kth_smallest_exact_selection(spark):
         kth_smallest(df, "v", 0)
     with _pt.raises(ValueError):
         kth_smallest(df, "v", len(vals) + 1)
+
+
+def test_purged_time_split_embargo_gap(spark):
+    """The purged band sits strictly between train max and test min, and
+    is at least the embargo wide — the leakage guarantee itself."""
+    from odbc2parquet_spark.operators.sampling import purged_time_split
+
+    rows = [(i * 1_000_000,) for i in range(10_000)]  # 10k seconds span
+    df = spark.createDataFrame(rows, ["us"])
+    out = {r.split: r for r in purged_time_split(df, "us", 8, embargo_us=500_000_000).collect()}
+    assert set(out) == {"train", "purged", "test"}
+    assert out["train"].max_us < out["purged"].min_us <= out["purged"].max_us < out["test"].min_us
+    assert out["test"].min_us - out["train"].max_us > 500_000_000
+    total = sum(r.n_rows for r in out.values())
+    assert total == 10_000
+    # ~80/20 modulo the purged band
+    assert abs(out["train"].n_rows - 8000) < 50

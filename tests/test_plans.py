@@ -81,6 +81,9 @@ BOUNDED_CROSS_OK = {
     # aggregates (k_used/hk x n_shared); everything upstream is two
     # partial top-k scans over <= 2k hashes
     "q_kmv_overlap",
+    # round 6: purged temporal split — 1-row (min, max) bounds broadcast
+    # for the cutoff CASE, same shape as ev_psi_drift's binning stats
+    "ev_purged_split",
 }
 ALL_PAIRS_OK |= BOUNDED_CROSS_OK
 

@@ -381,3 +381,60 @@ def test_seasonal_decompose_identity_batch(spark):
         by_phase.setdefault(r.day % 7, []).append(r.resid)
     for phase, rs in by_phase.items():
         assert abs(sum(rs) / len(rs)) < 5e-6, phase
+
+
+def test_kth_selection_matches_sort_batch(spark):
+    """Seeded random value sets (ties, negatives, denormal-ish spreads,
+    single-value degenerate): distributed quickselect equals the local
+    sort at every probed rank."""
+    from odbc2parquet_spark.operators.selection import kth_smallest
+
+    rng = random.Random(31)
+    cases = [
+        [rng.uniform(-1e9, 1e9) for _ in range(777)],
+        [rng.choice([1.5, 2.5, 3.5]) for _ in range(500)],   # heavy ties
+        [7.25] * 400,                                         # one value
+        [rng.uniform(0, 1e-12) for _ in range(300)] + [1e12], # extreme spread
+    ]
+    for trial, vals in enumerate(cases):
+        df = spark.createDataFrame([(v,) for v in vals], ["v"]).repartition(7)
+        s = sorted(vals)
+        n = len(vals)
+        for k in {1, 2, n // 3, n // 2, n - 1, n}:
+            got = kth_smallest(df, "v", k, bins=64)
+            assert got == s[k - 1], (trial, k)
+
+
+def test_prefix_jaccard_matches_all_pairs_batch(spark):
+    """Seeded random shingle universes: prefix+positional filtering emits
+    EXACTLY the pairs the quadratic spec admits at the threshold —
+    recall 1.0 and no extras, across sparse and dup-heavy regimes."""
+    from odbc2parquet_spark.operators.dedup import prefix_jaccard_pairs
+
+    rng = random.Random(17)
+    for trial, (n_docs, vocab, lo, hi) in enumerate(
+        [(40, 30, 3, 10), (25, 8, 2, 6), (30, 100, 5, 12)]
+    ):
+        docsets = []
+        for i in range(n_docs):
+            sz = rng.randint(lo, hi)
+            docsets.append((i, sorted(rng.sample(range(vocab), min(sz, vocab)))))
+        # clone a few docs to force exact duplicates
+        docsets += [(1000 + i, ds) for i, (_, ds) in enumerate(docsets[:3])]
+        rows = [(i, f"tok{t}") for i, ds in docsets for t in ds]
+        sh = spark.createDataFrame(rows, ["id", "g"])
+        got = {
+            (r.id_a, r.id_b, r.n_inter)
+            for r in prefix_jaccard_pairs(sh, threshold=0.6).collect()
+        }
+        want = set()
+        sets = {i: set(ds) for i, ds in docsets}
+        ids = sorted(sets)
+        for ai in range(len(ids)):
+            for bi in range(ai + 1, len(ids)):
+                a, b = ids[ai], ids[bi]
+                inter = len(sets[a] & sets[b])
+                union = len(sets[a] | sets[b])
+                if union and round(inter / union, 6) >= 0.6:
+                    want.add((a, b, inter))
+        assert got == want, f"trial {trial}"
