@@ -246,3 +246,73 @@ def streaming_distinct(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+TOPK_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("value", T.StringType()),
+        T.StructField("mg_count", T.LongType()),
+        T.StructField("n_rows", T.LongType()),
+    ]
+)
+
+
+def streaming_topk(
+    events: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "user_id",
+    k: int = 8,
+) -> DataFrame:
+    """Per-key heavy hitters ON the stream: a Misra-Gries summary of at
+    most ``k`` counters per key in the state store — the O(k)-state dual
+    of the batch operators/sketches.heavy_hitters. Every value whose
+    true frequency exceeds n/(k+1) is GUARANTEED present in the summary
+    (the classic MG bound; pytest-pinned against the exact batch top
+    counts), and each counter undercounts by at most n/(k+1).
+
+    Each batch emits the post-batch summary rows (key, value, mg_count,
+    n_rows), largest counters first — candidates for an exact second
+    pass, or alert fodder on their own ("one user id is suddenly >n/9 of
+    the stream"). Values travel as str(value), like streaming_distinct.
+    """
+
+    def update(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            n, vals, cnts = state.get
+            counters = dict(zip(vals, cnts))
+        else:
+            n, counters = 0, {}
+        for pdf in pdfs:
+            for v in pdf[value_col]:
+                s = str(v)
+                n += 1
+                if s in counters:
+                    counters[s] += 1
+                elif len(counters) < k:
+                    counters[s] = 1
+                else:
+                    # decrement-all step; drop zeroed counters
+                    counters = {
+                        w: c - 1 for w, c in counters.items() if c > 1
+                    }
+        state.update((n, list(counters.keys()), list(counters.values())))
+        ordered = sorted(counters.items(), key=lambda wc: (-wc[1], wc[0]))
+        yield pd.DataFrame(
+            {
+                "key": [key[0]] * len(ordered),
+                "value": [w for w, _ in ordered],
+                "mg_count": [c for _, c in ordered],
+                "n_rows": [n] * len(ordered),
+            }
+        )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=TOPK_SCHEMA,
+        stateStructType="n LONG, vals ARRAY<STRING>, cnts ARRAY<LONG>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -474,3 +474,60 @@ def test_streaming_distinct_matches_batch_hll(spark, tmp_path):
     # JVM-vs-CPython libm ln in the small-range branch, inside 1 ulp
     assert res[650] == pytest.approx(batch.estimate, abs=0.01)
     assert res[650] == pytest.approx(500, rel=0.2)  # ~1.04/sqrt(256) regime
+
+
+def test_streaming_topk_misra_gries_guarantee(spark, tmp_path):
+    """Misra-Gries state across availableNow batches: every value with
+    true frequency > n/(k+1) appears in the final summary, and counters
+    undercount by at most n/(k+1)."""
+    from collections import Counter
+
+    from pyspark.sql import types as T
+
+    from odbc2parquet_spark.streaming.monitors import streaming_topk
+
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+    schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("user_id", T.LongType()),
+        ]
+    )
+
+    def run_batch(rows, subdir):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / subdir)
+        )
+        stream = spark.readStream.schema(schema).option(
+            "recursiveFileLookup", "true"
+        ).parquet(str(src))
+        q = (
+            streaming_topk(stream, "event_type", "user_id", k=8)
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # skewed stream: user 1 is ~40%, user 2 ~20%, the rest a long tail
+    b1 = [("a", 1)] * 40 + [("a", 2)] * 20 + [("a", 100 + i) for i in range(40)]
+    b2 = [("a", 1)] * 40 + [("a", 2)] * 20 + [("a", 200 + i) for i in range(40)]
+    run_batch(b1, "b1")
+    run_batch(b2, "b2")
+
+    res = spark.read.parquet(str(out))
+    final = {r.value: r for r in res.filter(res.n_rows == 200).collect()}
+    n, k = 200, 8
+    true = Counter(str(u) for _, u in b1 + b2)
+    for v, c in true.items():
+        if c > n / (k + 1):
+            assert v in final, f"heavy hitter {v} missing"
+            assert final[v].mg_count <= c
+            assert c - final[v].mg_count <= n / (k + 1)
+    assert len({r.value for r in final.values()}) <= k
