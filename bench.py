@@ -203,6 +203,7 @@ HEADLINE = [
     "q_kmv_overlap",
     "q_exact_median",
     "ev_purged_split",
+    "ev_hll_weekly_users",
 ]
 
 

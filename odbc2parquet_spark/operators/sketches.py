@@ -217,6 +217,20 @@ def hll_distinct_per_group(
     (the property KMV's top-k also has, but HLL keeps fixed m-row state
     per group instead of k sorted hashes).
     """
+    regs = hll_registers(df, group_cols, col, p)
+    return hll_estimate_from_registers(regs, group_cols, p)
+
+
+def hll_registers(
+    df: DataFrame, group_cols: list[str], col: str, p: int = 8
+) -> DataFrame:
+    """(group..., reg, mrho): the raw per-group HLL register rows — the
+    MERGEABLE form. Registers combine by MAX, so coarser groups (weekly
+    from daily, global from per-shard) re-aggregate these <= 2^p rows
+    per group WITHOUT rescanning data; :func:`hll_estimate_from_registers`
+    turns any (re-)aggregated register set back into an estimate that
+    still hash-matches an engine computing the coarse sketch directly
+    (MAX associativity)."""
     m = 1 << p
     suffix_bits = 60 - p
     h = _hash60(F.col(col))
@@ -227,11 +241,21 @@ def hll_distinct_per_group(
         .otherwise(F.lit(suffix_bits + 1) - F.length(F.bin(rest)))
         .cast("int")
     )
-    regs = (
+    return (
         df.select(*group_cols, idx.alias("reg"), rho.alias("rho"))
         .groupBy(*group_cols, "reg")
         .agg(F.max("rho").alias("mrho"))
     )
+
+
+def hll_estimate_from_registers(
+    regs: DataFrame, group_cols: list[str], p: int = 8
+) -> DataFrame:
+    """(group..., m, zero_regs, estimate) from register rows (see
+    :func:`hll_registers`): exact DECIMAL harmonic numerator, one IEEE
+    division, small-range ln correction, ROUND 2 — the estimator half of
+    hll_distinct_per_group, reusable after any register re-aggregation."""
+    m = 1 << p
     two61 = 1 << 61
     alpha = 0.7213 / (1.0 + 1.079 / m)  # large-m bias constant
     per_group = regs.groupBy(*group_cols).agg(

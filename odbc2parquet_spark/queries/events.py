@@ -1616,3 +1616,63 @@ def ev_purged_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     us = F.unix_micros(F.col("ts").cast("timestamp"))
     return purged_time_split(ev.select(us.alias("us")), "us")
+
+
+@query(
+    "ev_hll_weekly_users",
+    oracle="""
+    WITH h AS (
+        SELECT CAST(FLOOR(FLOOR(epoch(ts) / 86400) / 7) AS BIGINT) AS week,
+               CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) AS h
+        FROM events
+    ),
+    regs AS (
+        SELECT week, h & 255 AS reg,
+               MAX(CASE WHEN (h >> 8) = 0 THEN 53
+                        ELSE 53 - length(bin(h >> 8)) END) AS mrho
+        FROM h GROUP BY week, h & 255
+    ),
+    g AS (
+        SELECT week, COUNT(*) AS touched,
+               SUM(CAST(CAST(1 AS BIGINT) << (61 - mrho) AS DECIMAL(38,0)))
+                   AS z_touched
+        FROM regs GROUP BY week
+    ),
+    e AS (
+        SELECT week, 256 - touched AS v,
+               1.0854228543761655e+23
+               / CAST(z_touched + CAST(256 - touched AS DECIMAL(38,0))
+                      * CAST(2305843009213693952 AS DECIMAL(38,0)) AS DOUBLE)
+                   AS raw
+        FROM g
+    )
+    SELECT week, 256 AS m, CAST(v AS BIGINT) AS zero_regs,
+           ROUND(CASE WHEN raw <= 640.0 AND v > 0
+                      THEN 256.0 * ln(256.0 / v) ELSE raw END, 2) AS estimate
+    FROM e
+    """,
+)
+def ev_hll_weekly_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly distinct users by MERGING the daily HLL register rows
+    (operators/sketches.hll_registers + hll_estimate_from_registers):
+    the Spark side builds (week, day, reg, mrho) registers, re-aggregates
+    them to weeks by MAX — never rescanning the events — and estimates;
+    the oracle computes the weekly sketch directly from raw data. The
+    hash match IS the mergeability proof (MAX associativity): rollup
+    hierarchies re-aggregate <= 2^p register rows per group instead of
+    data, the property that makes sketch cubes cheap at 100 TB."""
+    from odbc2parquet_spark.operators.sketches import (
+        hll_estimate_from_registers,
+        hll_registers,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    day = F.floor(F.unix_seconds(F.col("ts").cast("timestamp")) / 86400).cast("long")
+    week = F.floor(day / F.lit(7)).cast("long")
+    daily = hll_registers(
+        ev.select(week.alias("week"), day.alias("day"), "user_id"),
+        ["week", "day"], "user_id", p=8,
+    )
+    weekly = daily.groupBy("week", "reg").agg(F.max("mrho").alias("mrho"))
+    return hll_estimate_from_registers(weekly, ["week"], p=8)

@@ -1985,3 +1985,25 @@ def test_purged_time_split_embargo_gap(spark):
     assert total == 10_000
     # ~80/20 modulo the purged band
     assert abs(out["train"].n_rows - 8000) < 50
+
+
+def test_hll_register_merge_equals_direct(spark):
+    """MAX-merging fine-grained registers gives the SAME estimate as
+    sketching the coarse group directly — the mergeability contract."""
+    import pyspark.sql.functions as F
+
+    from odbc2parquet_spark.operators.sketches import (
+        hll_distinct_per_group,
+        hll_estimate_from_registers,
+        hll_registers,
+    )
+
+    df = spark.range(0, 9000).selectExpr(
+        "CAST(id % 3 AS STRING) AS fine", "'all' AS coarse", "id % 2000 AS v"
+    )
+    direct = hll_distinct_per_group(df, ["coarse"], "v", p=8).first()
+    fine = hll_registers(df, ["coarse", "fine"], "v", p=8)
+    merged = fine.groupBy("coarse", "reg").agg(F.max("mrho").alias("mrho"))
+    via_merge = hll_estimate_from_registers(merged, ["coarse"], p=8).first()
+    assert via_merge.estimate == direct.estimate
+    assert via_merge.zero_regs == direct.zero_regs
