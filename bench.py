@@ -204,6 +204,7 @@ HEADLINE = [
     "q_exact_median",
     "ev_purged_split",
     "ev_hll_weekly_users",
+    "sim_kcore_cert",
 ]
 
 

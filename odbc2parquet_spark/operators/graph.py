@@ -404,3 +404,61 @@ def tree_ancestry(edges: DataFrame, rounds: int = 8) -> DataFrame:
         )
         release_local_checkpoint(prev)  # superseded round
     return state.select("node", F.col("cur").alias("root_key"), "depth")
+
+
+def k_core(
+    edges: DataFrame, k: int, max_rounds: int = 50
+) -> DataFrame:
+    """Nodes of the k-core: the maximal subgraph where every node keeps
+    degree >= k — the dense-subgraph miner behind collusion/spam-farm
+    detection (a review ring or engagement farm survives peeling; organic
+    long-tail activity does not). Batagelj-Zaversnik peeling, distributed:
+    each round drops nodes with degree < k and the edges touching them,
+    until a fixpoint. Rounds are peel DEPTH (shallow for real graphs),
+    bounded by ``max_rounds`` — converged-or-raise, never silent.
+
+    ``edges`` is (id_a, id_b) undirected, self-loops ignored. Returns
+    (node, degree) of the surviving core with IN-CORE degrees.
+
+    Each round: one degree groupBy (map-side combined) + two semi-joins
+    of the shrinking edge list — and the edge list ONLY shrinks, so late
+    rounds cost less than early ones. localCheckpoint between rounds
+    truncates the self-feeding plan (same discipline as
+    connected_components); the driver sees one count per round.
+    """
+    cur = (
+        edges.filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = cur.count()
+    for _ in range(max_rounds):
+        if n_edges == 0:
+            break
+        degs = (
+            cur.select(F.col("id_a").alias("node"))
+            .unionAll(cur.select(F.col("id_b").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("degree"))
+        )
+        keep = degs.filter(F.col("degree") >= k).select("node")
+        nxt = (
+            cur.join(keep.withColumnRenamed("node", "id_a"), "id_a", "left_semi")
+            .join(keep.withColumnRenamed("node", "id_b"), "id_b", "left_semi")
+            .select("id_a", "id_b")
+            .localCheckpoint(eager=True)
+        )
+        n_next = nxt.count()
+        release_local_checkpoint(cur)
+        cur, prev_edges, n_edges = nxt, n_edges, n_next
+        if n_next == prev_edges:  # nothing peeled: fixpoint
+            break
+    else:
+        raise RuntimeError(f"k_core did not converge in {max_rounds} rounds")
+    return (
+        cur.select(F.col("id_a").alias("node"))
+        .unionAll(cur.select(F.col("id_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )

@@ -1414,3 +1414,37 @@ def sim_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 8)
     return S.mmr_rerank(emb, probes, k_cand=12, k_sel=4, lam=0.5)
+
+
+@query(
+    "sim_kcore_cert",
+    oracle="""
+    SELECT CAST(212 AS BIGINT) AS n_nodes, CAST(1564 AS BIGINT) AS sum_degree,
+           CAST(3 AS BIGINT) AS min_node, CAST(498 AS BIGINT) AS max_node,
+           CAST(55430 AS BIGINT) AS sum_nodes
+    """,
+)
+def sim_kcore_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """6-core of the approximate 5-NN graph (operators/graph.k_core,
+    Batagelj-Zaversnik peeling): the dense-subgraph miner behind
+    collusion / engagement-farm detection — organic long-tail structure
+    peels away, tightly inter-linked clusters survive. Iterative (no
+    recursive-SQL dual), so like tx_bpe_learn50 the oracle pins the
+    deterministic output — here a five-field certificate (node count,
+    in-core degree sum, min/max/sum of node ids) of the converged core;
+    the ALGORITHM is pytest-pinned against a pure-Python reference peel
+    on seeded random graphs with a planted clique
+    (tests/test_operators.test_k_core_matches_reference_peel). Each peel
+    round is one map-side-combined degree count + two semi-joins of the
+    only-shrinking edge list."""
+    from odbc2parquet_spark.operators.graph import k_core
+
+    kg = sim_knn_graph(spark, sf_dir)
+    edges = kg.select(F.col("vec_id").alias("id_a"), F.col("neighbor_id").alias("id_b"))
+    return k_core(edges, 6).agg(
+        F.count("*").alias("n_nodes"),
+        F.sum("degree").alias("sum_degree"),
+        F.min("node").alias("min_node"),
+        F.max("node").alias("max_node"),
+        F.sum("node").alias("sum_nodes"),
+    )

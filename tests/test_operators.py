@@ -2007,3 +2007,39 @@ def test_hll_register_merge_equals_direct(spark):
     via_merge = hll_estimate_from_registers(merged, ["coarse"], p=8).first()
     assert via_merge.estimate == direct.estimate
     assert via_merge.zero_regs == direct.zero_regs
+
+
+def test_k_core_matches_reference_peel(spark):
+    """Seeded random graphs + a planted clique: distributed peeling equals
+    a pure-Python Batagelj-Zaversnik reference, and the planted 6-clique
+    survives a 5-core that kills the sparse background."""
+    import random
+
+    from odbc2parquet_spark.operators.graph import k_core
+
+    def ref_k_core(edge_set, k):
+        adj = {}
+        for a, b in edge_set:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        changed = True
+        while changed:
+            changed = False
+            for n in [n for n, ns in adj.items() if len(ns) < k]:
+                for m in adj.pop(n):
+                    adj[m].discard(n)
+                changed = True
+        return {n: len(ns) for n, ns in adj.items() if ns}
+
+    rng = random.Random(11)
+    background = {
+        tuple(sorted((rng.randrange(60), rng.randrange(60))))
+        for _ in range(120)
+    }
+    clique = {(a, b) for a in range(100, 106) for b in range(100, 106) if a < b}
+    edges_set = {e for e in background | clique if e[0] != e[1]}
+    df = spark.createDataFrame(sorted(edges_set), ["id_a", "id_b"])
+    for k in (2, 3, 5):
+        got = {r.node: r.degree for r in k_core(df, k).collect()}
+        assert got == ref_k_core(edges_set, k), f"k={k}"
+    assert set(ref_k_core(edges_set, 5)) >= set(range(100, 106))
