@@ -205,6 +205,7 @@ HEADLINE = [
     "ev_purged_split",
     "ev_hll_weekly_users",
     "sim_kcore_cert",
+    "tx_kfold_assign",
 ]
 
 

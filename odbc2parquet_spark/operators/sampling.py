@@ -301,3 +301,27 @@ def purged_time_split(
             F.max("us").alias("max_us"),
         )
     )
+
+
+def kfold_assign(
+    df: DataFrame,
+    key_col: str,
+    n_folds: int = 5,
+    strata_col: str | None = None,
+) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment: fold =
+    md5_60(key) % n_folds — a pure row function like every sampler here,
+    so folds are reproducible across runs, partitionings, and engines,
+    and any fold's complement is recoverable without storing assignments.
+    Balance holds in expectation (hash uniformity), NOT by per-stratum
+    round-robin — an exact-balance window keyed on a handful of strata
+    would funnel 100 TB through |strata| tasks for cosmetic gain.
+
+    Returns the bounded per-(stratum, fold) certificate (counts), the
+    evidence the balance claim rests on; apply the same fold expression
+    upstream to materialize row-level assignments.
+    """
+    fold = (_hash60(F.col(key_col)) % n_folds).alias("fold")
+    cols = ([F.col(strata_col)] if strata_col else []) + [fold]
+    names = ([strata_col] if strata_col else []) + ["fold"]
+    return df.select(*cols).groupBy(*names).agg(F.count("*").alias("n_rows"))

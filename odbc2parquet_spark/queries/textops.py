@@ -2339,3 +2339,27 @@ def tx_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     owner is a MIN window, no self-join."""
     docs = load_table(spark, sf_dir, "documents")
     return X.novelty_scores(docs, n=2)
+
+
+@query(
+    "tx_kfold_assign",
+    oracle="""
+    SELECT lang,
+           CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                AS BIGINT) % 5 AS fold,
+           COUNT(*) AS n_rows
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def tx_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-fold CV assignment (operators/sampling.
+    kfold_assign): fold is a pure function of doc_id, reproducible on
+    any engine with no stored assignment table; output is the
+    per-(lang, fold) balance certificate. Balance is hash-expectation,
+    never a per-stratum window — |strata| tasks must not carry the
+    corpus."""
+    from odbc2parquet_spark.operators.sampling import kfold_assign
+
+    docs = load_table(spark, sf_dir, "documents")
+    return kfold_assign(docs, "doc_id", n_folds=5, strata_col="lang")

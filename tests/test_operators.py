@@ -2043,3 +2043,23 @@ def test_k_core_matches_reference_peel(spark):
         got = {r.node: r.degree for r in k_core(df, k).collect()}
         assert got == ref_k_core(edges_set, k), f"k={k}"
     assert set(ref_k_core(edges_set, 5)) >= set(range(100, 106))
+
+
+def test_kfold_assignment_properties(spark):
+    """Folds partition the corpus (counts sum to n), are reproducible
+    across repartitionings, and are near-balanced by hash uniformity."""
+    from odbc2parquet_spark.operators.sampling import kfold_assign
+
+    df = spark.range(0, 5000).selectExpr(
+        "id AS doc_id", "CAST(id % 4 AS STRING) AS lang"
+    )
+    cert = kfold_assign(df, "doc_id", n_folds=5, strata_col="lang").collect()
+    assert sum(r.n_rows for r in cert) == 5000
+    assert {r.fold for r in cert} == set(range(5))
+    per_fold = {}
+    for r in cert:
+        per_fold[r.fold] = per_fold.get(r.fold, 0) + r.n_rows
+    assert all(abs(c - 1000) < 150 for c in per_fold.values())  # ~4 sigma
+    a = sorted(map(tuple, kfold_assign(df.repartition(32), "doc_id", 5, "lang").collect()))
+    b = sorted(map(tuple, kfold_assign(df.coalesce(1), "doc_id", 5, "lang").collect()))
+    assert a == b
