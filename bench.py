@@ -206,6 +206,8 @@ HEADLINE = [
     "ev_hll_weekly_users",
     "sim_kcore_cert",
     "tx_kfold_assign",
+    "ev_hll_cumulative",
+    "ev_new_vs_returning",
 ]
 
 

@@ -1676,3 +1676,126 @@ def ev_hll_weekly_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     weekly = daily.groupBy("week", "reg").agg(F.max("mrho").alias("mrho"))
     return hll_estimate_from_registers(weekly, ["week"], p=8)
+
+
+@query(
+    "ev_hll_cumulative",
+    oracle="""
+    WITH h AS (
+        SELECT CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day,
+               CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) AS h
+        FROM events
+    ),
+    regs AS (
+        SELECT day, h & 255 AS reg,
+               MAX(CASE WHEN (h >> 8) = 0 THEN 53
+                        ELSE 53 - length(bin(h >> 8)) END) AS mrho
+        FROM h GROUP BY day, h & 255
+    ),
+    grid AS (
+        SELECT d.day, r.range AS reg
+        FROM (SELECT DISTINCT day FROM regs) d CROSS JOIN range(256) r
+    ),
+    run0 AS (
+        SELECT grid.day, grid.reg,
+               MAX(regs.mrho) OVER (PARTITION BY grid.reg ORDER BY grid.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mrho
+        FROM grid LEFT JOIN regs
+          ON regs.day = grid.day AND regs.reg = grid.reg
+    ),
+    run AS (SELECT day, reg, mrho FROM run0 WHERE mrho IS NOT NULL),
+    g AS (
+        SELECT day, COUNT(*) AS touched,
+               SUM(CAST(CAST(1 AS BIGINT) << (61 - mrho) AS DECIMAL(38,0)))
+                   AS z_touched
+        FROM run GROUP BY day
+    ),
+    e AS (
+        SELECT day, 256 - touched AS v,
+               1.0854228543761655e+23
+               / CAST(z_touched + CAST(256 - touched AS DECIMAL(38,0))
+                      * CAST(2305843009213693952 AS DECIMAL(38,0)) AS DOUBLE)
+                   AS raw
+        FROM g
+    )
+    SELECT day, 256 AS m, CAST(v AS BIGINT) AS zero_regs,
+           ROUND(CASE WHEN raw <= 640.0 AND v > 0
+                      THEN 256.0 * ln(256.0 / v) ELSE raw END, 2) AS estimate
+    FROM e
+    """,
+)
+def ev_hll_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users TO DATE per day — the running-COUNT(DISTINCT) that
+    is ordinarily painful at scale — as a cumulative register window:
+    per-(day, reg) HLL registers, then MAX over each register's day
+    history (a window over <= 2^p tiny partitions), then the standard
+    estimator per day. Register accumulation replaces re-sketching every
+    prefix of the stream; the same register MAX-merge the weekly rollup
+    proves (ev_hll_weekly_users), applied cumulatively."""
+    from odbc2parquet_spark.operators.sketches import (
+        hll_estimate_from_registers,
+        hll_registers,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    day = F.floor(F.unix_seconds(F.col("ts").cast("timestamp")) / 86400).cast("long")
+    regs = hll_registers(
+        ev.select(day.alias("day"), "user_id"), ["day"], "user_id", p=8
+    )
+    # DENSIFY first: a register touched on day d but not day d+1 has no
+    # (d+1, reg) row, and a row-less register cannot be carried forward
+    # by any window — the calendar x 2^p grid (days * 256 rows, bounded
+    # at any scale) gives every register a row per day to accumulate into
+    days = regs.select("day").distinct()
+    all_regs = spark.range(256).select(F.col("id").cast("long").alias("reg"))
+    grid = days.crossJoin(F.broadcast(all_regs))
+    w = Window.partitionBy("reg").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    run = (
+        grid.join(regs, ["day", "reg"], "left")
+        .select("day", "reg", F.max("mrho").over(w).alias("mrho"))
+        .filter(F.col("mrho").isNotNull())
+    )
+    return hll_estimate_from_registers(run, ["day"], p=8)
+
+
+@query(
+    "ev_new_vs_returning",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, MIN(CAST(FLOOR(epoch(ts) / 86400) AS BIGINT)) AS first_day
+        FROM events GROUP BY user_id
+    ),
+    daily AS (
+        SELECT DISTINCT CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day, user_id
+        FROM events
+    )
+    SELECT day,
+           CAST(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_new,
+           CAST(SUM(CASE WHEN day > first_day THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_returning
+    FROM daily JOIN firsts USING (user_id)
+    GROUP BY day
+    """,
+)
+def ev_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact new-vs-returning users per day (growth-accounting's first
+    split): per-user first-seen day from one map-side-combined MIN agg,
+    joined back onto the distinct (day, user) activity — both shuffles
+    keyed on user_id, so they share one exchange under AQE; no window
+    over the event log."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.floor(F.unix_seconds(F.col("ts").cast("timestamp")) / 86400).cast("long")
+    daily = ev.select(day.alias("day"), "user_id").distinct()
+    firsts = daily.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    return (
+        daily.join(firsts, "user_id")
+        .groupBy("day")
+        .agg(
+            F.sum((F.col("day") == F.col("first_day")).cast("long")).alias("n_new"),
+            F.sum((F.col("day") > F.col("first_day")).cast("long")).alias("n_returning"),
+        )
+    )

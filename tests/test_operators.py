@@ -2063,3 +2063,41 @@ def test_kfold_assignment_properties(spark):
     a = sorted(map(tuple, kfold_assign(df.repartition(32), "doc_id", 5, "lang").collect()))
     b = sorted(map(tuple, kfold_assign(df.coalesce(1), "doc_id", 5, "lang").collect()))
     assert a == b
+
+
+def test_hll_cumulative_carries_untouched_registers(spark):
+    """A register touched on day 1 but silent on day 2 must still count
+    on day 2 — the densified-grid carry the ev_hll_cumulative bugfix
+    pinned (pre-fix, cumulative degenerated to the daily sketch)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from odbc2parquet_spark.operators.sketches import (
+        hll_distinct_per_group,
+        hll_estimate_from_registers,
+        hll_registers,
+    )
+
+    rows = [(1, v) for v in range(200)] + [(2, v) for v in range(190, 210)]
+    df = spark.createDataFrame(rows, ["day", "v"])
+    regs = hll_registers(df, ["day"], "v", p=8)
+    days = regs.select("day").distinct()
+    grid = days.crossJoin(F.broadcast(
+        spark.range(256).select(F.col("id").cast("long").alias("reg"))
+    ))
+    w = Window.partitionBy("reg").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    run = (
+        grid.join(regs, ["day", "reg"], "left")
+        .select("day", "reg", F.max("mrho").over(w).alias("mrho"))
+        .filter(F.col("mrho").isNotNull())
+    )
+    cum = {r.day: r.estimate for r in hll_estimate_from_registers(run, ["day"], p=8).collect()}
+    # day-2 cumulative must equal sketching the union directly (210 ids),
+    # NOT the 20-id day-2 slice
+    union_direct = hll_distinct_per_group(
+        df.select(F.lit(2).alias("day"), "v"), ["day"], "v", p=8
+    ).first()
+    assert cum[2] == union_direct.estimate
+    assert cum[2] > cum[1] * 0.9 and cum[2] >= cum[1]

@@ -84,6 +84,9 @@ BOUNDED_CROSS_OK = {
     # round 6: purged temporal split — 1-row (min, max) bounds broadcast
     # for the cutoff CASE, same shape as ev_psi_drift's binning stats
     "ev_purged_split",
+    # round 6: cumulative HLL — the calendar x 256-register densifying
+    # grid is a broadcast cross of two bounded sides (days, registers)
+    "ev_hll_cumulative",
 }
 ALL_PAIRS_OK |= BOUNDED_CROSS_OK
 
