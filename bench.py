@@ -208,6 +208,7 @@ HEADLINE = [
     "tx_kfold_assign",
     "ev_hll_cumulative",
     "ev_new_vs_returning",
+    "tx_temperature_mix",
 ]
 
 

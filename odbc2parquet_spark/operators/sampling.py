@@ -325,3 +325,45 @@ def kfold_assign(
     cols = ([F.col(strata_col)] if strata_col else []) + [fold]
     names = ([strata_col] if strata_col else []) + ["fold"]
     return df.select(*cols).groupBy(*names).agg(F.count("*").alias("n_rows"))
+
+
+def temperature_sample(
+    df: DataFrame, source_col: str, key_col: str
+) -> DataFrame:
+    """Temperature resampling at alpha = 0.5 (the multilingual-LM
+    rebalance: sample source s proportional to N_s^alpha, lifting
+    low-resource sources without drowning high-resource ones). With
+    weights w_s = sqrt(N_s), the largest achievable mixture keeps the
+    binding source whole: keep-rate r_s = sqrt(N_s) * min_u sqrt(N_u)
+    / N_s — computed wholly in-plan from the per-source counts
+    (|sources| rows), scale-free (no normalization sum, hence no
+    addition-order sensitivity).
+
+    alpha is FIXED at 0.5 because sqrt is the one power IEEE 754
+    requires correctly rounded — an arbitrary pow(n, alpha) could differ
+    by 1 ulp across engines and flip the quantized threshold. Rows are
+    then hash-threshold selected (same 2^-40 quantization as
+    mixture_sample), so the oracle reproduces the exact sample.
+    """
+    counts = df.groupBy(F.col(source_col).alias("_src_")).agg(
+        F.count("*").alias("_n_")
+    )
+    rated = counts.withColumn("_w_", F.sqrt(F.col("_n_")))
+    target = rated.agg(F.min(F.col("_n_") / F.col("_w_")).alias("_t_"))
+    thresholds = (
+        rated.join(F.broadcast(target))
+        .withColumn(
+            "_thr_",
+            (
+                F.floor(F.col("_w_") * F.col("_t_") / F.col("_n_") * F.lit(float(_QUANT)))
+                * F.lit(_HASH_DOMAIN // _QUANT)
+            ).cast("long"),
+        )
+        .select("_src_", "_thr_")
+    )
+    h = _hash60(F.col(key_col))
+    return (
+        df.join(F.broadcast(thresholds), df[source_col] == F.col("_src_"))
+        .filter(h < F.col("_thr_"))
+        .drop("_src_", "_thr_")
+    )

@@ -2363,3 +2363,39 @@ def tx_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return kfold_assign(docs, "doc_id", n_folds=5, strata_col="lang")
+
+
+@query(
+    "tx_temperature_mix",
+    oracle=f"""
+    WITH counts AS (
+        SELECT lang AS src, COUNT(*) AS n FROM documents GROUP BY lang
+    ),
+    rated AS (
+        SELECT src, n, SQRT(n) AS w, n / SQRT(n) AS ratio FROM counts
+    ),
+    t AS (SELECT MIN(ratio) AS t FROM rated),
+    thr AS (
+        SELECT src,
+               CAST(FLOOR(w * t.t / n * {1 << 40}) AS BIGINT) * {1 << 20} AS thr
+        FROM rated CROSS JOIN t
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN thr ON thr.src = d.lang
+    WHERE CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+          < thr.thr
+    """,
+)
+def tx_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature resampling at alpha = 0.5 across LANGUAGES
+    (operators/sampling.temperature_sample): the multilingual-LM
+    rebalance — keep-rates proportional to sqrt(N_l)/N_l lift
+    low-resource languages relative to the head (en at 4x fr here gets
+    halved relative weight), binding language kept whole, derived wholly
+    in-plan from per-language counts. sqrt is the one power IEEE
+    requires correctly rounded, so both engines compute identical
+    thresholds and select the EXACT same rows."""
+    from odbc2parquet_spark.operators.sampling import temperature_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return temperature_sample(docs, "lang", "doc_id").select("doc_id", "lang")

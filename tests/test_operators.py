@@ -2101,3 +2101,22 @@ def test_hll_cumulative_carries_untouched_registers(spark):
     ).first()
     assert cum[2] == union_direct.estimate
     assert cum[2] > cum[1] * 0.9 and cum[2] >= cum[1]
+
+
+def test_temperature_sample_rebalances_head(spark):
+    """alpha=0.5 temperature: the binding (smallest) source keeps every
+    row; a source 4x larger keeps ~half its rows (sqrt tempering), so
+    the output mixture is flatter than the input."""
+    from odbc2parquet_spark.operators.sampling import temperature_sample
+
+    rows = [(i, "big") for i in range(4000)] + [(10_000 + i, "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, ["id", "src"])
+    out = temperature_sample(df, "src", "id")
+    by = {r.src: r.n for r in out.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    assert by["small"] == 1000  # binding source kept whole
+    # big keeps rate sqrt(4000)*min(n/sqrt(n))/4000 = sqrt(4000*1000)/4000 = 0.5
+    assert abs(by["big"] - 2000) < 150
+    # determinism under repartitioning
+    a = sorted(r.id for r in temperature_sample(df.repartition(32), "src", "id").collect())
+    b = sorted(r.id for r in temperature_sample(df.coalesce(1), "src", "id").collect())
+    assert a == b
