@@ -209,6 +209,7 @@ HEADLINE = [
     "ev_hll_cumulative",
     "ev_new_vs_returning",
     "tx_temperature_mix",
+    "mm_video_neardup",
 ]
 
 

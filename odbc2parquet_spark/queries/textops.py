@@ -2399,3 +2399,88 @@ def tx_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return temperature_sample(docs, "lang", "doc_id").select("doc_id", "lang")
+
+
+@query(
+    "mm_video_neardup",
+    oracle="""
+    WITH p AS (
+        SELECT doc_id, text, length(text) AS n,
+               length(text) % 24 + 1 AS ns
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, text, n, t.i AS i, (t.i % 7) + 1 AS size_i,
+               28 * (t.i // 7) + ((t.i % 7) * ((t.i % 7) + 1)) // 2 AS p0
+        FROM p, UNNEST(generate_series(0, ns - 1)) AS t(i)
+    ),
+    b AS (
+        SELECT doc_id, i, size_i, p0 + u.j AS off,
+               ascii(substring(text, ((p0 + u.j) % n) + 1, 1)) AS byte
+        FROM s, UNNEST(generate_series(0, size_i - 1)) AS u(j)
+    ),
+    d AS (
+        SELECT doc_id, i,
+               md5(string_agg(CAST(byte AS VARCHAR), ',' ORDER BY off)) AS g
+        FROM b GROUP BY doc_id, i
+    ),
+    shh AS (
+        SELECT DISTINCT doc_id AS id,
+               CAST('0x' || substring(md5(g), 1, 15) AS BIGINT) AS gh
+        FROM d
+    ),
+    dftab AS (SELECT gh, COUNT(*) AS df FROM shh GROUP BY gh),
+    sized AS (
+        SELECT id, gh,
+               ROW_NUMBER() OVER (PARTITION BY id ORDER BY df, gh) AS rn,
+               COUNT(*) OVER (PARTITION BY id) AS sz
+        FROM shh JOIN dftab USING (gh)
+    ),
+    prefix AS (
+        SELECT id, gh, sz, rn FROM sized WHERE rn <= sz - CEIL(0.6 * sz) + 1
+    ),
+    cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM prefix a JOIN prefix b ON a.gh = b.gh AND a.id < b.id
+        WHERE b.sz * 1.0 >= 0.6 * a.sz AND a.sz * 1.0 >= 0.6 * b.sz
+          AND 1 + LEAST(a.sz - a.rn, b.sz - b.rn)
+              >= CEIL(0.375 * (a.sz + b.sz))
+    ),
+    inter AS (
+        SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+        FROM cand c
+        JOIN shh ta ON ta.id = c.id_a
+        JOIN shh tb ON tb.id = c.id_b AND tb.gh = ta.gh
+        GROUP BY c.id_a, c.id_b
+    ),
+    szs AS (SELECT id, COUNT(*) AS sz FROM shh GROUP BY id)
+    SELECT i.id_a, i.id_b, CAST(n_inter AS BIGINT) AS n_inter,
+           ROUND(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter), 6)
+               AS jaccard
+    FROM inter i
+    JOIN szs sa ON sa.id = i.id_a
+    JOIN szs sb ON sb.id = i.id_b
+    WHERE ROUND(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter), 6) >= 0.6
+    """,
+)
+def mm_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal near-duplicate VIDEO detection: real MP4 sample
+    tables demux to per-sample digests (operators/multimodal.
+    video_frame_index, every sample), each video becomes its digest SET,
+    and the exact prefix-filtered Jaccard join (operators/dedup.
+    prefix_jaccard_pairs — same PPJoin machinery as dd_prefix_jaccard)
+    finds videos sharing >= 0.6 of their content samples, recall 1.0.
+    The oracle rebuilds every sample's bytes in SQL from the closed-form
+    size cycle and replays the whole demux -> digest -> prefix-join
+    pipeline — one hash match certifies the composition end-to-end. The
+    multimodal stack FEEDING the dedup stack: at 100 TB the digest sets
+    are the only thing that leaves the demux pass (longs, never video
+    bytes)."""
+    from odbc2parquet_spark.operators.dedup import prefix_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = M.video_frame_index(M.encode_mp4_samples(docs), every_k=1).filter(
+        F.col("sample_idx").isNotNull()
+    )
+    sets = idx.select(F.col("doc_id").alias("id"), F.col("digest").alias("g")).distinct()
+    return prefix_jaccard_pairs(sets, threshold=0.6)
