@@ -87,6 +87,10 @@ BOUNDED_CROSS_OK = {
     # round 6: cumulative HLL — the calendar x 256-register densifying
     # grid is a broadcast cross of two bounded sides (days, registers)
     "ev_hll_cumulative",
+    # round 6: temperature resampling — |languages|-row counts crossed
+    # with the 1-row binding-ratio minimum (mixture_sample's shape; its
+    # literal-weight twin folds the cross away, the in-plan rates do not)
+    "tx_temperature_mix",
 }
 ALL_PAIRS_OK |= BOUNDED_CROSS_OK
 
