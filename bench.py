@@ -210,6 +210,7 @@ HEADLINE = [
     "ev_new_vs_returning",
     "tx_temperature_mix",
     "mm_video_neardup",
+    "ev_seasonal_anomalies",
 ]
 
 

@@ -639,3 +639,72 @@ def ev_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("day")
     ).agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("val_dec"))
     return seasonal_decompose(daily, "day", "val_dec", period=7).orderBy("day")
+
+
+@query(
+    "ev_seasonal_anomalies",
+    oracle="""
+    WITH stl AS (
+    WITH daily AS (
+            SELECT CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day,
+                   SUM(CAST(value AS DECIMAL(18,6))) AS val_dec
+            FROM events GROUP BY 1
+        ),
+        win AS (
+            SELECT day, val_dec,
+                   COUNT(*) OVER w AS n7,
+                   SUM(val_dec) OVER w AS s7
+            FROM daily
+            WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        ),
+        full_w AS (
+            SELECT day, val_dec, s7, 7 * val_dec - s7 AS detr, day % 7 AS phase
+            FROM win WHERE n7 = 7
+        ),
+        seas AS (
+            SELECT phase,
+                   ROUND(CAST(SUM(detr) AS DOUBLE) / (7.0 * COUNT(*)), 6)
+                       AS seasonal
+            FROM full_w GROUP BY 1
+        )
+        SELECT f.day, ROUND(CAST(f.val_dec AS DOUBLE), 6) AS val,
+               ROUND(CAST(f.s7 AS DOUBLE) / 7, 6) AS trend,
+               s.seasonal,
+               ROUND(ROUND(CAST(f.detr AS DOUBLE) / 7, 6) - s.seasonal, 6) AS resid
+        FROM full_w f JOIN seas s USING (phase)
+        ORDER BY f.day
+    ),
+    m AS (SELECT ROUND(quantile_cont(resid, 0.5), 6) AS med FROM stl),
+    md AS (
+        SELECT med, ROUND(quantile_cont(ABS(resid - med), 0.5), 6) AS mad
+        FROM stl CROSS JOIN m GROUP BY med
+    )
+    SELECT day, resid, med, mad,
+           ABS(resid - med) > 4.4478 * mad AS is_anomaly
+    FROM stl CROSS JOIN md
+    """,
+)
+def ev_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonally-adjusted anomaly detection — the composition every
+    monitoring pipeline actually runs: classical decomposition first
+    (ev_stl_decompose, exact-decimal trend/seasonal), then the robust
+    MAD band on the RESIDUAL, so weekday rhythm and slow drift can never
+    masquerade as anomalies (a raw-value detector flags every Saturday).
+    Both engines compose their already-certified halves: the oracle
+    embeds the full decomposition SQL as a CTE and replays the MAD
+    flagging — one hash certifies the composed pipeline. Residuals are
+    calendar-sized, so the global median passes are folds over ~days
+    rows, not data."""
+    stl = ev_stl_decompose(spark, sf_dir)
+    med = stl.agg(F.round(F.expr("percentile(resid, 0.5)"), 6).alias("med"))
+    j = stl.crossJoin(F.broadcast(med))
+    mad = j.groupBy("med").agg(
+        F.round(F.expr("percentile(abs(resid - med), 0.5)"), 6).alias("mad")
+    )
+    return (
+        stl.crossJoin(F.broadcast(mad))
+        .select(
+            "day", "resid", "med", "mad",
+            (F.abs(F.col("resid") - F.col("med")) > F.lit(4.4478) * F.col("mad")).alias("is_anomaly"),
+        )
+    )

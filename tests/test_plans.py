@@ -91,6 +91,10 @@ BOUNDED_CROSS_OK = {
     # with the 1-row binding-ratio minimum (mixture_sample's shape; its
     # literal-weight twin folds the cross away, the in-plan rates do not)
     "tx_temperature_mix",
+    # round 6: seasonal anomalies — 1-row med/mad stats crossed onto the
+    # calendar-sized residual table (plus the decomposition's own
+    # calendar-bounded shapes)
+    "ev_seasonal_anomalies",
 }
 ALL_PAIRS_OK |= BOUNDED_CROSS_OK
 
