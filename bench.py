@@ -211,6 +211,7 @@ HEADLINE = [
     "tx_temperature_mix",
     "mm_video_neardup",
     "ev_seasonal_anomalies",
+    "q_entity_resolution",
 ]
 
 

@@ -1598,3 +1598,105 @@ def q_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     out = exact_median(li, "l_extendedprice")
     return out.select("n_rows", F.round(F.col("median"), 6).alias("median"))
+
+
+@query(
+    "q_entity_resolution",
+    oracle="""
+    WITH RECURSIVE fz AS (
+    WITH probes AS (
+            SELECT c_custkey AS probe_id, c_nationkey,
+                   substring(c_name, 1, 14)
+                   || translate(substring(c_name, 15, 1),
+                                '0123456789', '1234567890')
+                   || substring(c_name, 16) AS pname
+            FROM customer WHERE c_custkey % 20 = 0
+        ),
+        pos AS (SELECT unnest(generate_series(0, 8)) AS pos),
+        pk AS (
+            SELECT probe_id, pname,
+                   CAST(c_nationkey AS VARCHAR) || ':' || CAST(pos AS VARCHAR)
+                   || ':' || substring(substring(pname, 10, 9), 1, pos)
+                   || substring(substring(pname, 10, 9), pos + 2) AS bkey
+            FROM probes CROSS JOIN pos
+        ),
+        mk AS (
+            SELECT c_custkey AS matched_id, c_name AS mname,
+                   CAST(c_nationkey AS VARCHAR) || ':' || CAST(pos AS VARCHAR)
+                   || ':' || substring(substring(c_name, 10, 9), 1, pos)
+                   || substring(substring(c_name, 10, 9), pos + 2) AS bkey
+            FROM customer CROSS JOIN pos
+        ),
+        pairs AS (
+            SELECT DISTINCT probe_id, pname, matched_id, mname
+            FROM pk JOIN mk USING (bkey)
+        ),
+        scored AS (
+            SELECT probe_id, matched_id, levenshtein(pname, mname) AS distance
+            FROM pairs
+        )
+        SELECT probe_id, matched_id, distance FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                                         ORDER BY distance, matched_id) AS rnk
+            FROM scored
+        ) WHERE rnk = 1
+    ),
+    edges AS (
+        SELECT probe_id + 1000000000 AS id_a, matched_id AS id_b
+        FROM fz WHERE distance <= 1
+    ),
+    nodes AS (
+        SELECT id_a AS id FROM edges UNION SELECT id_b FROM edges
+    ),
+    sym AS (SELECT id_a AS src, id_b AS dst FROM edges
+            UNION SELECT id_b, id_a FROM edges),
+    cc(id, label) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT s.dst, c.label FROM cc c JOIN sym s ON s.src = c.id
+    ),
+    lab AS (
+        SELECT id, MIN(label) AS entity_id FROM cc GROUP BY id
+    )
+    SELECT id AS record_id, entity_id, (id = entity_id) AS is_canonical
+    FROM lab
+    WHERE entity_id IN (SELECT entity_id FROM lab
+                        GROUP BY entity_id HAVING COUNT(*) >= 2)
+    """,
+)
+def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution: the dirtied probe batch resolves
+    against the master by deletion-neighborhood blocked Levenshtein
+    (q_fuzzy_match), match edges at distance <= 1 become a record graph
+    (probe records offset into their own id space), and min-label
+    propagation (operators/graph.duplicate_clusters — the
+    oracle-certified component engine) assigns every record its
+    canonical ENTITY id; only multi-member entities ship. The
+    composition every MDM/dedup pipeline runs — blocking, scoring,
+    clustering, canonicalization — with each stage individually
+    oracle-certified and the whole chain certified here by one hash."""
+    from odbc2parquet_spark.operators.graph import duplicate_clusters
+
+    fz = q_fuzzy_match(spark, sf_dir)
+    edges = fz.filter(F.col("distance") <= 1).select(
+        (F.col("probe_id") + F.lit(1000000000)).alias("id_a"),
+        F.col("matched_id").alias("id_b"),
+    )
+    nodes = (
+        edges.select(F.col("id_a").alias("id"))
+        .unionAll(edges.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    lab = duplicate_clusters(nodes, edges).select(
+        F.col("id").alias("record_id"),
+        F.col("cluster_id").alias("entity_id"),
+        F.col("is_canonical"),
+    )
+    multi = (
+        lab.groupBy("entity_id").agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("entity_id")
+    )
+    return lab.join(F.broadcast(multi), "entity_id").select(
+        "record_id", "entity_id", "is_canonical"
+    )
