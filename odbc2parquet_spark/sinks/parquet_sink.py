@@ -612,3 +612,35 @@ def compact_parquet(
     shutil.rmtree(backup)
     after = glob.glob(os.path.join(path, "*.parquet"))
     return (len(before), len(after))
+
+
+def audit_output(paths: list[str]) -> dict:
+    """Footer-only reconciliation of a finished write: (n_rows, n_files,
+    n_row_groups, total_bytes) summed from parquet METADATA — no data
+    pages are read, so auditing a 100 TB export costs one footer fetch
+    per file. The did-we-lose-rows check every transfer pipeline runs
+    before swapping an output live; pair with the source count
+    (reference analogue: the reference trusts its single writer loop,
+    src/query/mod.rs — a distributed writer earns the explicit audit).
+
+    ``paths`` is write_parquet's return value (files or directories).
+    """
+    import pyarrow.parquet as pq
+
+    files: list[str] = []
+    for p in paths:
+        if os.path.isdir(p):
+            files.extend(sorted(glob.glob(os.path.join(p, "*.parquet"))))
+        else:
+            files.append(p)
+    n_rows = n_groups = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        n_rows += md.num_rows
+        n_groups += md.num_row_groups
+    return {
+        "n_rows": n_rows,
+        "n_files": len(files),
+        "n_row_groups": n_groups,
+        "total_bytes": sum(os.path.getsize(f) for f in files),
+    }

@@ -639,3 +639,29 @@ def test_resplit_reads_staged_bytes_not_source(spark, tmp_path):
     assert first_pass > 0
     # any refinement rewrites must have read staged parquet, not the rdd
     assert acc.value == first_pass
+
+
+def test_audit_output_reconciles_row_counts(spark, tmp_path):
+    """Footer-only audit equals the source count in both directory and
+    split-file modes — the post-write reconciliation gate."""
+    from odbc2parquet_spark.sinks.parquet_sink import (
+        SinkOptions,
+        audit_output,
+        write_parquet,
+    )
+
+    df = spark.range(0, 10_000).selectExpr("id", "CAST(id % 7 AS STRING) AS s")
+    out_dir = str(tmp_path / "plain")
+    paths = write_parquet(df, out_dir)
+    a = audit_output(paths)
+    assert a["n_rows"] == 10_000
+    assert a["n_files"] >= 1 and a["n_row_groups"] >= a["n_files"]
+    assert a["total_bytes"] > 0
+
+    split = str(tmp_path / "split.par")
+    paths2 = write_parquet(
+        df, split, SinkOptions(batch_size_rows=2000, row_groups_per_file=2)
+    )
+    a2 = audit_output(paths2)
+    assert a2["n_rows"] == 10_000
+    assert a2["n_files"] == len(paths2) > 1
