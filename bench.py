@@ -212,6 +212,7 @@ HEADLINE = [
     "mm_video_neardup",
     "ev_seasonal_anomalies",
     "q_entity_resolution",
+    "ev_holt_forecast",
 ]
 
 

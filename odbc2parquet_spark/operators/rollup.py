@@ -326,3 +326,67 @@ def rolling_trend(
     return out.withColumn("slope", F.round(slope, 6)).drop(
         "_x_", "_y_", "_sx_", "_sy_", "_sxy_", "_sxx_"
     )
+
+
+def holt_forecast(
+    daily: DataFrame,
+    group_col: str = "key",
+    day_col: str = "day",
+    value_col: str = "x",
+    horizons: tuple[int, ...] = (1, 7),
+) -> DataFrame:
+    """Holt's linear-trend exponential smoothing with alpha = beta = 1/2
+    — the dyadic choice is deliberate: halving a double is ALWAYS exact
+    in IEEE 754, so the recursion
+
+        level_t = (x_t + (level_{t-1} + trend_{t-1})) / 2
+        trend_t = ((level_t - level_{t-1}) + trend_{t-1}) / 2
+
+    is a fixed left-to-right sequence of adds and exact halvings any
+    engine replays bit-identically (the ewma_last_n contract, extended
+    to a 2-state recursion). Initialization: level = x_1, trend = 0.
+    Forecast f_h = level_n + h * trend_n.
+
+    The recursion is inherently sequential per group, so each group's
+    daily series (calendar-sized — ~365 rows/year however big the raw
+    data) is collected into ONE ordered array and folded with a single
+    Catalyst ``aggregate`` expression: no per-step shuffles, no driver
+    loop; groups parallelize across tasks. Emits (group, n_days, level,
+    trend, f_<h>...) rounded to 6.
+    """
+    arr = daily.groupBy(group_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(day_col).alias("d"), F.col(value_col).alias("x")))
+        ).alias("series")
+    )
+    zero = F.struct(
+        F.lit(None).cast("double").alias("l"),
+        F.lit(0.0).alias("b"),
+    )
+
+    def step(acc: F.Column, s: F.Column) -> F.Column:
+        x = s.getField("x").cast("double")
+        first = acc.getField("l").isNull()
+        l_prev, b_prev = acc.getField("l"), acc.getField("b")
+        l_new = F.when(first, x).otherwise((x + (l_prev + b_prev)) / F.lit(2.0))
+        b_new = F.when(first, F.lit(0.0)).otherwise(
+            ((l_new - l_prev) + b_prev) / F.lit(2.0)
+        )
+        return F.struct(l_new.alias("l"), b_new.alias("b"))
+
+    fitted = arr.select(
+        group_col,
+        F.size("series").alias("n_days"),
+        F.aggregate(F.col("series"), zero, step).alias("st"),
+    )
+    cols = [
+        F.col(group_col),
+        F.col("n_days").cast("long").alias("n_days"),
+        F.round(F.col("st.l"), 6).alias("level"),
+        F.round(F.col("st.b"), 6).alias("trend"),
+    ]
+    for h in horizons:
+        cols.append(
+            F.round(F.col("st.l") + F.lit(float(h)) * F.col("st.b"), 6).alias(f"f{h}")
+        )
+    return fitted.select(*cols)

@@ -1799,3 +1799,61 @@ def ev_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("day") > F.col("first_day")).cast("long")).alias("n_returning"),
         )
     )
+
+
+@query(
+    "ev_holt_forecast",
+    oracle="""
+    WITH RECURSIVE ev AS (
+        SELECT event_type, CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day,
+               CAST(value AS DECIMAL(18,6)) AS vd
+        FROM events
+    ),
+    daily AS (
+        SELECT event_type, day,
+               ROUND(CAST(SUM(vd) AS DOUBLE) / COUNT(*), 6) AS x
+        FROM ev GROUP BY 1, 2
+    ),
+    seqd AS (
+        SELECT event_type, day, x,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i
+        FROM daily
+    ),
+    rec(event_type, i, l, b) AS (
+        SELECT event_type, i, CAST(x AS DOUBLE), CAST(0.0 AS DOUBLE)
+        FROM seqd WHERE i = 1
+        UNION ALL
+        SELECT s.event_type, s.i,
+               (s.x + (r.l + r.b)) / 2.0,
+               (((s.x + (r.l + r.b)) / 2.0 - r.l) + r.b) / 2.0
+        FROM rec r JOIN seqd s ON s.event_type = r.event_type AND s.i = r.i + 1
+    ),
+    fin AS (SELECT event_type, MAX(i) AS n FROM rec GROUP BY 1)
+    SELECT r.event_type, CAST(fin.n AS BIGINT) AS n_days,
+           ROUND(r.l, 6) AS level, ROUND(r.b, 6) AS trend,
+           ROUND(r.l + 1.0 * r.b, 6) AS f1,
+           ROUND(r.l + 7.0 * r.b, 6) AS f7
+    FROM rec r JOIN fin ON fin.event_type = r.event_type AND r.i = fin.n
+    """,
+)
+def ev_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend forecast per event type (operators/rollup.
+    holt_forecast, alpha = beta = 1/2): daily decimal-exact means feed a
+    two-state smoothing recursion whose dyadic coefficients make every
+    halving IEEE-exact — Spark folds each type's calendar-sized series
+    in ONE Catalyst aggregate expression while the oracle replays the
+    identical add/halve sequence in a recursive CTE, and the engines
+    hash-match level, trend and the 1/7-day forecasts. Completes the
+    classical forecasting trio with ev_stl_decompose and ev_mase_eval."""
+    from odbc2parquet_spark.operators.rollup import holt_forecast
+
+    ev = load_table(spark, sf_dir, "events")
+    day = F.floor(F.unix_seconds(F.col("ts").cast("timestamp")) / 86400).cast("long")
+    dec = F.col("value").cast("decimal(18,6)")
+    daily = (
+        ev.select(F.col("event_type").alias("key"), day.alias("day"), dec.alias("vd"))
+        .groupBy("key", "day")
+        .agg(F.round(F.sum("vd").cast("double") / F.count("*"), 6).alias("x"))
+    )
+    out = holt_forecast(daily, "key", "day", "x", horizons=(1, 7))
+    return out.select(F.col("key").alias("event_type"), "n_days", "level", "trend", "f1", "f7")
