@@ -2120,3 +2120,25 @@ def test_temperature_sample_rebalances_head(spark):
     a = sorted(r.id for r in temperature_sample(df.repartition(32), "src", "id").collect())
     b = sorted(r.id for r in temperature_sample(df.coalesce(1), "src", "id").collect())
     assert a == b
+
+
+def test_holt_forecast_matches_python_recursion(spark):
+    """The Catalyst fold replays the exact alpha=beta=1/2 recursion: level,
+    trend and forecasts equal a plain Python loop bit-for-bit (dyadic
+    halvings are IEEE-exact)."""
+    from odbc2parquet_spark.operators.rollup import holt_forecast
+
+    xs = [10.0, 12.5, 11.25, 14.0, 13.75, 16.5, 18.0]
+    df = spark.createDataFrame(
+        [("a", d, x) for d, x in enumerate(xs)], ["key", "day", "x"]
+    ).repartition(4)
+    got = holt_forecast(df, "key", "day", "x", horizons=(1, 7)).first()
+    l, b = xs[0], 0.0
+    for x in xs[1:]:
+        l_new = (x + (l + b)) / 2.0
+        b = ((l_new - l) + b) / 2.0
+        l = l_new
+    assert got.n_days == 7
+    assert got.level == round(l, 6) and got.trend == round(b, 6)
+    assert got.f1 == round(l + 1.0 * b, 6)
+    assert got.f7 == round(l + 7.0 * b, 6)
