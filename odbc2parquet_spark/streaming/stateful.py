@@ -115,3 +115,62 @@ def decayed_user_rate(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+TOTALS_TTL_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+        T.StructField("closed", T.BooleanType()),
+    ]
+)
+
+
+def running_user_totals_ttl(events: DataFrame, idle_ttl_ms: int = 3_600_000) -> DataFrame:
+    """:func:`running_user_totals` with idle-key eviction — the version
+    a 100 TB stream actually needs: per-user state is O(users) and the
+    user universe only grows, so keys idle longer than ``idle_ttl_ms``
+    time out (processing-time timeout), emit one final snapshot with
+    ``closed = true``, and their state is REMOVED. A returning user restarts
+    from zero — the documented trade for bounded state; route the closed
+    snapshots to the batch layer (upsert/agg-merge) for lifetime totals.
+    """
+
+    def update(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            n, total = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [total],
+                    "closed": [True],
+                }
+            )
+            return
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        state.setTimeoutDuration(idle_ttl_ms)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [total],
+                "closed": [False],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=TOTALS_TTL_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -531,3 +531,56 @@ def test_streaming_topk_misra_gries_guarantee(spark, tmp_path):
             assert final[v].mg_count <= c
             assert c - final[v].mg_count <= n / (k + 1)
     assert len({r.value for r in final.values()}) <= k
+
+
+def test_running_totals_ttl_evicts_idle_keys(spark, tmp_path):
+    """Idle keys time out: a final closed=true snapshot ships, state drops,
+    and a returning user restarts from zero."""
+    import time
+
+    from pyspark.sql import types as T
+
+    from odbc2parquet_spark.streaming.stateful import running_user_totals_ttl
+
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+
+    def run_batch(rows, subdir):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / subdir)
+        )
+        stream = spark.readStream.schema(schema).option(
+            "recursiveFileLookup", "true"
+        ).parquet(str(src))
+        q = (
+            running_user_totals_ttl(stream, idle_ttl_ms=500)
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_batch([(1, 10.0), (1, 5.0)], "b1")
+    time.sleep(2)  # let user 1's 500ms idle TTL lapse
+    run_batch([(2, 7.0)], "b2")          # timeout fires for user 1 here
+    run_batch([(1, 1.0)], "b3")          # user 1 returns: fresh state
+
+    rows = sorted(
+        ((r.user_id, r.n_events, r.total_value, r.closed)
+         for r in spark.read.parquet(str(out)).collect())
+    )
+    assert (1, 2, 15.0, False) in rows           # live snapshot, batch 1
+    assert (1, 2, 15.0, True) in rows            # eviction tombstone
+    assert (1, 1, 1.0, False) in rows            # restarted from zero
+    assert (2, 1, 7.0, False) in rows
