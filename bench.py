@@ -213,6 +213,7 @@ HEADLINE = [
     "ev_seasonal_anomalies",
     "q_entity_resolution",
     "ev_holt_forecast",
+    "sim_centroid_shift",
 ]
 
 

@@ -865,3 +865,56 @@ def seasonal_decompose(
             ).alias("resid"),
         )
     )
+
+
+def embedding_centroid_shift(
+    a: DataFrame, b: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-dimension centroid shift between two embedding snapshots —
+    the cheapest embedding-drift monitor (a new encoder version, a
+    domain shift, or a poisoned batch moves the mean before it moves
+    pairwise structure): (dim, mean_a, mean_b, delta) for every
+    dimension plus one summary row (dim = -1) carrying the L2 norm of
+    the shift vector.
+
+    Determinism contract: per-dim means are exact DECIMAL sums with ONE
+    division, ROUND 6; deltas re-enter DECIMAL before squaring so the
+    32-64-term L2 sum is order-independent; sqrt once at the end. Scale
+    shape: each side collapses to d rows via one posexplode + map-side-
+    combined groupBy — the shuffle carries (dim, partial sum) rows, and
+    everything after is dimension-sized.
+    """
+    def dim_means(df: DataFrame, name: str) -> DataFrame:
+        # micro-unit quantization (the sim_covariance recipe): x*1e6
+        # rounded half-away-from-zero into int64 — float32*1e6 is exact
+        # in float64, the int sum is exact, and the mean is one division
+        xd = F.col("x").cast("double")
+        xq = (F.signum(xd) * F.floor(F.abs(xd) * F.lit(1e6) + F.lit(0.5))).cast("long")
+        return (
+            df.select(F.posexplode(F.col(vec_col)).alias("dim", "x"))
+            .groupBy("dim")
+            .agg(
+                F.round(
+                    F.sum(xq).cast("double") / (F.lit(1e6) * F.count("*")),
+                    6,
+                ).alias(name)
+            )
+        )
+
+    ma, mb = dim_means(a, "mean_a"), dim_means(b, "mean_b")
+    per_dim = ma.join(mb, "dim").select(
+        "dim",
+        "mean_a",
+        "mean_b",
+        F.round(F.col("mean_b") - F.col("mean_a"), 6).alias("delta"),
+    )
+    sq = (F.col("delta").cast("decimal(18,6)") * F.col("delta").cast("decimal(18,6)"))
+    summary = per_dim.agg(
+        F.round(F.sqrt(F.sum(sq).cast("double")), 6).alias("l2")
+    ).select(
+        F.lit(-1).alias("dim"),
+        F.lit(None).cast("double").alias("mean_a"),
+        F.lit(None).cast("double").alias("mean_b"),
+        F.col("l2").alias("delta"),
+    )
+    return per_dim.unionAll(summary)

@@ -1448,3 +1448,52 @@ def sim_kcore_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("node").alias("max_node"),
         F.sum("node").alias("sum_nodes"),
     )
+
+
+@query(
+    "sim_centroid_shift",
+    oracle="""
+    WITH x AS (
+        SELECT vec_id % 2 AS half, t.i - 1 AS dim,
+               CAST(embedding[t.i] AS DOUBLE) AS xd
+        FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+    ),
+    q AS (
+        SELECT half, dim,
+               CAST(CASE WHEN xd >= 0 THEN FLOOR(xd * 1e6 + 0.5)
+                         ELSE -FLOOR(-xd * 1e6 + 0.5) END AS BIGINT) AS xq
+        FROM x
+    ),
+    m AS (
+        SELECT half, dim,
+               ROUND(CAST(SUM(xq) AS DOUBLE) / (1e6 * COUNT(*)), 6) AS mean
+        FROM q GROUP BY half, dim
+    ),
+    per_dim AS (
+        SELECT a.dim, a.mean AS mean_a, b.mean AS mean_b,
+               ROUND(b.mean - a.mean, 6) AS delta
+        FROM m a JOIN m b ON a.dim = b.dim AND a.half = 0 AND b.half = 1
+    )
+    SELECT dim, mean_a, mean_b, delta FROM per_dim
+    UNION ALL
+    SELECT -1, NULL, NULL,
+           ROUND(SQRT(CAST(SUM(CAST(delta AS DECIMAL(18,6))
+                               * CAST(delta AS DECIMAL(18,6))) AS DOUBLE)), 6)
+    FROM per_dim
+    """,
+)
+def sim_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-drift monitor (operators/drift.embedding_centroid_shift):
+    per-dimension centroid shift between two corpus snapshots (halves by
+    vec_id parity here), plus the L2 norm of the shift vector as a
+    dim = -1 summary row — the cheapest detector for an encoder-version
+    or domain shift, which moves the MEAN long before it moves pairwise
+    structure. Micro-unit int64 means (one division each, ROUND 6);
+    deltas re-enter DECIMAL before squaring so the d-term L2 sum is
+    order-independent. Each side collapses to d rows map-side."""
+    from odbc2parquet_spark.operators.drift import embedding_centroid_shift
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.filter(F.col("vec_id") % 2 == 0)
+    b = emb.filter(F.col("vec_id") % 2 == 1)
+    return embedding_centroid_shift(a, b)
