@@ -214,6 +214,7 @@ HEADLINE = [
     "q_entity_resolution",
     "ev_holt_forecast",
     "sim_centroid_shift",
+    "mm_audio_neardup",
 ]
 
 

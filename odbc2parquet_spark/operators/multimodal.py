@@ -1216,3 +1216,44 @@ def video_scene_cuts(binary_df: DataFrame, threshold: int = 32) -> DataFrame:
         ).cast("long").alias("n_cuts"),
         F.coalesce(F.max("dist"), F.lit(0)).cast("int").alias("max_jump"),
     )
+
+
+ENERGY_SHINGLE_SCHEMA = "doc_id long, g string"
+
+
+def audio_energy_shingles(binary_df: DataFrame, window: int = 64) -> DataFrame:
+    """(doc_id, g): per-window energy shingles of a PCM stream — the
+    audio counterpart of the video sample digests (video_frame_index):
+    the int16 stream splits into fixed windows, each window's EXACT
+    int64 energy (sum of squares) quantizes to its TOP-6-BIT bucket
+    ((energy+1) >> (bit_length-6) — a ~1.5%-tolerance loudness level in
+    pure integer arithmetic any engine reproduces), and the shingle is
+    "window_idx:bucket". Feed the set into prefix_jaccard_pairs for
+    exact audio near-dup detection; only (long, short-string) rows leave
+    the Arrow decode — PCM bytes never shuffle. Corrupt payloads drop.
+    """
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids, out_g = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    off, size = _wav_data_span(bytes(payload))
+                except ValueError:
+                    continue
+                v = np.frombuffer(
+                    bytes(payload)[off : off + size - size % 2], "<i2"
+                ).astype(np.int64)
+                for widx in range(0, (len(v) + window - 1) // window):
+                    chunk = v[widx * window : (widx + 1) * window]
+                    energy = int((chunk * chunk).sum())
+                    out_ids.append(doc_id)
+                    b = (energy + 1).bit_length()
+                    bucket = (energy + 1) >> max(b - 6, 0)
+                    out_g.append(f"{widx}:{b}:{bucket}")
+            yield pd.DataFrame({"doc_id": out_ids, "g": out_g})
+
+    return binary_df.select("doc_id", "payload").mapInPandas(
+        run, ENERGY_SHINGLE_SCHEMA
+    )

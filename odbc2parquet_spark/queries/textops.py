@@ -2484,3 +2484,92 @@ def mm_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sets = idx.select(F.col("doc_id").alias("id"), F.col("digest").alias("g")).distinct()
     return prefix_jaccard_pairs(sets, threshold=0.6)
+
+
+@query(
+    "mm_audio_neardup",
+    oracle="""
+    WITH p AS (
+        SELECT doc_id, text, length(text) AS n,
+               (length(text) % 2 + 1) AS channels,
+               (length(text) % 500 + 1) AS frames
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, t.j AS j,
+               ascii(substring(text, ((2 * t.j) % n) + 1, 1))
+               + 256 * ascii(substring(text, ((2 * t.j + 1) % n) + 1, 1)) AS u
+        FROM p, UNNEST(generate_series(0, frames * channels - 1)) AS t(j)
+    ),
+    v AS (
+        SELECT doc_id, j,
+               CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS v
+        FROM s
+    ),
+    w AS (
+        SELECT doc_id, j // 64 AS widx,
+               SUM(CAST(v AS BIGINT) * v) AS energy
+        FROM v GROUP BY doc_id, j // 64
+    ),
+    shh AS (
+        SELECT DISTINCT doc_id AS id,
+               CAST('0x' || substring(md5(
+                   CAST(widx AS VARCHAR) || ':'
+                   || CAST(length(bin(energy + 1)) AS VARCHAR) || ':'
+                   || CAST((energy + 1) // CAST(POWER(2,
+                          GREATEST(length(bin(energy + 1)) - 6, 0))
+                          AS BIGINT) AS VARCHAR)), 1, 15)
+                 AS BIGINT) AS gh
+        FROM w
+    ),
+    dftab AS (SELECT gh, COUNT(*) AS df FROM shh GROUP BY gh),
+    sized AS (
+        SELECT id, gh,
+               ROW_NUMBER() OVER (PARTITION BY id ORDER BY df, gh) AS rn,
+               COUNT(*) OVER (PARTITION BY id) AS sz
+        FROM shh JOIN dftab USING (gh)
+    ),
+    prefix AS (
+        SELECT id, gh, sz, rn FROM sized WHERE rn <= sz - CEIL(0.8 * sz) + 1
+    ),
+    cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM prefix a JOIN prefix b ON a.gh = b.gh AND a.id < b.id
+        WHERE b.sz * 1.0 >= 0.8 * a.sz AND a.sz * 1.0 >= 0.8 * b.sz
+          AND 1 + LEAST(a.sz - a.rn, b.sz - b.rn)
+              >= CEIL(0.4444444444444444 * (a.sz + b.sz))
+    ),
+    inter AS (
+        SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+        FROM cand c
+        JOIN shh ta ON ta.id = c.id_a
+        JOIN shh tb ON tb.id = c.id_b AND tb.gh = ta.gh
+        GROUP BY c.id_a, c.id_b
+    ),
+    szs AS (SELECT id, COUNT(*) AS sz FROM shh GROUP BY id)
+    SELECT i.id_a, i.id_b, CAST(n_inter AS BIGINT) AS n_inter,
+           ROUND(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter), 6)
+               AS jaccard
+    FROM inter i
+    JOIN szs sa ON sa.id = i.id_a
+    JOIN szs sb ON sb.id = i.id_b
+    WHERE ROUND(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter), 6) >= 0.8
+    """,
+)
+def mm_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-duplicate detection, the WAV sibling of
+    mm_video_neardup: real RIFF payloads decode to int16 PCM, fixed
+    64-sample windows quantize their EXACT int64 energy to a
+    top-6-bit loudness bucket (~1.5% tolerance, pure integer arithmetic
+    any engine reproduces), and the windowed-energy shingle sets run
+    through the exact prefix-filtered Jaccard join at 0.8 — recall 1.0,
+    no all-pairs shape, only (long, short-string) rows leave the Arrow
+    decode. The oracle rebuilds the PCM stream in SQL and replays the
+    whole decode -> window -> quantize -> prefix-join chain."""
+    from odbc2parquet_spark.operators.dedup import prefix_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = M.audio_energy_shingles(M.encode_wav(docs), window=64).select(
+        F.col("doc_id").alias("id"), "g"
+    ).distinct()
+    return prefix_jaccard_pairs(sh, threshold=0.8)
