@@ -770,6 +770,19 @@ def prefix_jaccard_pairs(
     # ranking, bucket joins and the verification arrays all shuffle longs,
     # never raw text (collisions conflate shingles at the md5 rate,
     # identically in any engine recomputing the same hashes)
+    from fractions import Fraction
+
+    # The threshold enters every pruning bound as a RATIONAL p/q
+    # (derived from its decimal spelling, e.g. 0.8 -> 4/5), and every
+    # bound is computed in exact integer arithmetic: ceil(t*sz) =
+    # (p*sz + q - 1) div q, min_overlap = ceil(t/(1+t) * s) =
+    # (p*s + p + q - 1) div (p + q). A float ceil(frac * s) is 1 ulp
+    # away from the true PPJoin bound for infinitely many size sums
+    # (t=0.8: frac rounds ABOVE 4/9, demanding overlap 4m+1 where the
+    # exact bound is 4m) — that prunes genuine J >= t pairs and breaks
+    # the recall-1.0 contract. Integer div of exact-double integers
+    # (floor(N/d), N < 2^53, d <= 20) is engine-deterministic.
+    p, q = Fraction(str(threshold)).as_integer_ratio()
     gh = F.conv(F.substring(F.md5(F.col("g")), 1, 15), 16, 10).cast("long")
     hashed = shingles.select("id", gh.alias("gh")).distinct()
     df_tab = hashed.groupBy("gh").agg(F.count("*").alias("df"))
@@ -780,24 +793,28 @@ def prefix_jaccard_pairs(
         F.row_number().over(w_doc).alias("rn"),
         F.count("*").over(Window.partitionBy("id")).alias("sz"),
     )
-    prefix_len = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    ceil_t_sz = F.floor(
+        (F.lit(p) * F.col("sz") + F.lit(q - 1)) / F.lit(q)
+    ).cast("long")
+    prefix_len = F.col("sz") - ceil_t_sz + 1
     prefix = sized.filter(F.col("rn") <= prefix_len).select("id", "gh", "sz", "rn")
     a, b = prefix.alias("a"), prefix.alias("b")
     # positional filter (the PPJoin refinement over plain prefix
     # filtering): a match at prefix positions (rn_a, rn_b) caps the
     # achievable overlap at 1 + min(sz_a - rn_a, sz_b - rn_b), which must
-    # reach the J >= t minimum overlap ceil(t/(1+t) * (sz_a + sz_b)).
-    # t/(1+t) at t=0.6 is exactly 0.375 (3/8) — representable, so the
-    # CEIL boundary is engine-deterministic.
-    frac = threshold / (1.0 + threshold)
-    min_overlap = F.ceil(F.lit(frac) * (F.col("a.sz") + F.col("b.sz")))
+    # reach the J >= t minimum overlap ceil(p/(p+q) * (sz_a + sz_b)) —
+    # computed in exact integers (see above).
+    s_sum = F.col("a.sz") + F.col("b.sz")
+    min_overlap = F.floor(
+        (F.lit(p) * s_sum + F.lit(p + q - 1)) / F.lit(p + q)
+    ).cast("long")
     pos_cap = 1 + F.least(
         F.col("a.sz") - F.col("a.rn"), F.col("b.sz") - F.col("b.rn")
     )
     cand = (
         a.join(b, (F.col("a.gh") == F.col("b.gh")) & (F.col("a.id") < F.col("b.id")))
-        .filter(F.col("b.sz") * F.lit(1.0) >= F.lit(threshold) * F.col("a.sz"))
-        .filter(F.col("a.sz") * F.lit(1.0) >= F.lit(threshold) * F.col("b.sz"))
+        .filter(F.lit(q) * F.col("b.sz") >= F.lit(p) * F.col("a.sz"))
+        .filter(F.lit(q) * F.col("a.sz") >= F.lit(p) * F.col("b.sz"))
         .filter(pos_cap >= min_overlap)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()

@@ -238,6 +238,15 @@ def reservoir_sample(
     pipelines need. Rows with weight <= 0 are excluded (a zero-weight
     row can never be drawn; a negative weight is a data error).
 
+    The rank key is ln(u)/w, monotone-equivalent to u^(1/w) (ln(u) < 0),
+    with the ONE libm call (ln) rounded to 9 decimals BEFORE the
+    division: pow with a per-row fractional exponent may differ by 1 ulp
+    between the JVM and libm (the repo's sqrt-only rule), and an
+    unrounded rank key would let that ulp flip the k-cut at near-ties.
+    After the quantize, the division is plain IEEE arithmetic on
+    identical doubles — bit-equal in any engine — so the ORDER itself is
+    engine-exact, not merely the rounded output.
+
     At 100 TB: one keyed window whose partial top-k Spark pushes below
     the shuffle (WindowGroupLimit), so each task ships at most k rows
     per group — reservoir semantics without a global sort.
@@ -245,15 +254,15 @@ def reservoir_sample(
     from pyspark.sql import Window
 
     u = (_hash60(F.col(key_col)) + 1).cast("double") / F.lit(float(_HASH_DOMAIN))
-    akey = F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double"))
-    w = Window.partitionBy(*group_cols).orderBy(F.desc("_akey_"), F.col(key_col))
+    score = F.round(F.log(u), 9) / F.col(weight_col).cast("double")
+    w = Window.partitionBy(*group_cols).orderBy(F.desc("_score_"), F.col(key_col))
     return (
         df.filter(F.col(weight_col) > 0)
-        .withColumn("_akey_", akey)
+        .withColumn("_score_", score)
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
-        .withColumn("akey6", F.round(F.col("_akey_"), 6))
-        .drop("_akey_")
+        .withColumn("score6", F.round(F.col("_score_"), 6))
+        .drop("_score_")
     )
 
 
@@ -280,12 +289,14 @@ def purged_time_split(
     """
     ts = F.col(ts_us_col)
     bounds = df.agg(F.min(ts).alias("_mn_"), F.max(ts).alias("_mx_"))
-    cutoff = (
-        F.col("_mn_")
-        + ((F.col("_mx_") - F.col("_mn_")) * F.lit(train_frac_tenths)) / F.lit(10)
-    ).cast("long")  # (range*8) < 2^53 is double-exact; /10 rounds and the
-    # long cast truncates IDENTICALLY in any IEEE engine (oracle mirrors
-    # the same product-divide-cast sequence)
+    # Exact integer division end-to-end (`div` on longs): a double
+    # round-trip here is NOT engine-portable — Spark's CAST(double AS
+    # BIGINT) truncates while DuckDB's rounds to nearest, and
+    # (range*8)/10 has fractional part in {0,.2,.4,.6,.8}, so ~40% of
+    # ranges would put the two engines' cutoffs 1µs apart.
+    cutoff = F.col("_mn_") + F.expr(
+        f"((_mx_ - _mn_) * {int(train_frac_tenths)}) div 10"
+    )
     split = (
         F.when(ts <= cutoff, F.lit("train"))
         .when(ts > cutoff + F.lit(embargo_us), F.lit("test"))

@@ -1004,14 +1004,14 @@ def dd_boundary_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM shh JOIN dftab USING (gh)
     ),
     prefix AS (
-        SELECT id, gh, sz, rn FROM sized WHERE rn <= sz - CEIL(0.6 * sz) + 1
+        SELECT id, gh, sz, rn FROM sized WHERE rn <= sz - (3 * sz + 4) // 5 + 1
     ),
     cand AS (
         SELECT DISTINCT a.id AS id_a, b.id AS id_b
         FROM prefix a JOIN prefix b ON a.gh = b.gh AND a.id < b.id
-        WHERE b.sz * 1.0 >= 0.6 * a.sz AND a.sz * 1.0 >= 0.6 * b.sz
+        WHERE 5 * b.sz >= 3 * a.sz AND 5 * a.sz >= 3 * b.sz
           AND 1 + LEAST(a.sz - a.rn, b.sz - b.rn)
-              >= CEIL(0.375 * (a.sz + b.sz))
+              >= (3 * (a.sz + b.sz) + 7) // 8
     ),
     inter AS (
         SELECT c.id_a, c.id_b, COUNT(*) AS n_inter

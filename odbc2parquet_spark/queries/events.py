@@ -1591,9 +1591,9 @@ def ev_hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     b AS (SELECT MIN(us) AS mn, MAX(us) AS mx FROM t),
     lab AS (
         SELECT us,
-               CASE WHEN us <= mn + CAST((mx - mn) * 8 / 10 AS BIGINT)
+               CASE WHEN us <= mn + ((mx - mn) * 8) // 10
                     THEN 'train'
-                    WHEN us > mn + CAST((mx - mn) * 8 / 10 AS BIGINT)
+                    WHEN us > mn + ((mx - mn) * 8) // 10
                               + 86400000000
                     THEN 'test'
                     ELSE 'purged' END AS split

@@ -1697,6 +1697,9 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n") >= 2)
         .select("entity_id")
     )
-    return lab.join(F.broadcast(multi), "entity_id").select(
+    # plain semi-join, strategy left to AQE: the multi-member entity-id
+    # set is bounded only by the number of resolved entities — unbounded
+    # at 100 TB, so a forced broadcast would OOM the driver there
+    return lab.join(multi, "entity_id", "left_semi").select(
         "record_id", "entity_id", "is_canonical"
     )

@@ -2268,21 +2268,21 @@ def mm_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH a AS (
         SELECT lang, doc_id, n_chars,
-               POWER(
+               ROUND(LN(
                    (CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)
-                         AS BIGINT) + 1) / 1152921504606846976.0,
-                   1.0 / n_chars) AS akey
+                         AS BIGINT) + 1) / 1152921504606846976.0), 9)
+                   / n_chars AS score
         FROM documents WHERE n_chars > 0
     ),
     r AS (
         SELECT lang, doc_id, n_chars,
                ROW_NUMBER() OVER (PARTITION BY lang
-                                  ORDER BY akey DESC, doc_id) AS rn,
-               akey
+                                  ORDER BY score DESC, doc_id) AS rn,
+               score
         FROM a
     )
     SELECT lang, doc_id, n_chars, CAST(rn AS BIGINT) AS rn,
-           ROUND(akey, 6) AS akey6
+           ROUND(score, 6) AS score6
     FROM r WHERE rn <= 16
     """,
 )
@@ -2301,7 +2301,7 @@ def tx_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("lang", "doc_id", "n_chars"),
         ["lang"], "doc_id", "n_chars", k=16,
     )
-    return out.select("lang", "doc_id", "n_chars", F.col("rn").cast("long").alias("rn"), "akey6")
+    return out.select("lang", "doc_id", "n_chars", F.col("rn").cast("long").alias("rn"), "score6")
 
 
 @query(
@@ -2437,14 +2437,14 @@ def tx_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM shh JOIN dftab USING (gh)
     ),
     prefix AS (
-        SELECT id, gh, sz, rn FROM sized WHERE rn <= sz - CEIL(0.6 * sz) + 1
+        SELECT id, gh, sz, rn FROM sized WHERE rn <= sz - (3 * sz + 4) // 5 + 1
     ),
     cand AS (
         SELECT DISTINCT a.id AS id_a, b.id AS id_b
         FROM prefix a JOIN prefix b ON a.gh = b.gh AND a.id < b.id
-        WHERE b.sz * 1.0 >= 0.6 * a.sz AND a.sz * 1.0 >= 0.6 * b.sz
+        WHERE 5 * b.sz >= 3 * a.sz AND 5 * a.sz >= 3 * b.sz
           AND 1 + LEAST(a.sz - a.rn, b.sz - b.rn)
-              >= CEIL(0.375 * (a.sz + b.sz))
+              >= (3 * (a.sz + b.sz) + 7) // 8
     ),
     inter AS (
         SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
@@ -2530,14 +2530,14 @@ def mm_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM shh JOIN dftab USING (gh)
     ),
     prefix AS (
-        SELECT id, gh, sz, rn FROM sized WHERE rn <= sz - CEIL(0.8 * sz) + 1
+        SELECT id, gh, sz, rn FROM sized WHERE rn <= sz - (4 * sz + 4) // 5 + 1
     ),
     cand AS (
         SELECT DISTINCT a.id AS id_a, b.id AS id_b
         FROM prefix a JOIN prefix b ON a.gh = b.gh AND a.id < b.id
-        WHERE b.sz * 1.0 >= 0.8 * a.sz AND a.sz * 1.0 >= 0.8 * b.sz
+        WHERE 5 * b.sz >= 4 * a.sz AND 5 * a.sz >= 4 * b.sz
           AND 1 + LEAST(a.sz - a.rn, b.sz - b.rn)
-              >= CEIL(0.4444444444444444 * (a.sz + b.sz))
+              >= (4 * (a.sz + b.sz) + 8) // 9
     ),
     inter AS (
         SELECT c.id_a, c.id_b, COUNT(*) AS n_inter

@@ -421,10 +421,12 @@ def _stale_outputs(path: str) -> list[str]:
 def _finalize_parts(parts: list[str], path: str, opts: SinkOptions, staging: str) -> list[str]:
     produced: list[str] = []
     try:
-        # drop stale generations BEFORE renaming, so the directory only
-        # ever contains this run's outputs
-        for old in _stale_outputs(path):
-            os.remove(old)
+        # Snapshot previous-generation outputs, but DELETE them only
+        # after every rename lands: same-named targets are overwritten
+        # atomically by the move itself, and a mid-finalize IO error
+        # leaves the prior generation intact instead of destroyed with
+        # the new one incomplete.
+        stale = set(_stale_outputs(path))
         if len(parts) <= 1 and not (opts.row_groups_per_file or opts.file_size_threshold):
             target = path
             if parts:
@@ -436,6 +438,11 @@ def _finalize_parts(parts: list[str], path: str, opts: SinkOptions, staging: str
                 target = path_with_suffix(path, i, width)
                 shutil.move(part, target)
                 produced.append(target)
+        # every rename succeeded: now drop stale survivors this run did
+        # not overwrite (yesterday's out_03.par next to today's
+        # out_01/02 would corrupt any out_*.par glob)
+        for old in stale - set(produced):
+            os.remove(old)
     finally:
         shutil.rmtree(staging, ignore_errors=True)
     return produced

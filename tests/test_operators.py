@@ -1918,6 +1918,22 @@ def test_prefix_jaccard_matches_all_pairs(spark, sf_dir):
     assert got == want and len(want) > 0
 
 
+def test_prefix_jaccard_exact_boundary_t08(spark):
+    """Recall-1.0 regression for the t=0.8 PPJoin bound: a containment
+    pair |a|=28 ⊂ |b|=35 has J = 28/35 = 0.8 EXACTLY with size-sum
+    s=63, where the former float bound ceil(0.444…445 * 63) = 29
+    exceeded the true minimum overlap ceil(4*63/9) = 28 and pruned the
+    pair. The exact-integer bound must keep it."""
+    from odbc2parquet_spark.operators.dedup import prefix_jaccard_pairs
+
+    rows = [(1, f"g{i}") for i in range(28)] + [(2, f"g{i}") for i in range(35)]
+    sh = spark.createDataFrame(rows, "id long, g string")
+    out = prefix_jaccard_pairs(sh, threshold=0.8).collect()
+    assert [(r.id_a, r.id_b, r.n_inter, r.jaccard) for r in out] == [
+        (1, 2, 28, 0.8)
+    ]
+
+
 def test_kmv_overlap_estimate_accuracy(spark):
     """Sketch-algebra overlap: A = 0..4999, B = 2500..7499 -> true
     |A∩B| = 2500, J = 1/3; estimates land in the ~1/sqrt(k) regime, and
