@@ -90,6 +90,16 @@ def sim_lsh_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 _K_CELLS = 16
 _NPROBE = 4
 
+#: PQ operating point, chosen by a measured recall sweep at sf0.1
+#: (round 7): 2-dim subspaces with 256 deterministic seed codewords.
+#: m=8/k=16 scored recall@10 = 0.20-0.30 — unusable; m=32/k=256 scores
+#: 0.72 seeded and ~0.8 Lloyd-refined, with the IVF cell-routing
+#: ceiling measured at 0.99 (nprobe=4), so code distortion is the only
+#: recall lever that matters here.
+_PQ_M = 32
+_PQ_SUB = 2
+_PQ_K = 256
+
 _CENT_CTE = f"""
 cent AS (
     SELECT vec_id AS centroid_id, embedding AS centroid
@@ -368,28 +378,29 @@ def sim_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sim_pq_codes",
-    oracle="""
+    oracle=f"""
     WITH seeds AS (
-        SELECT vec_id AS cid, embedding FROM embeddings ORDER BY vec_id LIMIT 16
+        SELECT vec_id AS cid, embedding FROM embeddings ORDER BY vec_id LIMIT {_PQ_K}
     ),
     sub AS (
         SELECT vec_id, CAST(t.s AS INTEGER) AS subspace,
-               list_slice(embedding, s * 8 + 1, s * 8 + 8) AS v8
-        FROM embeddings, UNNEST(generate_series(0, 7)) AS t(s)
+               list_slice(embedding, s * {_PQ_SUB} + 1, s * {_PQ_SUB} + {_PQ_SUB}) AS v8
+        FROM embeddings, UNNEST(generate_series(0, {_PQ_M - 1})) AS t(s)
     ),
     cb AS (
         SELECT cid, CAST(t.s AS INTEGER) AS subspace,
-               list_slice(embedding, s * 8 + 1, s * 8 + 8) AS c8
-        FROM seeds, UNNEST(generate_series(0, 7)) AS t(s)
+               list_slice(embedding, s * {_PQ_SUB} + 1, s * {_PQ_SUB} + {_PQ_SUB}) AS c8
+        FROM seeds, UNNEST(generate_series(0, {_PQ_M - 1})) AS t(s)
     ),
     scored AS (
         SELECT sub.vec_id, sub.subspace, cb.cid,
-               ROUND(list_sum(list_transform(list_zip(sub.v8, cb.c8),
-                        p -> POWER(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE), 2))),
-                     4) AS d2
+               list_sum(list_transform(list_zip(sub.v8, cb.c8),
+                        p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                           * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))
+                   AS d2
         FROM sub JOIN cb ON cb.subspace = sub.subspace
     )
-    SELECT vec_id, subspace, cid AS code, d2 AS dist4 FROM (
+    SELECT vec_id, subspace, cid AS code, ROUND(d2, 4) AS dist4 FROM (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, subspace
                                      ORDER BY d2, cid) AS rn
         FROM scored
@@ -398,15 +409,17 @@ def sim_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sim_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product quantization (operators/similarity.pq_codebook/pq_assign):
-    64-dim float vectors compressed to 8 per-subspace centroid codes —
-    the billion-scale ANN memory layout. Deterministic seed codebook so
-    the DuckDB oracle rebuilds identical codes; the Spark argmin is a
-    map-side-partial min(struct) aggregate, the oracle's is a window."""
+    64-dim float vectors compressed to m=32 per-subspace centroid codes
+    (2 dims/subspace, 256 codewords — the measured 0.72-recall operating
+    point) — the billion-scale ANN memory layout. Deterministic seed
+    codebook so the DuckDB oracle rebuilds identical codes; the Spark
+    argmin is a map-side-partial min(struct) aggregate, the oracle's is
+    a window."""
     from odbc2parquet_spark.operators.similarity import pq_assign, pq_codebook
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cb = pq_codebook(emb, m=8, k=16, dim=64)
-    return pq_assign(emb, cb, m=8, dim=64)
+    cb = pq_codebook(emb, m=_PQ_M, k=_PQ_K, dim=64)
+    return pq_assign(emb, cb, m=_PQ_M, dim=64)
 
 
 def _pq_index_ctes(p: str = "") -> str:
@@ -417,23 +430,24 @@ def _pq_index_ctes(p: str = "") -> str:
     chains (sim_ivf_pq_topk adds the IVF assign CTEs, whose names would
     otherwise clash)."""
     return f"""{p}seeds AS (
-        SELECT vec_id AS cid, embedding FROM embeddings ORDER BY vec_id LIMIT 16
+        SELECT vec_id AS cid, embedding FROM embeddings ORDER BY vec_id LIMIT {_PQ_K}
     ),
     {p}sub AS (
         SELECT vec_id, CAST(t.s AS INTEGER) AS subspace,
-               list_slice(embedding, s * 8 + 1, s * 8 + 8) AS v8
-        FROM embeddings, UNNEST(generate_series(0, 7)) AS t(s)
+               list_slice(embedding, s * {_PQ_SUB} + 1, s * {_PQ_SUB} + {_PQ_SUB}) AS v8
+        FROM embeddings, UNNEST(generate_series(0, {_PQ_M - 1})) AS t(s)
     ),
     {p}cb AS (
         SELECT cid, CAST(t.s AS INTEGER) AS subspace,
-               list_slice(embedding, s * 8 + 1, s * 8 + 8) AS c8
-        FROM {p}seeds, UNNEST(generate_series(0, 7)) AS t(s)
+               list_slice(embedding, s * {_PQ_SUB} + 1, s * {_PQ_SUB} + {_PQ_SUB}) AS c8
+        FROM {p}seeds, UNNEST(generate_series(0, {_PQ_M - 1})) AS t(s)
     ),
     {p}scored AS (
         SELECT {p}sub.vec_id, {p}sub.subspace, {p}cb.cid,
-               ROUND(list_sum(list_transform(list_zip({p}sub.v8, {p}cb.c8),
-                        x -> POWER(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE), 2))),
-                     4) AS d2
+               list_sum(list_transform(list_zip({p}sub.v8, {p}cb.c8),
+                        x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+                           * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))
+                   AS d2
         FROM {p}sub JOIN {p}cb ON {p}cb.subspace = {p}sub.subspace
     ),
     {p}codes AS (
@@ -492,7 +506,7 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from odbc2parquet_spark.operators.similarity import pq_adc_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return pq_adc_topk(emb, emb.filter(F.col("vec_id") < 10), m=8, k_centroids=16, dim=64, top_k=10)
+    return pq_adc_topk(emb, emb.filter(F.col("vec_id") < 10), m=_PQ_M, k_centroids=_PQ_K, dim=64, top_k=10)
 
 
 #: the composed IVF-PQ chain (IVF assign + probed cells + PQ index +
@@ -560,7 +574,7 @@ def sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_pq_search(
         emb, emb.filter(F.col("vec_id") < 10),
-        nprobe=_NPROBE, k_cells=_K_CELLS, m=8, k_centroids=16, dim=64, top_k=10,
+        nprobe=_NPROBE, k_cells=_K_CELLS, m=_PQ_M, k_centroids=_PQ_K, dim=64, top_k=10,
     )
 
 
@@ -618,7 +632,7 @@ def sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 10)
-    adc = pq_adc_topk(emb, probes, m=8, k_centroids=16, dim=64, top_k=10).select(
+    adc = pq_adc_topk(emb, probes, m=_PQ_M, k_centroids=_PQ_K, dim=64, top_k=10).select(
         "query_id", "neighbor_id"
     )
     exact = S.brute_force_topk(emb, probes, k=10).select("query_id", "neighbor_id")
@@ -641,7 +655,7 @@ def sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: one Lloyd step on the PQ codebook + re-derived codes/LUT/ADC — appended
 #: after _pq_index_ctes(); mirrors operators/similarity.pq_refine_codebook
 #: (decimal-exact per-position means, round 6, float cast; dead cells drop).
-_PQ_LLOYD_CTES = """,
+_PQ_LLOYD_CTES = f""",
     rav AS (
         SELECT c.subspace, c.code, s.v8
         FROM codes c JOIN sub s ON s.vec_id = c.vec_id AND s.subspace = c.subspace
@@ -651,7 +665,7 @@ _PQ_LLOYD_CTES = """,
                ROUND(CAST(SUM(CAST(CAST(v8[CAST(t.p AS INTEGER)] AS DOUBLE)
                                    AS DECIMAL(25,12))) AS DOUBLE) / COUNT(*), 6)
                    AS mval
-        FROM rav, UNNEST(generate_series(1, 8)) AS t(p)
+        FROM rav, UNNEST(generate_series(1, {_PQ_SUB})) AS t(p)
         GROUP BY 1, 2, 3
     ),
     rcb AS (
@@ -661,9 +675,10 @@ _PQ_LLOYD_CTES = """,
     ),
     rscored AS (
         SELECT sub.vec_id, sub.subspace, rcb.cid,
-               ROUND(list_sum(list_transform(list_zip(sub.v8, rcb.c8),
-                        x -> POWER(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE), 2))),
-                     4) AS d2
+               list_sum(list_transform(list_zip(sub.v8, rcb.c8),
+                        x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+                           * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))
+                   AS d2
         FROM sub JOIN rcb ON rcb.subspace = sub.subspace
     ),
     rcodes AS (
@@ -748,10 +763,10 @@ def sim_pq_lloyd_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cb = pq_codebook(emb, m=8, k=16, dim=64)
-    rcb = pq_refine_codebook(emb, cb, m=8, dim=64, iterations=1)
+    cb = pq_codebook(emb, m=_PQ_M, k=_PQ_K, dim=64)
+    rcb = pq_refine_codebook(emb, cb, m=_PQ_M, dim=64, iterations=1)
     probes = emb.filter(F.col("vec_id") < 10)
-    adc = pq_adc_topk(emb, probes, m=8, dim=64, top_k=10, codebook=rcb).select(
+    adc = pq_adc_topk(emb, probes, m=_PQ_M, dim=64, top_k=10, codebook=rcb).select(
         "query_id", "neighbor_id"
     )
     exact = S.brute_force_topk(emb, probes, k=10).select("query_id", "neighbor_id")
@@ -825,7 +840,7 @@ def sim_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 10)
     approx = ivf_pq_search(
-        emb, probes, nprobe=_NPROBE, k_cells=_K_CELLS, m=8, k_centroids=16, dim=64, top_k=10
+        emb, probes, nprobe=_NPROBE, k_cells=_K_CELLS, m=_PQ_M, k_centroids=_PQ_K, dim=64, top_k=10
     ).select("query_id", "neighbor_id")
     exact = S.brute_force_topk(emb, probes, k=10).select("query_id", "neighbor_id")
     hits = (
