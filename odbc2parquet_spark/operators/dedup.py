@@ -743,6 +743,7 @@ def span_scrub(
 def prefix_jaccard_pairs(
     shingles: DataFrame,
     threshold: float = 0.8,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Exact set-similarity self-join by PREFIX FILTERING (Chaudhuri et
     al. 2006 / PPJoin family): all document pairs whose shingle-set
@@ -765,6 +766,19 @@ def prefix_jaccard_pairs(
     — never corpus x corpus). Exact integer counting until one final
     Jaccard division, ROUND 6; recall 1.0 is the contract the
     probabilistic path (dd_minhash_lsh) trades away.
+
+    ``bucket_cap`` is the VERIFICATION BUDGET for pathologically
+    duplicative corpora (the same drop semantics as the LSH bucket
+    caps): when set, each prefix-shingle bucket keeps only its
+    ``bucket_cap`` members ranked by (sz, id) — smallest, lowest-id
+    docs first, deterministic — and overflow members lose that bucket
+    as a candidate source. A pair is missed ONLY if every prefix
+    shingle the two docs share is over-full past one of them; since
+    bucket overflow is precisely concentrated duplicate mass, the
+    survivors still chain through their remaining rare-prefix buckets
+    in practice. Precision is untouched (the verification join stays
+    exact), and ``None`` (the default — what every registered query
+    uses) preserves the recall-1.0 contract unchanged.
     """
     # shingles travel as 60-bit md5 hashes from here on — df counting,
     # ranking, bucket joins and the verification arrays all shuffle longs,
@@ -798,6 +812,13 @@ def prefix_jaccard_pairs(
     ).cast("long")
     prefix_len = F.col("sz") - ceil_t_sz + 1
     prefix = sized.filter(F.col("rn") <= prefix_len).select("id", "gh", "sz", "rn")
+    if bucket_cap is not None:
+        wb = Window.partitionBy("gh").orderBy("sz", "id")
+        prefix = (
+            prefix.withColumn("_bn_", F.row_number().over(wb))
+            .filter(F.col("_bn_") <= bucket_cap)
+            .drop("_bn_")
+        )
     a, b = prefix.alias("a"), prefix.alias("b")
     # positional filter (the PPJoin refinement over plain prefix
     # filtering): a match at prefix positions (rn_a, rn_b) caps the

@@ -1918,6 +1918,37 @@ def test_prefix_jaccard_matches_all_pairs(spark, sf_dir):
     assert got == want and len(want) > 0
 
 
+def test_prefix_jaccard_bucket_cap_semantics(spark):
+    """The verification-budget knob: capped output is a SUBSET of the
+    exact pair set with identical jaccard values (precision untouched —
+    the verify join stays exact), a generous cap reproduces the exact
+    result, and a tight cap actually drops candidates on a corpus with
+    one pathologically hot prefix bucket."""
+    from odbc2parquet_spark.operators.dedup import prefix_jaccard_pairs
+
+    # 40 near-identical docs sharing shingles c0..c8 (one hot bucket per
+    # shingle) plus a per-doc unique shingle to vary sizes slightly
+    rows = []
+    for d in range(40):
+        rows += [(d, f"c{i}") for i in range(9)] + [(d, f"u{d}")]
+    sh = spark.createDataFrame(rows, "id long, g string")
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in prefix_jaccard_pairs(sh, threshold=0.8).collect()
+    }
+    loose = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in prefix_jaccard_pairs(sh, threshold=0.8, bucket_cap=64).collect()
+    }
+    tight = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in prefix_jaccard_pairs(sh, threshold=0.8, bucket_cap=4).collect()
+    }
+    assert loose == exact and len(exact) > 100
+    assert set(tight) < set(exact) and len(tight) > 0
+    assert all(exact[p] == j for p, j in tight.items())
+
+
 def test_prefix_jaccard_exact_boundary_t08(spark):
     """Recall-1.0 regression for the t=0.8 PPJoin bound: a containment
     pair |a|=28 ⊂ |b|=35 has J = 28/35 = 0.8 EXACTLY with size-sum
