@@ -26,8 +26,41 @@ import sys
 def _add_connection_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--tables-dir", help="directory of <table>.parquet files to register")
     p.add_argument("--jdbc-url", help="JDBC URL of a remote source")
+    p.add_argument(
+        "--dsn",
+        default=None,
+        help="data source name resolved through the DSN alias file "
+        "(reference src/connection.rs:18-22; may not be combined with "
+        "--jdbc-url, exactly like dsn vs connection string there)",
+    )
     p.add_argument("--user", default=None)
     p.add_argument("--password", default=None)
+
+
+def _resolve_connection(args: argparse.Namespace) -> None:
+    """Apply the reference's dsn/connection-string rules in place
+    (src/connection.rs:11-31: ``conflicts_with``, dsn-side credentials):
+    ``--dsn`` is mutually exclusive with ``--jdbc-url``; on resolve it
+    fills ``jdbc_url`` from the alias file, with explicit ``--user`` /
+    ``--password`` flags overriding the alias's stored defaults."""
+    if args.dsn is None:
+        return
+    if args.jdbc_url:
+        raise SystemExit(
+            "Data source name (--dsn) and connection string (--jdbc-url) "
+            "may not be specified both."
+        )
+    from odbc2parquet_spark.sources.dsn import resolve_dsn
+
+    try:
+        entry = resolve_dsn(args.dsn)
+    except ValueError as exc:
+        raise SystemExit(str(exc))
+    args.jdbc_url = entry["url"]
+    if args.user is None:
+        args.user = entry.get("user")
+    if args.password is None:
+        args.password = entry.get("password")
 
 
 def _add_sink_args(p: argparse.ArgumentParser) -> None:
@@ -289,6 +322,9 @@ def main(argv: list[str] | None = None) -> int:
         print(_emit_completions(parser, args.shell))
         return 0
 
+    if getattr(args, "dsn", None) is not None:
+        _resolve_connection(args)
+
     from odbc2parquet_spark.session import get_spark
 
     spark = get_spark("cli")
@@ -324,7 +360,9 @@ def main(argv: list[str] | None = None) -> int:
             engine = Engine(spark)
             sql = "SELECT * FROM __jdbc_result__"
         else:
-            raise SystemExit("query needs --tables-dir or --jdbc-url")
+            raise SystemExit(
+                "Either --dsn, --jdbc-url or --tables-dir must be specified."
+            )
         from odbc2parquet_spark.mappings import MappingOptions
 
         mapping = MappingOptions(
@@ -370,7 +408,7 @@ def main(argv: list[str] | None = None) -> int:
         )
         if args.cmd == "insert":
             if not (args.jdbc_url or factory):
-                raise SystemExit("insert needs --jdbc-url or --dbapi")
+                raise SystemExit("insert needs --dsn, --jdbc-url or --dbapi")
             jdbc_options = {}
             if args.user:
                 jdbc_options["user"] = args.user

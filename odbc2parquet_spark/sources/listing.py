@@ -38,8 +38,9 @@ def list_drivers(spark: SparkSession) -> list[dict]:
 
 
 def list_data_sources(spark: SparkSession) -> list[dict]:
-    """Catalogs, databases and tables visible to this session (the
-    reference lists DSNs: name + driver + attributes)."""
+    """Catalogs, databases and tables visible to this session, plus the
+    DSN aliases the ``--dsn`` flag would resolve (the reference lists
+    ODBC DSNs: name + driver + attributes, src/main.rs:352-362)."""
     out = []
     for db in spark.catalog.listDatabases():
         for t in spark.catalog.listTables(db.name):
@@ -51,4 +52,8 @@ def list_data_sources(spark: SparkSession) -> list[dict]:
                     "is_temporary": t.isTemporary,
                 }
             )
+    from odbc2parquet_spark.sources.dsn import load_dsn_registry
+
+    for name, entry in sorted(load_dsn_registry().items()):
+        out.append({"name": name, "type": "DSN", "url": entry["url"]})
     return out

@@ -218,3 +218,64 @@ def test_cli_query_stdout_stream(spark, sf_dir, tmp_path):
     assert rc == 0
     t = pq.read_table(pa.BufferReader(buf.getvalue()))
     assert t.num_rows == 5 and t.column_names == ["r_regionkey", "r_name"]
+
+
+def test_cli_dsn_conflicts_with_jdbc_url(tmp_path):
+    """The reference's conflict rule (src/connection.rs:11-22): dsn and
+    connection string are mutually exclusive — before any connection or
+    Spark work happens."""
+    import pytest
+
+    with pytest.raises(SystemExit, match="may not be specified both"):
+        main(
+            ["query", "--dsn", "x", "--jdbc-url", "jdbc:derby:memory:y",
+             "out.par", "SELECT 1"]
+        )
+
+
+def test_cli_dsn_unknown_is_actionable(tmp_path, monkeypatch):
+    """An unresolvable DSN errors with the file consulted, the aliases
+    it defines, and how to register the missing one."""
+    import pytest
+
+    alias = tmp_path / "dsn.json"
+    alias.write_text('{"warehouse": {"url": "jdbc:derby:memory:wh"}}')
+    monkeypatch.setenv("ODBC2PARQUET_SPARK_DSN_FILE", str(alias))
+    with pytest.raises(SystemExit) as exc:
+        main(["query", "--dsn", "nope", "out.par", "SELECT 1"])
+    msg = str(exc.value)
+    assert "nope" in msg and str(alias) in msg and "warehouse" in msg
+
+
+def test_cli_dsn_resolution_and_credentials(tmp_path, monkeypatch):
+    """Alias resolution fills jdbc_url + stored credentials; explicit
+    --user overrides the alias default (reference: user/password ride
+    alongside dsn)."""
+    import argparse
+
+    from odbc2parquet_spark.__main__ import _resolve_connection
+
+    alias = tmp_path / "dsn.json"
+    alias.write_text(
+        '{"wh": {"url": "jdbc:derby:memory:wh", "user": "etl", "password": "s3"},'
+        ' "short": "jdbc:derby:memory:short"}'
+    )
+    monkeypatch.setenv("ODBC2PARQUET_SPARK_DSN_FILE", str(alias))
+    ns = argparse.Namespace(dsn="wh", jdbc_url=None, user=None, password=None)
+    _resolve_connection(ns)
+    assert (ns.jdbc_url, ns.user, ns.password) == ("jdbc:derby:memory:wh", "etl", "s3")
+    ns = argparse.Namespace(dsn="wh", jdbc_url=None, user="override", password=None)
+    _resolve_connection(ns)
+    assert (ns.user, ns.password) == ("override", "s3")
+    ns = argparse.Namespace(dsn="short", jdbc_url=None, user=None, password=None)
+    _resolve_connection(ns)
+    assert ns.jdbc_url == "jdbc:derby:memory:short" and ns.user is None
+
+
+def test_cli_list_data_sources_includes_dsn_aliases(spark, tmp_path, monkeypatch, capsys):
+    alias = tmp_path / "dsn.json"
+    alias.write_text('{"wh": {"url": "jdbc:derby:memory:wh"}}')
+    monkeypatch.setenv("ODBC2PARQUET_SPARK_DSN_FILE", str(alias))
+    assert main(["list-data-sources"]) == 0
+    rows = json.loads(capsys.readouterr().out)
+    assert {"name": "wh", "type": "DSN", "url": "jdbc:derby:memory:wh"} in rows
