@@ -287,6 +287,8 @@ def main() -> None:
 
     samples: dict[str, list[float]] = {name: [] for name in headline}
     samples["transfer_lineitem"] = []
+    if not only or "bpe_learn_500" in {s.strip() for s in only.split(",")}:
+        samples["bpe_learn_500"] = []
     transfer_rows = 0
 
     def run_transfer() -> None:
@@ -313,12 +315,34 @@ def main() -> None:
             samples["transfer_lineitem"].append(time.time() - t0)
             transfer_rows = li.count()
 
+    def run_bpe500() -> None:
+        # BPE at production merge count (bpe_learn_batched, 500 merges,
+        # batch=50): the documents table supplies a deterministic
+        # high-entropy corpus (md5-hex of each text — the real corpus
+        # vocabulary saturates at ~107 possible merges). Runs ONCE per
+        # bench invocation, not per rep: it is itself ~47 sequential
+        # Spark rounds (measured flat at ~0.6s each), so suite-position
+        # effects average out internally.
+        from odbc2parquet_spark.operators.text import bpe_learn_batched
+
+        t0 = time.time()
+        docs = load_table(spark, sf_dir, "documents")
+        corpus = docs.select(F.md5(F.col("text")).alias("text"))
+        merges = bpe_learn_batched(corpus, n_merges=500, batch=50)
+        assert len(merges) == 500, f"expected 500 merges, got {len(merges)}"
+        samples["bpe_learn_500"].append(time.time() - t0)
+
     for rep in range(reps):
         order: list[str] = ["transfer_lineitem", *headline]
+        if rep == 0 and "bpe_learn_500" in samples:
+            order.append("bpe_learn_500")
         random.Random(rep).shuffle(order)
         for name in order:
             if name == "transfer_lineitem":
                 run_transfer()
+                continue
+            if name == "bpe_learn_500":
+                run_bpe500()
                 continue
             fn = QUERIES[name]
             t0 = time.time()
