@@ -264,13 +264,15 @@ def ivf_assign(
 
     Broadcast the centroids (tiny) against the corpus — a map-side join,
     the corpus never shuffles its vectors; the argmax is a groupBy
-    min(struct(-cos4, centroid_id)) — the same lexicographic-struct
-    aggregate as :func:`pq_assign`, giving the (rounded-cosine,
-    id)-tiebroken winner with MAP-SIDE partial aggregation, so the one
-    shuffle carries corpus rows, not corpus x k_cells candidate rows
-    (the previous per-vector window shipped all k_cells candidates
-    through the exchange). Norms computed once per row before the
-    cross: one fold per pair.
+    min(struct(-cos4, centroid_id)) — a lexicographic-struct aggregate
+    giving the (rounded-cosine, id)-tiebroken winner with MAP-SIDE
+    partial aggregation, so the one shuffle carries corpus rows, not
+    corpus x k_cells candidate rows (the previous per-vector window
+    shipped all k_cells candidates through the exchange). Norms computed
+    once per row before the cross: one fold per pair. The struct-min is
+    a SortAggregate over corpus x k_cells rows — fine at k_cells=16;
+    :func:`pq_assign` outgrew the same shape at m*k=8192 and moved to a
+    vectorized Arrow kernel (see there).
     """
     c = F.broadcast(centroids.withColumn("csq", norm_sq(F.col("centroid"))))
     scored = vectors.select(

@@ -218,6 +218,7 @@ def test_psi_constant_column_collapses_to_bin0(spark):
     assert all(out[b].psi_term is not None for b in range(10))
 
 
+@pytest.mark.slow
 def test_covariance_large_magnitude_chunked_exact(spark):
     """|x| ~ 1e3 vectors: each int64 Gram product is ~1e18, so an
     unchunked per-batch sum would wrap after ~9 rows. The chunked
@@ -240,6 +241,7 @@ def test_covariance_large_magnitude_chunked_exact(spark):
     assert fast[(0, 0)][1] > 0 and fast[(1, 1)][1] > 0
 
 
+@pytest.mark.slow
 def test_two_pass_ops_leave_no_persistent_rdds(spark):
     """The two-pass prefix-sum family must not pin blocks in the session
     cache manager (localCheckpoint, not persist): after running each
@@ -302,6 +304,7 @@ def test_weighted_median_known_values(spark):
     assert r3.wmedian == 5.0 and r3.n_distinct == 2
 
 
+@pytest.mark.slow
 def test_sweep_line_boundary_proxy_exact(spark):
     """A boundary proxy (even a badly-skewed one) changes only bucket
     balance — concurrency output must be identical to the self-sampled

@@ -524,6 +524,7 @@ def test_file_mode_removes_stale_generations(spark, tmp_path):
     assert survivors == [out] == third
 
 
+@pytest.mark.slow
 def test_file_size_threshold_true_sizes(spark, tmp_path):
     """Size-based splitting measures REAL written bytes: highly
     compressible text (schema estimate off several-fold) still lands
@@ -550,6 +551,7 @@ def test_file_size_threshold_true_sizes(spark, tmp_path):
     assert total == 20000
 
 
+@pytest.mark.slow
 def test_file_size_threshold_extreme_compression_converges(spark, tmp_path):
     """~100x-compressible text: the iterative measure converges to few
     well-filled files (not thousands of footer-dominated 1 KB parts) and

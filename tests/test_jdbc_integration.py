@@ -28,6 +28,9 @@ from odbc2parquet_spark.sources.jdbc import ConnectOpts, read_query
 DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
 
 
+pytestmark = pytest.mark.slow  # excluded from the default profile (pytest.ini)
+
+
 @pytest.fixture(scope="module")
 def derby_url(tmp_path_factory):
     db = tmp_path_factory.mktemp("derby") / "smoke_db"

@@ -52,6 +52,7 @@ def test_minhash_lsh_pipeline(docs):
     assert all(4 not in p for p in got)
 
 
+@pytest.mark.slow
 def test_simhash_identical_and_distance(docs):
     sig = {r.id: r.simhash for r in D.simhash(docs).collect()}
     assert sig[1] == sig[2]  # identical text -> identical signature
@@ -129,6 +130,7 @@ def test_frame_sample_short_payload_empty(docs):
     assert frames == []
 
 
+@pytest.mark.slow
 def test_simhash_banded_matches_all_pairs(docs):
     """Pigeonhole guarantee: bands > max_hamming -> banded == all-pairs."""
     sig = D.simhash(docs)
@@ -193,6 +195,7 @@ def test_resize_images_binary_roundtrip(docs):
         assert by_id[i].out_checksum == sum(expect) % 1_000_000_007
 
 
+@pytest.mark.slow
 def test_connected_components_chain_and_isolate(spark):
     from odbc2parquet_spark.operators.graph import connected_components, duplicate_clusters
 
@@ -220,6 +223,7 @@ def test_star_components_chain_and_isolate(spark):
     assert cc == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4, 6: 6}
 
 
+@pytest.mark.slow
 def test_star_components_deep_chain_matches_propagation(spark):
     """The scale-path property: a 64-node chain (diameter 63) must fully
     contract within the star alternation's O(log n) round budget — far
@@ -249,6 +253,7 @@ def test_star_components_deep_chain_matches_propagation(spark):
     assert star_s == prop_s == {i: 0 for i in range(m)}
 
 
+@pytest.mark.slow
 def test_star_components_random_graph_matches_propagation(spark):
     import random
 
@@ -1745,6 +1750,7 @@ def test_tree_ancestry_chain_and_forest(spark):
     assert shallow[4] == (0, 4)
 
 
+@pytest.mark.slow
 def test_sweep_line_concurrency_known_peak(spark):
     """Three overlapping intervals: concurrency peaks at 3 inside the
     triple overlap; an end and a start at the same instant do NOT
@@ -1835,6 +1841,7 @@ def test_hll_estimate_accuracy_and_merge_invariance(spark):
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
 
 
+@pytest.mark.slow
 def test_reservoir_sample_weight_proportional(spark):
     """A-Res selection probability tracks weight: with weights 10:1 the
     heavy item family dominates the reservoir; selection is partitioning-
@@ -1988,6 +1995,7 @@ def test_kmv_overlap_estimate_accuracy(spark):
     assert small.inter_est == 25.0  # exact below k
 
 
+@pytest.mark.slow
 def test_kth_smallest_exact_selection(spark):
     """Distributed quickselect returns the bit-exact k-th value: checked
     against a local sort across odd/even sizes, duplicates, negatives,
@@ -2150,6 +2158,7 @@ def test_hll_cumulative_carries_untouched_registers(spark):
     assert cum[2] > cum[1] * 0.9 and cum[2] >= cum[1]
 
 
+@pytest.mark.slow
 def test_temperature_sample_rebalances_head(spark):
     """alpha=0.5 temperature: the binding (smallest) source keeps every
     row; a source 4x larger keeps ~half its rows (sqrt tempering), so

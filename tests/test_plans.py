@@ -105,6 +105,9 @@ MUST_BROADCAST = ["q_broadcast_dims", "q_join_revenue_topn"]
 MUST_PUSH = ["q_filter_pushdown", "q_param_binding", "q_exists_correlated"]
 
 
+pytestmark = pytest.mark.slow  # excluded from the default profile (pytest.ini)
+
+
 def _formatted(df) -> str:
     return df._jdf.queryExecution().explainString(
         df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(

@@ -5,6 +5,7 @@ and the TIME text<->int converters (src/query/time.rs tiers)."""
 import random
 import string
 
+import pytest
 from hypothesis import assume, given, settings
 from hypothesis import strategies as st
 
@@ -14,6 +15,9 @@ _name = st.text(alphabet=string.ascii_letters + "_", min_size=1, max_size=8)
 _plain = st.text(
     alphabet=string.ascii_letters + string.digits + " ,=()<>'\n", max_size=20
 )
+
+
+pytestmark = pytest.mark.slow  # excluded from the default profile (pytest.ini)
 
 
 @given(st.lists(st.tuples(_plain, _name), min_size=0, max_size=6), _plain)

@@ -11,6 +11,9 @@ from odbc2parquet_spark.streaming.transfer import (
 )
 
 
+pytestmark = pytest.mark.slow  # excluded from the default profile (pytest.ini)
+
+
 def test_stream_transfer_available_now(spark, sf_dir, tmp_path):
     src = tmp_path / "src"
     src.mkdir()

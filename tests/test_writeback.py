@@ -126,6 +126,7 @@ def test_generated_statement_quotes_identifiers():
     assert stmt == 'INSERT INTO "ta`ble" ("a", "b c") VALUES (?, ?)'
 
 
+@pytest.mark.slow
 def test_insert_full_type_matrix_duckdb(spark, tmp_path):
     """The reference's insert matrix (tests/integration.rs:2208-3798, every
     type x optionality) against a STRONGLY typed DBAPI target: all integer
