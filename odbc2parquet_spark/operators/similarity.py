@@ -565,23 +565,6 @@ def _subspace_melt(vec_col: str, m: int, sub: int, field: str) -> F.Column:
     )
 
 
-def _sub_d2(a: F.Column, b: F.Column) -> F.Column:
-    """Squared euclidean distance between two float-array slices, rounded
-    to 4 decimals — the shared PQ distance contract (assignment and LUT
-    must round identically or codes and lookups desynchronize)."""
-    return F.round(
-        _fold_sum(
-            F.zip_with(
-                a,
-                b,
-                lambda x, c: (x.cast("double") - c.cast("double"))
-                * (x.cast("double") - c.cast("double")),
-            )
-        ),
-        4,
-    )
-
-
 def pq_codebook(
     vectors: DataFrame,
     m: int = 8,
@@ -667,6 +650,36 @@ def pq_refine_codebook(
     return cur
 
 
+def _collect_codebook(codebook: DataFrame, m: int, sub: int):
+    """Codebook as per-subspace (cid array, centroid matrix) numpy pairs,
+    cid-sorted — a bounded driver reduction (a PQ codebook is m*k tiny
+    rows BY DEFINITION; it exists to be memory-resident). Shared by the
+    assignment and probe-LUT Arrow kernels so both see the identical
+    cid order the tiebreak contract depends on. Rejects sub > 8: numpy's
+    pairwise summation is sequential only below 8 terms, and the
+    cross-engine bit-exactness contract needs in-order sums."""
+    import numpy as np
+
+    if sub > 8:
+        raise ValueError(
+            f"subspace width {sub} > 8: numpy's pairwise summation would "
+            "reassociate the distance sum and break the cross-engine "
+            "bit-exactness contract"
+        )
+    rows = codebook.select("subspace", "cid", "c8").collect()
+    by_s: dict[int, list] = {}
+    for r in rows:
+        by_s.setdefault(r.subspace, []).append((r.cid, list(r.c8)))
+    cb_cids, cb_mats = [], []
+    for s in range(m):
+        entries = sorted(by_s.get(s, []))
+        if not entries:
+            raise ValueError(f"codebook has no centroids for subspace {s}")
+        cb_cids.append(np.array([c for c, _ in entries], dtype=np.int64))
+        cb_mats.append(np.array([v for _, v in entries], dtype=np.float64))
+    return cb_cids, cb_mats
+
+
 def pq_assign(
     vectors: DataFrame,
     codebook: DataFrame,
@@ -705,24 +718,7 @@ def pq_assign(
     import pyarrow as pa
 
     sub = _pq_split(dim, m)
-    if sub > 8:
-        raise ValueError(
-            f"subspace width {sub} > 8: numpy's pairwise summation would "
-            "reassociate the distance sum and break the cross-engine "
-            "bit-exactness contract"
-        )
-    rows = codebook.select("subspace", "cid", "c8").collect()
-    by_s: dict[int, list] = {}
-    for r in rows:
-        by_s.setdefault(r.subspace, []).append((r.cid, list(r.c8)))
-    cb_cids, cb_mats = [], []
-    for s in range(m):
-        entries = sorted(by_s.get(s, []))
-        if not entries:
-            raise ValueError(f"codebook has no centroids for subspace {s}")
-        cb_cids.append(np.array([c for c, _ in entries], dtype=np.int64))
-        cb_mats.append(np.array([v for _, v in entries], dtype=np.float64))
-
+    cb_cids, cb_mats = _collect_codebook(codebook, m, sub)
     subspaces = np.arange(m, dtype=np.int32)
 
     def assign_batches(batches):
@@ -770,17 +766,55 @@ def _pq_probe_lut(
     """(query_id, subspace, code, pd2): the ADC lookup table — every
     probe's squared distance to every subspace centroid, each term
     rounded to 4 decimals then held as DECIMAL(20,4) so downstream sums
-    are order-independent. n_probes*m*k rows; always broadcast."""
+    are order-independent. n_probes*m*k rows; always broadcast.
+
+    Distances come from the same Arrow kernel as :func:`pq_assign`
+    (bit-exact raw float64), with the round-4 + decimal cast applied
+    Spark-side so decimal rounding stays an exact JVM operation — the
+    melt/zip_with expression form this replaces spent ~1.6s of
+    interpreted HOF time on 82k rows at sf0.1."""
+    import numpy as np
+    import pyarrow as pa
+
     sub = _pq_split(dim, m)
-    psub = probes.select(
-        F.col(id_col).alias("query_id"),
-        F.explode(_subspace_melt(vec_col, m, sub, "p8")).alias("ps"),
-    ).select("query_id", F.col("ps.subspace").alias("subspace"), F.col("ps.p8").alias("p8"))
-    return psub.join(F.broadcast(codebook), "subspace").select(
+    cb_cids, cb_mats = _collect_codebook(codebook, m, sub)
+
+    def lut_batches(batches):
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            ids = b.column(0).to_numpy(zero_copy_only=False)
+            flat = b.column(1).flatten().to_numpy(zero_copy_only=False)
+            Vs = flat.astype(np.float64).reshape(n, m, sub)
+            out_q, out_s, out_c, out_d = [], [], [], []
+            for s in range(m):
+                d = np.square(Vs[:, s, None, :] - cb_mats[s][None, :, :]).sum(axis=-1)
+                k_s = d.shape[1]
+                out_q.append(np.repeat(ids, k_s))
+                out_s.append(np.full(n * k_s, s, dtype=np.int32))
+                out_c.append(np.tile(cb_cids[s], n))
+                out_d.append(d.reshape(-1))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(out_q), type=pa.int64()),
+                    pa.array(np.concatenate(out_s), type=pa.int32()),
+                    pa.array(np.concatenate(out_c), type=pa.int64()),
+                    pa.array(np.concatenate(out_d), type=pa.float64()),
+                ],
+                names=["query_id", "subspace", "code", "pd2raw"],
+            )
+
+    raw = probes.select(
+        F.col(id_col).cast("long").alias("query_id"), F.col(vec_col)
+    ).mapInArrow(
+        lut_batches, "query_id long, subspace int, code long, pd2raw double"
+    )
+    return raw.select(
         "query_id",
         "subspace",
-        F.col("cid").alias("code"),
-        _sub_d2(F.col("p8"), F.col("c8")).cast("decimal(20,4)").alias("pd2"),
+        "code",
+        F.round("pd2raw", 4).cast("decimal(20,4)").alias("pd2"),
     )
 
 

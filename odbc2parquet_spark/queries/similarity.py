@@ -463,7 +463,8 @@ def _pq_index_ctes(p: str = "") -> str:
     {p}lut AS (
         SELECT {p}psub.query_id, {p}cb.subspace, {p}cb.cid AS code,
                CAST(ROUND(list_sum(list_transform(list_zip({p}psub.p8, {p}cb.c8),
-                        x -> POWER(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE), 2))),
+                        x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+                           * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))),
                      4) AS DECIMAL(20,4)) AS pd2
         FROM {p}psub JOIN {p}cb ON {p}cb.subspace = {p}psub.subspace
     )"""
@@ -691,7 +692,8 @@ _PQ_LLOYD_CTES = f""",
     rlut AS (
         SELECT psub.query_id, rcb.subspace, rcb.cid AS code,
                CAST(ROUND(list_sum(list_transform(list_zip(psub.p8, rcb.c8),
-                        x -> POWER(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE), 2))),
+                        x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+                           * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))),
                      4) AS DECIMAL(20,4)) AS pd2
         FROM psub JOIN rcb ON rcb.subspace = psub.subspace
     ),
