@@ -684,14 +684,31 @@ def span_scrub(
     grams = docs.select(
         F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("ws")
     ).select("doc_id", F.posexplode(F.expr(gram_expr)).alias("pos", "g"))
+    # global-first occurrence as min over a PACKED long (doc_id << 21 |
+    # pos): a min(struct) is a non-primitive aggregate Spark can only
+    # SortAggregate — sorting the gram table, this query's largest
+    # intermediate — while a primitive long min hash-aggregates with
+    # map-side partials. Packing preserves the lexicographic (doc_id,
+    # pos) order exactly for non-negative ids; the raise_error guard
+    # keeps the 2^21-tokens-per-document packing bound honest.
+    enc = F.when(
+        F.col("pos") >= F.lit(1 << 21),
+        F.expr("raise_error('span_scrub: document exceeds 2^21 tokens')").cast("long"),
+    ).otherwise(F.col("doc_id").cast("long") * F.lit(1 << 21) + F.col("pos"))
     dup = (
         grams.groupBy("g")
         .agg(
             F.countDistinct("doc_id").alias("nd"),
-            F.min(F.struct("doc_id", "pos")).alias("first_occ"),
+            F.min(enc).alias("first_enc"),
         )
         .filter(F.col("nd") >= 2)
-        .select("g", "first_occ")
+        .select(
+            "g",
+            F.struct(
+                F.shiftright(F.col("first_enc"), 21).alias("doc_id"),
+                (F.col("first_enc") % F.lit(1 << 21)).alias("pos"),
+            ).alias("first_occ"),
+        )
     )
     rm = (
         grams.join(dup, "g")

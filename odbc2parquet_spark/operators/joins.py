@@ -80,6 +80,42 @@ def bucketed_join(
     return spark.table(left_table).join(spark.table(right_table), key, how)
 
 
+def _argmin_match(scored: DataFrame) -> DataFrame:
+    """(probe_id, matched_id, distance): per-probe argmin over candidate
+    match rows, shared by both fuzzy-match blockers. The min runs over a
+    PACKED long (distance << 43 | matched_id) — lexicographically equal
+    to the (distance, matched_id) struct-min for non-negative values,
+    but a primitive long min HASH-aggregates with map-side partials
+    where a struct-min forces a SortAggregate over the candidate table
+    (its quadratic part). raise_error guards pin the packing bounds
+    (distance < 2^20, 0 <= matched_id < 2^43) instead of silently
+    corrupting the order."""
+    enc = (
+        F.when(
+            (F.col("distance") >= F.lit(1 << 20))
+            | (F.col("matched_id") < 0)
+            | (F.col("matched_id") >= F.lit(1 << 43)),
+            F.expr(
+                "raise_error('fuzzy match argmin: distance or matched_id "
+                "outside the (distance << 43 | id) packing bounds')"
+            ).cast("long"),
+        )
+        .otherwise(
+            F.col("distance").cast("long") * F.lit(1 << 43)
+            + F.col("matched_id").cast("long")
+        )
+    )
+    return (
+        scored.groupBy("probe_id")
+        .agg(F.min(enc).alias("best_enc"))
+        .select(
+            "probe_id",
+            (F.col("best_enc") % F.lit(1 << 43)).alias("matched_id"),
+            F.shiftright(F.col("best_enc"), 43).cast("integer").alias("distance"),
+        )
+    )
+
+
 def blocked_fuzzy_match(
     probes: DataFrame,
     master: DataFrame,
@@ -101,11 +137,14 @@ def blocked_fuzzy_match(
     work — master rows in an over-cap block are dropped (a window count
     before the join), trading those probes' matches for boundedness,
     exactly the recall/boundedness trade the LSH paths make. The
-    argmin is a groupBy min(struct(distance, matched_id)) — id-tiebroken
-    and deterministic across engines, with MAP-SIDE partial aggregation
-    so the per-probe exchange carries one row per probe, never the
-    probe x block_master candidate volume (the quadratic part of this
-    operator is exactly what should NOT reach the shuffle);
+    argmin is a groupBy min over a PACKED long (distance << 43 |
+    matched_id) — lexicographically identical to the (distance, id)
+    struct-min it replaces for non-negative values (guards enforce the
+    packing bounds), but a primitive min HASH-aggregates where a
+    struct-min can only SortAggregate (sorting the candidate table, the
+    quadratic part of this operator). Map-side partials mean the
+    per-probe exchange carries one row per probe, never the
+    probe x block_master candidate volume;
     ``max_distance`` optionally drops non-matches first so a probe with
     no plausible candidate emits nothing.
     """
@@ -133,15 +172,7 @@ def blocked_fuzzy_match(
     )
     if max_distance is not None:
         scored = scored.filter(F.col("distance") <= max_distance)
-    return (
-        scored.groupBy("probe_id")
-        .agg(F.min(F.struct(F.col("distance"), F.col("matched_id"))).alias("best"))
-        .select(
-            "probe_id",
-            F.col("best.matched_id").alias("matched_id"),
-            F.col("best.distance").alias("distance"),
-        )
-    )
+    return _argmin_match(scored)
 
 
 def deletion_blocked_fuzzy_match(
@@ -167,9 +198,9 @@ def deletion_blocked_fuzzy_match(
     grows linearly with the data and pairwise work grows quadratically.
 
     Candidate pairs from ANY shared key are deduplicated, scored with
-    full-text Levenshtein, and reduced to a per-probe argmin via
-    min(struct(distance, matched_id)) — map-side partial aggregation, so
-    the exchange carries one row per probe. ``block_col`` optionally
+    full-text Levenshtein, and reduced to a per-probe argmin via the
+    packed-long hash aggregate (:func:`_argmin_match`) — map-side
+    partials, so the exchange carries one row per probe. ``block_col`` optionally
     prefixes keys with a coarse partition (tenant, nation) purely for key
     namespacing; ``max_block`` is a backstop cap on master rows per key
     (cannot trigger for single-typo neighborhoods over a digit alphabet,
@@ -214,15 +245,8 @@ def deletion_blocked_fuzzy_match(
     pairs = pk.join(mk, "bkey").select(
         "probe_id", "ptext", "matched_id", "mtext"
     ).distinct()
-    return (
+    return _argmin_match(
         pairs.withColumn("distance", F.levenshtein(F.col("ptext"), F.col("mtext")))
-        .groupBy("probe_id")
-        .agg(F.min(F.struct(F.col("distance"), F.col("matched_id"))).alias("best"))
-        .select(
-            "probe_id",
-            F.col("best.matched_id").alias("matched_id"),
-            F.col("best.distance").alias("distance"),
-        )
     )
 
 
