@@ -263,16 +263,15 @@ def ivf_assign(
     """(vec_id, centroid_id, cos4): each vector's nearest centroid.
 
     Broadcast the centroids (tiny) against the corpus — a map-side join,
-    the corpus never shuffles its vectors; the argmax is a groupBy
-    min(struct(-cos4, centroid_id)) — a lexicographic-struct aggregate
-    giving the (rounded-cosine, id)-tiebroken winner with MAP-SIDE
-    partial aggregation, so the one shuffle carries corpus rows, not
-    corpus x k_cells candidate rows (the previous per-vector window
-    shipped all k_cells candidates through the exchange). Norms computed
-    once per row before the cross: one fold per pair. The struct-min is
-    a SortAggregate over corpus x k_cells rows — fine at k_cells=16;
-    :func:`pq_assign` outgrew the same shape at m*k=8192 and moved to a
-    vectorized Arrow kernel (see there).
+    the corpus never shuffles its vectors; the argmax is a groupBy min
+    over a PACKED long ((10000 - cos4*10^4) << 43 | centroid_id) —
+    lexicographically identical to the (-cos4, centroid_id) struct-min
+    it replaces (cos4 is 4-decimal quantized, so the integer scaling is
+    exact and order-preserving), but a primitive min HASH-aggregates
+    with map-side partials where a struct-min forces a SortAggregate
+    over the corpus x k_cells candidate rows. raise_error guards pin
+    the centroid_id < 2^43 packing bound. Norms computed once per row
+    before the cross: one fold per pair.
     """
     c = F.broadcast(centroids.withColumn("csq", norm_sq(F.col("centroid"))))
     scored = vectors.select(
@@ -285,13 +284,25 @@ def ivf_assign(
             dot(F.col("v"), F.col("centroid")) / F.sqrt(F.col("vsq") * F.col("csq")), 4
         ),
     )
+    # cos4*10^4 is within 1 ulp of an integer (4-decimal quantized), so
+    # round-to-0-decimals + long cast recovers it exactly
+    ncos_scaled = F.lit(10000) - F.round(F.col("cos4") * 10000, 0).cast("long")
+    enc = F.when(
+        (F.col("centroid_id") < 0) | (F.col("centroid_id") >= F.lit(1 << 43)),
+        F.expr(
+            "raise_error('ivf_assign: centroid_id outside the packing bound')"
+        ).cast("long"),
+    ).otherwise(ncos_scaled * F.lit(1 << 43) + F.col("centroid_id").cast("long"))
     return (
         scored.groupBy("vec_id")
-        .agg(F.min(F.struct((-F.col("cos4")).alias("ncos"), F.col("centroid_id"))).alias("best"))
+        .agg(F.min(enc).alias("best_enc"))
         .select(
             "vec_id",
-            F.col("best.centroid_id").alias("centroid_id"),
-            (-F.col("best.ncos")).alias("cos4"),
+            (F.col("best_enc") % F.lit(1 << 43)).alias("centroid_id"),
+            (
+                (F.lit(10000) - F.shiftright(F.col("best_enc"), 43))
+                .cast("double") / F.lit(10000.0)
+            ).alias("cos4"),
         )
     )
 
