@@ -682,6 +682,61 @@ def test_pq_codes_pick_nearest_subspace_centroid(spark):
     assert out[(0, 0)] == 0 and out[(0, 1)] == 0
 
 
+def test_pq_assign_kernel_bit_exact_vs_expression_spec(spark, sf_dir):
+    """The Arrow-kernel assignment is BIT-EXACT to an independent Spark
+    expression spec (melt -> broadcast join -> min(struct(d2, cid)) over
+    unrounded float64 distances) on real embeddings — the cross-engine
+    determinism contract the DuckDB oracles rely on, pinned inside Spark
+    itself. Compares codes AND the unrounded-then-rounded distances."""
+    import pyspark.sql.functions as F
+
+    from odbc2parquet_spark.operators.similarity import pq_assign, pq_codebook
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    m, sub, dim = 16, 4, 64
+    cb = pq_codebook(emb, m=m, k=24, dim=dim)
+    got = {
+        (r.vec_id, r.subspace): (r.code, r.dist4)
+        for r in pq_assign(emb, cb, m=m, dim=dim).collect()
+    }
+    # independent spec: expression-level melt + struct-min on raw d2
+    melted = emb.select(
+        F.col("vec_id"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(s).alias("subspace"),
+                    F.slice("embedding", s * sub + 1, sub).alias("v"),
+                )
+                for s in range(m)
+            ])
+        ).alias("sv"),
+    ).select("vec_id", "sv.subspace", "sv.v")
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("v"),
+            F.col("c8"),
+            lambda x, c: (x.cast("double") - c.cast("double"))
+            * (x.cast("double") - c.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    spec = (
+        melted.join(F.broadcast(cb), "subspace")
+        .withColumn("d2", d2)
+        .groupBy("vec_id", "subspace")
+        .agg(F.min(F.struct(F.col("d2"), F.col("cid"))).alias("best"))
+        .select(
+            "vec_id", "subspace",
+            F.col("best.cid").alias("code"),
+            F.round(F.col("best.d2"), 4).alias("dist4"),
+        )
+    )
+    want = {(r.vec_id, r.subspace): (r.code, r.dist4) for r in spec.collect()}
+    assert got == want and len(want) == emb.count() * m
+
+
 def test_pq_adc_search_finds_exact_match_and_rejects_lossy_split(spark):
     import pytest
 
