@@ -661,6 +661,22 @@ def pq_refine_codebook(
     return cur
 
 
+def _dense_values(col, n_rows: int, dim: int):
+    """Flat float values of an Arrow list column, REFUSING nulls and
+    ragged lengths: a null vector or a wrong-length vector would
+    otherwise silently misalign the (n, m, sub) reshape and corrupt
+    every row after it in the batch."""
+    if col.null_count:
+        raise ValueError("PQ kernel: null embedding vectors are not supported")
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    if flat.size != n_rows * dim:
+        raise ValueError(
+            f"PQ kernel: expected {n_rows} x {dim} embedding values, got "
+            f"{flat.size} (ragged or wrong-dim vectors)"
+        )
+    return flat
+
+
 def _collect_codebook(codebook: DataFrame, m: int, sub: int):
     """Codebook as per-subspace (cid array, centroid matrix) numpy pairs,
     cid-sorted — a bounded driver reduction (a PQ codebook is m*k tiny
@@ -738,7 +754,7 @@ def pq_assign(
             if n == 0:
                 continue
             ids = b.column(0).to_numpy(zero_copy_only=False)
-            flat = b.column(1).flatten().to_numpy(zero_copy_only=False)
+            flat = _dense_values(b.column(1), n, m * sub)
             Vs = flat.astype(np.float64).reshape(n, m, sub)
             codes = np.empty((n, m), dtype=np.int64)
             d2min = np.empty((n, m), dtype=np.float64)
@@ -796,7 +812,7 @@ def _pq_probe_lut(
             if n == 0:
                 continue
             ids = b.column(0).to_numpy(zero_copy_only=False)
-            flat = b.column(1).flatten().to_numpy(zero_copy_only=False)
+            flat = _dense_values(b.column(1), n, m * sub)
             Vs = flat.astype(np.float64).reshape(n, m, sub)
             out_q, out_s, out_c, out_d = [], [], [], []
             for s in range(m):
