@@ -844,6 +844,15 @@ def prefix_jaccard_pairs(
     # the recall-1.0 contract. Integer div of exact-double integers
     # (floor(N/d), N < 2^53, d <= 20) is engine-deterministic.
     p, q = Fraction(str(threshold)).as_integer_ratio()
+    if q > 1000:
+        # a float like 1/3 stringifies to 16 significant digits, whose
+        # exact fraction has a ~10^16 denominator — p * (sz_a + sz_b)
+        # would silently overflow int64. The bounds are only meaningful
+        # for human-specified thresholds anyway.
+        raise ValueError(
+            f"threshold {threshold!r} is not a short decimal (denominator "
+            f"{q} > 1000); pass a value with at most 3 decimal places"
+        )
     gh = F.conv(F.substring(F.md5(F.col("g")), 1, 15), 16, 10).cast("long")
     hashed = shingles.select("id", gh.alias("gh")).distinct()
     df_tab = hashed.groupBy("gh").agg(F.count("*").alias("df"))
