@@ -222,3 +222,37 @@ class TestCliDerbyRoundtrip:
         assert t.column_names == ["i", "s"]
         assert t.column("i").to_pylist() == [-1, 42]
         assert t.column("s").to_pylist() == [None, "Hello, World!"]
+
+
+class TestDsnDerbyRoundtrip:
+    """`query --dsn NAME` resolving through the alias registry to a live
+    JDBC URL — the full reference workflow a `--dsn`-based invocation
+    ports to (connection.rs:36-47: connect by DSN, then run the query)."""
+
+    def test_query_via_dsn_alias(
+        self, spark, derby_url, typed_parquet, tmp_path, monkeypatch, capsys
+    ):
+        import json
+
+        from odbc2parquet_spark.__main__ import main
+
+        rc = main(["insert", "--jdbc-url", derby_url, typed_parquet, "dsn_rt"])
+        assert rc == 0
+        capsys.readouterr()
+
+        alias = tmp_path / "dsn.json"
+        alias.write_text(json.dumps({"warehouse": {"url": derby_url}}))
+        monkeypatch.setenv("ODBC2PARQUET_SPARK_DSN_FILE", str(alias))
+
+        out = str(tmp_path / "via_dsn.par")
+        rc = main(
+            ["query", "--dsn", "warehouse", out,
+             'SELECT "i", "s" FROM dsn_rt ORDER BY "i"']
+        )
+        assert rc == 0
+        assert json.loads(capsys.readouterr().out)["written"] == [out]
+
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(out)
+        assert t.column("i").to_pylist() == [-1, 42]
