@@ -35,6 +35,15 @@ def _add_connection_args(p: argparse.ArgumentParser) -> None:
     )
     p.add_argument("--user", default=None)
     p.add_argument("--password", default=None)
+    p.add_argument(
+        "--prompt",
+        action="store_true",
+        help="reference parity flag (connection.rs:11-14): interactively "
+        "complete the connection string. The reference supports it only "
+        "on Windows (driver-manager dialog) and errors elsewhere; this "
+        "engine has no driver-manager dialog, so it always errors with "
+        "the supported alternatives.",
+    )
 
 
 def _resolve_connection(args: argparse.Namespace) -> None:
@@ -43,6 +52,15 @@ def _resolve_connection(args: argparse.Namespace) -> None:
     ``--dsn`` is mutually exclusive with ``--jdbc-url``; on resolve it
     fills ``jdbc_url`` from the alias file, with explicit ``--user`` /
     ``--password`` flags overriding the alias's stored defaults."""
+    if getattr(args, "prompt", False):
+        if args.dsn is not None:
+            # the reference declares prompt conflicts_with dsn
+            raise SystemExit("--prompt may not be combined with --dsn.")
+        raise SystemExit(
+            "--prompt (interactive connection completion) is a Windows "
+            "driver-manager dialog in the reference and has no analogue "
+            "here; pass --dsn NAME (alias file) or --jdbc-url instead."
+        )
     if args.dsn is None:
         return
     if args.jdbc_url:
@@ -322,7 +340,7 @@ def main(argv: list[str] | None = None) -> int:
         print(_emit_completions(parser, args.shell))
         return 0
 
-    if getattr(args, "dsn", None) is not None:
+    if getattr(args, "dsn", None) is not None or getattr(args, "prompt", False):
         _resolve_connection(args)
 
     from odbc2parquet_spark.session import get_spark

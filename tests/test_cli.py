@@ -279,3 +279,15 @@ def test_cli_list_data_sources_includes_dsn_aliases(spark, tmp_path, monkeypatch
     assert main(["list-data-sources"]) == 0
     rows = json.loads(capsys.readouterr().out)
     assert {"name": "wh", "type": "DSN", "url": "jdbc:derby:memory:wh"} in rows
+
+
+def test_cli_prompt_parity_errors(tmp_path):
+    """--prompt mirrors the reference's conflict rule (conflicts_with dsn,
+    connection.rs:11-14) and errors actionably on this platform, exactly
+    as the reference does off-Windows."""
+    import pytest
+
+    with pytest.raises(SystemExit, match="may not be combined with --dsn"):
+        main(["query", "--prompt", "--dsn", "x", "out.par", "SELECT 1"])
+    with pytest.raises(SystemExit, match="--dsn NAME .* or --jdbc-url"):
+        main(["query", "--prompt", "out.par", "SELECT 1"])
