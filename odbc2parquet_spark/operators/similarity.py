@@ -876,7 +876,7 @@ def pq_adc_topk(
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k over PQ codes — the search half of
     product quantization (cf. reference's query surface: the engine only
-    moves typed columns; here the "column" is the 8-byte code vector).
+    moves typed columns; here the "column" is the small code vector).
 
     For each probe, distance to a corpus vector is approximated from its
     codes alone: d2(probe, vec) ~= sum_s ||probe_s - centroid[code_s]||^2.
@@ -932,7 +932,7 @@ def ivf_pq_search(
     (IVF) composed with code-book distances (ADC over PQ codes).
 
     Each query visits only its ``nprobe`` nearest cells, and within them
-    distances come from 8-byte code rows + the broadcast probe LUT — the
+    distances come from narrow code rows + the broadcast probe LUT — the
     corpus's float vectors are touched exactly twice, both at INDEX BUILD
     (cell assignment + code assignment), never at search. At 100 TB the
     (cell, codes) table is stored partitioned by ``centroid_id``, so the

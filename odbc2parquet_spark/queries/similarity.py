@@ -566,7 +566,7 @@ _IVF_PQ_CTES = (
 def sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ (operators/similarity.ivf_pq_search): coarse cell routing
     composed with code-book ADC distances — each query visits nprobe=4 of
-    16 cells and scores candidates from 8-byte codes + a broadcast LUT.
+    16 cells and scores candidates from narrow code rows + a broadcast LUT.
     The composition a real billion-vector index serves; both index
     structures (cells, codes) are deterministic so the DuckDB oracle
     rebuilds them bit-for-bit."""
