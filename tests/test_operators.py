@@ -1537,6 +1537,24 @@ def test_bpe_learn_batched_disjoint_and_deterministic(spark):
         produced.add(x + y)
 
 
+def test_bpe_learn_batched_local_equals_distributed(spark):
+    """The driver-local merge loop (vocab under the cutover) must be
+    bit-identical to the distributed loop (forced via cutover=0): same
+    candidate bound, same tie order, same disjoint selection, same
+    non-overlapping application."""
+    from odbc2parquet_spark.operators.text import bpe_learn_batched
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "the hat that the cat wore"),
+         (3, "low lower lowest newer newest wide widest"),
+         (4, "ab abab ababab bb aab")],
+        ["doc_id", "text"],
+    )
+    local = bpe_learn_batched(docs, n_merges=20, batch=5)
+    dist = bpe_learn_batched(docs, n_merges=20, batch=5, local_vocab_cutover=0)
+    assert local == dist and len(local) == 20
+
+
 def test_pps_sample_exact_k_and_proportionality(spark):
     """Systematic PPS: total draws are EXACTLY k, a zero-weight row is
     never drawn, and a row holding half the total weight gets ~half the
