@@ -999,3 +999,125 @@ def novelty_scores(docs: DataFrame, n: int = 2, text_col: str = "text") -> DataF
         F.sum("novel").alias("n_novel"),
         F.round(F.sum("novel") / F.count("*"), 6).alias("novelty"),
     )
+
+
+#: Gopher-rule stopword probe set (Rae et al. 2021, table A1: a document
+#: should contain at least 2 of these function words).
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def bigram_lm_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Conditional add-k-smoothed bigram language-model score per document
+    (the CCNet/KenLM-style quality signal, self-trained on the corpus):
+    (doc_id, n_bigrams, avg_logprob) with
+    p(b|a) = (c(a,b) + 0.5) / (ctx(a) + 0.5 * |V|), carried in the exact
+    integer form (2c+1) / (2ctx + V) so the only floating-point steps are
+    ONE division and ONE ln per distinct bigram. Unlike
+    :func:`bigram_surprisal` (joint-frequency surprisal) this is a true
+    conditional LM with smoothing, so unseen-context mass is distributed
+    over the vocabulary and scores are comparable across context
+    frequencies.
+
+    Determinism: per-bigram terms are rounded to 6 decimals and summed as
+    exact decimals; the per-doc mean is a single IEEE division of that
+    exact sum. Scale shape: two corpus groupBys (bigram counts, context
+    counts) + one broadcastable vocab scalar; the scoring join is keyed
+    on the bigram — at 100 TB the frequency tables are vocab^2-bounded
+    and heavily skew-cut by Zipf, the same shape as bigram_surprisal
+    which AQE handles (hot keys split by skew-join).
+    """
+    prepared = docs.select("doc_id", words(F.col(text_col)).alias("ws"))
+    bigram_expr = (
+        "CASE WHEN size(ws) < 2 THEN array() ELSE "
+        "transform(sequence(1, size(ws) - 1), "
+        "i -> struct(ws[i - 1] AS a, ws[i] AS b)) END"
+    )
+    doc_bg = prepared.select(
+        "doc_id", F.explode(F.expr(bigram_expr)).alias("p")
+    ).select("doc_id", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    cab = doc_bg.groupBy("a", "b").agg(F.count("*").alias("cab"))
+    ctx = doc_bg.groupBy("a").agg(F.count("*").alias("ctx"))
+    vocab = prepared.select(F.explode("ws").alias("w")).agg(
+        F.countDistinct("w").alias("v")
+    )
+    term = F.round(
+        F.log((2 * F.col("cab") + 1) / (2 * F.col("ctx") + F.col("v"))), 6
+    ).cast("decimal(18,6)")
+    scored = (
+        doc_bg.join(cab, ["a", "b"])
+        .join(ctx, "a")
+        .join(F.broadcast(vocab))
+        .withColumn("term", term)
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.sum("term").cast("double") / F.count("*"), 6).alias(
+            "avg_logprob"
+        ),
+    )
+
+
+def gopher_rules(
+    docs: DataFrame,
+    text_col: str = "text",
+    stopwords: tuple[str, ...] = GOPHER_STOPWORDS,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """Gopher rule-based quality filter (Rae et al. 2021 §A1.1) as one
+    narrow projection: per-document rule flags (0/1) plus the combined
+    verdict. Every ratio threshold is evaluated in cross-multiplied
+    integer form (e.g. mean word length in [3, 10] as
+    ``3*n_words <= sum_len <= 10*n_words``), so the whole filter is
+    exact integer arithmetic — engine-independent and, at 100 TB, a
+    zero-shuffle codegen'd scan (the cheapest gate, run first).
+
+    Rules: 50 <= word count <= 100k; mean word length in [3, 10];
+    '#'/'...' symbol-to-word ratio < 0.1; < 90% of lines bullet-led;
+    < 30% of lines ellipsis-ended; >= 80% of words contain an alphabetic
+    character; >= ``min_stopwords`` of the ``stopwords`` probe set
+    present (default: the canonical 8 Gopher function words — callers
+    scoring a corpus whose language lacks them substitute its own
+    function-word inventory, which is the rule's intent).
+    """
+    t = F.col(text_col)
+    ws = words(t)
+    lines = F.split(t, "\n")
+    n_words = F.size(ws).cast("long")
+    sum_len = F.length(F.concat_ws("", ws)).cast("long")
+    n_hash = (F.length(t) - F.length(F.replace(t, F.lit("#")))).cast("long")
+    # '...' occurrences x3 (length delta of a non-overlapping replace);
+    # the symbol-ratio compare is multiplied through by 3 to avoid /3
+    ell3 = (F.length(t) - F.length(F.replace(t, F.lit("...")))).cast("long")
+    n_lines = F.size(lines).cast("long")
+    n_bullet = F.size(
+        F.filter(lines, lambda l: l.startswith("- ") | l.startswith("* "))
+    ).cast("long")
+    n_ell_lines = F.size(F.filter(lines, lambda l: l.endswith("..."))).cast(
+        "long"
+    )
+    n_alpha = F.size(F.filter(ws, lambda w: w.rlike("[A-Za-z]"))).cast("long")
+    n_stop = sum(F.array_contains(ws, s).cast("long") for s in stopwords)
+    flag = lambda c: c.cast("int")  # noqa: E731 - 0/1 ints hash identically in DuckDB
+    out = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        flag((n_words >= 50) & (n_words <= 100000)).alias("ok_word_count"),
+        flag(
+            (3 * n_words <= sum_len) & (sum_len <= 10 * n_words)
+        ).alias("ok_mean_word_len"),
+        flag(10 * (3 * n_hash + ell3) < 3 * n_words).alias("ok_symbol_ratio"),
+        flag(10 * n_bullet < 9 * n_lines).alias("ok_bullet"),
+        flag(10 * n_ell_lines < 3 * n_lines).alias("ok_ellipsis"),
+        flag(5 * n_alpha >= 4 * n_words).alias("ok_alpha"),
+        flag(n_stop >= min_stopwords).alias("ok_stopwords"),
+    )
+    all_ok = (
+        (F.col("ok_word_count") == 1)
+        & (F.col("ok_mean_word_len") == 1)
+        & (F.col("ok_symbol_ratio") == 1)
+        & (F.col("ok_bullet") == 1)
+        & (F.col("ok_ellipsis") == 1)
+        & (F.col("ok_alpha") == 1)
+        & (F.col("ok_stopwords") == 1)
+    )
+    return out.withColumn("keep_doc", all_ok.cast("int"))

@@ -2573,3 +2573,200 @@ def mm_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("id"), "g"
     ).distinct()
     return prefix_jaccard_pairs(sh, threshold=0.8)
+
+
+_LM_CTE = """
+    w AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws
+        FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, ws[i] AS a, ws[i+1] AS b
+        FROM w, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
+        WHERE len(ws) >= 2
+    ),
+    cab AS (SELECT a, b, COUNT(*) AS cab FROM bg GROUP BY a, b),
+    ctx AS (SELECT a, COUNT(*) AS ctx FROM bg GROUP BY a),
+    vocab AS (
+        SELECT COUNT(DISTINCT w) AS v
+        FROM (SELECT UNNEST(ws) AS w FROM w)
+    ),
+    terms AS (
+        SELECT doc_id,
+               CAST(ROUND(LN((2 * cab + 1) / (2 * ctx + v)), 6)
+                    AS DECIMAL(18,6)) AS term
+        FROM bg JOIN cab USING (a, b) JOIN ctx USING (a) CROSS JOIN vocab
+    ),
+    lm AS (
+        SELECT doc_id, COUNT(*) AS n_bigrams,
+               ROUND(CAST(SUM(term) AS DOUBLE) / COUNT(*), 6) AS avg_logprob
+        FROM terms GROUP BY doc_id
+    )
+"""
+
+
+@query(
+    "tx_bigram_lm_score",
+    oracle="WITH " + _LM_CTE + "\n    SELECT doc_id, n_bigrams, avg_logprob FROM lm",
+)
+def tx_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional add-0.5-smoothed bigram LM average log-probability per
+    document, self-trained on the corpus — the CCNet-style perplexity
+    quality signal without an external model (reference has no LM ops;
+    this is training-pipeline extension surface). Exact-integer
+    probability ratios, one ln per bigram rounded then decimal-summed —
+    see operators/text.bigram_lm_scores for the determinism and 100 TB
+    shape."""
+    return X.bigram_lm_scores(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "tx_ccnet_buckets",
+    oracle="WITH " + _LM_CTE + """
+    SELECT doc_id, avg_logprob,
+           CASE NTILE(3) OVER (ORDER BY avg_logprob DESC, doc_id)
+                WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+           END AS bucket
+    FROM lm
+    """,
+)
+def tx_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail split (Wenzek et al. 2020): documents
+    bucketed into LM-score terciles (head = most fluent). Deterministic:
+    NTILE over the total order (score DESC, doc_id). Scale shape: the
+    tercile assignment is a global sort — Spark range-partitions it; a
+    100 TB deployment would swap NTILE for two-pass percentile cutoffs
+    (approx_percentile then a broadcast compare), the same
+    cutover documented for q_exact_median."""
+    lm = X.bigram_lm_scores(load_table(spark, sf_dir, "documents"))
+    w = Window.orderBy(F.desc("avg_logprob"), F.asc("doc_id"))
+    nt = F.ntile(3).over(w)
+    return lm.select(
+        "doc_id",
+        "avg_logprob",
+        F.when(nt == 1, F.lit("head"))
+        .when(nt == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
+#: function-word probe set for THIS corpus (see tx_gopher_rules docstring)
+_CORPUS_STOPWORDS = ("the", "a")
+
+_GOPHER_CTE = """
+    gw AS (
+        SELECT doc_id, text,
+               list_filter(string_split(text, ' '), x -> x != '') AS ws,
+               string_split(text, chr(10)) AS lines
+        FROM documents
+    ),
+    gm AS (
+        SELECT doc_id,
+               len(ws) AS n_words,
+               length(array_to_string(ws, '')) AS sum_len,
+               length(text) - length(replace(text, '#', '')) AS n_hash,
+               length(text) - length(replace(text, '...', '')) AS ell3,
+               len(lines) AS n_lines,
+               len(list_filter(lines, l -> l LIKE '- %' OR l LIKE '* %'))
+                   AS n_bullet,
+               len(list_filter(lines, l -> l LIKE '%...')) AS n_ell_lines,
+               len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))
+                   AS n_alpha,
+               (CASE WHEN list_contains(ws, 'the') THEN 1 ELSE 0 END
+                + CASE WHEN list_contains(ws, 'a') THEN 1 ELSE 0 END)
+                   AS n_stop
+        FROM gw
+    ),
+    gr AS (
+        SELECT doc_id, n_words,
+               CASE WHEN n_words >= 50 AND n_words <= 100000
+                    THEN 1 ELSE 0 END AS ok_word_count,
+               CASE WHEN 3 * n_words <= sum_len AND sum_len <= 10 * n_words
+                    THEN 1 ELSE 0 END AS ok_mean_word_len,
+               CASE WHEN 10 * (3 * n_hash + ell3) < 3 * n_words
+                    THEN 1 ELSE 0 END AS ok_symbol_ratio,
+               CASE WHEN 10 * n_bullet < 9 * n_lines
+                    THEN 1 ELSE 0 END AS ok_bullet,
+               CASE WHEN 10 * n_ell_lines < 3 * n_lines
+                    THEN 1 ELSE 0 END AS ok_ellipsis,
+               CASE WHEN 5 * n_alpha >= 4 * n_words
+                    THEN 1 ELSE 0 END AS ok_alpha,
+               CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS ok_stopwords
+        FROM gm
+    ),
+    gopher AS (
+        SELECT *,
+               CASE WHEN ok_word_count = 1 AND ok_mean_word_len = 1
+                     AND ok_symbol_ratio = 1 AND ok_bullet = 1
+                     AND ok_ellipsis = 1 AND ok_alpha = 1
+                     AND ok_stopwords = 1
+                    THEN 1 ELSE 0 END AS keep_doc
+        FROM gr
+    )
+"""
+
+
+@query(
+    "tx_gopher_rules",
+    oracle="WITH " + _GOPHER_CTE + "\n    SELECT * FROM gopher",
+)
+def tx_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-based quality filter (Rae et al. 2021 §A1.1): per-doc
+    0/1 rule flags + combined keep verdict, every threshold evaluated in
+    cross-multiplied exact-integer form. Zero shuffles — a codegen'd
+    scan, the first gate of a 100 TB curation funnel. The stopword probe
+    set is instantiated with THIS corpus's function-word inventory
+    ('the', 'a' — the synthetic vocabulary has no other English function
+    words); the operator defaults to the canonical 8-word Gopher set."""
+    return X.gopher_rules(
+        load_table(spark, sf_dir, "documents"), stopwords=_CORPUS_STOPWORDS
+    )
+
+
+@query(
+    "tx_curation_verdict",
+    oracle="WITH " + _GOPHER_CTE + "," + _LM_CTE + """,
+    buckets AS (
+        SELECT doc_id,
+               CASE NTILE(3) OVER (ORDER BY avg_logprob DESC, doc_id)
+                    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+               END AS bucket
+        FROM lm
+    )
+    SELECT g.doc_id,
+           CASE WHEN g.keep_doc = 0 THEN 'drop_rules'
+                WHEN b.bucket = 'tail' THEN 'drop_tail'
+                ELSE 'keep' END AS verdict,
+           b.bucket
+    FROM gopher g JOIN buckets b ON b.doc_id = g.doc_id
+    """,
+)
+def tx_curation_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation decision (the RefinedWeb/Dolma funnel in
+    miniature): Gopher rules first (cheap scan), then the LM tercile for
+    survivors — verdict 'drop_rules' / 'drop_tail' / 'keep' with the
+    bucket attached. Composes tx_gopher_rules and tx_ccnet_buckets;
+    the join is doc-keyed (no new shuffle shape)."""
+    docs = load_table(spark, sf_dir, "documents")
+    rules = X.gopher_rules(docs, stopwords=_CORPUS_STOPWORDS).select(
+        "doc_id", "keep_doc"
+    )
+    lm = X.bigram_lm_scores(docs)
+    w = Window.orderBy(F.desc("avg_logprob"), F.asc("doc_id"))
+    nt = F.ntile(3).over(w)
+    buckets = lm.select(
+        "doc_id",
+        F.when(nt == 1, F.lit("head"))
+        .when(nt == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+    return rules.join(buckets, "doc_id").select(
+        "doc_id",
+        F.when(F.col("keep_doc") == 0, F.lit("drop_rules"))
+        .when(F.col("bucket") == "tail", F.lit("drop_tail"))
+        .otherwise(F.lit("keep"))
+        .alias("verdict"),
+        "bucket",
+    )
