@@ -215,6 +215,15 @@ HEADLINE = [
     "ev_holt_forecast",
     "sim_centroid_shift",
     "mm_audio_neardup",
+    # round-8 additions
+    "tx_bigram_lm_score",
+    "tx_ccnet_buckets",
+    "tx_gopher_rules",
+    "tx_curation_verdict",
+    "dd_soft_dedup",
+    "dd_cdc_chunks",
+    "sim_jaccard_links",
+    "mm_audio_vad",
 ]
 
 

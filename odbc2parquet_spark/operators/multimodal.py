@@ -1257,3 +1257,48 @@ def audio_energy_shingles(binary_df: DataFrame, window: int = 64) -> DataFrame:
     return binary_df.select("doc_id", "payload").mapInPandas(
         run, ENERGY_SHINGLE_SCHEMA
     )
+
+
+AUDIO_FRAME_SCHEMA = "doc_id long, frame_idx long, n int, sum_sq long"
+
+
+def decode_audio_frame_energy(
+    binary_df: DataFrame, frame_len: int = 64
+) -> DataFrame:
+    """Frame-level PCM energy decode: locate each WAV's data chunk,
+    reinterpret it as little-endian int16, slice the flat sample stream
+    into ``frame_len``-sample frames (last frame may be partial), and
+    emit exact integers (frame_idx, n, sum_sq) per frame — the substrate
+    for energy-threshold voice-activity detection. Arrow-batched
+    mapInPandas with numpy int64 arithmetic, same decode core as
+    :func:`decode_audio_samples`; corrupt payloads contribute no frames
+    (quarantine-by-absence, the 100 TB rule)."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list = []
+            fidx: list = []
+            ns: list = []
+            ss: list = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    off, size = _wav_data_span(bytes(payload))
+                except ValueError:
+                    continue
+                v = np.frombuffer(
+                    bytes(payload)[off : off + size - size % 2], "<i2"
+                ).astype(np.int64)
+                for f in range((len(v) + frame_len - 1) // frame_len):
+                    seg = v[f * frame_len : (f + 1) * frame_len]
+                    ids.append(doc_id)
+                    fidx.append(f)
+                    ns.append(len(seg))
+                    ss.append(int((seg * seg).sum()))
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": fidx, "n": ns, "sum_sq": ss}
+            )
+
+    return binary_df.select("doc_id", "payload").mapInPandas(
+        run, AUDIO_FRAME_SCHEMA
+    )

@@ -1045,3 +1045,146 @@ def dd_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return prefix_jaccard_pairs(D.word_shingles(docs, 3), threshold=0.6)
+
+
+@query(
+    "dd_soft_dedup",
+    oracle="""
+    WITH nf AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+                   AS norm_hash
+        FROM documents
+    ),
+    grp AS (
+        SELECT norm_hash, COUNT(*) AS group_size, MIN(doc_id) AS group_id
+        FROM nf GROUP BY norm_hash
+    )
+    SELECT n.doc_id, g.group_id, g.group_size,
+           ROUND(CAST(1 AS DOUBLE) / g.group_size, 6) AS weight
+    FROM nf n JOIN grp g ON g.norm_hash = n.norm_hash
+    """,
+)
+def dd_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft deduplication: instead of DROPPING duplicates, every document
+    keeps a training weight of 1/group_size over its exact-duplicate
+    group (normal-form hash), so duplicated content contributes the same
+    total gradient mass as a unique document — the down-weighting
+    alternative (SoftDedup) to hard removal when near-duplicate text still
+    carries signal. One hash-keyed groupBy + one hash-keyed join back;
+    rides the dd_exact shuffle shape at 100 TB. Weight is a single IEEE
+    division of exact integers, rounded to 6."""
+    from odbc2parquet_spark.operators.text import dedup_normal_form
+
+    docs = load_table(spark, sf_dir, "documents")
+    nf = docs.select(
+        "doc_id", F.md5(dedup_normal_form("text")).alias("norm_hash")
+    )
+    grp = nf.groupBy("norm_hash").agg(
+        F.count("*").alias("group_size"), F.min("doc_id").alias("group_id")
+    )
+    return nf.join(grp, "norm_hash").select(
+        "doc_id",
+        "group_id",
+        "group_size",
+        F.round(F.lit(1).cast("double") / F.col("group_size"), 6).alias(
+            "weight"
+        ),
+    )
+
+
+@query(
+    "dd_cdc_chunks",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws
+        FROM documents
+    ),
+    tok AS (
+        SELECT doc_id, i AS pos, ws[i] AS w
+        FROM w, UNNEST(generate_series(1, len(ws))) AS t(i)
+    ),
+    b AS (
+        SELECT doc_id, pos, w,
+               CASE WHEN CAST('0x' || substring(md5(w), 1, 15) AS BIGINT)
+                         % 16 = 0
+                    THEN 1 ELSE 0 END AS bd
+        FROM tok
+    ),
+    c AS (
+        SELECT doc_id, pos, w,
+               COALESCE(SUM(bd) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS chunk_id
+        FROM b
+    ),
+    ch AS (
+        SELECT doc_id, chunk_id,
+               md5(string_agg(w, ' ' ORDER BY pos)) AS chunk_hash
+        FROM c GROUP BY doc_id, chunk_id
+    )
+    SELECT chunk_hash, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occ,
+           MIN(doc_id) AS first_doc
+    FROM ch GROUP BY chunk_hash
+    HAVING COUNT(DISTINCT doc_id) >= 2
+    """,
+)
+def dd_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup at token granularity: a token whose
+    md5 is 0 mod 16 ENDS a chunk (so boundaries move with content, not
+    offsets — the CDC property that makes chunk identity survive
+    insertions, unlike fixed-size blocks), chunk identity is the md5 of
+    its token run, and the output is every chunk shared by >= 2
+    documents with occurrence counts. This catches partially-copied
+    documents that whole-doc hashing misses at sub-document resolution.
+    Scale shape: boundary flags are a scan; chunk assembly is ONE
+    doc-keyed window + groupBy (doc-local, no corpus-wide shuffle by
+    content); the cross-doc share count is one chunk-hash-keyed groupBy
+    — expected chunk length is geometric (mean 16 tokens), so rows
+    entering it are ~n_tokens/16."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    from odbc2parquet_spark.operators.text import words
+
+    tok = docs.select(
+        "doc_id", F.posexplode(words(F.col("text"))).alias("pos0", "w")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
+    bd = (
+        F.conv(F.substring(F.md5(F.col("w")), 1, 15), 16, 10).cast("long") % 16
+        == 0
+    ).cast("long")
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = tok.withColumn(
+        "chunk_id", F.coalesce(F.sum(bd).over(win), F.lit(0))
+    )
+    ch = (
+        c.groupBy("doc_id", "chunk_id")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", "w"))
+                        ),
+                        lambda s: s.getField("w"),
+                    ),
+                )
+            ).alias("chunk_hash")
+        )
+    )
+    return (
+        ch.groupBy("chunk_hash")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occ"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

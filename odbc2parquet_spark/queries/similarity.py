@@ -884,10 +884,11 @@ def sim_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "sim_knn_graph",
-    oracle=f"""
-    WITH sig AS (
+# shared oracle CTE: the approximate k-NN graph (k=5) — used by
+# sim_knn_graph and sim_jaccard_links so a hash match on the latter
+# certifies the same graph construction end-to-end
+_KNN_CTE = f"""
+    sig AS (
         SELECT vec_id, CAST({{sig}} AS BIGINT) AS sig FROM embeddings
     ),
     b AS (SELECT vec_id, sig & 255 AS bucket FROM sig),
@@ -911,14 +912,23 @@ def sim_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM sym s
         JOIN nv a ON a.vec_id = s.src
         JOIN nv b ON b.vec_id = s.dst
+    ),
+    knn AS (
+        SELECT vec_id, neighbor_id, cos4 AS cosine4, rank
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY cos4 DESC, neighbor_id) AS rank
+            FROM scored
+        ) WHERE rank <= 5
     )
-    SELECT vec_id, neighbor_id, cos4 AS cosine4, rank
-    FROM (
-        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-                                     ORDER BY cos4 DESC, neighbor_id) AS rank
-        FROM scored
-    ) WHERE rank <= 5
-    """.replace("{sig}", _sig_sql()),
+""".replace("{sig}", _sig_sql())
+
+
+@query(
+    "sim_knn_graph",
+    oracle="WITH "
+    + _KNN_CTE
+    + "\n    SELECT vec_id, neighbor_id, cosine4, rank FROM knn",
 )
 def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide approximate k-NN graph (k=5): LSH-bucket candidates
@@ -1537,3 +1547,69 @@ def sim_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = emb.filter(F.col("vec_id") % 2 == 0)
     b = emb.filter(F.col("vec_id") % 2 == 1)
     return embedding_centroid_shift(a, b)
+
+
+@query(
+    "sim_jaccard_links",
+    oracle="WITH "
+    + _KNN_CTE
+    + """,
+    e AS (SELECT vec_id AS u, neighbor_id AS n FROM knn),
+    deg AS (SELECT u, COUNT(*) AS d FROM e GROUP BY u),
+    und AS (SELECT DISTINCT LEAST(u, n) AS ua, GREATEST(u, n) AS ub FROM e),
+    com AS (
+        SELECT p.ua, p.ub, COUNT(*) AS common
+        FROM und p
+        JOIN e x ON x.u = p.ua
+        JOIN e y ON y.u = p.ub AND y.n = x.n
+        GROUP BY p.ua, p.ub
+    )
+    SELECT c.ua AS id_a, c.ub AS id_b, c.common,
+           ROUND(c.common / (da.d + db.d - c.common), 6) AS jaccard
+    FROM com c
+    JOIN deg da ON da.u = c.ua
+    JOIN deg db ON db.u = c.ub
+    """,
+)
+def sim_jaccard_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the approximate k-NN graph: for every
+    undirected graph edge (u, v), the Jaccard similarity of the two
+    nodes' out-neighbor sets — the classic common-neighbors score that
+    ranks which near-neighbor links reflect a shared semantic cluster
+    versus an isolated coincidence (edges with zero common neighbors
+    drop out of the equi-join, i.e. score 0). All-integer set sizes
+    (degree <= k), one IEEE division, rounded to 6. Scale shape: the
+    graph is O(k * n) edges; common-neighbor counting is an equi-join on
+    the shared-neighbor id — never a pairwise scan — and degree is a
+    k-bounded groupBy. Reuses the sim_knn_graph construction, so the
+    oracle certifies graph + scoring end-to-end."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    knn = S.knn_graph(emb, k=5, n_planes=_N_PLANES, dim=_DIM, prefix_bits=8)
+    e = knn.select(F.col("vec_id").alias("u"), F.col("neighbor_id").alias("n"))
+    deg = e.groupBy("u").agg(F.count("*").alias("d"))
+    und = e.select(
+        F.least("u", "n").alias("ua"), F.greatest("u", "n").alias("ub")
+    ).distinct()
+    ex = e.select(F.col("u").alias("ua"), F.col("n").alias("cn"))
+    ey = e.select(F.col("u").alias("ub"), F.col("n").alias("cn"))
+    com = (
+        und.join(ex, "ua")
+        .join(ey, ["ub", "cn"])
+        .groupBy("ua", "ub")
+        .agg(F.count("*").alias("common"))
+    )
+    da = deg.select(F.col("u").alias("ua"), F.col("d").alias("da"))
+    db = deg.select(F.col("u").alias("ub"), F.col("d").alias("db"))
+    return (
+        com.join(da, "ua")
+        .join(db, "ub")
+        .select(
+            F.col("ua").alias("id_a"),
+            F.col("ub").alias("id_b"),
+            "common",
+            F.round(
+                F.col("common") / (F.col("da") + F.col("db") - F.col("common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -2770,3 +2770,68 @@ def tx_curation_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("verdict"),
         "bucket",
     )
+
+
+@query(
+    "mm_audio_vad",
+    oracle="""
+    WITH p AS (
+        SELECT doc_id, text, length(text) AS n,
+               (length(text) % 2 + 1) AS channels,
+               (length(text) % 500 + 1) AS frames
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, (t.j // 64) AS frame_idx,
+               ascii(substring(text, ((2 * t.j) % n) + 1, 1))
+               + 256 * ascii(substring(text, ((2 * t.j + 1) % n) + 1, 1)) AS u
+        FROM p, UNNEST(generate_series(0, frames * channels - 1)) AS t(j)
+    ),
+    v AS (
+        SELECT doc_id, frame_idx,
+               CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS v
+        FROM s
+    ),
+    f AS (
+        SELECT doc_id, frame_idx, COUNT(*) AS nf,
+               SUM(CAST(v AS BIGINT) * v) AS ss
+        FROM v GROUP BY doc_id, frame_idx
+    ),
+    act AS (
+        SELECT doc_id, frame_idx,
+               frame_idx - ROW_NUMBER() OVER (
+                   PARTITION BY doc_id ORDER BY frame_idx) AS grp
+        FROM f WHERE ss >= 650000000 * nf
+    )
+    SELECT doc_id, MIN(frame_idx) AS seg_start, MAX(frame_idx) AS seg_end,
+           COUNT(*) AS n_frames
+    FROM act GROUP BY doc_id, grp
+    """,
+)
+def mm_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-threshold voice-activity detection over REAL decoded PCM:
+    64-sample frames from the WAV data chunk (exact int64 energies via
+    operators/multimodal.decode_audio_frame_energy), a frame is ACTIVE
+    when its mean square >= 650e6 (compared in cross-multiplied integer
+    form, ss >= T*n — no division), and consecutive active frames merge
+    into segments via the islands trick (frame_idx minus active-rank).
+    Emits (doc_id, seg_start, seg_end, n_frames) per voiced segment —
+    the trim/segment primitive an audio-curation pipeline runs before
+    transcription. Scale shape: decode is an Arrow-batched scan; the
+    islands window is doc-keyed (no global state); output is
+    segment-sized. The oracle rebuilds the exact samples byte-by-byte in
+    SQL, so a hash match certifies true sample-level decode."""
+    docs = load_table(spark, sf_dir, "documents")
+    frames = M.decode_audio_frame_energy(M.encode_wav(docs), frame_len=64)
+    active = frames.filter(
+        F.col("sum_sq") >= F.lit(650000000).cast("long") * F.col("n")
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    act = active.withColumn(
+        "grp", F.col("frame_idx") - F.row_number().over(w)
+    )
+    return act.groupBy("doc_id", "grp").agg(
+        F.min("frame_idx").alias("seg_start"),
+        F.max("frame_idx").alias("seg_end"),
+        F.count("*").alias("n_frames"),
+    ).drop("grp")

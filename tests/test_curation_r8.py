@@ -1,0 +1,156 @@
+"""Round-8 operator tests: LM scoring, Gopher rules, soft dedup, CDC
+chunking, neighbor-Jaccard links, audio VAD frames."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_gopher_rules_flags(spark):
+    from odbc2parquet_spark.operators.text import gopher_rules
+
+    good = " ".join(["the quick brown fox with that have of be to and"] * 6)
+    docs = spark.createDataFrame(
+        [
+            (1, good),  # 60 words, all rules pass
+            (2, "too short"),  # fails word count
+            (3, " ".join(["####"] * 60)),  # no alpha, no stopwords, symbols
+            (4, "\n".join(["- bullet line"] * 50)),  # bullet-led lines
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in gopher_rules(docs).collect()}
+    assert rows[1].keep_doc == 1
+    assert rows[2].ok_word_count == 0 and rows[2].keep_doc == 0
+    assert rows[3].ok_alpha == 0 and rows[3].ok_stopwords == 0
+    assert rows[4].ok_bullet == 0
+
+
+def test_gopher_mean_word_len_boundaries(spark):
+    from odbc2parquet_spark.operators.text import gopher_rules
+
+    # mean word length exactly 3 passes (inclusive), below 3 fails
+    docs = spark.createDataFrame(
+        [(1, " ".join(["abc"] * 60)), (2, " ".join(["ab"] * 60))],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in gopher_rules(docs).collect()}
+    assert rows[1].ok_mean_word_len == 1
+    assert rows[2].ok_mean_word_len == 0
+
+
+def test_bigram_lm_scores_hand_computed(spark):
+    from odbc2parquet_spark.operators.text import bigram_lm_scores
+
+    # corpus "a b" x2 and "a c": V=3, ctx(a)=3, c(a,b)=2, c(a,c)=1
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c")], ["doc_id", "text"]
+    )
+    rows = {r.doc_id: r for r in bigram_lm_scores(docs).collect()}
+    t_ab = round(math.log((2 * 2 + 1) / (2 * 3 + 3)), 6)
+    t_ac = round(math.log((2 * 1 + 1) / (2 * 3 + 3)), 6)
+    assert rows[1].n_bigrams == 1
+    assert rows[1].avg_logprob == pytest.approx(t_ab, abs=1e-9)
+    assert rows[3].avg_logprob == pytest.approx(t_ac, abs=1e-9)
+
+
+def test_soft_dedup_weights_sum_to_group_count(spark, sf_dir):
+    from odbc2parquet_spark.queries import QUERIES
+
+    df = QUERIES["dd_soft_dedup"](spark, sf_dir)
+    agg = df.agg(
+        F.countDistinct("group_id").alias("groups"),
+        F.sum("weight").alias("wsum"),
+        F.count("*").alias("docs"),
+    ).collect()[0]
+    # each group's weights sum to ~1 (exact up to the 1e-6 rounding)
+    assert agg.wsum == pytest.approx(agg.groups, abs=1e-3)
+    assert agg.docs >= agg.groups
+
+
+def test_cdc_chunks_deterministic_and_shared(spark):
+    # two docs sharing a long token run + one unrelated: the shared run
+    # must produce at least one chunk with n_docs=2
+    shared = "alpha beta gamma delta epsilon zeta eta theta " * 6
+    docs = spark.createDataFrame(
+        [
+            (1, shared + "tail one"),
+            (2, "head two " + shared),
+            (3, "nothing in common here at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    docs.createOrReplaceTempView("documents")
+    # call the query body directly on the temp view via its operator logic:
+    # reuse the registered callable with a temp dir is awkward; instead
+    # re-run the same pipeline inline
+    from pyspark.sql import Window
+
+    from odbc2parquet_spark.operators.text import words
+
+    tok = docs.select(
+        "doc_id", F.posexplode(words(F.col("text"))).alias("pos0", "w")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
+    bd = (
+        F.conv(F.substring(F.md5(F.col("w")), 1, 15), 16, 10).cast("long") % 16
+        == 0
+    ).cast("long")
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = tok.withColumn("chunk_id", F.coalesce(F.sum(bd).over(win), F.lit(0)))
+    ch = c.groupBy("doc_id", "chunk_id").agg(
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda s: s.getField("w"),
+                ),
+            )
+        ).alias("chunk_hash")
+    )
+    shared_chunks = (
+        ch.groupBy("chunk_hash")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .collect()
+    )
+    assert len(shared_chunks) >= 1
+    # doc 3 shares nothing
+    d3 = {r.chunk_hash for r in ch.filter(F.col("doc_id") == 3).collect()}
+    d12 = {
+        r.chunk_hash for r in ch.filter(F.col("doc_id") != 3).collect()
+    }
+    assert not (d3 & d12)
+
+
+def test_audio_frame_energy_totals_match_sample_decode(spark, sf_dir):
+    from odbc2parquet_spark.catalog import load_table
+    from odbc2parquet_spark.operators import multimodal as M
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    wav = M.encode_wav(docs)
+    frames = M.decode_audio_frame_energy(wav, frame_len=64)
+    totals = frames.groupBy("doc_id").agg(
+        F.sum("sum_sq").alias("ss"), F.sum("n").alias("n")
+    )
+    ref = M.decode_audio_samples(wav).select("doc_id", "n_int16", "sum_sq")
+    joined = totals.join(ref, "doc_id").collect()
+    assert len(joined) == 20
+    for r in joined:
+        assert r.ss == r.sum_sq and r.n == r.n_int16
+
+
+def test_jaccard_links_bounds(spark, sf_dir):
+    from odbc2parquet_spark.queries import QUERIES
+
+    rows = QUERIES["sim_jaccard_links"](spark, sf_dir).collect()
+    assert rows, "expected at least one scored link"
+    for r in rows:
+        assert 0.0 < r.jaccard <= 1.0
+        assert r.common >= 1
+        assert r.id_a < r.id_b
