@@ -95,6 +95,11 @@ BOUNDED_CROSS_OK = {
     # calendar-sized residual table (plus the decomposition's own
     # calendar-bounded shapes)
     "ev_seasonal_anomalies",
+    # round 8: conditional bigram LM — 1-row vocabulary-size scalar
+    # broadcast crossed onto the bigram stream (bigram_surprisal's shape)
+    "tx_bigram_lm_score",
+    "tx_ccnet_buckets",      # same LM pipeline under the tercile window
+    "tx_curation_verdict",   # same LM pipeline inside the funnel composition
 }
 ALL_PAIRS_OK |= BOUNDED_CROSS_OK
 
