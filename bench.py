@@ -224,6 +224,7 @@ HEADLINE = [
     "dd_cdc_chunks",
     "sim_jaccard_links",
     "mm_audio_vad",
+    "tx_kneser_ney_score",
 ]
 
 

@@ -1121,3 +1121,62 @@ def gopher_rules(
         & (F.col("ok_stopwords") == 1)
     )
     return out.withColumn("keep_doc", all_ok.cast("int"))
+
+
+def kneser_ney_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM score per document — the
+    canonical n-gram smoothing (absolute discount D = 3/4, continuation
+    probabilities from distinct-predecessor counts):
+
+        p(b|a) = (c(ab) - D)/c(a.) + D * N1+(a.)/c(a.) * N1+(.b)/N1+(..)
+
+    With the dyadic D this folds to ONE exact integer ratio per bigram:
+
+        p = ((4*c(ab) - 3) * T + 3 * N1+(a.) * N1+(.b)) / (4 * T * c(a.))
+
+    (T = N1+(..) = distinct bigram types; c(ab) >= 1 for every scored
+    bigram, so the discount never clips). The only floating-point steps
+    are one division of those exact int64s and one ln, rounded to 6 and
+    decimal-summed per doc — same determinism contract as
+    :func:`bigram_lm_scores`. int64 headroom: the numerator is bounded
+    by 4 * c_max * T; past ~c_max * T = 2^60 (far beyond any vocabulary
+    this side of a web crawl) the same algebra carries in decimal.
+
+    Scale shape: three bigram-keyed groupBys (counts, distinct-successor,
+    distinct-predecessor) + one broadcast scalar; the scoring join is
+    bigram-keyed, Zipf-skewed like bigram_lm_scores (AQE skew-split).
+    """
+    prepared = docs.select("doc_id", words(F.col(text_col)).alias("ws"))
+    bigram_expr = (
+        "CASE WHEN size(ws) < 2 THEN array() ELSE "
+        "transform(sequence(1, size(ws) - 1), "
+        "i -> struct(ws[i - 1] AS a, ws[i] AS b)) END"
+    )
+    doc_bg = prepared.select(
+        "doc_id", F.explode(F.expr(bigram_expr)).alias("p")
+    ).select("doc_id", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    cab = doc_bg.groupBy("a", "b").agg(F.count("*").alias("cab"))
+    ctx = doc_bg.groupBy("a").agg(F.count("*").alias("ctx"))
+    types = doc_bg.select("a", "b").distinct()
+    n1a = types.groupBy("a").agg(F.count("*").alias("n1a"))
+    n1b = types.groupBy("b").agg(F.count("*").alias("n1b"))
+    t = types.agg(F.count("*").alias("t"))
+    num = (4 * F.col("cab") - 3) * F.col("t") + 3 * F.col("n1a") * F.col(
+        "n1b"
+    )
+    den = 4 * F.col("t") * F.col("ctx")
+    term = F.round(F.log(num / den), 6).cast("decimal(18,6)")
+    scored = (
+        doc_bg.join(cab, ["a", "b"])
+        .join(ctx, "a")
+        .join(n1a, "a")
+        .join(n1b, "b")
+        .join(F.broadcast(t))
+        .withColumn("term", term)
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.sum("term").cast("double") / F.count("*"), 6).alias(
+            "avg_logprob_kn"
+        ),
+    )

@@ -2835,3 +2835,50 @@ def mm_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("frame_idx").alias("seg_end"),
         F.count("*").alias("n_frames"),
     ).drop("grp")
+
+
+@query(
+    "tx_kneser_ney_score",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws
+        FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, ws[i] AS a, ws[i+1] AS b
+        FROM w, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
+        WHERE len(ws) >= 2
+    ),
+    cab AS (SELECT a, b, COUNT(*) AS cab FROM bg GROUP BY a, b),
+    ctx AS (SELECT a, COUNT(*) AS ctx FROM bg GROUP BY a),
+    types AS (SELECT DISTINCT a, b FROM bg),
+    n1a AS (SELECT a, COUNT(*) AS n1a FROM types GROUP BY a),
+    n1b AS (SELECT b, COUNT(*) AS n1b FROM types GROUP BY b),
+    tt AS (SELECT COUNT(*) AS t FROM types),
+    terms AS (
+        SELECT doc_id,
+               CAST(ROUND(LN(
+                   ((4 * cab - 3) * t + 3 * n1a * n1b)
+                   / (4 * t * ctx)), 6) AS DECIMAL(18,6)) AS term
+        FROM bg
+        JOIN cab USING (a, b)
+        JOIN ctx USING (a)
+        JOIN n1a USING (a)
+        JOIN n1b USING (b)
+        CROSS JOIN tt
+    )
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           ROUND(CAST(SUM(term) AS DOUBLE) / COUNT(*), 6) AS avg_logprob_kn
+    FROM terms GROUP BY doc_id
+    """,
+)
+def tx_kneser_ney_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM score per document — the
+    canonical n-gram smoothing, with the dyadic discount D=3/4 folding
+    every probability into ONE exact int64 ratio (see
+    operators/text.kneser_ney_scores). Distinguishes from the add-k LM
+    (tx_bigram_lm_score) on continuation probability: words that follow
+    MANY contexts get high unseen-context mass, words glued to one
+    collocation do not — the distinction that makes KN the default in
+    every n-gram toolkit."""
+    return X.kneser_ney_scores(load_table(spark, sf_dir, "documents"))

@@ -154,3 +154,60 @@ def test_jaccard_links_bounds(spark, sf_dir):
         assert 0.0 < r.jaccard <= 1.0
         assert r.common >= 1
         assert r.id_a < r.id_b
+
+
+def test_kneser_ney_hand_computed(spark):
+    from odbc2parquet_spark.operators.text import kneser_ney_scores
+
+    # corpus: "x y" x3, "z y", "x w" -> T=3 types, ctx(x)=4, c(xy)=3,
+    # n1a(x)=2, n1b(y)=2; p(y|x) = ((4*3-3)*3 + 3*2*2) / (4*3*4)
+    docs = spark.createDataFrame(
+        [(1, "x y"), (2, "x y"), (3, "x y"), (4, "z y"), (5, "x w")],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in kneser_ney_scores(docs).collect()}
+    expect = round(math.log(((4 * 3 - 3) * 3 + 3 * 2 * 2) / (4 * 3 * 4)), 6)
+    assert rows[1].avg_logprob_kn == pytest.approx(expect, abs=1e-9)
+    # KN interpolation: p(y|x) must exceed the discounted MLE alone
+    assert rows[1].avg_logprob_kn > math.log((3 - 0.75) / 4) - 1e-9
+
+
+def test_kneser_ney_context_mass_sums_to_one(spark):
+    """Interpolated KN is a proper distribution: for each context a,
+    sum over the whole next-word vocabulary of p(b|a) == 1."""
+    from fractions import Fraction
+
+    from odbc2parquet_spark.operators.text import words
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, "a b c a b d e a"), (2, "b c a d a b"), (3, "c c a b e")],
+        ["doc_id", "text"],
+    )
+    toks = [
+        list(r.ws)
+        for r in docs.select(words(F.col("text")).alias("ws")).collect()
+    ]
+    from collections import Counter, defaultdict
+
+    cab: Counter = Counter()
+    for ws in toks:
+        for x, y in zip(ws, ws[1:]):
+            cab[(x, y)] += 1
+    ctx: Counter = Counter()
+    n1a: defaultdict = defaultdict(set)
+    n1b: defaultdict = defaultdict(set)
+    for (x, y), c in cab.items():
+        ctx[x] += c
+        n1a[x].add(y)
+        n1b[y].add(x)
+    t = len(cab)
+    vocab = {w for ws in toks for w in ws}
+    d = Fraction(3, 4)
+    for a in ctx:
+        total = Fraction(0)
+        for b in vocab:
+            cont = Fraction(len(n1b.get(b, ())), t)
+            disc = Fraction(max(cab.get((a, b), 0) - d, Fraction(0)))
+            total += disc / ctx[a] + d * len(n1a[a]) / ctx[a] * cont
+        assert total == 1, (a, total)

@@ -100,6 +100,7 @@ BOUNDED_CROSS_OK = {
     "tx_bigram_lm_score",
     "tx_ccnet_buckets",      # same LM pipeline under the tercile window
     "tx_curation_verdict",   # same LM pipeline inside the funnel composition
+    "tx_kneser_ney_score",   # 1-row bigram-type-count scalar broadcast
 }
 ALL_PAIRS_OK |= BOUNDED_CROSS_OK
 
