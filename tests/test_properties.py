@@ -442,3 +442,183 @@ def test_prefix_jaccard_matches_all_pairs_batch(spark):
                 if union and round(inter / union, 6) >= 0.6:
                     want.add((a, b, inter))
         assert got == want, f"trial {trial}"
+
+
+def test_gopher_rules_matches_reference_batch(spark):
+    """300 seeded random docs (stopwords, bullets, '#', '...', newlines
+    mixed in): every flag matches a pure-Python evaluation of the same
+    cross-multiplied integer rules."""
+    import hashlib
+
+    from odbc2parquet_spark.operators.text import gopher_rules
+
+    rng = random.Random(7)
+    vocab = ["alpha", "bravo", "x", "##", "the", "a", "1234", "word...", "-"]
+    docs = []
+    for i in range(300):
+        n = rng.randrange(1, 120)
+        toks = [vocab[rng.randrange(len(vocab))] for _ in range(n)]
+        text = " ".join(toks)
+        if rng.random() < 0.3:  # some multi-line docs with bullet lines
+            text = text + "\n- bullet tail\nplain line..."
+        docs.append((i, text))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {r.doc_id: r for r in gopher_rules(df).collect()}
+
+    for i, text in docs:
+        ws = [w for w in text.split(" ") if w != ""]
+        lines = text.split("\n")
+        n_words = len(ws)
+        sum_len = sum(len(w) for w in ws)
+        n_hash = text.count("#")
+        ell3 = len(text) - len(text.replace("...", ""))
+        n_lines = len(lines)
+        n_bullet = sum(1 for l in lines if l.startswith(("- ", "* ")))
+        n_ell_lines = sum(1 for l in lines if l.endswith("..."))
+        n_alpha = sum(1 for w in ws if any(c.isalpha() and c.isascii() for c in w))
+        n_stop = sum(1 for s in ("the", "be", "to", "of", "and", "that", "have", "with") if s in ws)
+        r = got[i]
+        assert r.ok_word_count == int(50 <= n_words <= 100000), i
+        assert r.ok_mean_word_len == int(3 * n_words <= sum_len <= 10 * n_words), i
+        assert r.ok_symbol_ratio == int(10 * (3 * n_hash + ell3) < 3 * n_words), i
+        assert r.ok_bullet == int(10 * n_bullet < 9 * n_lines), i
+        assert r.ok_ellipsis == int(10 * n_ell_lines < 3 * n_lines), i
+        assert r.ok_alpha == int(5 * n_alpha >= 4 * n_words), i
+        assert r.ok_stopwords == int(n_stop >= 2), i
+
+
+def test_bigram_lms_match_reference_batch(spark):
+    """Seeded random corpus: both LM scorers (add-0.5 and Kneser-Ney)
+    match a pure-Python reference that replicates the exact pipeline
+    (integer ratios -> one ln -> round 6 -> exact decimal sum -> one
+    division -> round 6). Tolerance covers a possible 1-ulp ln
+    disagreement at a rounding boundary."""
+    from collections import Counter, defaultdict
+    from decimal import Decimal
+
+    import math as _math
+
+    from odbc2parquet_spark.operators.text import (
+        bigram_lm_scores,
+        kneser_ney_scores,
+    )
+
+    rng = random.Random(13)
+    vocab = [f"w{j}" for j in range(12)]
+    docs = [
+        (i, " ".join(vocab[rng.randrange(len(vocab))] for _ in range(rng.randrange(2, 40))))
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got_lm = {r.doc_id: r for r in bigram_lm_scores(df).collect()}
+    got_kn = {r.doc_id: r for r in kneser_ney_scores(df).collect()}
+
+    bgs: dict[int, list[tuple[str, str]]] = {}
+    cab: Counter = Counter()
+    for i, text in docs:
+        ws = [w for w in text.split(" ") if w != ""]
+        bgs[i] = list(zip(ws, ws[1:]))
+        for p in bgs[i]:
+            cab[p] += 1
+    ctx: Counter = Counter()
+    n1a: defaultdict = defaultdict(set)
+    n1b: defaultdict = defaultdict(set)
+    for (x, y), c in cab.items():
+        ctx[x] += c
+        n1a[x].add(y)
+        n1b[y].add(x)
+    t = len(cab)
+    v = len({w for _, text in docs for w in text.split(" ") if w != ""})
+
+    for i, _ in docs:
+        if not bgs[i]:
+            assert i not in got_lm
+            continue
+        s_lm = sum(
+            Decimal(str(round(_math.log((2 * cab[p] + 1) / (2 * ctx[p[0]] + v)), 6)))
+            for p in bgs[i]
+        )
+        s_kn = sum(
+            Decimal(
+                str(
+                    round(
+                        _math.log(
+                            ((4 * cab[p] - 3) * t + 3 * len(n1a[p[0]]) * len(n1b[p[1]]))
+                            / (4 * t * ctx[p[0]])
+                        ),
+                        6,
+                    )
+                )
+            )
+            for p in bgs[i]
+        )
+        n = len(bgs[i])
+        assert got_lm[i].avg_logprob == pytest.approx(
+            round(float(s_lm) / n, 6), abs=5e-6
+        ), i
+        assert got_kn[i].avg_logprob_kn == pytest.approx(
+            round(float(s_kn) / n, 6), abs=5e-6
+        ), i
+
+
+def test_cdc_chunks_reconstruct_batch(spark):
+    """Seeded random docs: per doc, the CDC chunks in chunk order
+    reconstruct the exact token sequence, and every internal chunk ends
+    at (and only at) an md5 % 16 == 0 boundary token."""
+    import hashlib
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from odbc2parquet_spark.operators.text import words
+
+    rng = random.Random(21)
+    vocab = [f"t{j}" for j in range(40)]
+    docs = [
+        (i, " ".join(vocab[rng.randrange(len(vocab))] for _ in range(rng.randrange(1, 80))))
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    tok = df.select(
+        "doc_id", F.posexplode(words(F.col("text"))).alias("pos0", "w")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
+    bd = (
+        F.conv(F.substring(F.md5(F.col("w")), 1, 15), 16, 10).cast("long") % 16 == 0
+    ).cast("long")
+    win = (
+        Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ch = (
+        tok.withColumn("chunk_id", F.coalesce(F.sum(bd).over(win), F.lit(0)))
+        .groupBy("doc_id", "chunk_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda s: s.getField("w"),
+                ),
+            ).alias("chunk_text")
+        )
+        .collect()
+    )
+
+    def is_boundary(w: str) -> bool:
+        return int(hashlib.md5(w.encode()).hexdigest()[:15], 16) % 16 == 0
+
+    by_doc: dict[int, dict[int, str]] = {}
+    for r in ch:
+        by_doc.setdefault(r.doc_id, {})[r.chunk_id] = r.chunk_text
+    for i, text in docs:
+        ws = [w for w in text.split(" ") if w != ""]
+        chunks = [by_doc[i][k] for k in sorted(by_doc[i])]
+        assert " ".join(chunks) == " ".join(ws), i
+        # every chunk except possibly the last ends on a boundary token;
+        # no chunk contains an internal boundary token
+        for j, c in enumerate(chunks):
+            toks = c.split(" ")
+            for w in toks[:-1]:
+                assert not is_boundary(w), (i, j, w)
+            if j < len(chunks) - 1:
+                assert is_boundary(toks[-1]), (i, j)
