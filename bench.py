@@ -225,6 +225,7 @@ HEADLINE = [
     "sim_jaccard_links",
     "mm_audio_vad",
     "tx_kneser_ney_score",
+    "sim_nprobe_curve",
 ]
 
 

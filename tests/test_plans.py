@@ -20,6 +20,8 @@ ALL_PAIRS_OK = {
     "sim_pq_recall",         # same: ADC recall@10 vs the brute-force ground truth
     "sim_pq_lloyd_recall",   # same ground truth, Lloyd-refined codebook
     "sim_ivf_pq_recall",     # same ground truth for the composed IVF-PQ index
+    "sim_nprobe_curve",      # the same recall evaluation at 4 nprobe points
+                             # (exact ground truth + centroid-cross routing)
     "sim_bruteforce_topk",   # exactness baseline: broadcast probes BY DESIGN
     "q_scalar_functions",    # no join at all; harmless
     "dd_dup_clusters",       # edges come from dd_embedding_cosine (above);
