@@ -226,6 +226,8 @@ HEADLINE = [
     "mm_audio_vad",
     "tx_kneser_ney_score",
     "sim_nprobe_curve",
+    "tx_ccnet_lang_buckets",
+    "dd_minhash_estimate",
 ]
 
 

@@ -2882,3 +2882,41 @@ def tx_kneser_ney_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     collocation do not — the distinction that makes KN the default in
     every n-gram toolkit."""
     return X.kneser_ney_scores(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "tx_ccnet_lang_buckets",
+    oracle="WITH " + _LM_CTE + """
+    SELECT lm.doc_id, d.lang, lm.avg_logprob,
+           CASE NTILE(3) OVER (PARTITION BY d.lang
+                               ORDER BY lm.avg_logprob DESC, lm.doc_id)
+                WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+           END AS bucket
+    FROM lm JOIN documents d ON d.doc_id = lm.doc_id
+    """,
+)
+def tx_ccnet_lang_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet terciles AS PUBLISHED — computed PER LANGUAGE (Wenzek et
+    al. bucket each language's perplexity distribution separately, since
+    LM scores are not comparable across languages): NTILE(3) partitioned
+    by lang over (score DESC, doc_id). Scale shape: the partitioned
+    window is a lang-keyed shuffle + per-language sort (not the global
+    sort of tx_ccnet_buckets); skewed language sizes are the classic
+    window-skew case — the production cutover is per-language two-pass
+    percentile cutoffs, same as the global variant."""
+    docs = load_table(spark, sf_dir, "documents")
+    lm = X.bigram_lm_scores(docs)
+    lm = lm.join(docs.select("doc_id", "lang"), "doc_id")
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("avg_logprob"), F.asc("doc_id")
+    )
+    nt = F.ntile(3).over(w)
+    return lm.select(
+        "doc_id",
+        "lang",
+        "avg_logprob",
+        F.when(nt == 1, F.lit("head"))
+        .when(nt == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )

@@ -103,6 +103,7 @@ BOUNDED_CROSS_OK = {
     "tx_ccnet_buckets",      # same LM pipeline under the tercile window
     "tx_curation_verdict",   # same LM pipeline inside the funnel composition
     "tx_kneser_ney_score",   # 1-row bigram-type-count scalar broadcast
+    "tx_ccnet_lang_buckets", # same LM vocab scalar, per-language window
 }
 ALL_PAIRS_OK |= BOUNDED_CROSS_OK
 
