@@ -211,3 +211,33 @@ def test_kneser_ney_context_mass_sums_to_one(spark):
             disc = Fraction(max(cab.get((a, b), 0) - d, Fraction(0)))
             total += disc / ctx[a] + d * len(n1a[a]) / ctx[a] * cont
         assert total == 1, (a, total)
+
+
+def test_minhash_estimate_bounds(spark, sf_dir):
+    from odbc2parquet_spark.queries import QUERIES
+
+    rows = QUERIES["dd_minhash_estimate"](spark, sf_dir).collect()
+    assert rows, "expected at least one candidate pair"
+    for r in rows:
+        assert 0 <= r.matches <= 8
+        assert r.est8 == r.matches / 8
+        assert 0.0 < r.jacc6 <= 1.0
+        # LSH banding (2 rows/band) guarantees at least one band of TWO
+        # agreeing hashes for every candidate
+        assert r.matches >= 2
+
+
+def test_ccnet_lang_buckets_partitioned(spark, sf_dir):
+    """Each language's docs split into near-equal terciles independently."""
+    from collections import Counter
+
+    from odbc2parquet_spark.queries import QUERIES
+
+    rows = QUERIES["tx_ccnet_lang_buckets"](spark, sf_dir).collect()
+    per_lang: dict = {}
+    for r in rows:
+        per_lang.setdefault(r.lang, Counter())[r.bucket] += 1
+    for lang, c in per_lang.items():
+        assert set(c) <= {"head", "middle", "tail"}, lang
+        if sum(c.values()) >= 3:
+            assert max(c.values()) - min(c.values()) <= 1, (lang, c)
