@@ -1329,3 +1329,65 @@ def mmr_rerank(
         )
         .filter(F.col("vec_id").isNotNull())
     )
+
+
+def ivf_pq_nprobe_curve(
+    vectors: DataFrame,
+    probes: DataFrame,
+    nprobes: tuple[int, ...] = (1, 2, 4, 8),
+    k_cells: int = 16,
+    m: int = 8,
+    k_centroids: int = 16,
+    dim: int = 64,
+    top_k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ top-k at SEVERAL nprobe operating points from ONE index
+    build — how a real deployment sweeps the knob (the index is immutable;
+    only the router's cell cutoff moves). Key identity: the candidate set
+    at nprobe=p is exactly the scored set at max(nprobes) filtered to
+    probe rank <= p (each corpus vector lives in one cell, so a (query,
+    vec) candidate carries one well-defined cell rank). The rank-annotated
+    ADC table is localCheckpointed once — bounded by candidates(max
+    nprobe) ~ |probes| * N * max(nprobes)/k_cells narrow rows — and every
+    operating point is a filter + per-query top-k window over those
+    materialized blocks, not a rebuild. (The blocks live until the
+    session drops the result; they are candidate-sized, not corpus-sized.)
+
+    Returns (nprobe, query_id, neighbor_id, adc4, rank) — the per-point
+    result contract of :func:`ivf_pq_search` with the operating point
+    attached.
+    """
+    pmax = max(nprobes)
+    cents = ivf_seed_centroids(vectors, k_cells, id_col, vec_col)
+    cell = ivf_assign(vectors, cents, id_col, vec_col).select(
+        "vec_id", "centroid_id"
+    )
+    cb = pq_codebook(vectors, m=m, k=k_centroids, dim=dim, id_col=id_col, vec_col=vec_col)
+    codes = pq_assign(vectors, cb, m=m, dim=dim, id_col=id_col, vec_col=vec_col).select(
+        "vec_id", "subspace", "code"
+    )
+    qprobe = ivf_probe_cells(probes, cents, pmax, id_col, vec_col).select(
+        "query_id", "centroid_id", F.col("rank").alias("prank")
+    )
+    lut = _pq_probe_lut(probes, cb, m, dim, id_col, vec_col)
+    cand = (
+        cell.join(F.broadcast(qprobe), "centroid_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "prank")
+    )
+    scored = (
+        codes.join(cand, "vec_id")
+        .join(F.broadcast(lut), ["query_id", "subspace", "code"])
+        .groupBy("query_id", "vec_id", "prank")
+        .agg(F.sum("pd2").alias("adc_dec"))
+        .localCheckpoint(eager=True)
+    )
+    out = None
+    for p in nprobes:
+        ranked = _adc_rank(
+            scored.filter(F.col("prank") <= p).drop("prank"), top_k
+        ).select(F.lit(p).alias("nprobe"), "query_id", "neighbor_id", "adc4", "rank")
+        out = ranked if out is None else out.unionByName(ranked)
+    return out

@@ -1674,39 +1674,44 @@ def sim_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     is code-distortion-bound, not routing-bound (consistent with the
     0.99 cell-routing ceiling): the budget knob to spend on is m/k, and
     nprobe=1 serves at the same recall for 1/4 the candidate scan. Every
-    branch re-derives the full composed index in the oracle, so the
-    curve itself is hash-certified, not self-reported. Scale shape: the
-    four branches share the index structurally (Spark re-derives the
-    broadcast codebooks per branch — bounded by definition); candidate
-    scoring stays cell-routed code rows at every point."""
-    from odbc2parquet_spark.operators.similarity import ivf_pq_search
+    branch re-derives the full composed index in the ORACLE, so the
+    curve is hash-certified, not self-reported; the Spark side builds
+    the index ONCE and derives every operating point from the
+    rank-annotated candidate table (operators/similarity.
+    ivf_pq_nprobe_curve) — the identity candidates(p) =
+    candidates(max p) filtered to probe rank <= p makes the two shapes
+    provably equal, and the oracle hash check enforces it."""
+    from odbc2parquet_spark.operators.similarity import ivf_pq_nprobe_curve
 
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 10)
     exact = S.brute_force_topk(emb, probes, k=10).select(
         "query_id", "neighbor_id"
     )
-    out = None
+    approx = ivf_pq_nprobe_curve(
+        emb,
+        probes,
+        nprobes=(1, 2, 4, 8),
+        k_cells=_K_CELLS,
+        m=_PQ_M,
+        k_centroids=_PQ_K,
+        dim=64,
+        top_k=10,
+    ).select("nprobe", "query_id", "neighbor_id")
+    hits = approx.join(exact, ["query_id", "neighbor_id"]).groupBy(
+        "nprobe"
+    ).agg(F.count("*").cast("long").alias("n_hits"))
+    # every operating point appears (n_hits could in principle be 0) —
+    # left-join back onto the literal point list
+    pts = None
     for p in (1, 2, 4, 8):
-        approx = ivf_pq_search(
-            emb,
-            probes,
-            nprobe=p,
-            k_cells=_K_CELLS,
-            m=_PQ_M,
-            k_centroids=_PQ_K,
-            dim=64,
-            top_k=10,
-        ).select("query_id", "neighbor_id")
-        hits = approx.join(exact, ["query_id", "neighbor_id"]).agg(
-            F.count("*").cast("long").alias("n_hits")
-        )
-        row = hits.select(
-            F.lit(p).alias("nprobe"),
-            "n_hits",
-            F.round(F.col("n_hits").cast("double") / F.lit(100), 6).alias(
-                "mean_recall10"
-            ),
-        )
-        out = row if out is None else out.unionByName(row)
-    return out
+        row = hits.sparkSession.range(1).select(F.lit(p).alias("nprobe"))
+        pts = row if pts is None else pts.unionByName(row)
+    return pts.join(hits, "nprobe", "left").select(
+        "nprobe",
+        F.coalesce(F.col("n_hits"), F.lit(0).cast("long")).alias("n_hits"),
+        F.round(
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / F.lit(100),
+            6,
+        ).alias("mean_recall10"),
+    )
