@@ -228,6 +228,7 @@ HEADLINE = [
     "sim_nprobe_curve",
     "tx_ccnet_lang_buckets",
     "dd_minhash_estimate",
+    "sim_knn_classifier",
 ]
 
 
