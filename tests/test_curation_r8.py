@@ -241,3 +241,39 @@ def test_ccnet_lang_buckets_partitioned(spark, sf_dir):
         assert set(c) <= {"head", "middle", "tail"}, lang
         if sum(c.values()) >= 3:
             assert max(c.values()) - min(c.values()) <= 1, (lang, c)
+
+
+def test_nprobe_curve_equals_independent_searches(spark, sf_dir):
+    """The shared-index curve (one build, rank-filtered operating
+    points) must return exactly the per-nprobe results of independent
+    ivf_pq_search runs — the candidates(p) == candidates(max p) filtered
+    to probe rank <= p identity."""
+    from odbc2parquet_spark.catalog import load_table
+    from odbc2parquet_spark.operators.similarity import (
+        ivf_pq_nprobe_curve,
+        ivf_pq_search,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5)
+    curve = ivf_pq_nprobe_curve(
+        emb, probes, nprobes=(1, 2, 4), k_cells=8, m=8, k_centroids=8,
+        dim=64, top_k=5,
+    ).collect()
+    got = {
+        p: sorted(
+            (r.query_id, r.neighbor_id, r.adc4, r.rank)
+            for r in curve
+            if r.nprobe == p
+        )
+        for p in (1, 2, 4)
+    }
+    for p in (1, 2, 4):
+        ref = sorted(
+            (r.query_id, r.neighbor_id, r.adc4, r.rank)
+            for r in ivf_pq_search(
+                emb, probes, nprobe=p, k_cells=8, m=8, k_centroids=8,
+                dim=64, top_k=5,
+            ).collect()
+        )
+        assert got[p] == ref, p
