@@ -229,6 +229,8 @@ HEADLINE = [
     "tx_ccnet_lang_buckets",
     "dd_minhash_estimate",
     "sim_knn_classifier",
+    "mm_audio_clipping",
+    "mm_image_entropy",
 ]
 
 

@@ -595,7 +595,9 @@ def _wav_data_span(p: bytes) -> tuple[int, int]:
     raise ValueError("no data chunk")
 
 
-AUDIO_SAMPLE_SCHEMA = "doc_id long, n_int16 long, peak int, sum_sq long"
+AUDIO_SAMPLE_SCHEMA = (
+    "doc_id long, n_int16 long, peak int, sum_sq long, n_at_peak long"
+)
 
 
 def decode_audio_samples(binary_df: DataFrame) -> DataFrame:
@@ -616,14 +618,17 @@ def decode_audio_samples(binary_df: DataFrame) -> DataFrame:
                     off, size = _wav_data_span(bytes(payload))
                     v = np.frombuffer(bytes(payload)[off : off + size - size % 2], "<i2")
                     v64 = v.astype(np.int64)
+                    av = np.abs(v64)
+                    peak = int(av.max()) if len(v) else 0
                     rows.append(
-                        (doc_id, len(v), int(np.abs(v64).max()) if len(v) else 0,
-                         int((v64 * v64).sum()))
+                        (doc_id, len(v), peak, int((v64 * v64).sum()),
+                         int((av == peak).sum()) if len(v) else 0)
                     )
                 except ValueError:
-                    rows.append((doc_id, None, None, None))
+                    rows.append((doc_id, None, None, None, None))
             yield pd.DataFrame(
-                rows, columns=["doc_id", "n_int16", "peak", "sum_sq"]
+                rows,
+                columns=["doc_id", "n_int16", "peak", "sum_sq", "n_at_peak"],
             )
 
     return binary_df.select("doc_id", "payload").mapInPandas(run, AUDIO_SAMPLE_SCHEMA)
@@ -1301,4 +1306,50 @@ def decode_audio_frame_energy(
 
     return binary_df.select("doc_id", "payload").mapInPandas(
         run, AUDIO_FRAME_SCHEMA
+    )
+
+
+BYTE_HIST_SCHEMA = "doc_id long, val int, c long"
+
+
+def decode_bmp_byte_histogram(binary_df: DataFrame) -> DataFrame:
+    """Per-image byte-value histogram over the TRUE decoded pixel array
+    (same header/stride/padding walk as :func:`decode_bmp_pixels`):
+    (doc_id, val, c) for every byte value present — the substrate for
+    entropy/uniformity image-quality signals. numpy bincount per
+    payload, Arrow-batched; corrupt payloads contribute no rows."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list = []
+            vals: list = []
+            cs: list = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                p = bytes(payload)
+                try:
+                    if len(p) < 54 or p[:2] != b"BM":
+                        raise ValueError("not a BMP")
+                    off = int.from_bytes(p[10:14], "little")
+                    w = int.from_bytes(p[18:22], "little", signed=True)
+                    h = int.from_bytes(p[22:26], "little", signed=True)
+                    bits = int.from_bytes(p[28:30], "little")
+                    if bits != 24 or w <= 0 or h <= 0:
+                        raise ValueError("not an uncompressed 24-bit BMP")
+                    stride = w * 3 + (4 - (w * 3) % 4) % 4
+                    data = np.frombuffer(p[off : off + stride * h], np.uint8)
+                    if len(data) < stride * h:
+                        raise ValueError("truncated pixel array")
+                except ValueError:
+                    continue
+                flat = data.reshape(h, stride)[:, : w * 3].ravel()
+                cnt = np.bincount(flat, minlength=256)
+                nz = np.nonzero(cnt)[0]
+                ids.extend([doc_id] * len(nz))
+                vals.extend(int(x) for x in nz)
+                cs.extend(int(cnt[x]) for x in nz)
+            yield pd.DataFrame({"doc_id": ids, "val": vals, "c": cs})
+
+    return binary_df.select("doc_id", "payload").mapInPandas(
+        run, BYTE_HIST_SCHEMA
     )

@@ -2920,3 +2920,126 @@ def tx_ccnet_lang_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("tail"))
         .alias("bucket"),
     )
+
+
+@query(
+    "mm_audio_clipping",
+    oracle="""
+    WITH p AS (
+        SELECT doc_id, text, length(text) AS n,
+               (length(text) % 2 + 1) AS channels,
+               (length(text) % 500 + 1) AS frames
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id,
+               ascii(substring(text, ((2 * t.j) % n) + 1, 1))
+               + 256 * ascii(substring(text, ((2 * t.j + 1) % n) + 1, 1)) AS u
+        FROM p, UNNEST(generate_series(0, frames * channels - 1)) AS t(j)
+    ),
+    v AS (
+        SELECT doc_id,
+               CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS v
+        FROM s
+    ),
+    pk AS (
+        SELECT doc_id, COUNT(*) AS n_int16, MAX(ABS(v)) AS peak
+        FROM v GROUP BY doc_id
+    )
+    SELECT x.doc_id, CAST(MAX(p.n_int16) AS BIGINT) AS n_int16,
+           CAST(MAX(p.peak) AS INTEGER) AS peak,
+           CAST(SUM(CASE WHEN ABS(x.v) = p.peak THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_at_peak,
+           CASE WHEN SUM(CASE WHEN ABS(x.v) = p.peak THEN 1 ELSE 0 END) >= 2
+                THEN 1 ELSE 0 END AS flat_top
+    FROM v x JOIN pk p ON p.doc_id = x.doc_id
+    GROUP BY x.doc_id
+    """,
+)
+def mm_audio_clipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clipping / flat-top detection over REAL decoded PCM: how many
+    samples sit exactly AT the payload's peak amplitude (a healthy
+    recording touches its maximum once; a clipped or limiter-squashed
+    one parks there — the audio-QA gate run before any transcription
+    spend). Exact integers from the same sample-level decode as
+    mm_audio_rms (the kernel now also folds the at-peak count); the
+    oracle rebuilds every sample byte-by-byte, so the count is
+    hash-certified. Zero-shuffle: one Arrow decode pass, no exchange."""
+    docs = load_table(spark, sf_dir, "documents")
+    raw = M.decode_audio_samples(M.encode_wav(docs))
+    return raw.select(
+        "doc_id",
+        "n_int16",
+        "peak",
+        "n_at_peak",
+        (F.col("n_at_peak") >= 2).cast("int").alias("flat_top"),
+    )
+
+
+@query(
+    "mm_image_entropy",
+    oracle="""
+    WITH p AS (
+        SELECT doc_id, text, length(text) AS n,
+               length(text) % 64 + 1 AS w,
+               length(text) % 48 + 1 AS h
+        FROM documents
+    ),
+    geo AS (
+        SELECT doc_id, text, n, w, h,
+               w * 3 + (4 - (w * 3) % 4) % 4 AS stride
+        FROM p
+    ),
+    px AS (
+        SELECT doc_id,
+               ascii(substring(text,
+                   (((t.j // (3 * w)) * stride
+                     + ((t.j // 3) % w) * 3
+                     + t.j % 3) % n) + 1, 1)) AS b
+        FROM geo, UNNEST(generate_series(0, h * w * 3 - 1)) AS t(j)
+    ),
+    hist AS (
+        SELECT doc_id, b AS val, CAST(COUNT(*) AS BIGINT) AS c
+        FROM px GROUP BY doc_id, b
+    ),
+    tot AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS total
+        FROM hist GROUP BY doc_id
+    ),
+    terms AS (
+        SELECT h.doc_id, t.total,
+               h.c * CAST(ROUND(LN(h.c / t.total), 6) AS DECIMAL(18,6))
+                   AS term
+        FROM hist h JOIN tot t ON t.doc_id = h.doc_id
+    )
+    SELECT doc_id, CAST(MAX(total) AS BIGINT) AS n_bytes,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           ROUND(-CAST(SUM(term) AS DOUBLE) / MAX(total), 6) AS entropy
+    FROM terms GROUP BY doc_id
+    """,
+)
+def mm_image_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the decoded pixel-byte distribution per image
+    — the uniformity signal image-curation uses to drop blank/synthetic
+    frames (entropy ~0) and keep natural content (~5+ bits): computed
+    from a TRUE pixel-array decode (header walk, stride strip) via a new
+    per-image byte histogram kernel, with the usual exact contract —
+    integer counts, one ln per distinct byte value rounded then
+    decimal-summed, one final division. The oracle rebuilds every pixel
+    byte in SQL, so the histogram itself is hash-certified. Scale shape:
+    decode rides the scan; the histogram is <= 256 rows per image into a
+    doc-keyed groupBy."""
+    docs = load_table(spark, sf_dir, "documents")
+    hist = M.decode_bmp_byte_histogram(M.encode_bmp(docs))
+    tot = hist.groupBy("doc_id").agg(F.sum("c").alias("total"))
+    j = hist.join(tot, "doc_id")
+    term = F.col("c") * F.round(
+        F.log(F.col("c") / F.col("total")), 6
+    ).cast("decimal(18,6)")
+    return j.groupBy("doc_id").agg(
+        F.max("total").alias("n_bytes"),
+        F.count("*").alias("n_distinct"),
+        F.round(
+            (-F.sum(term).cast("double")) / F.max("total"), 6
+        ).alias("entropy"),
+    )

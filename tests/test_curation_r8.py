@@ -277,3 +277,45 @@ def test_nprobe_curve_equals_independent_searches(spark, sf_dir):
             ).collect()
         )
         assert got[p] == ref, p
+
+
+def test_bmp_byte_histogram_consistent_with_pixel_sums(spark, sf_dir):
+    """Sum over the histogram of val*c must equal the channel-sum total
+    from the independent pixel decode, and total counts must equal
+    3 * n_pixels."""
+    from odbc2parquet_spark.catalog import load_table
+    from odbc2parquet_spark.operators import multimodal as M
+
+    docs = load_table(spark, sf_dir, "documents").limit(25)
+    bmp = M.encode_bmp(docs)
+    hist = (
+        M.decode_bmp_byte_histogram(bmp)
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("val") * F.col("c")).alias("byte_total"),
+            F.sum("c").alias("n"),
+        )
+    )
+    px = M.decode_bmp_pixels(bmp).select(
+        "doc_id",
+        (F.col("sum_b") + F.col("sum_g") + F.col("sum_r")).alias("ref_total"),
+        (F.col("n_pixels") * 3).alias("ref_n"),
+    )
+    rows = hist.join(px, "doc_id").collect()
+    assert len(rows) == 25
+    for r in rows:
+        assert r.byte_total == r.ref_total and r.n == r.ref_n
+
+
+def test_audio_n_at_peak(spark):
+    from odbc2parquet_spark.operators.multimodal import (
+        decode_audio_samples,
+        synth_wav,
+    )
+
+    # samples 256, -32767, 32767: peak 32767 reached twice (abs)
+    pcm = bytes([0x00, 0x01, 0x01, 0x80, 0xFF, 0x7F])
+    wav = synth_wav(pcm, 8000, 1, 3)
+    df = spark.createDataFrame([(1, bytearray(wav))], ["doc_id", "payload"])
+    r = decode_audio_samples(df).collect()[0]
+    assert r.peak == 32767 and r.n_at_peak == 2
