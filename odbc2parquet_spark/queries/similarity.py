@@ -1033,6 +1033,70 @@ def sim_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_int(nodes, sym, iterations=3)
 
 
+def _ppr_iter_sql(i: int) -> str:
+    prev = f"r{i - 1}"
+    return f"""
+    c{i} AS (
+        SELECT s.dst AS id, SUM(r.rank // d.out_deg) AS s
+        FROM sym s
+        JOIN {prev} r ON r.id = s.src
+        JOIN deg d ON d.src = s.src
+        GROUP BY s.dst
+    ),
+    r{i} AS (
+        SELECT id, rank FROM (
+            SELECT COALESCE(sd.id, c{i}.id) AS id,
+                   CAST(CASE WHEN sd.id IS NULL THEN 0
+                             ELSE (15 * (SELECT base FROM p)) // 100 END
+                        + (85 * COALESCE(c{i}.s, 0)) // 100 AS BIGINT) AS rank
+            FROM seeds sd FULL OUTER JOIN c{i} ON sd.id = c{i}.id
+        ) WHERE rank > 0
+    )"""
+
+
+@query(
+    "sim_ppr",
+    oracle=f"""
+    WITH sig AS (
+        SELECT vec_id, CAST({{sig}} AS BIGINT) AS sig FROM embeddings
+    ),
+    b AS (SELECT vec_id, sig & 255 AS bucket FROM sig),
+    pairs AS (
+        SELECT x.vec_id AS id_a, y.vec_id AS id_b
+        FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+    ),
+    sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION ALL SELECT id_b, id_a FROM pairs),
+    deg AS (SELECT src, COUNT(*) AS out_deg FROM sym GROUP BY src),
+    seeds AS (SELECT vec_id AS id FROM embeddings WHERE vec_id % 50 = 0),
+    p AS (SELECT CAST(1000000000000 // COUNT(*) AS BIGINT) AS base FROM seeds),
+    r0 AS (SELECT id, (SELECT base FROM p) AS rank FROM seeds),
+    {",".join(_ppr_iter_sql(i) for i in range(1, 4)).lstrip(",")}
+    SELECT id, rank FROM r3
+    """.replace("{sig}", _sig_sql()),
+)
+def sim_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank: random walk with restart to a 1-in-50 seed
+    set over the LSH similarity graph — the seed-set EXPANSION primitive
+    ("find me more documents like this curated batch"). Integer-exact
+    like sim_pagerank, but teleport mass lands only on seeds and
+    unreached nodes stay at exactly 0, so each of the 3 unrolled rounds
+    shuffles the rank FRONTIER, not the corpus — the property that makes
+    PPR tractable at 100 TB where global PageRank densifies."""
+    from odbc2parquet_spark.operators.graph import personalized_pagerank_int
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sig = S.lsh_signatures(emb, _N_PLANES, _DIM)
+    pairs = S.lsh_bucket_pairs(sig, prefix_bits=8).select("id_a", "id_b")
+    sym = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).union(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    seeds = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("id")
+    )
+    return personalized_pagerank_int(sym, seeds, iterations=3)
+
+
 @query(
     "sim_multiprobe_pairs",
     oracle=f"""

@@ -854,6 +854,33 @@ def test_pagerank_int_mass_and_ordering(spark):
     assert all((15 * base) // 100 <= v <= 10**12 for v in got.values())
 
 
+def test_personalized_pagerank_frontier_and_floor(spark):
+    from odbc2parquet_spark.operators.graph import personalized_pagerank_int
+
+    # path graph 0-1-2-3-4 (symmetric); seed only at node 0
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in [(0, 1), (1, 0), (1, 2), (2, 1),
+                             (2, 3), (3, 2), (3, 4), (4, 3)]],
+        ["src", "dst"],
+    )
+    seeds = spark.createDataFrame([(0,)], ["id"])
+    got = {
+        r["id"]: r["rank"]
+        for r in personalized_pagerank_int(edges, seeds, iterations=3).collect()
+    }
+    base = 10**12
+    # the walk frontier after 3 hops reaches node 3 but NEVER node 4,
+    # and unreached nodes are absent (sparse result), not rank-0 rows
+    assert set(got) == {0, 1, 2, 3}
+    # (ranks oscillate on a bipartite path at small iteration counts, so
+    # no between-node ordering is an invariant — only the frontier set)
+    assert all(v > 0 for v in got.values())
+    # the seed keeps at least its teleport floor
+    assert got[0] >= (15 * base) // 100
+    # total mass never exceeds the injected unit (division floors leak)
+    assert sum(got.values()) <= base
+
+
 def test_mp4_roundtrip_and_rejects():
     from odbc2parquet_spark.operators.multimodal import parse_mp4_header, synth_mp4
 
