@@ -1057,6 +1057,77 @@ def bigram_lm_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def naive_bayes_lang(
+    docs: DataFrame,
+    label_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Multinomial Naive Bayes classifier, self-trained and self-evaluated
+    in one declarative plan: even doc_ids train, odd doc_ids evaluate.
+    The model IS two aggregations — per-(class, word) counts and
+    per-class token totals — so "training" is a groupBy and "inference"
+    is a join: the canonical bag-of-words classifier a curation pipeline
+    runs when it needs a cheap supervised gate (language ID against
+    noisy metadata, source attribution, quality tiers) without an
+    external model.
+
+    Add-1 smoothing: p(w|l) = (c(w,l) + 1) / (n_l + |V|); log-posterior
+    = ln prior + sum of per-token terms. Determinism follows the LM-score
+    convention (one IEEE division + one ln per term, rounded to 6 and
+    summed as exact decimals), so the argmax over (score DESC, label)
+    is engine-independent. Returns (doc_id, <label>, pred_<label>,
+    score, correct) for every eval doc.
+
+    Scale shape: the count model is vocab x classes bounded (broadcast
+    side); scoring is one explode + one broadcast join per token + one
+    (doc, class) groupBy — the same Zipf-skewed token-keyed shape as
+    bigram_lm_scores, AQE-split on hot words. Nothing iterates.
+    """
+    lbl = F.col(label_col)
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    ev = docs.filter(F.col("doc_id") % 2 == 1)
+    tok_train = train.select(lbl.alias("label"), F.explode(words(F.col(text_col))).alias("w"))
+    cwl = tok_train.groupBy("label", "w").agg(F.count("*").alias("c"))
+    n_l = tok_train.groupBy("label").agg(F.count("*").alias("n"))
+    vocab = tok_train.agg(F.countDistinct("w").alias("v"))
+    pri = train.groupBy(lbl.alias("label")).agg(F.count("*").alias("dl"))
+    tot = train.agg(F.count("*").alias("td"))
+
+    tok_ev = ev.select("doc_id", F.explode(words(F.col(text_col))).alias("w"))
+    term = F.round(
+        F.log((F.coalesce(F.col("c"), F.lit(0)) + 1) / (F.col("n") + F.col("v"))), 6
+    ).cast("decimal(18,6)")
+    scored = (
+        tok_ev.crossJoin(F.broadcast(n_l))  # class-bounded fan-out (|labels| rows)
+        .join(F.broadcast(cwl), ["label", "w"], "left_outer")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id", "label")
+        .agg(F.sum(term).alias("s"))
+    )
+    prior_term = F.round(
+        F.log(F.col("dl").cast("double") / F.col("td")), 6
+    ).cast("decimal(18,6)")
+    full = (
+        scored.join(F.broadcast(pri), "label")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", "label", (F.col("s") + prior_term).alias("score"))
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("label"))
+    )
+    pred = full.withColumn("rn", rn).filter(F.col("rn") == 1)
+    return (
+        pred.join(ev.select("doc_id", lbl), "doc_id")
+        .select(
+            "doc_id",
+            lbl,
+            F.col("label").alias(f"pred_{label_col}"),
+            F.col("score").cast("double").alias("score"),
+            (F.col("label") == lbl).cast("int").alias("correct"),
+        )
+    )
+
+
 def gopher_rules(
     docs: DataFrame,
     text_col: str = "text",

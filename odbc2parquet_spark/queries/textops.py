@@ -3043,3 +3043,64 @@ def mm_image_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             (-F.sum(term).cast("double")) / F.max("total"), 6
         ).alias("entropy"),
     )
+
+
+@query(
+    "tx_naive_bayes",
+    oracle="""
+    WITH train AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+    ev AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+    tt AS (
+        SELECT lang AS label, u AS w
+        FROM (SELECT lang, list_filter(string_split(text, ' '), x -> x != '') AS ws
+              FROM train), UNNEST(ws) AS t(u)
+    ),
+    cwl AS (SELECT label, w, COUNT(*) AS c FROM tt GROUP BY label, w),
+    nl AS (SELECT label, COUNT(*) AS n FROM tt GROUP BY label),
+    v AS (SELECT COUNT(DISTINCT w) AS v FROM tt),
+    pri AS (SELECT lang AS label, COUNT(*) AS dl FROM train GROUP BY lang),
+    tot AS (SELECT COUNT(*) AS td FROM train),
+    te AS (
+        SELECT doc_id, u AS w
+        FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws
+              FROM ev), UNNEST(ws) AS t(u)
+    ),
+    sc AS (
+        SELECT te.doc_id, nl.label,
+               SUM(CAST(ROUND(LN((COALESCE(cwl.c, 0) + 1)
+                                 / (nl.n + (SELECT v FROM v))), 6)
+                        AS DECIMAL(18,6))) AS s
+        FROM te CROSS JOIN nl
+        LEFT JOIN cwl ON cwl.label = nl.label AND cwl.w = te.w
+        GROUP BY te.doc_id, nl.label
+    ),
+    fl AS (
+        SELECT sc.doc_id, sc.label,
+               sc.s + CAST(ROUND(LN(pri.dl * 1.0 / (SELECT td FROM tot)), 6)
+                           AS DECIMAL(18,6)) AS score
+        FROM sc JOIN pri ON pri.label = sc.label
+    ),
+    pred AS (
+        SELECT doc_id, label, score,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, label) AS rn
+        FROM fl
+    )
+    SELECT p.doc_id, d.lang, p.label AS pred_lang,
+           CAST(p.score AS DOUBLE) AS score,
+           CASE WHEN p.label = d.lang THEN 1 ELSE 0 END AS correct
+    FROM pred p JOIN ev d ON d.doc_id = p.doc_id
+    WHERE p.rn = 1
+    """,
+)
+def tx_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classifier, trained on even
+    doc_ids and evaluated on odd ones INSIDE one declarative plan — the
+    cheap supervised gate a curation pipeline uses to audit noisy
+    metadata labels (here: re-derive `lang` from the text and flag
+    disagreements). Training is literally two groupBys (class-word
+    counts + class token totals); inference is a broadcast join per
+    token — see operators/text.naive_bayes_lang for the determinism
+    contract and 100 TB shape. Reference has no classifier ops; this is
+    training-pipeline extension surface."""
+    return X.naive_bayes_lang(load_table(spark, sf_dir, "documents"))

@@ -881,6 +881,25 @@ def test_personalized_pagerank_frontier_and_floor(spark):
     assert sum(got.values()) <= base
 
 
+def test_naive_bayes_separable_vocab(spark):
+    from odbc2parquet_spark.operators.text import naive_bayes_lang
+
+    # two classes with disjoint vocabularies; even ids train, odd eval
+    rows = []
+    for i in range(20):
+        lang = "aa" if i % 4 < 2 else "bb"
+        word = "apfel" if lang == "aa" else "pomme"
+        rows.append((i, f"{word} {word} {word}", lang))
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = naive_bayes_lang(docs).collect()
+    # every odd doc is evaluated, and a disjoint vocab is fully separable
+    assert len(out) == 10
+    assert all(r["correct"] == 1 for r in out)
+    assert all(r["pred_lang"] == r["lang"] for r in out)
+    # log-posterior is negative and finite
+    assert all(r["score"] < 0 for r in out)
+
+
 def test_mp4_roundtrip_and_rejects():
     from odbc2parquet_spark.operators.multimodal import parse_mp4_header, synth_mp4
 
