@@ -307,6 +307,76 @@ def ivf_assign(
     )
 
 
+def ivf_silhouette(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-cell simplified silhouette over an IVF index — the clustering
+    QA gate: how well-separated each cell is, from centroid distances
+    only (Hruschka et al.'s simplified silhouette — O(N x k_cells), no
+    pairwise pass). Per vector, with cosine distance to the nearest
+    centroid a = 1 - cos_own and to the runner-up b = 1 - cos_next:
+    s = (b - a) / max(a, b) = (cos_own - cos_next) / (1 - cos_next),
+    in [0, 1) — 0 on the cell boundary, ->1 deep inside the cell. A cell
+    whose mean silhouette collapses toward 0 is not separating its
+    vectors and needs a re-seed/Lloyd pass (the signal sim_centroid_shift
+    then quantifies).
+
+    Determinism: distances reuse ivf_assign's 4-decimal quantized cos
+    and its packed-long ordering ((10000 - cos4*10^4) << 43 |
+    centroid_id), so best/runner-up are the same tie-broken pair on any
+    engine; per-vector s rounds to 6 then decimal-sums per cell. Scale
+    shape: centroids broadcast, corpus never shuffles its vectors — two
+    hash-aggregations over the N x k scored rows (best enc, then min enc
+    above best), both map-side partial; no sort, no window over the
+    corpus."""
+    c = F.broadcast(centroids.withColumn("csq", norm_sq(F.col("centroid"))))
+    scored = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("v"),
+        norm_sq(F.col(vec_col)).alias("vsq"),
+    ).join(c).withColumn(
+        "cos4",
+        F.round(
+            dot(F.col("v"), F.col("centroid")) / F.sqrt(F.col("vsq") * F.col("csq")), 4
+        ),
+    )
+    ncos_scaled = F.lit(10000) - F.round(F.col("cos4") * 10000, 0).cast("long")
+    enc_col = (ncos_scaled * F.lit(1 << 43) + F.col("centroid_id").cast("long")).alias(
+        "enc"
+    )
+    encs = scored.select("vec_id", enc_col).persist()
+    best = encs.groupBy("vec_id").agg(F.min("enc").alias("e1"))
+    second = (
+        encs.join(best, "vec_id")
+        .filter(F.col("enc") > F.col("e1"))
+        .groupBy("vec_id")
+        .agg(F.min("enc").alias("e2"), F.min("e1").alias("e1"))
+    )
+    def _cos(e):  # noqa: ANN001 - column helper
+        return (
+            F.lit(10000) - F.shiftright(F.col(e), 43)
+        ).cast("double") / F.lit(10000.0)
+
+    sil = second.select(
+        "vec_id",
+        (F.col("e1") % F.lit(1 << 43)).alias("centroid_id"),
+        F.when(
+            _cos("e2") < 1.0,
+            F.round((_cos("e1") - _cos("e2")) / (F.lit(1.0) - _cos("e2")), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .cast("decimal(18,6)")
+        .alias("s"),
+    )
+    return sil.groupBy("centroid_id").agg(
+        F.count("*").alias("n_vecs"),
+        F.round(F.sum("s").cast("double") / F.count("*"), 6).alias("mean_sil"),
+    )
+
+
 def ivf_refine_centroids(
     vectors: DataFrame,
     centroids: DataFrame,

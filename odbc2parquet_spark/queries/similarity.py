@@ -150,6 +150,44 @@ def sim_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sim_silhouette",
+    oracle="WITH "
+    + _CENT_CTE
+    + """,
+    rnk AS (
+        SELECT vec_id, centroid_id, cos4,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY cos4 DESC, centroid_id) AS rn
+        FROM assign_scored
+    ),
+    own AS (SELECT vec_id, centroid_id, cos4 FROM rnk WHERE rn = 1),
+    nxt AS (SELECT vec_id, cos4 AS cos_next FROM rnk WHERE rn = 2),
+    sil AS (
+        SELECT o.vec_id, o.centroid_id,
+               CAST(CASE WHEN n.cos_next < 1.0
+                         THEN ROUND((o.cos4 - n.cos_next)
+                                    / (1.0 - n.cos_next), 6)
+                         ELSE 0.0 END AS DECIMAL(18,6)) AS s
+        FROM own o JOIN nxt n USING (vec_id)
+    )
+    SELECT centroid_id, COUNT(*) AS n_vecs,
+           ROUND(CAST(SUM(s) AS DOUBLE) / COUNT(*), 6) AS mean_sil
+    FROM sil GROUP BY centroid_id
+    """,
+)
+def sim_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell simplified silhouette of the IVF index — the clustering
+    QA gate (0 = vectors sit on cell boundaries, ->1 = cells are tight
+    and separated) that tells an ANN deployment whether low recall is a
+    routing problem (bad cells -> re-seed/Lloyd) or a code-distortion
+    problem (good cells -> raise PQ bits). Centroid-distance-only
+    (O(N x k), no pairwise pass); see operators/similarity.ivf_silhouette
+    for determinism + scale shape."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.ivf_silhouette(emb, S.ivf_seed_centroids(emb, _K_CELLS))
+
+
+@query(
     "sim_ivf_topk",
     oracle="WITH "
     + _CENT_CTE

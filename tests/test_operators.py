@@ -881,6 +881,38 @@ def test_personalized_pagerank_frontier_and_floor(spark):
     assert sum(got.values()) <= base
 
 
+def test_ivf_silhouette_separated_vs_boundary(spark):
+    from odbc2parquet_spark.operators.similarity import (
+        ivf_seed_centroids,
+        ivf_silhouette,
+    )
+
+    # two orthogonal direction clusters; centroids = lowest-id vector of
+    # each (ids 0 and 1) -> every member is EXACTLY on its centroid ray
+    rows = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    rows += [(i, [1.0, 0.0]) for i in range(2, 6)]
+    rows += [(i, [0.0, 1.0]) for i in range(6, 10)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {
+        r["centroid_id"]: r
+        for r in ivf_silhouette(emb, ivf_seed_centroids(emb, 2)).collect()
+    }
+    assert set(out) == {0, 1}
+    assert out[0]["n_vecs"] == 5 and out[1]["n_vecs"] == 5
+    # perfectly separated orthogonal clusters score silhouette 1
+    assert out[0]["mean_sil"] == 1.0
+    assert out[1]["mean_sil"] == 1.0
+
+    # a 45-degree boundary vector scores ~0 (equidistant to both cells)
+    rows.append((10, [1.0, 1.0]))
+    emb2 = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out2 = ivf_silhouette(emb2, ivf_seed_centroids(emb2, 2))
+    cell = {r["centroid_id"]: r for r in out2.collect()}
+    # the boundary vector tie-breaks into cell 0 and drags its mean down
+    assert cell[0]["n_vecs"] == 6
+    assert cell[0]["mean_sil"] < 1.0
+
+
 def test_naive_bayes_separable_vocab(spark):
     from odbc2parquet_spark.operators.text import naive_bayes_lang
 
