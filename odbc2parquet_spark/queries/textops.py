@@ -3104,3 +3104,94 @@ def tx_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract and 100 TB shape. Reference has no classifier ops; this is
     training-pipeline extension surface."""
     return X.naive_bayes_lang(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "tx_source_overlap",
+    oracle="""
+    WITH w AS (
+        SELECT source, list_filter(string_split(text, ' '), x -> x != '') AS ws
+        FROM documents
+    ),
+    g AS (
+        SELECT DISTINCT source,
+               ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+        FROM w, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)
+        WHERE len(ws) >= 3
+    ),
+    keep AS (
+        SELECT g FROM (SELECT g, COUNT(*) AS n_src FROM g GROUP BY g)
+        WHERE n_src <= 10
+    ),
+    g2 AS (SELECT source, g.g FROM g JOIN keep USING (g)),
+    per AS (SELECT source, COUNT(*) AS n FROM g2 GROUP BY source),
+    sh AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               COUNT(*) AS n_shared
+        FROM g2 a JOIN g2 b ON a.g = b.g AND a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT sh.source_a, sh.source_b,
+           pa.n AS n_grams_a, pb.n AS n_grams_b,
+           sh.n_shared,
+           ROUND(CAST(sh.n_shared AS DOUBLE)
+                 / (pa.n + pb.n - sh.n_shared), 6) AS jaccard
+    FROM sh
+    JOIN per pa ON pa.source = sh.source_a
+    JOIN per pb ON pb.source = sh.source_b
+    """,
+)
+def tx_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: distinct-trigram Jaccard between
+    every source pair — the leakage audit run before declaring two
+    corpus slices independent (train/eval splits by source, dedup
+    boundaries, licensing provenance). Grams shared by MORE than half
+    the sources are excluded first: those are global boilerplate (the
+    tx_boilerplate_ngrams signal), not pairwise leakage — and the cap
+    also bounds the gram->pair expansion (a gram in df sources yields
+    C(df,2) pairs, so df <= 10 pins the worst case), which is what keeps
+    this join linear-ish at 100 TB where one viral sentence would
+    otherwise cross-product. All counts exact; one division per pair."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = X.words(F.col("text"))
+    gram_expr = (
+        "CASE WHEN size(ws) < 3 THEN array() ELSE "
+        "transform(sequence(0, size(ws) - 3), "
+        "i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])) END"
+    )
+    g = (
+        docs.select("source", ws.alias("ws"))
+        .select("source", F.explode(F.expr(gram_expr)).alias("g"))
+        .distinct()
+    )
+    keep = g.groupBy("g").agg(F.count("*").alias("n_src")).filter(
+        F.col("n_src") <= 10
+    )
+    g2 = g.join(keep.select("g"), "g", "left_semi")
+    per = g2.groupBy("source").agg(F.count("*").alias("n"))
+    a = g2.select(F.col("source").alias("source_a"), "g")
+    b = g2.select(F.col("source").alias("source_b"), "g")
+    sh = (
+        a.join(b, "g")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    pa = per.select(F.col("source").alias("source_a"), F.col("n").alias("n_grams_a"))
+    pb = per.select(F.col("source").alias("source_b"), F.col("n").alias("n_grams_b"))
+    return (
+        sh.join(F.broadcast(pa), "source_a")
+        .join(F.broadcast(pb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_grams_a",
+            "n_grams_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("n_grams_a") + F.col("n_grams_b") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
