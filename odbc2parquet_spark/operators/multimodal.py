@@ -1353,3 +1353,75 @@ def decode_bmp_byte_histogram(binary_df: DataFrame) -> DataFrame:
     return binary_df.select("doc_id", "payload").mapInPandas(
         run, BYTE_HIST_SCHEMA
     )
+
+
+LAPLACIAN_SCHEMA = (
+    "doc_id long, width int, height int, n_interior long, "
+    "sum_lap long, sum_lap2 long"
+)
+
+
+def bmp_laplacian_stats(binary_df: DataFrame) -> DataFrame:
+    """Per-image discrete-Laplacian moments over the TRUE decoded pixel
+    array — the variance-of-Laplacian blur/flatness detector (Pech-Pacheco
+    et al.): a sharp image has high-variance second derivative, a blurred
+    or synthetic-flat frame collapses toward 0. Gray level is the exact
+    integer channel sum b+g+r (no /3 — scale-free for a variance ratio);
+    lap(x,y) = 4*g(x,y) - g(x-1,y) - g(x+1,y) - g(x,y-1) - g(x,y+1) over
+    interior pixels. Emits exact int64 (n, sum, sum of squares); the
+    caller derives variance with ONE division so rounding matches a SQL
+    oracle. Images with no interior (w or h < 3) emit n_interior = 0.
+    Bounds: |lap| <= 4*765, so sum_lap2 <= n * 9.4e6 — int64-safe for
+    any image under ~10^12 pixels. Corrupt payloads quarantine as NULLs."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                p = bytes(payload)
+                try:
+                    if len(p) < 54 or p[:2] != b"BM":
+                        raise ValueError("not a BMP")
+                    off = int.from_bytes(p[10:14], "little")
+                    w = int.from_bytes(p[18:22], "little", signed=True)
+                    h = int.from_bytes(p[22:26], "little", signed=True)
+                    bits = int.from_bytes(p[28:30], "little")
+                    if bits != 24 or w <= 0 or h <= 0:
+                        raise ValueError("not an uncompressed 24-bit BMP")
+                    stride = w * 3 + (4 - (w * 3) % 4) % 4
+                    data = np.frombuffer(p[off : off + stride * h], np.uint8)
+                    if len(data) < stride * h:
+                        raise ValueError("truncated pixel array")
+                except ValueError:
+                    rows.append((doc_id, None, None, None, None, None))
+                    continue
+                px = data.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+                g = px.astype(np.int64).sum(axis=2)
+                if h < 3 or w < 3:
+                    rows.append((doc_id, w, h, 0, 0, 0))
+                    continue
+                lap = (
+                    4 * g[1:-1, 1:-1]
+                    - g[:-2, 1:-1]
+                    - g[2:, 1:-1]
+                    - g[1:-1, :-2]
+                    - g[1:-1, 2:]
+                )
+                rows.append(
+                    (
+                        doc_id, w, h, int(lap.size),
+                        int(lap.sum()), int((lap * lap).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "n_interior",
+                    "sum_lap", "sum_lap2",
+                ],
+            )
+
+    return binary_df.select("doc_id", "payload").mapInPandas(
+        run, LAPLACIAN_SCHEMA
+    )

@@ -3195,3 +3195,79 @@ def tx_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+@query(
+    "mm_blur_score",
+    oracle="""
+    WITH geo AS (
+        SELECT doc_id, text, length(text) AS n,
+               length(text) % 64 + 1 AS w,
+               length(text) % 48 + 1 AS h,
+               (length(text) % 64 + 1) * 3
+               + (4 - ((length(text) % 64 + 1) * 3) % 4) % 4 AS stride
+        FROM documents
+    ),
+    gray AS (
+        SELECT doc_id, w, h, t.pi // w AS r, t.pi % w AS c,
+               ascii(substring(text,
+                   (((t.pi // w) * stride + (t.pi % w) * 3) % n) + 1, 1))
+             + ascii(substring(text,
+                   (((t.pi // w) * stride + (t.pi % w) * 3 + 1) % n) + 1, 1))
+             + ascii(substring(text,
+                   (((t.pi // w) * stride + (t.pi % w) * 3 + 2) % n) + 1, 1))
+                 AS g
+        FROM geo, UNNEST(generate_series(0, w * h - 1)) AS t(pi)
+    ),
+    lap AS (
+        SELECT doc_id, w, h, r, c,
+               4 * g - LAG(g) OVER win_r - LEAD(g) OVER win_r
+                     - LAG(g) OVER win_c - LEAD(g) OVER win_c AS l
+        FROM gray
+        WINDOW win_r AS (PARTITION BY doc_id, r ORDER BY c),
+               win_c AS (PARTITION BY doc_id, c ORDER BY r)
+    ),
+    ag AS (
+        SELECT doc_id, COUNT(*) AS n_i,
+               CAST(SUM(l) AS BIGINT) AS sl,
+               CAST(SUM(l * l) AS BIGINT) AS sl2
+        FROM lap
+        WHERE r >= 1 AND r <= h - 2 AND c >= 1 AND c <= w - 2
+        GROUP BY doc_id
+    )
+    SELECT geo.doc_id, CAST(geo.w AS INTEGER) AS width,
+           CAST(geo.h AS INTEGER) AS height,
+           CAST(COALESCE(ag.n_i, 0) AS BIGINT) AS n_interior,
+           CASE WHEN COALESCE(ag.n_i, 0) = 0 THEN NULL
+                ELSE ROUND(CAST(ag.n_i * ag.sl2 - ag.sl * ag.sl AS DOUBLE)
+                           / (ag.n_i * ag.n_i), 6) END AS blur_var
+    FROM geo LEFT JOIN ag ON ag.doc_id = geo.doc_id
+    """,
+)
+def mm_blur_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-of-Laplacian blur/flatness score over the TRUE decoded
+    pixel array — the focus-quality gate image curation runs to drop
+    blurred or synthetically flat frames before any embedding spend.
+    Exact integer Laplacian moments from a new Arrow-batched kernel
+    (operators/multimodal.bmp_laplacian_stats); variance is ONE division
+    of int64 moments, so the oracle — which rebuilds every gray pixel
+    byte-by-byte and differentiates via four windowed shifts — certifies
+    the kernel's second-derivative arithmetic bit-for-bit. Zero-shuffle:
+    decode rides the scan, one row out per image."""
+    docs = load_table(spark, sf_dir, "documents")
+    raw = M.bmp_laplacian_stats(M.encode_bmp(docs))
+    n = F.col("n_interior")
+    return raw.select(
+        "doc_id",
+        "width",
+        "height",
+        "n_interior",
+        F.when(
+            n > 0,
+            F.round(
+                (n * F.col("sum_lap2") - F.col("sum_lap") * F.col("sum_lap"))
+                .cast("double") / (n * n),
+                6,
+            ),
+        ).alias("blur_var"),
+    )

@@ -1149,6 +1149,36 @@ def test_decode_bmp_pixels_strips_padding(spark):
     assert rows[2].width is None  # non-BMP quarantined
 
 
+def test_bmp_laplacian_flat_vs_textured(spark):
+    from odbc2parquet_spark.operators.multimodal import (
+        bmp_laplacian_stats,
+        synth_bmp,
+    )
+
+    # flat image: constant pixel bytes -> every Laplacian term is 0.
+    # width 4 -> 12 pixel bytes/row, no padding, so the cycled source
+    # stays phase-aligned and every pixel is identical.
+    flat = synth_bmp(bytes([9]), 4, 4)
+    # textured: alternate dark/bright pixels (period 6 = 2 pixels, and
+    # 12 % 6 == 0 keeps rows aligned) -> second derivative is nonzero
+    tex = synth_bmp(bytes([0, 0, 0, 255, 255, 255]), 4, 4)
+    tiny = synth_bmp(bytes([7]), 2, 5)  # w < 3 -> no interior
+    df = spark.createDataFrame(
+        [(1, bytearray(flat)), (2, bytearray(tex)), (3, bytearray(tiny)),
+         (4, bytearray(b"not a bmp"))],
+        ["doc_id", "payload"],
+    )
+    rows = {r.doc_id: r for r in bmp_laplacian_stats(df).collect()}
+    assert rows[1].n_interior == 4 and rows[1].sum_lap == 0
+    assert rows[1].sum_lap2 == 0
+    # horizontal alternation: lap = 4g - 2g - 2*g_other = 2*(g - g_other)
+    # with g in {0, 765}: |lap| = 1530 per interior pixel
+    assert rows[2].n_interior == 4
+    assert rows[2].sum_lap2 == 4 * 1530 * 1530
+    assert rows[3].n_interior == 0 and rows[3].sum_lap2 == 0
+    assert rows[4].width is None  # corrupt payload quarantined
+
+
 def test_resize_bmp_nearest_samples_expected_pixels(spark):
     import hashlib
 
