@@ -1425,3 +1425,79 @@ def bmp_laplacian_stats(binary_df: DataFrame) -> DataFrame:
     return binary_df.select("doc_id", "payload").mapInPandas(
         run, LAPLACIAN_SCHEMA
     )
+
+
+#: Q15 fixed-point DFT tables for the probe-tone detector: 64-sample
+#: frame, probe bins 1/2/3/5 cycles-per-frame. The SAME integers are
+#: embedded as literals in the SQL oracle, so trig never crosses an
+#: engine boundary — this is the classic fixed-point DSP trick (Q15
+#: twiddle factors), used here for bit-exactness rather than for lack
+#: of an FPU.
+TONE_FRAME = 64
+TONE_BINS = (1, 2, 3, 5)
+
+
+def _tone_table() -> list[tuple[int, int, int, int]]:
+    import math
+
+    return [
+        (
+            k,
+            n,
+            round(math.cos(2 * math.pi * k * n / TONE_FRAME) * 32768),
+            round(-math.sin(2 * math.pi * k * n / TONE_FRAME) * 32768),
+        )
+        for k in TONE_BINS
+        for n in range(TONE_FRAME)
+    ]
+
+
+TONE_SCHEMA = "doc_id long, n_frames long, bin int, power long"
+
+
+def audio_tone_power_q15(binary_df: DataFrame) -> DataFrame:
+    """Per-payload probe-frequency DFT power over REAL decoded PCM in
+    Q15 fixed point — the tone/hum detector audio curation runs to flag
+    test signals, dial tones and mains hum before transcription spend.
+    Per complete 64-sample frame and probe bin k: re = sum(x * cos_q15),
+    im = sum(x * -sin_q15) (exact int64: |x| <= 2^15, twiddle <= 2^15,
+    64 terms -> |re| <= 2^36), quantized by an arithmetic >> 15 (floor),
+    then power = re_q^2 + im_q^2 summed over frames (<= 2^43 per frame
+    — int64-safe to ~2 million frames). Emits one row per (payload,
+    bin); payloads with fewer than 64 samples emit nothing (no complete
+    frame). Corrupt payloads quarantine silently."""
+    import numpy as np
+
+    tbl = _tone_table()
+    C = np.array(
+        [[c for (k, n, c, s) in tbl if k == kk] for kk in TONE_BINS], np.int64
+    )
+    S = np.array(
+        [[s for (k, n, c, s) in tbl if k == kk] for kk in TONE_BINS], np.int64
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    off, size = _wav_data_span(bytes(payload))
+                except ValueError:
+                    continue
+                v = np.frombuffer(
+                    bytes(payload)[off : off + size - size % 2], "<i2"
+                ).astype(np.int64)
+                nf = len(v) // TONE_FRAME
+                if nf == 0:
+                    continue
+                frames = v[: nf * TONE_FRAME].reshape(nf, TONE_FRAME)
+                req = (frames @ C.T) >> 15  # arithmetic shift = floor
+                imq = (frames @ S.T) >> 15
+                pw = (req * req + imq * imq).sum(axis=0)
+                for kk, p in zip(TONE_BINS, pw):
+                    rows.append((doc_id, nf, kk, int(p)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_frames", "bin", "power"]
+            )
+
+    return binary_df.select("doc_id", "payload").mapInPandas(run, TONE_SCHEMA)

@@ -3271,3 +3271,84 @@ def mm_blur_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("blur_var"),
     )
+
+
+_TONE_VALUES = ",\n               ".join(
+    f"({k}, {n}, {c}, {s})" for (k, n, c, s) in M._tone_table()
+)
+
+
+@query(
+    "mm_audio_tone",
+    oracle=f"""
+    WITH p AS (
+        SELECT doc_id, text, length(text) AS n,
+               (length(text) % 2 + 1) AS channels,
+               (length(text) % 500 + 1) AS frames
+        FROM documents
+    ),
+    tw(k, wn, c, sn) AS (
+        VALUES {_TONE_VALUES}
+    ),
+    v AS (
+        SELECT doc_id, t.j AS j,
+               CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS v,
+               (frames * channels) // 64 AS nf
+        FROM (
+            SELECT doc_id, frames, channels, t.j,
+                   ascii(substring(text, ((2 * t.j) % n) + 1, 1))
+                   + 256 * ascii(substring(text, ((2 * t.j + 1) % n) + 1, 1))
+                       AS u
+            FROM p, UNNEST(generate_series(0, frames * channels - 1)) AS t(j)
+        ) t
+    ),
+    pre AS (
+        SELECT x.doc_id, tw.k, x.nf, x.j // 64 AS fi,
+               SUM(x.v * tw.c) AS re, SUM(x.v * tw.sn) AS im
+        FROM v x JOIN tw ON tw.wn = x.j % 64
+        WHERE x.j < 64 * x.nf
+        GROUP BY x.doc_id, tw.k, x.nf, x.j // 64
+    ),
+    pw AS (
+        SELECT doc_id, k, nf,
+               SUM(CAST(FLOOR(CAST(re AS DOUBLE) / 32768.0) AS BIGINT)
+                   * CAST(FLOOR(CAST(re AS DOUBLE) / 32768.0) AS BIGINT)
+                   + CAST(FLOOR(CAST(im AS DOUBLE) / 32768.0) AS BIGINT)
+                   * CAST(FLOOR(CAST(im AS DOUBLE) / 32768.0) AS BIGINT))
+                   AS power
+        FROM pre GROUP BY doc_id, k, nf
+    )
+    SELECT doc_id, CAST(MAX(nf) AS BIGINT) AS n_frames,
+           CAST(7 - MAX(power * 8 + (7 - k)) % 8 AS INTEGER) AS dominant_bin,
+           CAST(MAX(power * 8 + (7 - k)) // 8 AS BIGINT) AS dom_power,
+           CAST(SUM(power) AS BIGINT) AS total_power
+    FROM pw GROUP BY doc_id
+    """,
+)
+def mm_audio_tone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe-frequency tone detection over REAL decoded PCM — the
+    hum/test-signal gate (mains hum, dial tones, synthetic sweeps) run
+    before transcription spend. DFT power at 4 probe bins per 64-sample
+    frame in Q15 FIXED POINT: the twiddle factors are integer literals
+    shared verbatim between the Spark kernel and the SQL oracle, so no
+    trig function ever crosses an engine boundary — the whole spectral
+    measurement is exact int64 (the fixed-point DSP practice, repurposed
+    for cross-engine bit-exactness). Dominant bin via the packed-long
+    argmax convention. Zero-shuffle decode + one doc-keyed groupBy;
+    payloads without one complete frame emit nothing, matching the
+    oracle's frame bound."""
+    docs = load_table(spark, sf_dir, "documents")
+    raw = M.audio_tone_power_q15(M.encode_wav(docs))
+    enc = F.max(F.col("power") * 8 + (7 - F.col("bin"))).alias("enc")
+    g = raw.groupBy("doc_id").agg(
+        F.max("n_frames").alias("n_frames"),
+        enc,
+        F.sum("power").alias("total_power"),
+    )
+    return g.select(
+        "doc_id",
+        "n_frames",
+        (7 - F.col("enc") % 8).cast("int").alias("dominant_bin"),
+        F.expr("enc div 8").alias("dom_power"),
+        "total_power",
+    )

@@ -1149,6 +1149,43 @@ def test_decode_bmp_pixels_strips_padding(spark):
     assert rows[2].width is None  # non-BMP quarantined
 
 
+def test_audio_tone_q15_detects_probe_bin(spark):
+    import math
+    import struct
+
+    from odbc2parquet_spark.operators.multimodal import (
+        TONE_BINS,
+        synth_wav,
+        audio_tone_power_q15,
+    )
+
+    # pure tone at probe bin 2 (2 cycles per 64-sample frame), 128
+    # samples = exactly 2 complete frames
+    tone = b"".join(
+        struct.pack("<h", round(10000 * math.sin(2 * math.pi * 2 * i / 64)))
+        for i in range(128)
+    )
+    short = synth_wav(b"\x01\x02", 8000, 1, 10)  # < 64 samples: no frame
+    df = spark.createDataFrame(
+        [(1, bytearray(synth_wav(tone, 8000, 1, 128))),
+         (2, bytearray(short)),
+         (3, bytearray(b"junk"))],
+        ["doc_id", "payload"],
+    )
+    rows = audio_tone_power_q15(df).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], {})[r["bin"]] = r["power"]
+    # only doc 1 has a complete frame; it emits one row per probe bin
+    assert set(by_doc) == {1}
+    assert set(by_doc[1]) == set(TONE_BINS)
+    # the probe bin carries (essentially all) the energy
+    assert by_doc[1][2] > 100 * max(
+        p for b, p in by_doc[1].items() if b != 2
+    ) or all(p == 0 for b, p in by_doc[1].items() if b != 2)
+    assert by_doc[1][2] > 0
+
+
 def test_bmp_laplacian_flat_vs_textured(spark):
     from odbc2parquet_spark.operators.multimodal import (
         bmp_laplacian_stats,
