@@ -231,6 +231,13 @@ HEADLINE = [
     "sim_knn_classifier",
     "mm_audio_clipping",
     "mm_image_entropy",
+    # round-9 additions
+    "sim_ppr",
+    "tx_naive_bayes",
+    "sim_silhouette",
+    "tx_source_overlap",
+    "mm_blur_score",
+    "mm_audio_tone",
 ]
 
 

@@ -1857,3 +1857,87 @@ def ev_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = holt_forecast(daily, "key", "day", "x", horizons=(1, 7))
     return out.select(F.col("key").alias("event_type"), "n_days", "level", "trend", "f1", "f7")
+
+
+@query(
+    "ev_decay_topk",
+    oracle="""
+    WITH d AS (
+        SELECT event_type, user_id,
+               CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day
+        FROM events
+    ),
+    anchor AS (SELECT MAX(day) AS a FROM d),
+    w AS (
+        SELECT event_type, user_id,
+               CAST(1 AS BIGINT) << CAST(40 - ((SELECT a FROM anchor) - day)
+                                         AS INTEGER) AS wm
+        FROM d
+        WHERE (SELECT a FROM anchor) - day <= 40
+    ),
+    agg AS (
+        SELECT event_type, user_id, CAST(SUM(wm) AS BIGINT) AS decayed_micro
+        FROM w GROUP BY event_type, user_id
+    ),
+    rnk AS (
+        SELECT event_type, user_id, decayed_micro,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY decayed_micro DESC, user_id) AS rank
+        FROM agg
+    )
+    SELECT event_type, user_id, CAST(rank AS INTEGER) AS rank, decayed_micro,
+           CAST(decayed_micro AS DOUBLE) / 1099511627776.0 AS decayed
+    FROM rnk WHERE rank <= 3
+    """,
+)
+def ev_decay_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed heavy hitters: top-3 users per event type under an
+    exponential half-life of one day — the freshness-weighted popularity
+    signal (trending detection, decayed engagement leaderboards) where a
+    plain COUNT would let stale history dominate. EXACT arithmetic: the
+    decay 2^-age_days is carried as the int64 micro-weight 2^(40-age)
+    (ages beyond 40 days contribute 0 — documented cutoff, far past
+    ~12 half-lives), so the per-user sum is an exact integer on any
+    engine and the final /2^40 is one exact dyadic division. Day index
+    from epoch seconds div 86400 — no timezone or calendar functions. Scale shape: map-side partial SUM into a
+    (type, user)-keyed agg, then a per-type top-k window over the
+    aggregated (not raw) rows; the anchor is a broadcast scalar."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        "event_type",
+        "user_id",
+        F.expr(
+            "unix_seconds(cast(ts as timestamp)) div 86400"
+        ).alias("day"),
+    )
+    anchor = d.agg(F.max("day").alias("a"))
+    w = (
+        d.crossJoin(F.broadcast(anchor))
+        .filter(F.col("a") - F.col("day") <= 40)
+        .select(
+            "event_type",
+            "user_id",
+            F.expr("shiftleft(cast(1 as bigint), cast(40 - (a - day) as int))").alias("wm"),
+        )
+    )
+    agg = w.groupBy("event_type", "user_id").agg(
+        F.sum("wm").alias("decayed_micro")
+    )
+    rnk = F.row_number().over(
+        Window.partitionBy("event_type").orderBy(
+            F.desc("decayed_micro"), F.asc("user_id")
+        )
+    )
+    return (
+        agg.withColumn("rank", rnk)
+        .filter(F.col("rank") <= 3)
+        .select(
+            "event_type",
+            "user_id",
+            "rank",
+            "decayed_micro",
+            (F.col("decayed_micro").cast("double") / F.lit(float(1 << 40))).alias(
+                "decayed"
+            ),
+        )
+    )
