@@ -207,6 +207,52 @@ def k_anonymity_audit(
     )
 
 
+def l_diversity_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l: int,  # noqa: E741 - the parameter IS called l in the literature
+) -> DataFrame:
+    """Privacy audit, second tier: quasi-identifier groups whose SENSITIVE
+    attribute takes fewer than ``l`` distinct values (Machanavajjhala et
+    al.) — k-anonymity's blind spot, where a group is large enough to
+    hide in but everyone in it shares the same sensitive value, so
+    membership alone discloses it. Returns one row per failing group
+    with its size, distinct-sensitive count, and the entropy of the
+    sensitive distribution (the entropy-l-diversity strength measure);
+    an empty result certifies the table l-diverse over the pair.
+
+    Determinism: entropy terms follow the module convention — exact
+    integer counts, one ln per (group, value) rounded to 6 and
+    decimal-summed, one final division. Scale shape: two hash
+    aggregations ((quasi, sensitive) then quasi), both map-side partial;
+    output bounded by the number of FAILING groups.
+    """
+    if l < 2:
+        raise ValueError(f"l must be >= 2, got {l}")
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    per_val = df.groupBy(*quasi_cols, sensitive_col).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = per_val.groupBy(*quasi_cols).agg(F.sum("c").alias("n_rows"))
+    j = per_val.join(tot, quasi_cols)
+    term = F.col("c") * F.round(
+        F.log(F.col("c") / F.col("n_rows")), 6
+    ).cast("decimal(18,6)")
+    return (
+        j.groupBy(*quasi_cols)
+        .agg(
+            F.max("n_rows").alias("n_rows"),
+            F.count(F.lit(1)).alias("distinct_sensitive"),
+            F.round(
+                (-F.sum(term).cast("double")) / F.max("n_rows"), 6
+            ).alias("entropy"),
+        )
+        .filter(F.col("distinct_sensitive") < l)
+    )
+
+
 def mad_outliers(
     df: DataFrame,
     value_col: str,

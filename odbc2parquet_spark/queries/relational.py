@@ -1707,3 +1707,53 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_n_") >= 2)
         .select("record_id", "entity_id", "is_canonical")
     )
+
+
+@query(
+    "q_l_diversity",
+    oracle="""
+    WITH s AS (
+        SELECT c_nationkey, c_mktsegment,
+               CASE WHEN c_acctbal < 0 THEN 'debt'
+                    WHEN c_acctbal < 4500 THEN 'mid'
+                    ELSE 'high' END AS sens
+        FROM customer
+    ),
+    p AS (
+        SELECT c_nationkey, c_mktsegment, sens, COUNT(*) AS c
+        FROM s GROUP BY 1, 2, 3
+    ),
+    t AS (
+        SELECT c_nationkey, c_mktsegment, SUM(c) AS n_rows FROM p GROUP BY 1, 2
+    )
+    SELECT p.c_nationkey, p.c_mktsegment,
+           CAST(MAX(t.n_rows) AS BIGINT) AS n_rows,
+           COUNT(*) AS distinct_sensitive,
+           ROUND(-CAST(SUM(p.c * CAST(ROUND(LN(p.c / t.n_rows), 6)
+                                      AS DECIMAL(18,6))) AS DOUBLE)
+                 / MAX(t.n_rows), 6) AS entropy
+    FROM p JOIN t USING (c_nationkey, c_mktsegment)
+    GROUP BY p.c_nationkey, p.c_mktsegment
+    HAVING COUNT(*) < 3
+    """,
+)
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (operators/quality.l_diversity_audit): customer
+    (nation, segment) quasi-identifier groups whose account-balance tier
+    (debt/mid/high) takes fewer than l=3 distinct values — k-anonymity's
+    blind spot, where a large group still discloses its shared sensitive
+    value. Entropy of the in-group sensitive distribution reported per
+    failing group (exact counts, per-term rounded ln, decimal sums).
+    Two map-side-combined aggregations; output bounded by failing
+    groups."""
+    from odbc2parquet_spark.operators.quality import l_diversity_audit
+
+    cust = load_table(spark, sf_dir, "customer").withColumn(
+        "sens",
+        F.when(F.col("c_acctbal") < 0, F.lit("debt"))
+        .when(F.col("c_acctbal") < 4500, F.lit("mid"))
+        .otherwise(F.lit("high")),
+    )
+    return l_diversity_audit(
+        cust, ["c_nationkey", "c_mktsegment"], "sens", l=3
+    )

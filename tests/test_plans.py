@@ -104,6 +104,15 @@ BOUNDED_CROSS_OK = {
     "tx_curation_verdict",   # same LM pipeline inside the funnel composition
     "tx_kneser_ney_score",   # 1-row bigram-type-count scalar broadcast
     "tx_ccnet_lang_buckets", # same LM vocab scalar, per-language window
+    # round 9: Naive Bayes — |classes|-row class-totals + 1-row vocab/
+    # doc-total scalars broadcast onto the token stream; the class-word
+    # count join is a broadcast HASH equi-join
+    "tx_naive_bayes",
+    # round 9: silhouette — corpus x 16 centroids scoring cross
+    # (sim_ivf_assign's shape, twice-aggregated)
+    "sim_silhouette",
+    # round 9: decayed heavy hitters — 1-row max-day anchor broadcast
+    "ev_decay_topk",
 }
 ALL_PAIRS_OK |= BOUNDED_CROSS_OK
 
