@@ -1057,6 +1057,122 @@ def bigram_lm_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def stupid_backoff_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stupid-backoff 4-gram LM scoring (Brants et al. 2007 — the
+    smoothing Google used at web scale precisely BECAUSE it needs no
+    normalization pass, and the scoring rule behind infini-gram-style
+    longest-suffix-match): even doc_ids build the 1..4-gram count
+    tables, odd doc_ids are scored token-by-token with the LONGEST
+    matching context:
+
+        S(w | c3) = c4(c3 w)/c3(c3)            if the 4-gram was seen
+                  = 0.4   * c3(c2 w)/c2(c2)    elif the trigram was seen
+                  = 0.4^2 * c2(c1 w)/c1(c1)    elif the bigram was seen
+                  = 0.4^3 * c1(w)/N            elif the unigram was seen
+                  = 0.4^3 * 1/N                else (OOV floor)
+
+    Determinism: every ratio is one IEEE division of exact int64 counts
+    + one ln rounded to 6; the backoff penalty adds j * round(ln(0.4), 6)
+    as an exact decimal multiple — so the per-token term is an exact
+    decimal and doc sums are order-independent. Only positions with a
+    full 3-token context are scored. Returns (doc_id, n_scored,
+    n_order4/3/2/1 backoff usage counts, avg_logscore).
+
+    Scale shape: four train-side n-gram groupBys (each Zipf-skewed,
+    AQE-split) + four gram-keyed left joins on the eval token stream —
+    no iteration, no normalization sweep (the whole point of stupid
+    backoff); the count tables shard by gram hash at 100 TB exactly like
+    a distributed infini-gram index."""
+    prepared = docs.select("doc_id", words(F.col(text_col)).alias("ws"))
+    train = prepared.filter(F.col("doc_id") % 2 == 0)
+
+    def grams(df: DataFrame, n: int, out: str) -> DataFrame:
+        expr = (
+            f"CASE WHEN size(ws) < {n} THEN array() ELSE "
+            f"transform(sequence(0, size(ws) - {n}), "
+            f"i -> concat_ws(' ', slice(ws, i + 1, {n}))) END"
+        )
+        return df.select(F.explode(F.expr(expr)).alias(out))
+
+    c1 = grams(train, 1, "g").groupBy("g").agg(F.count("*").alias("c1"))
+    c2 = grams(train, 2, "g").groupBy("g").agg(F.count("*").alias("c2"))
+    c3 = grams(train, 3, "g").groupBy("g").agg(F.count("*").alias("c3"))
+    c4 = grams(train, 4, "g").groupBy("g").agg(F.count("*").alias("c4"))
+    n_tok = train.select(F.explode("ws").alias("w")).agg(
+        F.count("*").alias("n_train")
+    )
+
+    ev = prepared.filter(F.col("doc_id") % 2 == 1)
+    pos_expr = (
+        "CASE WHEN size(ws) < 4 THEN array() ELSE "
+        "transform(sequence(4, size(ws)), i -> struct("
+        "concat_ws(' ', ws[i-4], ws[i-3], ws[i-2], ws[i-1]) AS g4, "
+        "concat_ws(' ', ws[i-4], ws[i-3], ws[i-2]) AS p3, "
+        "concat_ws(' ', ws[i-3], ws[i-2], ws[i-1]) AS g3, "
+        "concat_ws(' ', ws[i-3], ws[i-2]) AS p2, "
+        "concat_ws(' ', ws[i-2], ws[i-1]) AS g2, "
+        "ws[i-2] AS p1, ws[i-1] AS g1)) END"
+    )
+    tok = ev.select("doc_id", F.explode(F.expr(pos_expr)).alias("t")).select(
+        "doc_id", "t.*"
+    )
+    # longest-suffix lookups: numerator count at each order + its context
+    # count (the denominator). Every join is gram-keyed.
+    j = (
+        tok.join(c4.withColumnRenamed("g", "g4"), "g4", "left_outer")
+        .join(
+            c3.select(F.col("g").alias("p3"), F.col("c3").alias("cp3")),
+            "p3",
+            "left_outer",
+        )
+        .join(c3.withColumnRenamed("g", "g3"), "g3", "left_outer")
+        .join(
+            c2.select(F.col("g").alias("p2"), F.col("c2").alias("cp2")),
+            "p2",
+            "left_outer",
+        )
+        .join(c2.withColumnRenamed("g", "g2"), "g2", "left_outer")
+        .join(
+            c1.select(F.col("g").alias("p1"), F.col("c1").alias("cp1")),
+            "p1",
+            "left_outer",
+        )
+        .join(c1.withColumnRenamed("g", "g1"), "g1", "left_outer")
+        .crossJoin(F.broadcast(n_tok))
+    )
+    ln04 = F.lit("-0.916291").cast("decimal(18,6)")  # round(ln(0.4), 6)
+    order = (
+        F.when(F.col("c4").isNotNull(), F.lit(4))
+        .when(F.col("c3").isNotNull(), F.lit(3))
+        .when(F.col("c2").isNotNull(), F.lit(2))
+        .otherwise(F.lit(1))
+    )
+    ratio_ln = (
+        F.when(F.col("c4").isNotNull(), F.log(F.col("c4") / F.col("cp3")))
+        .when(F.col("c3").isNotNull(), F.log(F.col("c3") / F.col("cp2")))
+        .when(F.col("c2").isNotNull(), F.log(F.col("c2") / F.col("cp1")))
+        .when(
+            F.col("c1").isNotNull(), F.log(F.col("c1") / F.col("n_train"))
+        )
+        .otherwise(F.log(F.lit(1.0) / F.col("n_train")))
+    )
+    term = (
+        F.round(ratio_ln, 6).cast("decimal(18,6)")
+        + (F.lit(4) - order).cast("decimal(18,6)") * ln04
+    )
+    scored = j.select("doc_id", order.alias("o"), term.alias("term"))
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_scored"),
+        F.sum((F.col("o") == 4).cast("long")).alias("n_order4"),
+        F.sum((F.col("o") == 3).cast("long")).alias("n_order3"),
+        F.sum((F.col("o") == 2).cast("long")).alias("n_order2"),
+        F.sum((F.col("o") == 1).cast("long")).alias("n_order1"),
+        F.round(F.sum("term").cast("double") / F.count("*"), 6).alias(
+            "avg_logscore"
+        ),
+    )
+
+
 def naive_bayes_lang(
     docs: DataFrame,
     label_col: str = "lang",

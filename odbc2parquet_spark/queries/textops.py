@@ -3352,3 +3352,89 @@ def mm_audio_tone(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("enc div 8").alias("dom_power"),
         "total_power",
     )
+
+
+@query(
+    "tx_stupid_backoff",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws
+        FROM documents
+    ),
+    tr AS (SELECT ws FROM w WHERE doc_id % 2 = 0),
+    c1 AS (SELECT u AS g, COUNT(*) AS c FROM tr, UNNEST(ws) AS t(u) GROUP BY u),
+    c2 AS (
+        SELECT ws[i] || ' ' || ws[i+1] AS g, COUNT(*) AS c
+        FROM tr, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
+        WHERE len(ws) >= 2 GROUP BY 1
+    ),
+    c3 AS (
+        SELECT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g, COUNT(*) AS c
+        FROM tr, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)
+        WHERE len(ws) >= 3 GROUP BY 1
+    ),
+    c4 AS (
+        SELECT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+                   AS g, COUNT(*) AS c
+        FROM tr, UNNEST(generate_series(1, len(ws) - 3)) AS t(i)
+        WHERE len(ws) >= 4 GROUP BY 1
+    ),
+    n AS (SELECT CAST(SUM(len(ws)) AS BIGINT) AS n_train FROM tr),
+    te AS (
+        SELECT doc_id,
+               ws[i-3] || ' ' || ws[i-2] || ' ' || ws[i-1] || ' ' || ws[i] AS g4,
+               ws[i-3] || ' ' || ws[i-2] || ' ' || ws[i-1] AS p3,
+               ws[i-2] || ' ' || ws[i-1] || ' ' || ws[i] AS g3,
+               ws[i-2] || ' ' || ws[i-1] AS p2,
+               ws[i-1] || ' ' || ws[i] AS g2,
+               ws[i-1] AS p1,
+               ws[i] AS g1
+        FROM w, UNNEST(generate_series(4, len(ws))) AS t(i)
+        WHERE doc_id % 2 = 1 AND len(ws) >= 4
+    ),
+    mid AS (
+        SELECT te.doc_id,
+               CASE WHEN x4.c IS NOT NULL THEN 4
+                    WHEN x3.c IS NOT NULL THEN 3
+                    WHEN x2.c IS NOT NULL THEN 2 ELSE 1 END AS o,
+               CASE WHEN x4.c IS NOT NULL THEN LN(x4.c * 1.0 / q3.c)
+                    WHEN x3.c IS NOT NULL THEN LN(x3.c * 1.0 / q2.c)
+                    WHEN x2.c IS NOT NULL THEN LN(x2.c * 1.0 / q1.c)
+                    WHEN x1.c IS NOT NULL
+                        THEN LN(x1.c * 1.0 / (SELECT n_train FROM n))
+                    ELSE LN(1.0 / (SELECT n_train FROM n)) END AS lr
+        FROM te
+        LEFT JOIN c4 x4 ON x4.g = te.g4
+        LEFT JOIN c3 q3 ON q3.g = te.p3
+        LEFT JOIN c3 x3 ON x3.g = te.g3
+        LEFT JOIN c2 q2 ON q2.g = te.p2
+        LEFT JOIN c2 x2 ON x2.g = te.g2
+        LEFT JOIN c1 q1 ON q1.g = te.p1
+        LEFT JOIN c1 x1 ON x1.g = te.g1
+    ),
+    s AS (
+        SELECT doc_id, o,
+               CAST(ROUND(lr, 6) AS DECIMAL(18,6))
+               + CAST(4 - o AS DECIMAL(18,6))
+                 * CAST('-0.916291' AS DECIMAL(18,6)) AS term
+        FROM mid
+    )
+    SELECT doc_id, COUNT(*) AS n_scored,
+           CAST(SUM(CASE WHEN o = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_order4,
+           CAST(SUM(CASE WHEN o = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_order3,
+           CAST(SUM(CASE WHEN o = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_order2,
+           CAST(SUM(CASE WHEN o = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_order1,
+           ROUND(CAST(SUM(term) AS DOUBLE) / COUNT(*), 6) AS avg_logscore
+    FROM s GROUP BY doc_id
+    """,
+)
+def tx_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-backoff 4-gram LM scoring with longest-suffix match
+    (Brants et al. 2007) — the web-scale smoothing that needs NO
+    normalization pass, and the scoring rule behind infini-gram-style
+    longest-match indexes. Even doc_ids build the 1..4-gram tables, odd
+    doc_ids are scored; per-token backoff-order usage counts come back
+    alongside the score, so the query doubles as a coverage report of
+    the n-gram index. See operators/text.stupid_backoff_scores for the
+    determinism contract and 100 TB shape."""
+    return X.stupid_backoff_scores(load_table(spark, sf_dir, "documents"))

@@ -881,6 +881,28 @@ def test_personalized_pagerank_frontier_and_floor(spark):
     assert sum(got.values()) <= base
 
 
+def test_stupid_backoff_longest_match_and_oov(spark):
+    import math
+
+    from odbc2parquet_spark.operators.text import stupid_backoff_scores
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d a b c d"), (1, "a b c d x")], ["doc_id", "text"]
+    )
+    rows = stupid_backoff_scores(docs).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["doc_id"] == 1
+    # position 4 ("d" after "a b c"): the 4-gram "a b c d" is in the
+    # train table (count 2, context "a b c" count 2) -> order 4, ln(1)=0
+    # position 5 ("x"): nothing matches at any order -> OOV floor
+    assert (r["n_scored"], r["n_order4"], r["n_order1"]) == (2, 1, 1)
+    assert (r["n_order3"], r["n_order2"]) == (0, 0)
+    # expected: (0 + (ln(1/8) rounded + 3*ln(0.4) rounded)) / 2
+    exp = (round(math.log(1 / 8), 6) + 3 * -0.916291) / 2
+    assert abs(r["avg_logscore"] - exp) < 1e-5
+
+
 def test_ivf_silhouette_separated_vs_boundary(spark):
     from odbc2parquet_spark.operators.similarity import (
         ivf_seed_centroids,
