@@ -238,6 +238,9 @@ HEADLINE = [
     "tx_source_overlap",
     "mm_blur_score",
     "mm_audio_tone",
+    "ev_decay_topk",
+    "q_l_diversity",
+    "tx_stupid_backoff",
 ]
 
 

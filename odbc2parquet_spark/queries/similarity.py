@@ -8,7 +8,7 @@ engines compute the same signatures from first principles.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from odbc2parquet_spark.catalog import load_table
@@ -1882,4 +1882,133 @@ def sim_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("true_label"),
         "pred_label",
         (F.col("label") == F.col("pred_label")).cast("int").alias("correct"),
+    )
+
+
+@query(
+    "sim_rrf_fusion",
+    oracle="""
+    WITH kw AS (
+        SELECT doc_id,
+               len(list_filter(string_split(text, ' '), x -> x = 'spark'))
+                   AS tf,
+               len(list_filter(string_split(text, ' '), x -> x != '')) AS n
+        FROM documents
+    ),
+    krank AS (
+        SELECT doc_id, rk AS kw_rank FROM (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (
+                       ORDER BY ROUND(tf * 1.0 / n, 6) DESC, doc_id) AS rk
+            FROM kw WHERE tf > 0
+        ) WHERE rk <= 20
+    ),
+    nv AS (
+        SELECT vec_id, embedding,
+               list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nsq
+        FROM embeddings
+    ),
+    p AS (SELECT embedding AS pv, nsq AS psq FROM nv WHERE vec_id = 0),
+    vrank AS (
+        SELECT vec_id AS doc_id, rk AS vec_rank FROM (
+            SELECT v.vec_id,
+                   ROW_NUMBER() OVER (
+                       ORDER BY ROUND(list_sum(list_transform(
+                                    list_zip(v.embedding, p.pv),
+                                    x -> CAST(x[1] AS DOUBLE)
+                                         * CAST(x[2] AS DOUBLE)))
+                                / SQRT(v.nsq * p.psq), 4) DESC,
+                                v.vec_id) AS rk
+            FROM nv v CROSS JOIN p
+            WHERE v.vec_id != 0
+        ) WHERE rk <= 20
+    )
+    SELECT doc_id, kw_rank, vec_rank, rrf6, CAST(rk AS BIGINT) AS rank
+    FROM (
+        SELECT COALESCE(k.doc_id, v.doc_id) AS doc_id,
+               k.kw_rank, v.vec_rank,
+               ROUND(COALESCE(1.0 / (60 + k.kw_rank), 0.0)
+                     + COALESCE(1.0 / (60 + v.vec_rank), 0.0), 6) AS rrf6,
+               ROW_NUMBER() OVER (
+                   ORDER BY ROUND(COALESCE(1.0 / (60 + k.kw_rank), 0.0)
+                                  + COALESCE(1.0 / (60 + v.vec_rank), 0.0), 6)
+                            DESC,
+                            COALESCE(k.doc_id, v.doc_id)) AS rk
+        FROM krank k FULL OUTER JOIN vrank v ON k.doc_id = v.doc_id
+    ) WHERE rk <= 10
+    """,
+)
+def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack et al. 2009) — THE industry
+    default for fusing keyword and vector retrieval without score
+    calibration: each list contributes 1/(60 + rank), so scales never
+    mix. Keyword side: normalized term frequency for the probe term
+    'spark', top 20; vector side: exact cosine against probe vec 0, top
+    20; fused top 10. Deterministic: ranks come from total orders
+    ((score DESC, id)), and the fused score is a FIXED two-operand sum
+    of exact-input divisions, rounded to 6 — no accumulation order
+    exists. Scale shape: both arms end in bounded top-k (TakeOrdered);
+    the fusion joins two 20-row lists — at 100 TB this is the
+    per-query rerank tail, not a corpus operation."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    ws = F.split(F.col("text"), " ")
+    kw = docs.select(
+        "doc_id",
+        F.size(F.filter(ws, lambda x: x == "spark")).alias("tf"),
+        F.size(F.filter(ws, lambda x: x != "")).alias("n"),
+    ).filter(F.col("tf") > 0)
+    krank = (
+        kw.withColumn(
+            "kw_rank",
+            F.row_number().over(
+                Window.orderBy(
+                    F.desc(F.round(F.col("tf") * 1.0 / F.col("n"), 6)),
+                    F.asc("doc_id"),
+                )
+            ),
+        )
+        .filter(F.col("kw_rank") <= 20)
+        .select("doc_id", "kw_rank")
+    )
+    nv = emb.select(
+        "vec_id", "embedding", S.norm_sq(F.col("embedding")).alias("nsq")
+    )
+    probe = nv.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("pv"), F.col("nsq").alias("psq")
+    )
+    vrank = (
+        nv.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(probe))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                S.dot(F.col("embedding"), F.col("pv"))
+                / F.sqrt(F.col("nsq") * F.col("psq")),
+                4,
+            ).alias("cos4"),
+        )
+        .withColumn(
+            "vec_rank",
+            F.row_number().over(Window.orderBy(F.desc("cos4"), F.asc("doc_id"))),
+        )
+        .filter(F.col("vec_rank") <= 20)
+        .select("doc_id", "vec_rank")
+    )
+    fused = krank.join(vrank, "doc_id", "full_outer")
+    rrf = F.round(
+        F.coalesce(1.0 / (60 + F.col("kw_rank")), F.lit(0.0))
+        + F.coalesce(1.0 / (60 + F.col("vec_rank")), F.lit(0.0)),
+        6,
+    )
+    out = fused.select("doc_id", "kw_rank", "vec_rank", rrf.alias("rrf6"))
+    return (
+        out.withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("rrf6"), F.asc("doc_id"))
+            ).cast("long"),
+        )
+        .filter(F.col("rank") <= 10)
     )
