@@ -241,6 +241,7 @@ HEADLINE = [
     "ev_decay_topk",
     "q_l_diversity",
     "tx_stupid_backoff",
+    "sim_rrf_fusion",
 ]
 
 

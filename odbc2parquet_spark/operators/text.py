@@ -1057,6 +1057,67 @@ def bigram_lm_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def neg_sample_table(
+    docs: DataFrame, table_size: int = 1000, text_col: str = "text"
+) -> DataFrame:
+    """word2vec-style negative-sampling table: each vocabulary word gets
+    draws proportional to count^(3/4) (Mikolov et al.'s unigram
+    flattening — the exponent that keeps rare words reachable without
+    letting stopwords dominate), apportioned EXACTLY over a fixed table
+    of ``table_size`` slots by the largest-remainder (Hamilton) method.
+
+    Determinism end-to-end: c^(3/4) is computed as sqrt(c)*sqrt(sqrt(c))
+    — sqrt is the one power IEEE 754 requires correctly rounded (the
+    repo's sqrt-only rule), so the double is bit-identical on any
+    engine; it is then quantized to an int64 micro-weight and EVERYTHING
+    downstream is integer arithmetic: base quota = (T * w) div W,
+    remainders ranked (remainder DESC, word) for the leftover slots.
+    sum(n_draws) == table_size exactly, by construction. Returns
+    (word, c, w_micro, n_draws) for words with n_draws > 0.
+
+    Scale shape: one token groupBy (map-side partial) + two 1-row scalar
+    broadcasts (total weight, slot deficit) + one vocab-bounded sort for
+    the remainder ranking — the table is vocabulary-sized, never
+    corpus-sized, and at 100 TB the vocab fits the same Zipf truncation
+    as every LM table here."""
+    counts = (
+        docs.select(F.explode(words(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    wm = counts.withColumn(
+        "w_micro",
+        F.round(
+            F.sqrt(F.col("c")) * F.sqrt(F.sqrt(F.col("c"))) * 1e6, 0
+        ).cast("long"),
+    )
+    tot = wm.agg(F.sum("w_micro").alias("tot"))
+    based = wm.crossJoin(F.broadcast(tot)).select(
+        "w",
+        "c",
+        "w_micro",
+        F.expr(f"({table_size} * w_micro) div tot").alias("base"),
+        F.expr(f"({table_size} * w_micro) % tot").alias("rem"),
+    )
+    deficit = based.agg(
+        (F.lit(table_size) - F.sum("base")).alias("deficit")
+    )
+    ranked = based.crossJoin(F.broadcast(deficit)).withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.desc("rem"), F.asc("w")))
+    )
+    return (
+        ranked.select(
+            "w",
+            "c",
+            "w_micro",
+            (
+                F.col("base") + (F.col("rk") <= F.col("deficit")).cast("long")
+            ).alias("n_draws"),
+        )
+        .filter(F.col("n_draws") > 0)
+    )
+
+
 def stupid_backoff_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Stupid-backoff 4-gram LM scoring (Brants et al. 2007 — the
     smoothing Google used at web scale precisely BECAUSE it needs no

@@ -3438,3 +3438,50 @@ def tx_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     the n-gram index. See operators/text.stupid_backoff_scores for the
     determinism contract and 100 TB shape."""
     return X.stupid_backoff_scores(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "tx_neg_sample_table",
+    oracle="""
+    WITH cnt AS (
+        SELECT u AS w, COUNT(*) AS c
+        FROM (SELECT list_filter(string_split(text, ' '), x -> x != '') AS ws
+              FROM documents), UNNEST(ws) AS t(u)
+        GROUP BY u
+    ),
+    wm AS (
+        SELECT w, c,
+               CAST(ROUND(SQRT(c) * SQRT(SQRT(c)) * 1e6, 0) AS BIGINT)
+                   AS w_micro
+        FROM cnt
+    ),
+    tot AS (SELECT SUM(w_micro) AS tot FROM wm),
+    based AS (
+        SELECT w, c, w_micro,
+               (1000 * w_micro) // (SELECT tot FROM tot) AS base,
+               (1000 * w_micro) % (SELECT tot FROM tot) AS rem
+        FROM wm
+    ),
+    d AS (SELECT 1000 - SUM(base) AS deficit FROM based),
+    ranked AS (
+        SELECT w, c, w_micro, base,
+               ROW_NUMBER() OVER (ORDER BY rem DESC, w) AS rk
+        FROM based
+    )
+    SELECT w, c, w_micro,
+           CAST(base + CASE WHEN rk <= (SELECT deficit FROM d)
+                            THEN 1 ELSE 0 END AS BIGINT) AS n_draws
+    FROM ranked
+    WHERE base + CASE WHEN rk <= (SELECT deficit FROM d)
+                      THEN 1 ELSE 0 END > 0
+    """,
+)
+def tx_neg_sample_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word2vec negative-sampling table: draws per word proportional to
+    count^(3/4), apportioned EXACTLY over 1000 slots by the largest-
+    remainder method — sum(n_draws) == 1000 by construction on any
+    engine (c^(3/4) via the sqrt-only rule, then pure integer
+    apportionment). The contrastive-training companion to
+    sim_negative_samples' uniform draws. See operators/text.
+    neg_sample_table for the 100 TB shape."""
+    return X.neg_sample_table(load_table(spark, sf_dir, "documents"))

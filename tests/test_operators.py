@@ -881,6 +881,25 @@ def test_personalized_pagerank_frontier_and_floor(spark):
     assert sum(got.values()) <= base
 
 
+def test_neg_sample_table_exact_apportionment(spark):
+    from odbc2parquet_spark.operators.text import neg_sample_table
+
+    docs = spark.createDataFrame(
+        [(0, "a " * 81 + "b"), (1, "b " * 15 + "c c c")],
+        ["doc_id", "text"],
+    )
+    rows = neg_sample_table(docs, table_size=100).collect()
+    by_w = {r["w"]: r for r in rows}
+    # slots sum EXACTLY to the table size (largest-remainder property)
+    assert sum(r["n_draws"] for r in rows) == 100
+    # count^(3/4) flattening: a has 81 occurrences -> weight 27; b has
+    # 16 -> 8; c has 3 -> 3^0.75 ~ 2.28. a gets most but far less than
+    # its 81/100 count share
+    assert by_w["a"]["n_draws"] > by_w["b"]["n_draws"] > by_w["c"]["n_draws"]
+    assert by_w["a"]["n_draws"] < 81
+    assert by_w["c"]["n_draws"] >= 1  # rare word stays reachable
+
+
 def test_stupid_backoff_longest_match_and_oov(spark):
     import math
 

@@ -113,6 +113,11 @@ BOUNDED_CROSS_OK = {
     "sim_silhouette",
     # round 9: decayed heavy hitters — 1-row max-day anchor broadcast
     "ev_decay_topk",
+    # round 9: negative-sampling table — two 1-row scalar broadcasts
+    # (total micro-weight, slot deficit) onto the vocab-bounded table
+    "tx_neg_sample_table",
+    # round 9: RRF — 1-row probe-vector broadcast on the cosine arm
+    "sim_rrf_fusion",
 }
 ALL_PAIRS_OK |= BOUNDED_CROSS_OK
 
