@@ -1941,3 +1941,115 @@ def ev_decay_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "ev_kmv_quantile",
+    oracle="""
+    WITH h AS (
+        SELECT event_type, event_id, value,
+               CAST('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) AS hk
+        FROM events
+    ),
+    samp AS (
+        SELECT event_type, value, hk FROM (
+            SELECT event_type, value, hk,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY hk) AS rn
+            FROM h
+        ) WHERE rn <= 63
+    ),
+    est2 AS (
+        SELECT s.event_type, s.value AS est_median, s.m AS n_sample
+        FROM (SELECT event_type, value,
+                     ROW_NUMBER() OVER (PARTITION BY event_type
+                                        ORDER BY value, hk) AS vr,
+                     COUNT(*) OVER (PARTITION BY event_type) AS m
+              FROM samp) s
+        WHERE s.vr = (s.m + 1) // 2
+    ),
+    ex AS (
+        SELECT e.event_type, e.value AS exact_median, e.n
+        FROM (SELECT event_type, value,
+                     ROW_NUMBER() OVER (PARTITION BY event_type
+                                        ORDER BY value, event_id) AS vr,
+                     COUNT(*) OVER (PARTITION BY event_type) AS n
+              FROM events) e
+        WHERE e.vr = (e.n + 1) // 2
+    )
+    SELECT ex.event_type, CAST(ex.n AS BIGINT) AS n,
+           CAST(est2.n_sample AS BIGINT) AS n_sample,
+           est2.est_median, ex.exact_median,
+           ROUND(ABS(est2.est_median - ex.exact_median), 6) AS abs_err
+    FROM ex
+    JOIN est2 ON est2.event_type = ex.event_type
+    """,
+)
+def ev_kmv_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV-sample median per event type, WITH its own error certificate:
+    the 63 rows with the smallest md5(event_id) hashes are a uniform
+    without-replacement sample (the KMV/bottom-k sketch — mergeable,
+    bounded state, the batch dual of streaming/monitors.
+    streaming_kmv_quantile), and the lower median of the sample is the
+    streaming-feasible quantile estimate; the exact lower median is
+    computed alongside so every row carries its measured |error|.
+    Deterministic: hash selection is a pure row function, both medians
+    are ELEMENT picks under total orders (value, tiebreak) — no
+    averaging, no float accumulation. Scale shape: the sample is a
+    per-key bottom-63 (TakeOrdered-sized); the exact median's full sort
+    is the verification tier — at 100 TB production keeps the sketch
+    and drops the exact pass (q_exact_median documents the histogram
+    cutover)."""
+    ev = load_table(spark, sf_dir, "events")
+    from odbc2parquet_spark.operators.sampling import _hash60
+
+    h = ev.select(
+        "event_type", "event_id", "value", _hash60(F.col("event_id")).alias("hk")
+    )
+    samp = (
+        h.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy("hk")
+            ),
+        )
+        .filter(F.col("rn") <= 63)
+        .select("event_type", "value", "hk")
+    )
+    sw = Window.partitionBy("event_type")
+    est = (
+        samp.withColumn(
+            "vr",
+            F.row_number().over(sw.orderBy("value", "hk")),
+        )
+        .withColumn("m", F.count("*").over(sw))
+        .filter(F.col("vr") == F.expr("(m + 1) div 2"))
+        .select(
+            "event_type",
+            F.col("value").alias("est_median"),
+            F.col("m").alias("n_sample"),
+        )
+    )
+    ex = (
+        ev.withColumn(
+            "vr",
+            F.row_number().over(sw.orderBy("value", "event_id")),
+        )
+        .withColumn("n", F.count("*").over(sw))
+        .filter(F.col("vr") == F.expr("(n + 1) div 2"))
+        .select("event_type", F.col("value").alias("exact_median"), "n")
+    )
+    return (
+        ex.join(est, "event_type")
+        .select(
+            "event_type",
+            "n",
+            "n_sample",
+            "est_median",
+            "exact_median",
+            F.round(F.abs(F.col("est_median") - F.col("exact_median")), 6).alias(
+                "abs_err"
+            ),
+        )
+    )

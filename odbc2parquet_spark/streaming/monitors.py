@@ -316,3 +316,74 @@ def streaming_topk(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+KMVQ_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("n_sample", T.LongType()),
+        T.StructField("est_median", T.DoubleType()),
+    ]
+)
+
+
+def streaming_kmv_quantile(
+    events: DataFrame,
+    key_col: str = "event_type",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    k: int = 63,
+) -> DataFrame:
+    """Per-key streaming median estimate from a KMV/bottom-k sample: the
+    state store carries only the ``k`` rows with the smallest md5 id
+    hashes (a uniform without-replacement sample of everything seen —
+    bottom-k sets merge by union-then-truncate, so batching cannot
+    change the final sample), and each batch emits the post-batch lower
+    median of the sampled values. O(k) state per key regardless of
+    stream length — the quantile monitor a 100 TB ingest can actually
+    afford.
+
+    Same md5-prefix hash as operators/sampling._hash60 and the same
+    element-pick median (ORDER BY value, hash; no averaging) as the
+    oracle-gated batch twin ev_kmv_quantile, so streaming over any
+    micro-batch split equals the batch sample over the union —
+    pytest-pinned in tests/test_streaming.py.
+    """
+    import hashlib
+
+    def update(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            n, hks, vals = state.get
+            pairs = list(zip(hks, vals))
+        else:
+            n, pairs = 0, []
+        for pdf in pdfs:
+            for i, v in zip(pdf[id_col], pdf[value_col]):
+                h = int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+                pairs.append((h, float(v)))
+                n += 1
+        pairs.sort(key=lambda p: p[0])
+        pairs = pairs[:k]
+        m = len(pairs)
+        by_val = sorted(pairs, key=lambda p: (p[1], p[0]))
+        est = by_val[(m + 1) // 2 - 1][1] if m else None
+        state.update((n, [p[0] for p in pairs], [p[1] for p in pairs]))
+        yield pd.DataFrame(
+            {
+                "key": [key[0]],
+                "n_rows": [n],
+                "n_sample": [m],
+                "est_median": [est],
+            }
+        )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=KMVQ_SCHEMA,
+        stateStructType="n LONG, hks ARRAY<LONG>, vals ARRAY<DOUBLE>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

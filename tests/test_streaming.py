@@ -587,3 +587,65 @@ def test_running_totals_ttl_evicts_idle_keys(spark, tmp_path):
     assert (1, 2, 15.0, True) in rows            # eviction tombstone
     assert (1, 1, 1.0, False) in rows            # restarted from zero
     assert (2, 1, 7.0, False) in rows
+
+
+@pytest.mark.slow
+def test_streaming_kmv_quantile_matches_batch_sample(spark, tmp_path):
+    """Bottom-k state across availableNow batches: the final sample is
+    the union's bottom-63 regardless of the micro-batch split, and the
+    emitted median equals the batch-computed lower median of that
+    sample (element pick — exact equality, no tolerance)."""
+    import hashlib
+
+    from pyspark.sql import types as T
+
+    from odbc2parquet_spark.streaming.monitors import streaming_kmv_quantile
+
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+    schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+
+    def run_batch(rows, subdir):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / subdir)
+        )
+        stream = spark.readStream.schema(schema).option(
+            "recursiveFileLookup", "true"
+        ).parquet(str(src))
+        q = (
+            streaming_kmv_quantile(stream)
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    b1 = [("a", i, float((i * 37) % 100)) for i in range(0, 200)]
+    b2 = [("a", i, float((i * 37) % 100)) for i in range(200, 400)]
+    run_batch(b1, "b1")
+    run_batch(b2, "b2")
+
+    rows = {r.n_rows: r for r in spark.read.parquet(str(out)).collect()}
+    assert set(rows) == {200, 400}
+    final = rows[400]
+    assert final.n_sample == 63
+
+    # batch-expected: bottom-63 hashes over the UNION, lower median
+    pairs = []
+    for _, i, v in b1 + b2:
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+        pairs.append((h, v))
+    samp = sorted(pairs)[:63]
+    by_val = sorted(samp, key=lambda p: (p[1], p[0]))
+    assert final.est_median == by_val[(63 + 1) // 2 - 1][1]
