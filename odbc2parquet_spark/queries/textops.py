@@ -3159,21 +3159,39 @@ def tx_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "transform(sequence(0, size(ws) - 3), "
         "i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])) END"
     )
+    # the distinct (source, gram) set feeds THREE consumers (the df cap,
+    # the per-source totals, the pair expansion) — persist it or the
+    # explode+distinct subtree re-evaluates per consumer (measured 19x
+    # at the second decade before the persist; ContextCleaner reclaims
+    # the narrow cached rows once the plan is unreferenced)
     g = (
         docs.select("source", ws.alias("ws"))
         .select("source", F.explode(F.expr(gram_expr)).alias("g"))
         .distinct()
+        .persist()
     )
     keep = g.groupBy("g").agg(F.count("*").alias("n_src")).filter(
         F.col("n_src") <= 10
     )
-    g2 = g.join(keep.select("g"), "g", "left_semi")
+    g2 = g.join(keep.select("g"), "g", "left_semi").persist()
     per = g2.groupBy("source").agg(F.count("*").alias("n"))
-    a = g2.select(F.col("source").alias("source_a"), "g")
-    b = g2.select(F.col("source").alias("source_b"), "g")
+    # pair expansion WITHOUT a gram self-join: the df cap guarantees at
+    # most 10 sources per gram, so collect the (sorted) source list per
+    # gram and explode its upper triangle — bounded C(10,2) rows per
+    # gram, no join-side skew possible
+    gl = (
+        g2.groupBy("g")
+        .agg(F.sort_array(F.collect_list("source")).alias("ss"))
+        .filter(F.size("ss") >= 2)
+    )
+    pair_expr = (
+        "flatten(transform(ss, (x, i) -> "
+        "transform(slice(ss, i + 2, size(ss)), "
+        "y -> struct(x AS source_a, y AS source_b))))"
+    )
     sh = (
-        a.join(b, "g")
-        .filter(F.col("source_a") < F.col("source_b"))
+        gl.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.source_a", "p.source_b")
         .groupBy("source_a", "source_b")
         .agg(F.count("*").alias("n_shared"))
     )
