@@ -242,6 +242,8 @@ HEADLINE = [
     "q_l_diversity",
     "tx_stupid_backoff",
     "sim_rrf_fusion",
+    "tx_neg_sample_table",
+    "ev_kmv_quantile",
 ]
 
 
