@@ -1223,6 +1223,54 @@ def video_scene_cuts(binary_df: DataFrame, threshold: int = 32) -> DataFrame:
     )
 
 
+def video_keyframes(binary_df: DataFrame, threshold: int = 32) -> DataFrame:
+    """Scene segmentation + keyframe selection on the REAL sample table:
+    samples partition into scenes at every digest jump >= ``threshold``
+    (the :func:`video_scene_cuts` boundary rule), and each scene's FIRST
+    sample is its keyframe — the representative-frame pick a video
+    curation pipeline extracts per shot before any embedding spend
+    (frame-sampling by content boundaries instead of fixed stride).
+
+    Emits (doc_id, scene_id, start_idx, n_samples, entry_jump) — one row
+    per scene; entry_jump is the Hamming jump that OPENED the scene (0
+    for the first). Same integer digest arithmetic as video_scene_cuts;
+    one keyed window per document (cumulative cut count), then a
+    (doc, scene) groupBy — frames of one video never shuffle apart.
+    """
+    idx = video_frame_index(binary_df, every_k=1).filter(
+        F.col("sample_idx").isNotNull()
+    )
+    sig = F.conv(F.substring("digest", 1, 15), 16, 10).cast("long")
+    w = Window.partitionBy("doc_id").orderBy("sample_idx")
+    jumps = (
+        idx.withColumn("sig", sig)
+        .withColumn(
+            "dist",
+            F.bit_count(F.col("sig").bitwiseXOR(F.lag("sig").over(w))),
+        )
+        .withColumn(
+            "scene_id",
+            F.sum(
+                F.when(F.col("dist") >= threshold, 1).otherwise(0)
+            ).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    sw = Window.partitionBy("doc_id", "scene_id").orderBy("sample_idx")
+    flagged = jumps.withColumn("rn_in_scene", F.row_number().over(sw))
+    return flagged.groupBy("doc_id", "scene_id").agg(
+        F.min("sample_idx").cast("long").alias("start_idx"),
+        F.count("*").cast("long").alias("n_samples"),
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("rn_in_scene") == 1, F.coalesce(F.col("dist"), F.lit(0))
+                )
+            ),
+            F.lit(0),
+        ).cast("int").alias("entry_jump"),
+    )
+
+
 ENERGY_SHINGLE_SCHEMA = "doc_id long, g string"
 
 

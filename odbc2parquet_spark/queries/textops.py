@@ -3503,3 +3503,71 @@ def tx_neg_sample_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim_negative_samples' uniform draws. See operators/text.
     neg_sample_table for the 100 TB shape."""
     return X.neg_sample_table(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "mm_keyframes",
+    oracle="""
+    WITH p AS (
+        SELECT doc_id, text, length(text) AS n,
+               length(text) % 24 + 1 AS ns
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, text, n, t.i AS i, (t.i % 7) + 1 AS size_i,
+               28 * (t.i // 7) + ((t.i % 7) * ((t.i % 7) + 1)) // 2 AS p0
+        FROM p, UNNEST(generate_series(0, ns - 1)) AS t(i)
+    ),
+    b AS (
+        SELECT doc_id, i, size_i, p0 + u.j AS off,
+               ascii(substring(text, ((p0 + u.j) % n) + 1, 1)) AS byte
+        FROM s, UNNEST(generate_series(0, size_i - 1)) AS u(j)
+    ),
+    d AS (
+        SELECT doc_id, i,
+               CAST('0x' || substring(
+                   md5(string_agg(CAST(byte AS VARCHAR), ',' ORDER BY off)),
+                   1, 15) AS BIGINT) AS sig
+        FROM b GROUP BY doc_id, i
+    ),
+    j AS (
+        SELECT doc_id, i,
+               CASE WHEN LAG(sig) OVER w IS NULL THEN NULL
+                    ELSE bit_count(xor(sig, LAG(sig) OVER w)) END AS dist
+        FROM d
+        WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+    ),
+    sc1 AS (
+        SELECT doc_id, i, dist,
+               SUM(CASE WHEN dist >= 32 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY i
+                         ROWS UNBOUNDED PRECEDING) AS scene_id
+        FROM j
+    ),
+    sc AS (
+        SELECT doc_id, i, dist, scene_id,
+               ROW_NUMBER() OVER (PARTITION BY doc_id, scene_id
+                                  ORDER BY i) AS rn_in_scene
+        FROM sc1
+    )
+    SELECT doc_id, CAST(scene_id AS BIGINT) AS scene_id,
+           CAST(MIN(i) AS BIGINT) AS start_idx,
+           COUNT(*) AS n_samples,
+           CAST(COALESCE(MAX(CASE WHEN rn_in_scene = 1
+                                  THEN COALESCE(dist, 0) END), 0)
+                AS INTEGER) AS entry_jump
+    FROM sc GROUP BY doc_id, scene_id
+    """,
+)
+def mm_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene segmentation + keyframe selection on REAL MP4 sample
+    tables: samples partition into scenes at every >= 32-bit digest
+    jump (mm_scene_cut's boundary rule) and each scene's first sample
+    is the representative keyframe — content-boundary frame sampling,
+    the pick a video pipeline embeds per shot instead of a fixed
+    stride. The oracle rebuilds every sample byte from the stsz/stco
+    closed form and replays the lag/XOR/popcount/cumulative-cut chain,
+    so scene membership itself is hash-certified. One keyed window per
+    document; see operators/multimodal.video_keyframes."""
+    docs = load_table(spark, sf_dir, "documents")
+    return M.video_keyframes(M.encode_mp4_samples(docs), threshold=32)
