@@ -244,6 +244,7 @@ HEADLINE = [
     "sim_rrf_fusion",
     "tx_neg_sample_table",
     "ev_kmv_quantile",
+    "mm_keyframes",
 ]
 
 

@@ -118,6 +118,10 @@ BOUNDED_CROSS_OK = {
     "tx_neg_sample_table",
     # round 9: RRF — 1-row probe-vector broadcast on the cosine arm
     "sim_rrf_fusion",
+    # round 9: stupid backoff — 1-row train-token-total scalar broadcast
+    # (the unigram/OOV denominator) onto the scored token stream; every
+    # n-gram lookup is a gram-keyed HASH join
+    "tx_stupid_backoff",
 }
 ALL_PAIRS_OK |= BOUNDED_CROSS_OK
 
