@@ -245,6 +245,7 @@ HEADLINE = [
     "tx_neg_sample_table",
     "ev_kmv_quantile",
     "mm_keyframes",
+    "q_join_card_est",
 ]
 
 

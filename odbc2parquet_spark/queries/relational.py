@@ -1757,3 +1757,121 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l_diversity_audit(
         cust, ["c_nationkey", "c_mktsegment"], "sens", l=3
     )
+
+
+@query(
+    "q_join_card_est",
+    oracle="""
+    WITH a AS (
+        SELECT user_id, COUNT(*) AS fa FROM events
+        WHERE event_type = 'click' GROUP BY user_id
+    ),
+    b AS (
+        SELECT user_id, COUNT(*) AS fb FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    u AS (
+        SELECT user_id,
+               CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) AS hk
+        FROM (SELECT user_id FROM a UNION SELECT user_id FROM b)
+    ),
+    samp AS (
+        SELECT user_id, hk FROM (
+            SELECT user_id, hk, ROW_NUMBER() OVER (ORDER BY hk) AS rn
+            FROM u
+        ) WHERE rn <= 128
+    ),
+    tau AS (SELECT MAX(hk) AS tau, COUNT(*) AS k FROM samp),
+    ssum AS (
+        SELECT CAST(SUM(COALESCE(a.fa, 0) * COALESCE(b.fb, 0)) AS BIGINT)
+                   AS s
+        FROM samp
+        LEFT JOIN a ON a.user_id = samp.user_id
+        LEFT JOIN b ON b.user_id = samp.user_id
+    ),
+    ex AS (
+        SELECT CAST(SUM(a.fa * b.fb) AS BIGINT) AS exact_card
+        FROM a JOIN b ON a.user_id = b.user_id
+    )
+    SELECT ex.exact_card,
+           CAST(t.k AS BIGINT) AS k,
+           ROUND(s.s * ((t.k - 1) * 1152921504606846976.0)
+                 / (CAST(t.tau AS DOUBLE) * t.k), 2) AS est_card,
+           ROUND(ABS(s.s * ((t.k - 1) * 1152921504606846976.0)
+                     / (CAST(t.tau AS DOUBLE) * t.k) - ex.exact_card)
+                 / ex.exact_card, 6) AS rel_err
+    FROM ex CROSS JOIN tau t CROSS JOIN ssum s
+    """,
+)
+def q_join_card_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from a KMV bottom-k key sample — the
+    statistic a cost-based optimizer (or a 100 TB pipeline deciding
+    broadcast vs shuffle vs pre-aggregation) needs BEFORE running the
+    join: |A join B| = sum over shared keys of f_A(k)*f_B(k), estimated
+    from the 128 smallest-hash keys of the key-space union carrying
+    their true per-side frequencies, scaled by the KMV
+    distinct-estimate of the union ((k-1)*2^60/tau) over the sample
+    size. The exact cardinality is computed alongside so the row
+    carries its measured relative error. Deterministic: the sample is a
+    pure hash function of the keys, tau and all frequencies are exact
+    integers, and the estimate is one fixed arithmetic expression.
+    Scale shape: two key-frequency aggregations (map-side partial), a
+    bottom-128 TakeOrdered, and a 128-row join back — the estimator
+    never touches the join itself; the exact side is the verification
+    tier."""
+    ev = load_table(spark, sf_dir, "events")
+    from odbc2parquet_spark.operators.sampling import _hash60
+
+    a = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("fa"))
+    )
+    b = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("fb"))
+    )
+    u = (
+        a.select("user_id")
+        .union(b.select("user_id"))
+        .distinct()
+        .select("user_id", _hash60(F.col("user_id")).alias("hk"))
+    )
+    samp = (
+        u.withColumn("rn", F.row_number().over(W.orderBy("hk")))
+        .filter(F.col("rn") <= 128)
+        .select("user_id", "hk")
+    )
+    tau = samp.agg(F.max("hk").alias("tau"), F.count("*").alias("k"))
+    ssum = (
+        samp.join(a, "user_id", "left_outer")
+        .join(b, "user_id", "left_outer")
+        .agg(
+            F.sum(
+                F.coalesce(F.col("fa"), F.lit(0))
+                * F.coalesce(F.col("fb"), F.lit(0))
+            ).alias("s")
+        )
+    )
+    ex = a.join(b, "user_id").agg(
+        F.sum(F.col("fa") * F.col("fb")).alias("exact_card")
+    )
+    est = (
+        F.col("s")
+        * ((F.col("k") - 1) * F.lit(1152921504606846976.0))
+        / (F.col("tau").cast("double") * F.col("k"))
+    )
+    return (
+        ex.crossJoin(F.broadcast(tau))
+        .crossJoin(F.broadcast(ssum))
+        .select(
+            "exact_card",
+            F.col("k").cast("long").alias("k"),
+            F.round(est, 2).alias("est_card"),
+            F.round(
+                F.abs(est - F.col("exact_card")) / F.col("exact_card"), 6
+            ).alias("rel_err"),
+        )
+    )

@@ -122,6 +122,9 @@ BOUNDED_CROSS_OK = {
     # (the unigram/OOV denominator) onto the scored token stream; every
     # n-gram lookup is a gram-keyed HASH join
     "tx_stupid_backoff",
+    # round 9: join-cardinality estimator — three 1-row aggregates
+    # (exact count, tau/k, sample sum) crossed into the single output row
+    "q_join_card_est",
 }
 ALL_PAIRS_OK |= BOUNDED_CROSS_OK
 
