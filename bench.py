@@ -246,6 +246,7 @@ HEADLINE = [
     "ev_kmv_quantile",
     "mm_keyframes",
     "q_join_card_est",
+    "tx_hash_collisions",
 ]
 
 

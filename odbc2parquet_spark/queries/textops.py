@@ -3571,3 +3571,83 @@ def mm_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
     document; see operators/multimodal.video_keyframes."""
     docs = load_table(spark, sf_dir, "documents")
     return M.video_keyframes(M.encode_mp4_samples(docs), threshold=32)
+
+
+@query(
+    "tx_hash_collisions",
+    oracle="""
+    WITH w AS (
+        SELECT DISTINCT u AS w
+        FROM (SELECT list_filter(string_split(text, ' '), x -> x != '') AS ws
+              FROM documents), UNNEST(ws) AS t(u)
+    ),
+    h AS (
+        SELECT w, CAST('0x' || substring(md5(w), 1, 15) AS BIGINT) AS h1
+        FROM w
+    ),
+    dims AS (SELECT UNNEST([64, 256, 1024]) AS dim),
+    bucketed AS (
+        SELECT d.dim, h.h1 % d.dim AS b
+        FROM h CROSS JOIN dims d
+    ),
+    loads AS (
+        SELECT dim, b, COUNT(*) AS load FROM bucketed GROUP BY dim, b
+    )
+    SELECT dim,
+           CAST((SELECT COUNT(*) FROM w) AS BIGINT) AS n_words,
+           COUNT(*) AS n_used,
+           CAST(SUM(CASE WHEN load >= 2 THEN load ELSE 0 END) AS BIGINT)
+               AS n_collided_words,
+           CAST(MAX(load) AS BIGINT) AS max_bucket_load,
+           ROUND(CAST(SUM(CASE WHEN load >= 2 THEN load ELSE 0 END)
+                      AS DOUBLE) / (SELECT COUNT(*) FROM w), 6)
+               AS collided_frac
+    FROM loads GROUP BY dim
+    """,
+)
+def tx_hash_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing collision audit at three candidate dimensions
+    (64/256/1024): for each dim, how many vocabulary words share a
+    bucket with another word, the worst bucket load, and the collided
+    fraction — the measurement that sizes tx_hash_embed's dimension
+    BEFORE any training spend (the hashing-trick variance penalty is
+    driven exactly by this fraction). Same md5 hash as the embedding
+    itself, so the audit measures the real collisions, not a proxy.
+    Exact integers + one ratio; the vocab-bounded cross with the 3-row
+    dim list is the only fan-out."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        docs.select(F.explode(X.words(F.col("text"))).alias("w"))
+        .distinct()
+    )
+    h = w.select(
+        "w",
+        F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long").alias("h1"),
+    )
+    dims = spark.createDataFrame([(64,), (256,), (1024,)], ["dim"])
+    bucketed = h.crossJoin(F.broadcast(dims)).select(
+        "dim", (F.col("h1") % F.col("dim")).alias("b")
+    )
+    loads = bucketed.groupBy("dim", "b").agg(F.count("*").alias("load"))
+    n_words = w.agg(F.count("*").alias("n_words"))
+    return (
+        loads.groupBy("dim")
+        .agg(
+            F.count("*").alias("n_used"),
+            F.sum(
+                F.when(F.col("load") >= 2, F.col("load")).otherwise(0)
+            ).alias("n_collided_words"),
+            F.max("load").alias("max_bucket_load"),
+        )
+        .crossJoin(F.broadcast(n_words))
+        .select(
+            "dim",
+            "n_words",
+            "n_used",
+            "n_collided_words",
+            "max_bucket_load",
+            F.round(
+                F.col("n_collided_words").cast("double") / F.col("n_words"), 6
+            ).alias("collided_frac"),
+        )
+    )

@@ -125,6 +125,9 @@ BOUNDED_CROSS_OK = {
     # round 9: join-cardinality estimator — three 1-row aggregates
     # (exact count, tau/k, sample sum) crossed into the single output row
     "q_join_card_est",
+    # round 9: hash-collision audit — vocab x 3-row dim list + 1-row
+    # vocab-count broadcast
+    "tx_hash_collisions",
 }
 ALL_PAIRS_OK |= BOUNDED_CROSS_OK
 
