@@ -1040,6 +1040,103 @@ def ivf_pq_search(
     return _adc_rank(scored, top_k)
 
 
+def ivf_pq_residual_search(
+    vectors: DataFrame,
+    probes: DataFrame,
+    nprobe: int = 4,
+    k_cells: int = 16,
+    m: int = 8,
+    k_centroids: int = 16,
+    dim: int = 64,
+    top_k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ with RESIDUAL encoding — the index layout FAISS's IndexIVFPQ
+    actually ships: PQ codes quantize each vector's residual v - c(cell)
+    rather than the raw vector, so the codebook only has to cover the
+    (much smaller) within-cell spread and code distortion drops for the
+    same m/k budget. Query side mirrors it: for each probed cell the
+    query's OWN residual against that cell's centroid builds the LUT, so
+    ADC distances approximate ||(q - c) - (v - c)||^2 = ||q - v||^2 with
+    cell-local codebooks.
+
+    Determinism: residuals are exact float64 subtractions (float32
+    widened first — both exact IEEE ops); everything downstream is the
+    standard PQ contract (sequential in-order distance sums, lowest-cid
+    ties, round-4 decimal LUT partials). The per-(query, cell) LUT keys
+    pack as query_id * 1024 + centroid_id (k_cells < 1024 asserted) to
+    ride the shared probe-LUT kernel unchanged.
+
+    Scale shape: identical to :func:`ivf_pq_search` — the corpus's float
+    vectors are touched at index build only; search joins narrow code
+    rows against a broadcast LUT that is merely nprobe x bigger. The one
+    extra build cost is the residual projection, a broadcast map pass.
+    """
+    if k_cells >= 1024:
+        raise ValueError("k_cells must stay < 1024 for the packed LUT key")
+    cents = ivf_seed_centroids(vectors, k_cells, id_col, vec_col)
+    cell = ivf_assign(vectors, cents, id_col, vec_col).select("vec_id", "centroid_id")
+    cvecs = F.broadcast(
+        cents.select(
+            "centroid_id",
+            F.transform(F.col("centroid"), lambda x: x.cast("double")).alias("cvec"),
+        )
+    )
+    rv = (
+        vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+        .join(cell, "vec_id")
+        .join(cvecs, "centroid_id")
+        .select(
+            "vec_id",
+            "centroid_id",
+            F.zip_with(
+                "v", "cvec", lambda a, b: a.cast("double") - b
+            ).alias("rvec"),
+        )
+    )
+    cb = pq_codebook(rv, m=m, k=k_centroids, dim=dim, id_col="vec_id", vec_col="rvec")
+    codes = pq_assign(rv, cb, m=m, dim=dim, id_col="vec_id", vec_col="rvec").select(
+        "vec_id", "subspace", "code"
+    )
+    qprobe = ivf_probe_cells(probes, cents, nprobe, id_col, vec_col).select(
+        "query_id", "centroid_id"
+    )
+    qres = (
+        probes.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q"))
+        .join(F.broadcast(qprobe), "query_id")
+        .join(cvecs, "centroid_id")
+        .select(
+            (F.col("query_id") * 1024 + F.col("centroid_id")).alias("qc"),
+            F.zip_with(
+                "q", "cvec", lambda a, b: a.cast("double") - b
+            ).alias("qrvec"),
+        )
+    )
+    lut = (
+        _pq_probe_lut(qres, cb, m, dim, "qc", "qrvec")
+        .select(
+            F.expr("query_id div 1024").alias("query_id"),
+            (F.col("query_id") % 1024).alias("centroid_id"),
+            "subspace",
+            "code",
+            "pd2",
+        )
+    )
+    cand = (
+        cell.join(F.broadcast(qprobe), "centroid_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "centroid_id", "vec_id")
+    )
+    scored = (
+        codes.join(cand, "vec_id")
+        .join(F.broadcast(lut), ["query_id", "centroid_id", "subspace", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("pd2").alias("adc_dec"))
+    )
+    return _adc_rank(scored, top_k)
+
+
 def knn_graph(
     vectors: DataFrame,
     k: int = 5,
