@@ -247,6 +247,8 @@ HEADLINE = [
     "mm_keyframes",
     "q_join_card_est",
     "tx_hash_collisions",
+    "sim_ivf_pq_res_topk",
+    "sim_ivf_pq_res_recall",
 ]
 
 

@@ -22,6 +22,7 @@ ALL_PAIRS_OK = {
     "sim_ivf_pq_recall",     # same ground truth for the composed IVF-PQ index
     "sim_nprobe_curve",      # the same recall evaluation at 4 nprobe points
                              # (exact ground truth + centroid-cross routing)
+    "sim_ivf_pq_res_recall", # same ground truth, residual-encoded index
     "sim_bruteforce_topk",   # exactness baseline: broadcast probes BY DESIGN
     "q_scalar_functions",    # no join at all; harmless
     "dd_dup_clusters",       # edges come from dd_embedding_cosine (above);
@@ -128,6 +129,9 @@ BOUNDED_CROSS_OK = {
     # round 9: hash-collision audit — vocab x 3-row dim list + 1-row
     # vocab-count broadcast
     "tx_hash_collisions",
+    # round 9: residual IVF-PQ — the same corpus x 16 centroid routing
+    # cross as sim_ivf_pq_topk; codes/LUT joins are all equi
+    "sim_ivf_pq_res_topk",
 }
 ALL_PAIRS_OK |= BOUNDED_CROSS_OK
 
