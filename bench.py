@@ -249,6 +249,7 @@ HEADLINE = [
     "tx_hash_collisions",
     "sim_ivf_pq_res_topk",
     "sim_ivf_pq_res_recall",
+    "tx_conformal_interval",
 ]
 
 

@@ -3651,3 +3651,134 @@ def tx_hash_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("collided_frac"),
         )
     )
+
+
+@query(
+    "tx_conformal_interval",
+    oracle="""
+    WITH f AS (
+        SELECT doc_id,
+               len(list_filter(string_split(text, ' '), x -> x != ''))
+                   AS x,
+               length(text) AS y
+        FROM documents
+    ),
+    tr AS (SELECT * FROM f WHERE doc_id % 2 = 0),
+    s AS (
+        SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * y) AS sxy, SUM(x * x) AS sxx
+        FROM tr
+    ),
+    ab AS (
+        SELECT CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) AS b,
+               n, sx, sy
+        FROM s
+    ),
+    ab2 AS (SELECT b, (sy - b * sx) / n AS a FROM ab),
+    cal AS (
+        SELECT f.doc_id,
+               ROUND(ABS(f.y - ((SELECT a FROM ab2)
+                                + (SELECT b FROM ab2) * f.x)), 6) AS r
+        FROM f WHERE doc_id % 4 = 1
+    ),
+    q AS (
+        SELECT r AS qhat, m FROM (
+            SELECT r, ROW_NUMBER() OVER (ORDER BY r, doc_id) AS rn,
+                   COUNT(*) OVER () AS m
+            FROM cal
+        ) WHERE rn = CAST(CEIL((m + 1) * 0.9) AS BIGINT)
+    ),
+    ev AS (
+        SELECT COUNT(*) AS n_eval,
+               SUM(CASE WHEN ROUND(ABS(y - ((SELECT a FROM ab2)
+                                            + (SELECT b FROM ab2) * x)), 6)
+                             <= (SELECT qhat FROM q)
+                        THEN 1 ELSE 0 END) AS n_covered
+        FROM f WHERE doc_id % 4 = 3
+    )
+    SELECT (SELECT n FROM s) AS n_train,
+           (SELECT m FROM q LIMIT 1) AS n_cal,
+           ev.n_eval,
+           ROUND((SELECT b FROM ab2), 6) AS slope,
+           ROUND((SELECT a FROM ab2), 6) AS intercept,
+           (SELECT qhat FROM q) AS qhat,
+           ROUND(ev.n_covered * 1.0 / ev.n_eval, 6) AS coverage
+    FROM ev
+    """,
+)
+def tx_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction interval with MEASURED coverage — the
+    distribution-free uncertainty wrapper modern eval pipelines put
+    around any point model: fit a closed-form OLS line (chars ~ words)
+    on even doc_ids, take the ceil((m+1)*0.9)-th smallest absolute
+    residual on a held-out calibration quarter as the interval
+    half-width (the finite-sample 90% guarantee needs NOTHING about the
+    error distribution), then report realized coverage on the
+    disjoint eval quarter. Deterministic end-to-end: OLS moments are
+    exact integer sums with ONE division each, the conformal quantile
+    is an ELEMENT pick under a total order (residual rounded to 6,
+    doc_id tiebreak), and coverage compares the same rounded residuals.
+    Scale shape: two scan aggregations + one rank pick over the
+    calibration split — at 100 TB the calibration set is hash-sampled
+    to a bounded size first (conformal guarantees need only thousands
+    of points; tx_stratified_sample is the sampler), so the quantile
+    sort never sees the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    f = docs.select(
+        "doc_id",
+        F.size(X.words(F.col("text"))).cast("long").alias("x"),
+        F.length("text").cast("long").alias("y"),
+    )
+    s = f.filter(F.col("doc_id") % 2 == 0).agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    ab = s.select(
+        "n",
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        ).alias("b"),
+        "sx",
+        "sy",
+    ).select(
+        "n", "b", ((F.col("sy") - F.col("b") * F.col("sx")) / F.col("n")).alias("a")
+    )
+    withr = f.crossJoin(F.broadcast(ab)).withColumn(
+        "r", F.round(F.abs(F.col("y") - (F.col("a") + F.col("b") * F.col("x"))), 6)
+    )
+    cal = withr.filter(F.col("doc_id") % 4 == 1)
+    ranked = cal.withColumn(
+        "rn", F.row_number().over(Window.orderBy("r", "doc_id"))
+    ).withColumn("m", F.count("*").over(Window.partitionBy()))
+    q = ranked.filter(
+        F.col("rn") == F.ceil((F.col("m") + 1) * 0.9).cast("long")
+    ).select(F.col("r").alias("qhat"), "m")
+    ev = (
+        withr.filter(F.col("doc_id") % 4 == 3)
+        .crossJoin(F.broadcast(q))
+        .agg(
+            F.count("*").alias("n_eval"),
+            F.sum((F.col("r") <= F.col("qhat")).cast("long")).alias("n_covered"),
+            F.max("qhat").alias("qhat"),
+            F.max("m").alias("n_cal"),
+        )
+    )
+    return (
+        ev.crossJoin(F.broadcast(ab))
+        .select(
+            F.col("n").alias("n_train"),
+            F.col("n_cal").cast("long").alias("n_cal"),
+            "n_eval",
+            F.round("b", 6).alias("slope"),
+            F.round("a", 6).alias("intercept"),
+            "qhat",
+            F.round(F.col("n_covered") * 1.0 / F.col("n_eval"), 6).alias(
+                "coverage"
+            ),
+        )
+    )

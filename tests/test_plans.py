@@ -132,6 +132,9 @@ BOUNDED_CROSS_OK = {
     # round 9: residual IVF-PQ — the same corpus x 16 centroid routing
     # cross as sim_ivf_pq_topk; codes/LUT joins are all equi
     "sim_ivf_pq_res_topk",
+    # round 9: split conformal — 1-row OLS-coefficients and 1-row
+    # quantile broadcasts onto the scored rows
+    "tx_conformal_interval",
 }
 ALL_PAIRS_OK |= BOUNDED_CROSS_OK
 
