@@ -250,6 +250,7 @@ HEADLINE = [
     "sim_ivf_pq_res_topk",
     "sim_ivf_pq_res_recall",
     "tx_conformal_interval",
+    "sim_maxsim_topk",
 ]
 
 

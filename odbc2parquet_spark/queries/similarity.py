@@ -2221,3 +2221,101 @@ def sim_ivf_pq_res_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("recall10", (F.col("n_hits") / F.lit(10.0)).cast("double"))
     )
+
+
+@query(
+    "sim_maxsim_topk",
+    oracle="""
+    WITH dw AS (
+        SELECT DISTINCT doc_id, u AS w
+        FROM (SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x != '') AS ws
+              FROM documents), UNNEST(ws) AS t(u)
+    ),
+    h AS (
+        SELECT doc_id, w,
+               CAST('0x' || substring(md5(w), 1, 4) AS BIGINT) % 65536 AS h16
+        FROM dw
+    ),
+    qt AS (
+        SELECT w AS qw, h16 AS qh FROM h WHERE doc_id = 0
+        ORDER BY w LIMIT 8
+    ),
+    best AS (
+        SELECT h.doc_id, qt.qw, MIN(bit_count(xor(h.h16, qt.qh))) AS minpop
+        FROM h CROSS JOIN qt
+        GROUP BY h.doc_id, qt.qw
+    ),
+    scored AS (
+        SELECT doc_id,
+               SUM((16 - 2 * minpop) / 16.0) AS score
+        FROM best GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(score AS DOUBLE) AS score, CAST(rnk AS BIGINT) AS rank
+    FROM (
+        SELECT doc_id, score,
+               ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rnk
+        FROM scored
+    ) WHERE rnk <= 10
+    """,
+)
+def sim_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction retrieval (the ColBERT MaxSim scoring shape):
+    score(q, d) = sum over QUERY tokens of the max similarity to any
+    DOCUMENT token — the operator that beats single-vector retrieval on
+    multi-aspect queries because each query token finds its own best
+    match. Token embeddings here are 16-bit signed-hash vectors, whose
+    cosine is EXACTLY (16 - 2*hamming)/16 — so the whole MaxSim is
+    integer popcount arithmetic and the per-query sum is a dyadic
+    rational (sixteenths): bit-identical on any engine with NO rounding
+    step anywhere. Query = the 8 lexicographically-first distinct
+    tokens of doc 0.
+
+    Scale shape — the factorization that makes late interaction
+    tractable: documents contribute DISTINCT tokens only, the query
+    side is a broadcast 8-row list, and the max runs per (doc, query
+    token) as a map-side-partial MIN over popcounts; token vectors
+    never shuffle (they are 16-bit ints). At 100 TB with a real
+    learned-token index the same plan runs per IVF cell."""
+    docs = load_table(spark, sf_dir, "documents")
+    from odbc2parquet_spark.operators.text import words
+
+    dw = docs.select(
+        "doc_id", F.explode(words(F.col("text"))).alias("w")
+    ).distinct()
+    h = dw.select(
+        "doc_id",
+        "w",
+        (F.conv(F.substring(F.md5("w"), 1, 4), 16, 10).cast("long") % 65536).alias(
+            "h16"
+        ),
+    )
+    qt = (
+        h.filter(F.col("doc_id") == 0)
+        .orderBy("w")
+        .limit(8)
+        .select(F.col("w").alias("qw"), F.col("h16").alias("qh"))
+    )
+    best = (
+        h.crossJoin(F.broadcast(qt))
+        .select(
+            "doc_id",
+            "qw",
+            F.bit_count(F.col("h16").bitwiseXOR(F.col("qh"))).alias("pop"),
+        )
+        .groupBy("doc_id", "qw")
+        .agg(F.min("pop").alias("minpop"))
+    )
+    scored = best.groupBy("doc_id").agg(
+        F.sum((16 - 2 * F.col("minpop")) / F.lit(16.0)).alias("score")
+    )
+    return (
+        scored.withColumn(
+            "rank",
+            F.row_number()
+            .over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+            .cast("long"),
+        )
+        .filter(F.col("rank") <= 10)
+        .select("doc_id", F.col("score").cast("double").alias("score"), "rank")
+    )

@@ -135,6 +135,9 @@ BOUNDED_CROSS_OK = {
     # round 9: split conformal — 1-row OLS-coefficients and 1-row
     # quantile broadcasts onto the scored rows
     "tx_conformal_interval",
+    # round 9: MaxSim late interaction — distinct doc tokens x the
+    # broadcast 8-row query-token list (the factorized maxsim shape)
+    "sim_maxsim_topk",
 }
 ALL_PAIRS_OK |= BOUNDED_CROSS_OK
 
