@@ -251,6 +251,7 @@ HEADLINE = [
     "sim_ivf_pq_res_recall",
     "tx_conformal_interval",
     "sim_maxsim_topk",
+    "tx_nb_confusion",
 ]
 
 

@@ -3782,3 +3782,77 @@ def tx_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "tx_nb_confusion",
+    oracle="""
+    WITH train AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+    ev AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+    tt AS (
+        SELECT lang AS label, u AS w
+        FROM (SELECT lang, list_filter(string_split(text, ' '), x -> x != '') AS ws
+              FROM train), UNNEST(ws) AS t(u)
+    ),
+    cwl AS (SELECT label, w, COUNT(*) AS c FROM tt GROUP BY label, w),
+    nl AS (SELECT label, COUNT(*) AS n FROM tt GROUP BY label),
+    v AS (SELECT COUNT(DISTINCT w) AS v FROM tt),
+    pri AS (SELECT lang AS label, COUNT(*) AS dl FROM train GROUP BY lang),
+    tot AS (SELECT COUNT(*) AS td FROM train),
+    te AS (
+        SELECT doc_id, u AS w
+        FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws
+              FROM ev), UNNEST(ws) AS t(u)
+    ),
+    sc AS (
+        SELECT te.doc_id, nl.label,
+               SUM(CAST(ROUND(LN((COALESCE(cwl.c, 0) + 1)
+                                 / (nl.n + (SELECT v FROM v))), 6)
+                        AS DECIMAL(18,6))) AS s
+        FROM te CROSS JOIN nl
+        LEFT JOIN cwl ON cwl.label = nl.label AND cwl.w = te.w
+        GROUP BY te.doc_id, nl.label
+    ),
+    fl AS (
+        SELECT sc.doc_id, sc.label,
+               sc.s + CAST(ROUND(LN(pri.dl * 1.0 / (SELECT td FROM tot)), 6)
+                           AS DECIMAL(18,6)) AS score
+        FROM sc JOIN pri ON pri.label = sc.label
+    ),
+    pred AS (
+        SELECT doc_id, label AS pred_lang FROM (
+            SELECT doc_id, label,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY score DESC, label) AS rn
+            FROM fl
+        ) WHERE rn = 1
+    ),
+    cm AS (
+        SELECT d.lang, p.pred_lang, COUNT(*) AS n
+        FROM pred p JOIN ev d ON d.doc_id = p.doc_id
+        GROUP BY d.lang, p.pred_lang
+    )
+    SELECT cm.lang, cm.pred_lang, cm.n,
+           ROUND(cm.n * 1.0 / SUM(cm.n) OVER (PARTITION BY cm.lang), 6)
+               AS row_frac
+    FROM cm
+    """,
+)
+def tx_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the Naive Bayes label audit (tx_naive_bayes):
+    (true lang, predicted lang, count, per-true-class fraction) — the
+    standard classifier-quality readout, showing exactly WHICH metadata
+    labels the text model disagrees with, not just how often. Aggregates
+    the per-doc predictions to |classes|^2 rows; at 100 TB the matrix
+    stays class-bounded while the prediction pass rides
+    naive_bayes_lang's shape."""
+    preds = X.naive_bayes_lang(load_table(spark, sf_dir, "documents"))
+    cm = preds.groupBy("lang", "pred_lang").agg(F.count("*").alias("n"))
+    return cm.select(
+        "lang",
+        "pred_lang",
+        "n",
+        F.round(
+            F.col("n") * 1.0 / F.sum("n").over(Window.partitionBy("lang")), 6
+        ).alias("row_frac"),
+    )

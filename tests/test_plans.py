@@ -138,6 +138,9 @@ BOUNDED_CROSS_OK = {
     # round 9: MaxSim late interaction — distinct doc tokens x the
     # broadcast 8-row query-token list (the factorized maxsim shape)
     "sim_maxsim_topk",
+    # round 9: NB confusion matrix — tx_naive_bayes' class-bounded
+    # broadcasts under a |classes|^2 aggregate
+    "tx_nb_confusion",
 }
 ALL_PAIRS_OK |= BOUNDED_CROSS_OK
 
