@@ -252,6 +252,7 @@ HEADLINE = [
     "tx_conformal_interval",
     "sim_maxsim_topk",
     "tx_nb_confusion",
+    "dd_band_curve",
 ]
 
 

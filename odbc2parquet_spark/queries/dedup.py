@@ -1311,3 +1311,110 @@ def dd_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.abs(est - jacc), 6).alias("abs_err"),
         )
     )
+
+
+def _band_cfg_sql(bands: int, rows: int) -> str:
+    """UNION ALL arms of one banding config over the 8-hash signature."""
+    arms = []
+    for b in range(bands):
+        key = " || '_' || ".join(f"mh{b * rows + j}" for j in range(rows))
+        arms.append(
+            f"SELECT id, '{bands}x{rows}' AS cfg, {b} AS band, {key} AS key FROM sig"
+        )
+    return "\n        UNION ALL ".join(arms)
+
+
+@query(
+    "dd_band_curve",
+    oracle="WITH "
+    + _SHINGLES_CTE.format(where="")
+    + f""",
+    sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+    inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS common
+        FROM sh a JOIN sh b ON a.g = b.g AND a.id < b.id
+        GROUP BY a.id, b.id
+    ),
+    truth AS (
+        SELECT id_a, id_b FROM inter
+        JOIN sizes sa ON sa.id = id_a
+        JOIN sizes sb ON sb.id = id_b
+        WHERE common / (sa.n + sb.n - common) >= 0.5
+    ),
+    sig AS (
+        SELECT id, {', '.join(_minhash_min(j) for j in range(8))}
+        FROM sh GROUP BY id
+    ),
+    bands AS (
+        {_band_cfg_sql(8, 1)}
+        UNION ALL {_band_cfg_sql(4, 2)}
+        UNION ALL {_band_cfg_sql(2, 4)}
+        UNION ALL {_band_cfg_sql(1, 8)}
+    ),
+    bands_capped AS (
+        SELECT cfg, id, band, key FROM bands
+        QUALIFY COUNT(*) OVER (PARTITION BY cfg, band, key) <= 1000
+    ),
+    cand AS (
+        SELECT DISTINCT a.cfg, a.id AS id_a, b.id AS id_b
+        FROM bands_capped a
+        JOIN bands_capped b ON a.cfg = b.cfg AND a.band = b.band
+                           AND a.key = b.key AND a.id < b.id
+    ),
+    per AS (
+        SELECT c.cfg, COUNT(*) AS n_cand,
+               SUM(CASE WHEN t.id_a IS NOT NULL THEN 1 ELSE 0 END) AS n_found
+        FROM cand c
+        LEFT JOIN truth t ON t.id_a = c.id_a AND t.id_b = c.id_b
+        GROUP BY c.cfg
+    )
+    SELECT per.cfg, CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_true,
+           CAST(per.n_cand AS BIGINT) AS n_cand,
+           CAST(per.n_found AS BIGINT) AS n_found,
+           ROUND(per.n_found * 1.0 / GREATEST(per.n_cand, 1), 4) AS precision4,
+           ROUND(per.n_found * 1.0
+                 / GREATEST((SELECT COUNT(*) FROM truth), 1), 4) AS recall4
+    FROM per
+    """,
+)
+def dd_band_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash-LSH OPERATING CURVE: candidate precision AND recall at
+    four bandings of the same 8-hash signature — 8x1 (most permissive),
+    4x2, 2x4, 1x8 (exact-signature match, most precise) — against the
+    exact all-pairs Jaccard >= 0.5 ground truth. This is the S-curve
+    table a deployment reads to pick its banding for a target
+    recall/candidate-volume trade, the dedup twin of sim_nprobe_curve;
+    dd_lsh_recall certifies the chosen point, this certifies the menu.
+    One signature build feeds all four bandings (explode-melted, bucket-
+    capped); the all-pairs truth side is the bounded verification tier."""
+    from odbc2parquet_spark.operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = D.word_shingles(docs, 3)
+    truth = D.jaccard_pairs(sh, threshold=0.5).select("id_a", "id_b")
+    sig = D.minhash_signatures(D.word_shingle_stream(docs, 3), num_hashes=8).persist()
+    out = None
+    n_true = truth.agg(F.count("*").cast("long").alias("n_true"))
+    for bands, rows in ((8, 1), (4, 2), (2, 4), (1, 8)):
+        cand = D.lsh_candidate_pairs(sig, bands=bands, rows_per_band=rows).select(
+            "id_a", "id_b"
+        )
+        found = cand.join(truth, ["id_a", "id_b"], "left_semi")
+        row = (
+            cand.agg(F.count("*").cast("long").alias("n_cand"))
+            .crossJoin(found.agg(F.count("*").cast("long").alias("n_found")))
+            .select(F.lit(f"{bands}x{rows}").alias("cfg"), "n_cand", "n_found")
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.crossJoin(F.broadcast(n_true)).select(
+        "cfg",
+        "n_true",
+        "n_cand",
+        "n_found",
+        F.round(
+            F.col("n_found") * 1.0 / F.greatest(F.col("n_cand"), F.lit(1)), 4
+        ).alias("precision4"),
+        F.round(
+            F.col("n_found") * 1.0 / F.greatest(F.col("n_true"), F.lit(1)), 4
+        ).alias("recall4"),
+    )

@@ -141,6 +141,10 @@ BOUNDED_CROSS_OK = {
     # round 9: NB confusion matrix — tx_naive_bayes' class-bounded
     # broadcasts under a |classes|^2 aggregate
     "tx_nb_confusion",
+    # round 9: LSH banding operating curve — dd_lsh_recall's all-pairs
+    # Jaccard GROUND TRUTH (bounded verification side) under 4 bandings
+    # of one signature + 1-row truth-count broadcast
+    "dd_band_curve",
 }
 ALL_PAIRS_OK |= BOUNDED_CROSS_OK
 
