@@ -1276,7 +1276,10 @@ def naive_bayes_lang(
     ).cast("decimal(18,6)")
     scored = (
         tok_ev.crossJoin(F.broadcast(n_l))  # class-bounded fan-out (|labels| rows)
-        .join(F.broadcast(cwl), ["label", "w"], "left_outer")
+        # cwl is vocab x classes — usually broadcastable, but NOT bounded
+        # by definition (a web-crawl vocabulary is 10^6-10^7 rows): let
+        # AQE pick broadcast vs shuffle from measured size
+        .join(cwl, ["label", "w"], "left_outer")
         .crossJoin(F.broadcast(vocab))
         .groupBy("doc_id", "label")
         .agg(F.sum(term).alias("s"))
