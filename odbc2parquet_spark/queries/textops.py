@@ -3197,9 +3197,11 @@ def tx_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pa = per.select(F.col("source").alias("source_a"), F.col("n").alias("n_grams_a"))
     pb = per.select(F.col("source").alias("source_b"), F.col("n").alias("n_grams_b"))
+    # per-source totals are |sources|-bounded but sources can be a
+    # million domains at 100 TB — let AQE pick the join strategy
     return (
-        sh.join(F.broadcast(pa), "source_a")
-        .join(F.broadcast(pb), "source_b")
+        sh.join(pa, "source_a")
+        .join(pb, "source_b")
         .select(
             "source_a",
             "source_b",
