@@ -253,6 +253,7 @@ HEADLINE = [
     "sim_maxsim_topk",
     "tx_nb_confusion",
     "dd_band_curve",
+    "ev_stickiness",
 ]
 
 

@@ -2053,3 +2053,64 @@ def ev_kmv_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "ev_stickiness",
+    oracle="""
+    WITH d AS (
+        SELECT DISTINCT user_id,
+               CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day
+        FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM d),
+    win AS (
+        SELECT dy.day AS end_day, d.user_id
+        FROM days dy
+        JOIN d ON d.day BETWEEN dy.day - 27 AND dy.day
+    ),
+    mau AS (
+        SELECT end_day, COUNT(DISTINCT user_id) AS mau FROM win
+        GROUP BY end_day
+    ),
+    dau AS (SELECT day, COUNT(*) AS dau FROM d GROUP BY day)
+    SELECT dau.day, dau.dau, mau.mau,
+           ROUND(dau.dau * 1.0 / mau.mau, 6) AS stickiness
+    FROM dau JOIN mau ON mau.end_day = dau.day
+    """,
+)
+def ev_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per day — the canonical engagement ratio, with
+    the trailing-28-day distinct computed EXACTLY: each (user, day)
+    activity row EXPLODES to the <= 28 window-end days it falls in
+    (``sequence(day, day+27)`` — a map-side fan-out, no range join),
+    an equi-semi-join against the observed day grid drops window ends
+    with no anchor day, then one COUNT DISTINCT per end day. All
+    integers + one division. Scale shape: the fan-out is 28x the
+    DISTINCT (user, day) activity table (already collapsed from raw
+    events map-side), grouped by day — every join is equi, nothing
+    quadratic. At 100 TB the HLL-register variant (ev_hll_cumulative's
+    shape) replaces the exact distinct, a documented sketch swap with
+    the same window algebra."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id",
+        F.expr("unix_seconds(cast(ts as timestamp)) div 86400").alias("day"),
+    ).distinct()
+    days = d.select("day").distinct()
+    win = d.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.col("day") + F.lit(27))
+        ).alias("end_day"),
+    ).join(days.withColumnRenamed("day", "end_day"), "end_day", "left_semi")
+    mau = win.groupBy("end_day").agg(
+        F.countDistinct("user_id").alias("mau")
+    )
+    dau = d.groupBy("day").agg(F.count("*").alias("dau"))
+    return dau.join(mau, dau.day == mau.end_day).select(
+        "day",
+        "dau",
+        "mau",
+        F.round(F.col("dau") * 1.0 / F.col("mau"), 6).alias("stickiness"),
+    )
