@@ -89,3 +89,130 @@ def linear_attribution(
             "decimal(25,12)"
         ),
     )
+
+
+def shapley_attribution(
+    conversions: DataFrame,
+    touches: DataFrame,
+    key: str,
+    channels: list[str],
+    channel_col: str = "channel",
+    conv_id_col: str = "conv_id",
+    ts_col: str = "ts",
+    window: str = "7 days",
+) -> DataFrame:
+    """EXACT Shapley-value attribution over the channel coalition lattice.
+
+    The game: v(T) = number of conversions whose in-window touched-channel
+    set is contained in T (conversions "reachable" using only the
+    channels in T). The Shapley value of channel i is the weighted sum of
+    its marginal contributions v(T+i) - v(T) over every coalition T not
+    containing i — the unique credit split satisfying efficiency /
+    symmetry / dummy. Linear attribution (above) divides by touch counts;
+    Shapley divides by COALITION counts, so a channel that only ever
+    co-occurs with a stronger one gets credit only where it actually
+    changes reachability.
+
+    Exactness: everything is integer. Per-conversion channel sets become
+    bitmasks (bit i = channels[i]); v() is a zeta transform (subset-sum)
+    over the 2^c-point lattice; the factorial weights are scaled by c! so
+    every Shapley numerator is a BIGINT — the only division is the final
+    presentation divide by c!.
+
+    Scale shape: the conversions x touches pair join is the SAME bounded
+    equi+range join as linear_attribution (never a cross join) and
+    collapses map-side to one bitmask per conversion, then to <= 2^c mask
+    counts. The lattice work (zeta transform, marginals) runs on 2^c
+    rows — constants like 16 — via explode over literal ranges, no join
+    wider than 2^c x 2^c with c <= ~8 by construction.
+
+    Returns one row per channel: ``channel``, ``shapley_num`` (BIGINT,
+    the Shapley value times c!), ``shapley_conversions`` (num / c!,
+    rounded 6).
+    """
+    import math
+
+    c_n = len(channels)
+    full = (1 << c_n) - 1
+    fact = math.factorial(c_n)
+    idx_expr = "CASE " + " ".join(
+        f"WHEN _ch = '{ch}' THEN {i}" for i, ch in enumerate(channels)
+    ) + " END"
+    w_expr = "CASE " + " ".join(
+        f"WHEN bit_count(t_mask) = {s} "
+        f"THEN {math.factorial(s) * math.factorial(c_n - 1 - s)}"
+        for s in range(c_n)
+    ) + " END"
+
+    c = conversions.select(
+        F.col(key).alias("_k"),
+        F.col(conv_id_col).alias("conv_id"),
+        F.col(ts_col).alias("_cts"),
+    )
+    t = touches.select(
+        F.col(key).alias("_k"),
+        F.col(ts_col).alias("_tts"),
+        F.col(channel_col).alias("_ch"),
+    )
+    pairs = c.join(
+        t,
+        on=[
+            c["_k"] == t["_k"],
+            t["_tts"] <= c["_cts"],
+            t["_tts"] >= c["_cts"] - F.expr(f"INTERVAL {window}"),
+        ],
+        how="left",
+    )
+    masks = pairs.groupBy("conv_id").agg(
+        F.coalesce(
+            F.expr(f"bit_or(shiftleft(1, {idx_expr}))"), F.lit(0)
+        ).alias("mask")
+    )
+    cnt = masks.groupBy("mask").agg(F.count(F.lit(1)).alias("n"))
+    # zeta transform: every observed mask fans out to its supersets
+    # T = mask | x, x ranging over subsets of the complement — 2^c
+    # literal candidates per mask, filtered, never a theta join.
+    zeta = (
+        cnt.withColumn(
+            "x", F.explode(F.array(*[F.lit(i) for i in range(full + 1)]))
+        )
+        .filter(F.expr("(x & mask) = 0"))
+        .groupBy(F.expr("mask | x").alias("t_mask"))
+        .agg(F.sum("n").alias("v"))
+    )
+    vt = (
+        conversions.sparkSession.range(full + 1)
+        .select(F.col("id").cast("int").alias("t_mask"))
+        .join(zeta, "t_mask", "left")
+        .fillna(0, subset=["v"])
+    )
+    marg = (
+        vt.withColumn(
+            "i", F.explode(F.array(*[F.lit(i) for i in range(c_n)]))
+        )
+        .filter(F.expr("(t_mask & shiftleft(1, i)) = 0"))
+        .join(
+            vt.select(
+                F.col("t_mask").alias("t2_mask"), F.col("v").alias("v2")
+            ),
+            F.expr("t2_mask = (t_mask | shiftleft(1, i))"),
+        )
+        .select(
+            "i",
+            (F.expr(w_expr) * (F.col("v2") - F.col("v"))).alias("num"),
+        )
+    )
+    ch_expr = "CASE " + " ".join(
+        f"WHEN i = {i} THEN '{ch}'" for i, ch in enumerate(channels)
+    ) + " END"
+    return (
+        marg.groupBy("i")
+        .agg(F.sum("num").alias("shapley_num"))
+        .select(
+            F.expr(ch_expr).alias("channel"),
+            F.col("shapley_num").cast("long"),
+            F.round(F.col("shapley_num") / F.lit(float(fact)), 6).alias(
+                "shapley_conversions"
+            ),
+        )
+    )

@@ -60,3 +60,50 @@ def km_hazard_table(
         )
         .orderBy("t")
     )
+
+
+def km_survival_curve(life_table: DataFrame) -> DataFrame:
+    """Kaplan-Meier survival S(t) folded onto the life table.
+
+    The module docstring above rules out exp/log cumulative products
+    (libm differs per engine); this fold avoids libm entirely. Each
+    factor is one IEEE-754 double division of two exact integers
+    ((n_risk - n_events) / n_risk) and the running product is a LEFT
+    fold of double multiplications in ascending-t order — both
+    operations are exactly-rounded and deterministic, so an oracle that
+    performs the same fold (DuckDB ``list_reduce`` over the same sorted
+    factor list) reproduces S(t) bit-for-bit. No randomness, no
+    transcendentals.
+
+    Scale shape: the life table is calendar-sized (distinct event
+    durations), NOT subject-sized, so collapsing it to one array row
+    and unrolling prefix products is O(T^2) driver-free work on a
+    few-hundred-row input — constant at any corpus size. The heavy
+    lifting (subject counts) already happened in ``km_hazard_table``.
+    """
+    arr = life_table.agg(
+        F.sort_array(
+            F.collect_list(F.struct("t", "n_risk", "n_events"))
+        ).alias("a")
+    )
+    return (
+        arr.select(
+            F.explode(
+                F.expr(
+                    """
+                    transform(a, (s, i) -> struct(
+                        s.t AS t,
+                        s.n_risk AS n_risk,
+                        s.n_events AS n_events,
+                        aggregate(
+                            slice(a, 1, i + 1),
+                            CAST(1.0 AS DOUBLE),
+                            (acc, x) -> acc * ((x.n_risk - x.n_events)
+                                               / CAST(x.n_risk AS DOUBLE))
+                        ) AS survival))
+                    """
+                )
+            ).alias("r")
+        )
+        .select("r.*")
+    )

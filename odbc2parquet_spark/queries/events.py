@@ -2114,3 +2114,267 @@ def ev_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mau",
         F.round(F.col("dau") * 1.0 / F.col("mau"), 6).alias("stickiness"),
     )
+
+
+@query(
+    "ev_km_survival",
+    oracle="""
+    WITH su AS (
+        SELECT user_id, MIN(ts) AS signup_ts
+        FROM events WHERE event_type = 'signup' GROUP BY 1
+    ),
+    fp AS (
+        SELECT su.user_id, su.signup_ts, MIN(e.ts) AS conv_ts
+        FROM su LEFT JOIN events e
+          ON e.user_id = su.user_id AND e.event_type = 'purchase'
+         AND e.ts >= su.signup_ts
+        GROUP BY 1, 2
+    ),
+    mx AS (SELECT MAX(ts) AS max_ts FROM events),
+    subj AS (
+        SELECT date_diff('day', CAST(signup_ts AS DATE),
+                         CAST(COALESCE(conv_ts, max_ts) AS DATE)) AS t_obs,
+               conv_ts IS NOT NULL AS converted
+        FROM fp, mx
+    ),
+    per_t AS (
+        SELECT t_obs AS t, COUNT(*) AS n_all,
+               SUM(CASE WHEN converted THEN 1 ELSE 0 END) AS n_events
+        FROM subj GROUP BY 1
+    ),
+    cum AS (
+        SELECT t, n_all, n_events,
+               COALESCE(SUM(n_all) OVER (ORDER BY t ROWS BETWEEN
+                        UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_prior,
+               SUM(n_all) OVER () AS n_total
+        FROM per_t
+    ),
+    lt AS (
+        SELECT t, n_total - n_prior AS n_risk, n_events
+        FROM cum WHERE n_events > 0
+    ),
+    arr AS (
+        SELECT list(struct_pack(t := t, n_risk := n_risk,
+                                n_events := n_events) ORDER BY t) AS a
+        FROM lt
+    ),
+    idx AS (SELECT unnest(generate_series(1, len(a))) AS i, a FROM arr)
+    SELECT CAST(a[i].t AS BIGINT) AS t_days,
+           CAST(a[i].n_risk AS BIGINT) AS n_risk,
+           CAST(a[i].n_events AS BIGINT) AS n_events,
+           ROUND(list_reduce(
+               list_transform(a[1:i], s ->
+                   (s.n_risk - s.n_events) / CAST(s.n_risk AS DOUBLE)),
+               (p, q) -> p * q), 6) AS survival
+    FROM idx
+    """,
+)
+def ev_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Kaplan-Meier survival curve for signup-to-first-purchase
+    (operators/survival.km_survival_curve over the ev_time_to_convert
+    life table): S(t) = prod_{t_i <= t} (n_i - d_i) / n_i with
+    right-censoring at the dataset horizon. The cumulative product is a
+    LEFT fold of IEEE double multiplications over exact int/int factors
+    in ascending-t order — no exp/log — so the DuckDB oracle's
+    list_reduce over the same sorted factor list is bit-identical (the
+    ROUND(6) is presentation, not a tolerance). Scale shape: subjects
+    collapse map-side to a calendar-sized life table; the O(T^2) prefix
+    unroll runs on that tiny table only."""
+    from odbc2parquet_spark.operators.survival import (
+        km_hazard_table,
+        km_survival_curve,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    su = ev.filter(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("ts").alias("signup_ts")
+    )
+    pu = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    fp = (
+        su.join(
+            pu,
+            (su["user_id"] == pu["p_user"]) & (pu["p_ts"] >= su["signup_ts"]),
+            "left",
+        )
+        .groupBy("user_id", "signup_ts")
+        .agg(F.min("p_ts").alias("conv_ts"))
+    )
+    mx = ev.agg(F.max("ts").alias("max_ts"))
+    subj = fp.crossJoin(F.broadcast(mx)).select(
+        F.datediff(
+            F.to_date(F.coalesce(F.col("conv_ts"), F.col("max_ts"))),
+            F.to_date(F.col("signup_ts")),
+        ).alias("t_obs"),
+        F.col("conv_ts").isNotNull().alias("converted"),
+    )
+    lt = km_hazard_table(subj, "t_obs", "converted").select(
+        "t", "n_risk", "n_events"
+    )
+    return km_survival_curve(lt).select(
+        F.col("t").cast("long").alias("t_days"),
+        F.col("n_risk").cast("long"),
+        F.col("n_events").cast("long"),
+        F.round("survival", 6).alias("survival"),
+    )
+
+
+@query(
+    "ev_rfm_segments",
+    oracle="""
+    WITH mx AS (SELECT CAST(MAX(ts) AS DATE) AS max_d FROM events),
+    per_user AS (
+        SELECT user_id,
+               date_diff('day', CAST(MAX(ts) AS DATE),
+                         (SELECT max_d FROM mx)) AS recency_days,
+               COUNT(*) AS frequency,
+               SUM(CAST(value AS DECIMAL(18,2))) AS monetary
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id
+    ),
+    scored AS (
+        SELECT user_id, monetary,
+               NTILE(5) OVER (ORDER BY recency_days DESC, user_id) AS r_score,
+               NTILE(5) OVER (ORDER BY frequency, user_id) AS f_score,
+               NTILE(5) OVER (ORDER BY monetary, user_id) AS m_score
+        FROM per_user
+    )
+    SELECT CAST(r_score AS INT) AS r_score,
+           CAST(f_score AS INT) AS f_score,
+           CAST(m_score AS INT) AS m_score,
+           COUNT(*) AS n_users,
+           CAST(SUM(monetary) AS DOUBLE) AS total_monetary
+    FROM scored GROUP BY 1, 2, 3
+    """,
+)
+def ev_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) quintile segmentation — the
+    classic CRM cell grid. Purchases roll up per user map-side (decimal-
+    exact monetary), each axis gets NTILE(5) with a full deterministic
+    order (metric, then user_id — no rank ties, so both engines place
+    every user in the same cell), then users collapse to the <=125
+    (r,f,m) cells. Scale shape: the three windows run over the PER-USER
+    rollup, not events; at 100 TB the exact NTILE swaps for broadcast
+    percentile cutpoints (operators/bucketing's range strategy) — the
+    documented rank->cutpoint substitution, same cells up to boundary
+    ties."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    mx = ev.agg(F.to_date(F.max("ts")).alias("max_d"))
+    per_user = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.to_date(F.max("ts")).alias("last_d"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "user_id",
+            F.datediff("max_d", "last_d").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    scored = per_user.select(
+        "monetary",
+        F.ntile(5)
+        .over(Window.orderBy(F.col("recency_days").desc(), "user_id"))
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy("frequency", "user_id"))
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy("monetary", "user_id"))
+        .alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("monetary").cast("double").alias("total_monetary"),
+    )
+
+
+@query(
+    "ev_shapley_attribution",
+    oracle="""
+    WITH conv AS (
+        SELECT event_id AS conv_id, user_id, ts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    tch AS (
+        SELECT user_id, ts,
+               CASE event_type WHEN 'click' THEN 0 WHEN 'error' THEN 1
+                    WHEN 'signup' THEN 2 ELSE 3 END AS idx
+        FROM events
+        WHERE event_type IN ('click', 'error', 'signup', 'view')
+    ),
+    cmask AS (
+        SELECT c.conv_id, COALESCE(BIT_OR(1 << t.idx), 0) AS mask
+        FROM conv c LEFT JOIN tch t
+          ON t.user_id = c.user_id
+         AND t.ts <= c.ts AND t.ts >= c.ts - INTERVAL 7 DAY
+        GROUP BY 1
+    ),
+    cnt AS (SELECT mask, COUNT(*) AS n FROM cmask GROUP BY 1),
+    zeta AS (
+        SELECT cnt.mask | x.range AS t_mask, SUM(n) AS v
+        FROM cnt, range(16) x
+        WHERE (x.range & cnt.mask) = 0
+        GROUP BY 1
+    ),
+    vt AS (
+        SELECT g.range AS t_mask, COALESCE(v, 0) AS v
+        FROM range(16) g LEFT JOIN zeta ON zeta.t_mask = g.range
+    ),
+    ch(channel, idx) AS (
+        VALUES ('click', 0), ('error', 1), ('signup', 2), ('view', 3)
+    ),
+    marg AS (
+        SELECT ch.channel,
+               (CASE bit_count(a.t_mask) WHEN 0 THEN 6 WHEN 1 THEN 2
+                     WHEN 2 THEN 2 ELSE 6 END) * (b.v - a.v) AS num
+        FROM ch
+        JOIN vt a ON (a.t_mask & (1 << ch.idx)) = 0
+        JOIN vt b ON b.t_mask = (a.t_mask | (1 << ch.idx))
+    )
+    SELECT channel, CAST(SUM(num) AS BIGINT) AS shapley_num,
+           ROUND(SUM(num) / 24.0, 6) AS shapley_conversions
+    FROM marg GROUP BY 1
+    """,
+)
+def ev_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Shapley-value attribution (operators/attribution.
+    shapley_attribution) over the 4-channel coalition lattice: v(T) =
+    conversions whose 7-day touched-channel set fits inside T, Shapley_i
+    = weighted marginal reachability gains — the credit split linear
+    attribution (ev_attribution) cannot express (a channel that only
+    co-occurs with a stronger one earns only its true marginal). All
+    integer: bitmask sets, zeta-transform subset sums, factorial weights
+    scaled by 4! = 24; the only division is the final display divide.
+    Scale shape: the pair join is the bounded equi+range join shared
+    with ev_attribution, collapsing map-side to <= 16 mask counts; the
+    lattice algebra runs on 16-row frames via literal-range explodes —
+    never a theta join."""
+    from odbc2parquet_spark.operators.attribution import shapley_attribution
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("conv_id"), "ts"
+    )
+    tch = ev.filter(
+        F.col("event_type").isin("click", "error", "signup", "view")
+    ).select("user_id", "ts", F.col("event_type").alias("channel"))
+    return shapley_attribution(
+        conv,
+        tch,
+        key="user_id",
+        channels=["click", "error", "signup", "view"],
+        window="7 days",
+    )

@@ -2457,3 +2457,72 @@ def test_holt_forecast_matches_python_recursion(spark):
     assert got.level == round(l, 6) and got.trend == round(b, 6)
     assert got.f1 == round(l + 1.0 * b, 6)
     assert got.f7 == round(l + 7.0 * b, 6)
+
+
+def test_shapley_attribution_axioms(spark):
+    """Efficiency: channel Shapley values sum to v(all channels) = the
+    number of conversions with >= 1 in-window touch. Dummy: a channel
+    never touched in any window gets exactly 0. Symmetry spot-check: two
+    channels that always co-occur identically get equal credit."""
+    import datetime as dt
+
+    from odbc2parquet_spark.operators.attribution import shapley_attribution
+
+    t0 = dt.datetime(2024, 1, 10, 12, 0, 0)
+
+    def ts(days):
+        return t0 + dt.timedelta(days=days)
+
+    # user 1: conv A touched by {a, b}; user 2: conv B touched by {a};
+    # user 3: conv C with NO in-window touch (only an out-of-window d).
+    conv = spark.createDataFrame(
+        [(1, 100, ts(0)), (2, 101, ts(0)), (3, 102, ts(0))],
+        ["user_id", "conv_id", "ts"],
+    )
+    touches = spark.createDataFrame(
+        [
+            (1, ts(-1), "a"),
+            (1, ts(-2), "b"),
+            (2, ts(-1), "a"),
+            (3, ts(-30), "d"),  # outside the 7-day window
+        ],
+        ["user_id", "ts", "channel"],
+    )
+    rows = shapley_attribution(
+        conv, touches, key="user_id", channels=["a", "b", "c", "d"]
+    ).collect()
+    got = {r.channel: r.shapley_num for r in rows}
+    # efficiency: v(full)=3 (every conv's set fits), v(empty)=1 (conv C),
+    # so the credited mass is (3 - 1) * 4! = 48
+    assert sum(got.values()) == (3 - 1) * 24
+    # dummy channels never touched in-window earn zero
+    assert got["c"] == 0 and got["d"] == 0
+    # conv B is carried by {a} alone: a must out-earn b
+    assert got["a"] > got["b"] > 0
+
+
+def test_shapley_symmetric_channels_equal(spark):
+    """Two channels touched in exactly the same conversions receive
+    identical Shapley credit (symmetry axiom)."""
+    import datetime as dt
+
+    from odbc2parquet_spark.operators.attribution import shapley_attribution
+
+    t0 = dt.datetime(2024, 1, 10, 12, 0, 0)
+    conv = spark.createDataFrame(
+        [(1, 100, t0), (2, 101, t0)], ["user_id", "conv_id", "ts"]
+    )
+    touches = spark.createDataFrame(
+        [
+            (1, t0 - dt.timedelta(days=1), "a"),
+            (1, t0 - dt.timedelta(days=2), "b"),
+            (2, t0 - dt.timedelta(days=1), "a"),
+            (2, t0 - dt.timedelta(days=3), "b"),
+        ],
+        ["user_id", "ts", "channel"],
+    )
+    rows = shapley_attribution(
+        conv, touches, key="user_id", channels=["a", "b"]
+    ).collect()
+    got = {r.channel: r.shapley_num for r in rows}
+    assert got["a"] == got["b"] == 2  # (2 convs) * 2! / 2 each, x2!
