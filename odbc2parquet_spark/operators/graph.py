@@ -529,3 +529,132 @@ def k_core(
         .groupBy("node")
         .agg(F.count("*").alias("degree"))
     )
+
+
+def hits_int(
+    nodes: DataFrame,
+    edges: DataFrame,
+    rounds: int = 2,
+    node_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(id, hub, auth): fixed-round HITS in exact unnormalized int64.
+
+    Kleinberg's mutual-reinforcement pair — hub(i) = sum of auth over
+    i's out-neighbors, auth(j) = sum of hub over j's in-neighbors —
+    seeded at auth = 1 and run for a fixed number of full (hub, auth)
+    rounds WITHOUT the usual L2 normalization. Dropping the
+    normalization is what makes the scores exact integers (every update
+    is a sum of int64s), so two engines agree bit-for-bit; the rank
+    order each round is identical to the normalized iterate because
+    normalization is a positive scalar. Growth is bounded by
+    max_degree^(2*rounds) — with the LSH similarity graph's capped
+    bucket degrees, 2 rounds stay far inside int64 even at corpus
+    scale (deg 200 -> 1.6e9).
+
+    Each half-round is one join + one groupBy shuffle over the edge
+    list, which materializes once (persist) because all four
+    half-rounds reference it; score frames are 2-long rows per node.
+    Rounds are fixed, so the plan is static — no data-dependent driver
+    logic (same contract as :func:`pagerank_int`).
+    """
+    ids = nodes.select(F.col(node_col).alias("id"))
+    sym = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).persist()
+    auth = ids.select("id", F.lit(1).cast("long").alias("score"))
+    hub = None
+    try:
+        for _ in range(rounds):
+            hub_sum = (
+                sym.join(auth, sym.dst == auth.id)
+                .groupBy("src")
+                .agg(F.sum("score").alias("s"))
+            )
+            prev_hub = hub
+            hub = ids.join(
+                hub_sum, ids.id == hub_sum.src, "left"
+            ).select("id", F.coalesce("s", F.lit(0)).cast("long").alias("score"))
+            hub = hub.localCheckpoint(eager=True)
+            if prev_hub is not None:
+                release_local_checkpoint(prev_hub)
+            auth_sum = (
+                sym.join(hub, sym.src == hub.id)
+                .groupBy("dst")
+                .agg(F.sum("score").alias("s"))
+            )
+            prev = auth
+            auth = ids.join(
+                auth_sum, ids.id == auth_sum.dst, "left"
+            ).select("id", F.coalesce("s", F.lit(0)).cast("long").alias("score"))
+            auth = auth.localCheckpoint(eager=True)
+            release_local_checkpoint(prev)
+        return (
+            hub.withColumnRenamed("score", "hub")
+            .join(auth.withColumnRenamed("score", "auth"), "id")
+            .select("id", "hub", "auth")
+        )
+    finally:
+        sym.unpersist()
+
+
+def label_propagation_int(
+    nodes: DataFrame,
+    edges: DataFrame,
+    rounds: int = 3,
+    node_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(id, label): synchronous label-propagation communities with a
+    deterministic tie-break — the cheap community detector (Raghavan et
+    al.) curation runs on a similarity graph to find topical groups
+    coarser than connected components but finer than the whole graph.
+
+    Every node starts labeled with its own id; each round it adopts the
+    label occurring MOST among its in-neighbors (count desc, then
+    smallest label — the tie-break that makes the classical randomized
+    update deterministic and engine-independent). Isolated nodes keep
+    their own label. Updates are synchronous (all nodes read the
+    previous round's labels), so the result is a pure function of the
+    edge set and the round count — exactly reproducible by an unrolled
+    SQL oracle, unlike the asynchronous variant whose result depends on
+    visit order.
+
+    Per round: one join (edges x labels) + one (dst, label) count + one
+    per-dst argmax window — all keyed shuffles over the EDGE list;
+    label frames are 2-long rows per node, localCheckpoint'd so the
+    fixpoint lineage stays flat. Fixed rounds keep the plan static.
+    """
+    ids = nodes.select(F.col(node_col).alias("id"))
+    sym = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).persist()
+    labels = ids.select("id", F.col("id").alias("label"))
+    try:
+        for _ in range(rounds):
+            counts = (
+                sym.join(labels, sym.src == labels.id)
+                .groupBy("dst", "label")
+                .agg(F.count("*").alias("cnt"))
+            )
+            w = Window.partitionBy("dst").orderBy(
+                F.desc("cnt"), F.asc("label")
+            )
+            winner = (
+                counts.withColumn("rk", F.row_number().over(w))
+                .filter(F.col("rk") == 1)
+                .select(F.col("dst").alias("id"), F.col("label").alias("nlab"))
+            )
+            prev = labels
+            labels = (
+                ids.join(labels, "id")
+                .join(winner, "id", "left")
+                .select("id", F.coalesce("nlab", "label").alias("label"))
+                .localCheckpoint(eager=True)
+            )
+            release_local_checkpoint(prev)
+        return labels
+    finally:
+        sym.unpersist()

@@ -784,6 +784,7 @@ def pq_assign(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    arrays=None,
 ) -> DataFrame:
     """(vec_id, subspace, code, dist4): per-subspace nearest-centroid codes
     — the PQ compression step that stores a 64-float vector as ``m`` small
@@ -815,7 +816,11 @@ def pq_assign(
     import pyarrow as pa
 
     sub = _pq_split(dim, m)
-    cb_cids, cb_mats = _collect_codebook(codebook, m, sub)
+    # ``arrays``: a precollected _collect_codebook result, so composers
+    # that feed the SAME codebook to both the assignment and probe-LUT
+    # kernels (adc/ivf-pq search) evaluate its groupBy DAG once, not
+    # twice — the codebook build is the dominant fixed cost per search.
+    cb_cids, cb_mats = arrays or _collect_codebook(codebook, m, sub)
     subspaces = np.arange(m, dtype=np.int32)
 
     def assign_batches(batches):
@@ -859,6 +864,7 @@ def _pq_probe_lut(
     dim: int,
     id_col: str,
     vec_col: str,
+    arrays=None,
 ) -> DataFrame:
     """(query_id, subspace, code, pd2): the ADC lookup table — every
     probe's squared distance to every subspace centroid, each term
@@ -874,7 +880,7 @@ def _pq_probe_lut(
     import pyarrow as pa
 
     sub = _pq_split(dim, m)
-    cb_cids, cb_mats = _collect_codebook(codebook, m, sub)
+    cb_cids, cb_mats = arrays or _collect_codebook(codebook, m, sub)
 
     def lut_batches(batches):
         for b in batches:
@@ -973,10 +979,11 @@ def pq_adc_topk(
             vectors, m=m, k=k_centroids, dim=dim, id_col=id_col, vec_col=vec_col
         )
     )
-    codes = pq_assign(vectors, cb, m=m, dim=dim, id_col=id_col, vec_col=vec_col).select(
-        "vec_id", "subspace", "code"
-    )
-    lut = _pq_probe_lut(probes, cb, m, dim, id_col, vec_col)
+    cba = _collect_codebook(cb, m, _pq_split(dim, m))
+    codes = pq_assign(
+        vectors, cb, m=m, dim=dim, id_col=id_col, vec_col=vec_col, arrays=cba
+    ).select("vec_id", "subspace", "code")
+    lut = _pq_probe_lut(probes, cb, m, dim, id_col, vec_col, arrays=cba)
     scored = (
         codes.join(F.broadcast(lut), ["subspace", "code"])
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -1019,13 +1026,14 @@ def ivf_pq_search(
     cents = ivf_seed_centroids(vectors, k_cells, id_col, vec_col)
     cell = ivf_assign(vectors, cents, id_col, vec_col).select("vec_id", "centroid_id")
     cb = pq_codebook(vectors, m=m, k=k_centroids, dim=dim, id_col=id_col, vec_col=vec_col)
-    codes = pq_assign(vectors, cb, m=m, dim=dim, id_col=id_col, vec_col=vec_col).select(
-        "vec_id", "subspace", "code"
-    )
+    cba = _collect_codebook(cb, m, _pq_split(dim, m))
+    codes = pq_assign(
+        vectors, cb, m=m, dim=dim, id_col=id_col, vec_col=vec_col, arrays=cba
+    ).select("vec_id", "subspace", "code")
     qprobe = ivf_probe_cells(probes, cents, nprobe, id_col, vec_col).select(
         "query_id", "centroid_id"
     )
-    lut = _pq_probe_lut(probes, cb, m, dim, id_col, vec_col)
+    lut = _pq_probe_lut(probes, cb, m, dim, id_col, vec_col, arrays=cba)
     cand = (
         cell.join(F.broadcast(qprobe), "centroid_id")
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -1096,9 +1104,10 @@ def ivf_pq_residual_search(
         )
     )
     cb = pq_codebook(rv, m=m, k=k_centroids, dim=dim, id_col="vec_id", vec_col="rvec")
-    codes = pq_assign(rv, cb, m=m, dim=dim, id_col="vec_id", vec_col="rvec").select(
-        "vec_id", "subspace", "code"
-    )
+    cba = _collect_codebook(cb, m, _pq_split(dim, m))
+    codes = pq_assign(
+        rv, cb, m=m, dim=dim, id_col="vec_id", vec_col="rvec", arrays=cba
+    ).select("vec_id", "subspace", "code")
     qprobe = ivf_probe_cells(probes, cents, nprobe, id_col, vec_col).select(
         "query_id", "centroid_id"
     )
@@ -1114,7 +1123,7 @@ def ivf_pq_residual_search(
         )
     )
     lut = (
-        _pq_probe_lut(qres, cb, m, dim, "qc", "qrvec")
+        _pq_probe_lut(qres, cb, m, dim, "qc", "qrvec", arrays=cba)
         .select(
             F.expr("query_id div 1024").alias("query_id"),
             (F.col("query_id") % 1024).alias("centroid_id"),
@@ -1532,13 +1541,14 @@ def ivf_pq_nprobe_curve(
         "vec_id", "centroid_id"
     )
     cb = pq_codebook(vectors, m=m, k=k_centroids, dim=dim, id_col=id_col, vec_col=vec_col)
-    codes = pq_assign(vectors, cb, m=m, dim=dim, id_col=id_col, vec_col=vec_col).select(
-        "vec_id", "subspace", "code"
-    )
+    cba = _collect_codebook(cb, m, _pq_split(dim, m))
+    codes = pq_assign(
+        vectors, cb, m=m, dim=dim, id_col=id_col, vec_col=vec_col, arrays=cba
+    ).select("vec_id", "subspace", "code")
     qprobe = ivf_probe_cells(probes, cents, pmax, id_col, vec_col).select(
         "query_id", "centroid_id", F.col("rank").alias("prank")
     )
-    lut = _pq_probe_lut(probes, cb, m, dim, id_col, vec_col)
+    lut = _pq_probe_lut(probes, cb, m, dim, id_col, vec_col, arrays=cba)
     cand = (
         cell.join(F.broadcast(qprobe), "centroid_id")
         .filter(F.col("vec_id") != F.col("query_id"))

@@ -2319,3 +2319,122 @@ def sim_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 10)
         .select("doc_id", F.col("score").cast("double").alias("score"), "rank")
     )
+
+
+_SYM_CTE = """
+    sig AS (
+        SELECT vec_id, CAST({sig} AS BIGINT) AS sig FROM embeddings
+    ),
+    b AS (SELECT vec_id, sig & 255 AS bucket FROM sig),
+    pairs AS (
+        SELECT x.vec_id AS id_a, y.vec_id AS id_b
+        FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+    ),
+    sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION ALL SELECT id_b, id_a FROM pairs)"""
+
+
+def _hits_iter_sql(i: int) -> str:
+    prev_a = f"a{i - 1}"
+    return f"""
+    h{i} AS (
+        SELECT e.vec_id AS id, CAST(COALESCE(s.s, 0) AS BIGINT) AS score
+        FROM embeddings e LEFT JOIN (
+            SELECT sym.src AS id, SUM(a.score) AS s
+            FROM sym JOIN {prev_a} a ON a.id = sym.dst GROUP BY sym.src
+        ) s ON s.id = e.vec_id
+    ),
+    a{i} AS (
+        SELECT e.vec_id AS id, CAST(COALESCE(s.s, 0) AS BIGINT) AS score
+        FROM embeddings e LEFT JOIN (
+            SELECT sym.dst AS id, SUM(h.score) AS s
+            FROM sym JOIN h{i} h ON h.id = sym.src GROUP BY sym.dst
+        ) s ON s.id = e.vec_id
+    )"""
+
+
+@query(
+    "sim_hits",
+    oracle=f"""
+    WITH {_SYM_CTE},
+    a0 AS (SELECT vec_id AS id, CAST(1 AS BIGINT) AS score FROM embeddings),
+    {",".join(_hits_iter_sql(i) for i in range(1, 3)).lstrip(",")}
+    SELECT h2.id, h2.score AS hub, a2.score AS auth
+    FROM h2 JOIN a2 ON a2.id = h2.id
+    """.replace("{sig}", _sig_sql()),
+)
+def sim_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities (2 full rounds, UNNORMALIZED exact int64 —
+    operators/graph.hits_int) over the LSH similarity graph: the
+    mutual-reinforcement centrality that separates "connector" documents
+    (hubs pointing into many strong clusters) from "core" documents
+    (authorities many hubs select) — a curation signal PageRank's single
+    score conflates. Skipping the L2 normalization keeps every update an
+    int64 sum (rank order is unchanged — normalization is a positive
+    scalar), so the Spark fixpoint and the oracle's unrolled rounds agree
+    bit-for-bit. Same bounded LSH edge list as sim_pagerank; each
+    half-round is one keyed join + groupBy over it."""
+    from odbc2parquet_spark.operators.graph import hits_int
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sig = S.lsh_signatures(emb, _N_PLANES, _DIM)
+    pairs = S.lsh_bucket_pairs(sig, prefix_bits=8).select("id_a", "id_b")
+    sym = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).union(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    nodes = emb.select(F.col("vec_id").alias("id"))
+    return hits_int(nodes, sym, rounds=2)
+
+
+def _lpa_iter_sql(i: int) -> str:
+    prev = f"l{i - 1}"
+    return f"""
+    c{i} AS (
+        SELECT sym.dst AS id, l.label, COUNT(*) AS cnt
+        FROM sym JOIN {prev} l ON l.id = sym.src GROUP BY 1, 2
+    ),
+    w{i} AS (
+        SELECT id, label FROM (
+            SELECT id, label,
+                   ROW_NUMBER() OVER (PARTITION BY id
+                                      ORDER BY cnt DESC, label ASC) AS rk
+            FROM c{i}
+        ) WHERE rk = 1
+    ),
+    l{i} AS (
+        SELECT p.id, CAST(COALESCE(w{i}.label, p.label) AS BIGINT) AS label
+        FROM {prev} p LEFT JOIN w{i} ON w{i}.id = p.id
+    )"""
+
+
+@query(
+    "sim_lpa_communities",
+    oracle=f"""
+    WITH {_SYM_CTE},
+    l0 AS (SELECT vec_id AS id, CAST(vec_id AS BIGINT) AS label FROM embeddings),
+    {",".join(_lpa_iter_sql(i) for i in range(1, 4)).lstrip(",")}
+    SELECT id, label FROM l3
+    """.replace("{sig}", _sig_sql()),
+)
+def sim_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities (3 synchronous rounds, deterministic
+    count-desc/label-asc tie-break — operators/graph.
+    label_propagation_int) over the LSH similarity graph: topical groups
+    COARSER than near-dup components (which need an actual duplicate
+    path) but finer than the connected graph — the grouping curation
+    uses for topic caps and mixture audits. The synchronous update +
+    deterministic tie-break turn Raghavan et al.'s randomized algorithm
+    into a pure function of the edge set, so three unrolled SQL rounds
+    reproduce the Spark fixpoint exactly. Per round: one edge join, one
+    (node, label) count, one per-node argmax window — all keyed,
+    edge-list-sized."""
+    from odbc2parquet_spark.operators.graph import label_propagation_int
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sig = S.lsh_signatures(emb, _N_PLANES, _DIM)
+    pairs = S.lsh_bucket_pairs(sig, prefix_bits=8).select("id_a", "id_b")
+    sym = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).union(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    nodes = emb.select(F.col("vec_id").alias("id"))
+    return label_propagation_int(nodes, sym, rounds=3)
