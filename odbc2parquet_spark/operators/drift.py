@@ -918,3 +918,134 @@ def embedding_centroid_shift(
         F.col("l2").alias("delta"),
     )
     return per_dim.unionAll(summary)
+
+
+def acf_daily(
+    events: DataFrame,
+    ts_col: str,
+    group_col: str,
+    max_lag: int = 7,
+) -> DataFrame:
+    """(group, lag, n_days, acf6): autocorrelation of the daily event-count
+    series at lags 1..max_lag — the seasonality detector a monitoring
+    pipeline runs BEFORE choosing a seasonal window (a strong lag-7 spike
+    says "weekly rhythm; deseasonalize with period 7", a flat tail says
+    the series is noise and STL would overfit).
+
+    Exactness: with n days, total T and daily count c_t, every mean-
+    centered term is scaled by n — num_k = sum (n*c_t - T)(n*c_{t-k} - T)
+    and den = sum (n*c_t - T)^2 are exact int64 (counts and the calendar
+    keep n*c ~ 1e7 even at corpus scale, squares ~ 1e14, sums ~ 1e17);
+    the single division happens once per (group, lag) on the two exact
+    integers, rounded to 6. Lags index OBSERVATIONS in day order (on a
+    dense calendar this is calendar lag).
+
+    Scale shape: the corpus collapses to (group, day) counts map-side;
+    everything after runs on calendar-sized frames (per-group lag window
+    + one aggregation), so cost rides the scan regardless of data size.
+    """
+    daily = (
+        events.groupBy(
+            F.col(group_col).alias("g"), F.to_date(ts_col).alias("day")
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    tot = daily.groupBy("g").agg(
+        F.count("*").alias("n_days"), F.sum("c").alias("t")
+    )
+    w = Window.partitionBy("g").orderBy("day")
+    lagged = daily.select(
+        "g",
+        "day",
+        "c",
+        *[F.lag("c", k).over(w).alias(f"c{k}") for k in range(1, max_lag + 1)],
+    ).join(tot, "g")
+    dev = lagged.select(
+        "g",
+        "n_days",
+        (F.col("n_days") * F.col("c") - F.col("t")).alias("d0"),
+        *[
+            (F.col("n_days") * F.col(f"c{k}") - F.col("t")).alias(f"d{k}")
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    agg = dev.groupBy("g", "n_days").agg(
+        F.sum(F.col("d0") * F.col("d0")).alias("den"),
+        *[
+            F.sum(F.col("d0") * F.col(f"d{k}")).alias(f"num{k}")
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    lags = F.array(
+        *[
+            F.struct(
+                F.lit(k).cast("int").alias("lag"),
+                F.col(f"num{k}").alias("num"),
+            )
+            for k in range(1, max_lag + 1)
+        ]
+    )
+    return (
+        agg.select("g", "n_days", "den", F.explode(lags).alias("x"))
+        .select(
+            F.col("g"),
+            F.col("x.lag").alias("lag"),
+            F.col("n_days"),
+            F.round(F.col("x.num") / F.col("den"), 6).alias("acf6"),
+        )
+    )
+
+
+def theil_sen_daily(
+    events: DataFrame,
+    ts_col: str,
+    group_col: str,
+) -> DataFrame:
+    """(group, n_days, n_pairs, slope_med): Theil-Sen robust trend of the
+    daily event-count series — the slope estimator that survives the
+    outlier days (deploy spikes, backfill dumps) that wreck an OLS fit;
+    the standard robust "is this metric growing?" answer.
+
+    The estimator is the MEDIAN of all pairwise slopes (c_j - c_i) /
+    (j - i) over day indexes i < j. Each slope is ONE IEEE division of
+    two exact int64s — bit-identical on any engine — and the median is
+    an element PICK (lower median at rank (n+1)//2 in slope order), never
+    an average, so the reported value is one of the exact quotients.
+
+    Scale shape: the corpus collapses to (group, day) counts first; the
+    pair join is calendar x calendar PER GROUP — bounded by days^2 (a
+    decade of days is ~6.7M pairs), independent of corpus row count. The
+    rank pick is a per-group window over those bounded pairs.
+    """
+    daily = (
+        events.groupBy(
+            F.col(group_col).alias("g"), F.to_date(ts_col).alias("day")
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    t = daily.select(
+        "g",
+        "c",
+        F.row_number()
+        .over(Window.partitionBy("g").orderBy("day"))
+        .alias("t"),
+    )
+    a, b = t.alias("a"), t.alias("b")
+    pairs = a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.t") < F.col("b.t"))).select(
+        F.col("a.g").alias("g"),
+        (
+            (F.col("b.c") - F.col("a.c")).cast("double")
+            / (F.col("b.t") - F.col("a.t")).cast("double")
+        ).alias("slope"),
+    )
+    counted = pairs.withColumn(
+        "n_pairs", F.count("*").over(Window.partitionBy("g"))
+    ).withColumn(
+        "rk",
+        F.row_number().over(Window.partitionBy("g").orderBy(F.asc("slope"))),
+    )
+    picked = counted.filter(F.col("rk") == F.expr("(n_pairs + 1) div 2")).select(
+        "g", "n_pairs", F.col("slope").alias("slope_med")
+    )
+    n_days = daily.groupBy("g").agg(F.count("*").alias("n_days"))
+    return n_days.join(picked, "g").select("g", "n_days", "n_pairs", "slope_med")

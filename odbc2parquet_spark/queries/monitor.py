@@ -708,3 +708,110 @@ def ev_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(F.col("resid") - F.col("med")) > F.lit(4.4478) * F.col("mad")).alias("is_anomaly"),
         )
     )
+
+
+_ACF_ARMS = "\n        UNION ALL ".join(
+    f"SELECT g, {k} AS lag, n_days, num{k} AS num, den FROM agg"
+    for k in range(1, 8)
+)
+
+
+@query(
+    "ev_acf",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type AS g, CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(c) AS BIGINT) AS t
+        FROM daily GROUP BY g
+    ),
+    lagged AS (
+        SELECT d.g, tt.n_days, tt.t, d.c,
+               {", ".join(f"LAG(d.c, {k}) OVER (PARTITION BY d.g ORDER BY d.day) AS c{k}" for k in range(1, 8))}
+        FROM daily d JOIN tot tt ON tt.g = d.g
+    ),
+    dev AS (
+        SELECT g, n_days, n_days * c - t AS d0,
+               {", ".join(f"n_days * c{k} - t AS d{k}" for k in range(1, 8))}
+        FROM lagged
+    ),
+    agg AS (
+        SELECT g, n_days, SUM(d0 * d0) AS den,
+               {", ".join(f"SUM(d0 * d{k}) AS num{k}" for k in range(1, 8))}
+        FROM dev GROUP BY g, n_days
+    )
+    SELECT g AS event_type, CAST(lag AS INTEGER) AS lag, n_days,
+           ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS acf6
+    FROM ({_ACF_ARMS})
+    """,
+)
+def ev_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the daily event-count series at lags 1..7
+    (operators/drift.acf_daily) — the seasonality detector run BEFORE
+    picking a seasonal window: a lag-7 spike certifies weekly rhythm, a
+    flat tail says STL would overfit noise. All mean-centering is scaled
+    by n so num/den stay exact int64 (counts x calendar keep the sums
+    ~1e15 even at corpus scale); one division per (type, lag), rounded
+    to 6. The corpus collapses to (type, day) counts map-side; the lag
+    window and aggregate run on calendar-sized frames."""
+    from odbc2parquet_spark.operators.drift import acf_daily
+
+    ev = load_table(spark, sf_dir, "events")
+    return acf_daily(ev, "ts", "event_type", max_lag=7).withColumnRenamed(
+        "g", "event_type"
+    )
+
+
+@query(
+    "ev_theilsen",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type AS g, CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    t AS (
+        SELECT g, c,
+               ROW_NUMBER() OVER (PARTITION BY g ORDER BY day) AS t
+        FROM daily
+    ),
+    pairs AS (
+        SELECT a.g,
+               CAST(b.c - a.c AS DOUBLE) / CAST(b.t - a.t AS DOUBLE) AS slope
+        FROM t a JOIN t b ON a.g = b.g AND a.t < b.t
+    ),
+    counted AS (
+        SELECT g, slope,
+               COUNT(*) OVER (PARTITION BY g) AS n_pairs,
+               ROW_NUMBER() OVER (PARTITION BY g ORDER BY slope ASC) AS rk
+        FROM pairs
+    ),
+    picked AS (
+        SELECT g, CAST(n_pairs AS BIGINT) AS n_pairs, slope AS slope_med
+        FROM counted WHERE rk = (n_pairs + 1) // 2
+    ),
+    nd AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_days FROM daily GROUP BY g)
+    SELECT nd.g AS event_type, nd.n_days, p.n_pairs, p.slope_med
+    FROM nd JOIN picked p ON p.g = nd.g
+    """,
+)
+def ev_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per event type (operators/drift.
+    theil_sen_daily): the median of all pairwise slopes of the daily
+    count series — the "is this metric actually growing?" answer that
+    one deploy-day spike cannot wreck (OLS breaks down at a single
+    outlier; Theil-Sen tolerates 29%). Every slope is ONE IEEE division
+    of two exact int64s, the median is an element pick (lower median,
+    never an average) — so the estimate is bit-identical across engines.
+    The pair join is calendar x calendar per type, bounded by days^2,
+    independent of corpus size."""
+    from odbc2parquet_spark.operators.drift import theil_sen_daily
+
+    ev = load_table(spark, sf_dir, "events")
+    return theil_sen_daily(ev, "ts", "event_type").withColumnRenamed(
+        "g", "event_type"
+    )
