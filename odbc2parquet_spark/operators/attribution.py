@@ -34,6 +34,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from odbc2parquet_spark.operators.bucketing import release_local_checkpoint
+
 
 def linear_attribution(
     conversions: DataFrame,
@@ -214,5 +216,197 @@ def shapley_attribution(
             F.round(F.col("shapley_num") / F.lit(float(fact)), 6).alias(
                 "shapley_conversions"
             ),
+        )
+    )
+
+
+def journey_transitions(
+    events: DataFrame,
+    channels: tuple[str, ...] = ("click", "view", "signup"),
+    conv_type: str = "purchase",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """(src, dst, cnt): first-order journey transition counts — the input
+    to Markov-model attribution. Each user's event stream splits into
+    JOURNEYS at conversion events (a conversion closes the journey it
+    belongs to); within a journey the channel sequence contributes
+    'start' -> first channel, channel -> next channel, and last channel
+    -> 'conv' (journey converted) or 'null' (stream ended unconverted).
+    A journey that converts with no prior touch contributes
+    'start' -> 'conv' (the direct-conversion mass). Ordering ties break
+    on the event id, so the sequence — and therefore every count — is a
+    pure function of the data.
+
+    Scale shape: two per-user windows (journey split + sequence LEAD)
+    over only channel/conversion rows, then one (src, dst) count that
+    collapses map-side to at most (|channels|+1)^2 rows. The per-user
+    windows are the same sessionize shape every funnel query uses —
+    keyed by user, never global.
+    """
+    ev = events.filter(
+        F.col(type_col).isin(*channels, conv_type)
+    ).select(
+        F.col(user_col).alias("u"),
+        F.col(ts_col).alias("ts"),
+        F.col(id_col).alias("eid"),
+        F.col(type_col).alias("et"),
+    )
+    uw = Window.partitionBy("u").orderBy("ts", "eid")
+    j = ev.withColumn(
+        "jid",
+        F.coalesce(
+            F.sum(F.when(F.col("et") == conv_type, 1).otherwise(0)).over(
+                uw.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+    jp = j.groupBy("u", "jid").agg(
+        F.max(F.when(F.col("et") == conv_type, 1).otherwise(0)).alias("has_conv")
+    )
+    jw = Window.partitionBy("u", "jid").orderBy("ts", "eid")
+    seq = (
+        j.filter(F.col("et") != conv_type)
+        .withColumn("rn", F.row_number().over(jw))
+        .withColumn("nxt", F.lead("et", 1).over(jw))
+    )
+    mid = seq.filter(F.col("nxt").isNotNull()).select(
+        F.col("et").alias("src"), F.col("nxt").alias("dst")
+    )
+    firsts = seq.filter(F.col("rn") == 1).select(
+        F.lit("start").alias("src"), F.col("et").alias("dst")
+    )
+    lasts = (
+        seq.filter(F.col("nxt").isNull())
+        .join(jp, ["u", "jid"])
+        .select(
+            F.col("et").alias("src"),
+            F.when(F.col("has_conv") == 1, F.lit("conv"))
+            .otherwise(F.lit("null"))
+            .alias("dst"),
+        )
+    )
+    n_ch = jp.join(
+        seq.select("u", "jid").distinct(), ["u", "jid"], "left_anti"
+    ).filter(F.col("has_conv") == 1)
+    direct = n_ch.select(
+        F.lit("start").alias("src"), F.lit("conv").alias("dst")
+    )
+    return (
+        mid.unionAll(firsts)
+        .unionAll(lasts)
+        .unionAll(direct)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def markov_removal_effect(
+    events: DataFrame,
+    channels: tuple[str, ...] = ("click", "view", "signup"),
+    conv_type: str = "purchase",
+    iterations: int = 8,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """(removed, p_start_micro, removal_effect6): Markov-chain removal-
+    effect attribution — the third classical model next to linear
+    (ev_attribution) and Shapley (ev_shapley_attribution). The journey
+    transition counts define an absorbing chain; a channel's value is how
+    much the start->conversion probability DROPS when that channel is
+    deleted (its inbound edges re-routed to the null absorber — users who
+    would have passed through it are lost). Unlike linear/Shapley credit
+    splits, removal effect prices a channel by counterfactual, so a
+    channel that merely co-occurs on converting paths earns nothing
+    unless paths actually route through it.
+
+    Exactness: transition weights are integer micro-units w = cnt*10^6
+    div out(src) (out-degrees from the FULL graph, the standard removal
+    construction), absorption probability iterates in 10^12 micro-units
+    — p'(s) = sum over edges of (w * pval(dst)) div 10^6 with pval(conv)
+    = 10^12, pval(null) = 0 — a fixed ``iterations``-step truncation of
+    the absorption series, every step exact int64 (w <= 1e6, p <= 1e12:
+    products <= 1e18). Both the division floor and the truncation depth
+    are part of the spec the oracle replays.
+
+    Scale shape: the event stream collapses to a <= (|channels|+1)^2-row
+    transition table (journey_transitions); everything after — the 4
+    scenario remaps and the fixed-point rounds — runs on scenario x
+    state frames of a few dozen rows. No driver data access; rounds are
+    fixed so the plan is static.
+    """
+    trans = journey_transitions(
+        events, channels, conv_type, user_col, ts_col, type_col, id_col
+    )
+    out = trans.groupBy("src").agg(F.sum("cnt").alias("out_n"))
+    w = trans.join(out, "src").select(
+        "src", "dst", F.expr("cnt * 1000000 div out_n").alias("w")
+    )
+    scen = F.array(
+        F.lit("none"), *[F.lit(c) for c in channels]
+    )
+    sw = (
+        w.withColumn("removed", F.explode(scen))
+        .filter(F.col("src") != F.col("removed"))
+        .select(
+            "removed",
+            "src",
+            F.when(F.col("dst") == F.col("removed"), F.lit("null"))
+            .otherwise(F.col("dst"))
+            .alias("dst"),
+            "w",
+        )
+        .localCheckpoint(eager=True)
+    )
+    # transient-state probability frame: (removed, state, p) in 1e12 units
+    states = sw.select("removed", F.col("src").alias("state")).distinct()
+    p = states.select("removed", "state", F.lit(0).cast("long").alias("p"))
+    for _ in range(iterations):
+        term = sw.join(
+            p.select(
+                F.col("removed").alias("r2"),
+                F.col("state").alias("pstate"),
+                F.col("p").alias("pd"),
+            ),
+            (F.col("removed") == F.col("r2")) & (F.col("dst") == F.col("pstate")),
+            "left",
+        ).select(
+            "removed",
+            "src",
+            F.expr(
+                "w * (CASE WHEN dst = 'conv' THEN 1000000000000 "
+                "WHEN dst = 'null' THEN 0 "
+                "ELSE coalesce(pd, 0) END) div 1000000"
+            ).alias("t"),
+        )
+        prev = p
+        p = (
+            term.groupBy("removed", "src")
+            .agg(F.sum("t").cast("long").alias("p"))
+            .withColumnRenamed("src", "state")
+            .localCheckpoint(eager=True)
+        )
+        release_local_checkpoint(prev)
+    start = p.filter(F.col("state") == "start").select(
+        "removed", F.col("p").alias("p_start_micro")
+    )
+    full = start.filter(F.col("removed") == "none").select(
+        F.col("p_start_micro").alias("p_full")
+    )
+    return (
+        start.crossJoin(F.broadcast(full))
+        .select(
+            "removed",
+            "p_start_micro",
+            F.round(
+                (F.col("p_full") - F.col("p_start_micro"))
+                / F.col("p_full"),
+                6,
+            ).alias("removal_effect6"),
         )
     )

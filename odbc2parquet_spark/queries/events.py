@@ -2378,3 +2378,104 @@ def ev_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         channels=["click", "error", "signup", "view"],
         window="7 days",
     )
+
+
+def _markov_iter_sql(i: int) -> str:
+    prev = f"p{i - 1}"
+    return f"""
+    p{i} AS (
+        SELECT sw.removed, sw.src AS state,
+               CAST(SUM(sw.w * (CASE WHEN sw.dst = 'conv' THEN 1000000000000
+                                     WHEN sw.dst = 'null' THEN 0
+                                     ELSE COALESCE(q.p, 0) END)
+                        // 1000000) AS BIGINT) AS p
+        FROM sw LEFT JOIN {prev} q
+            ON q.removed = sw.removed AND q.state = sw.dst
+        GROUP BY 1, 2
+    )"""
+
+
+@query(
+    "ev_removal_effect",
+    oracle=f"""
+    WITH ev AS (
+        SELECT user_id AS u, ts, event_id AS eid, event_type AS et
+        FROM events
+        WHERE event_type IN ('click', 'view', 'signup', 'purchase')
+    ),
+    j AS (
+        SELECT u, ts, eid, et,
+               COALESCE(SUM(CASE WHEN et = 'purchase' THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY u ORDER BY ts, eid
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING), 0) AS jid
+        FROM ev
+    ),
+    jp AS (
+        SELECT u, jid,
+               MAX(CASE WHEN et = 'purchase' THEN 1 ELSE 0 END) AS has_conv
+        FROM j GROUP BY 1, 2
+    ),
+    seq AS (
+        SELECT u, jid, et,
+               ROW_NUMBER() OVER (PARTITION BY u, jid ORDER BY ts, eid) AS rn,
+               LEAD(et, 1) OVER (PARTITION BY u, jid ORDER BY ts, eid) AS nxt
+        FROM j WHERE et != 'purchase'
+    ),
+    alltr AS (
+        SELECT et AS src, nxt AS dst FROM seq WHERE nxt IS NOT NULL
+        UNION ALL
+        SELECT 'start', et FROM seq WHERE rn = 1
+        UNION ALL
+        SELECT s.et, CASE WHEN jp.has_conv = 1 THEN 'conv' ELSE 'null' END
+        FROM seq s JOIN jp ON jp.u = s.u AND jp.jid = s.jid
+        WHERE s.nxt IS NULL
+        UNION ALL
+        SELECT 'start', 'conv' FROM jp
+        WHERE has_conv = 1 AND NOT EXISTS (
+            SELECT 1 FROM seq WHERE seq.u = jp.u AND seq.jid = jp.jid
+        )
+    ),
+    trans AS (SELECT src, dst, COUNT(*) AS cnt FROM alltr GROUP BY 1, 2),
+    o AS (SELECT src, SUM(cnt) AS out_n FROM trans GROUP BY 1),
+    w AS (
+        SELECT t.src, t.dst, t.cnt * 1000000 // o.out_n AS w
+        FROM trans t JOIN o ON o.src = t.src
+    ),
+    scen(removed) AS (VALUES ('none'), ('click'), ('view'), ('signup')),
+    sw AS (
+        SELECT s.removed, w.src,
+               CASE WHEN w.dst = s.removed THEN 'null' ELSE w.dst END AS dst,
+               w.w
+        FROM w CROSS JOIN scen s WHERE w.src != s.removed
+    ),
+    p0 AS (
+        SELECT DISTINCT removed, src AS state, CAST(0 AS BIGINT) AS p FROM sw
+    ),
+    {",".join(_markov_iter_sql(i) for i in range(1, 9)).lstrip(",")},
+    st AS (
+        SELECT removed, p AS p_start_micro FROM p8 WHERE state = 'start'
+    ),
+    fp AS (SELECT p_start_micro AS p_full FROM st WHERE removed = 'none')
+    SELECT s.removed, s.p_start_micro,
+           ROUND(CAST(f.p_full - s.p_start_micro AS DOUBLE)
+                 / CAST(f.p_full AS DOUBLE), 6) AS removal_effect6
+    FROM st s CROSS JOIN fp f
+    """,
+)
+def ev_removal_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-chain removal-effect attribution (operators/attribution.
+    markov_removal_effect) — the counterfactual model beside linear
+    (ev_attribution) and Shapley (ev_shapley_attribution): journeys form
+    an absorbing chain, and a channel's worth is how far the start->conv
+    probability FALLS when its inbound edges are re-routed to the null
+    absorber. All chain arithmetic is integer micro-units (edge weights
+    cnt*1e6 div out-degree, absorption in 1e12 units, an 8-step exact
+    truncation), so Spark's fixed-round loop and the oracle's unrolled
+    rounds agree bit-for-bit. The event stream collapses to a <=25-row
+    transition table before any chain algebra; scenarios and rounds run
+    on scenario x state frames."""
+    from odbc2parquet_spark.operators.attribution import markov_removal_effect
+
+    ev = load_table(spark, sf_dir, "events")
+    return markov_removal_effect(ev, iterations=8)
