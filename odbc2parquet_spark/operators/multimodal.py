@@ -1549,3 +1549,140 @@ def audio_tone_power_q15(binary_df: DataFrame) -> DataFrame:
             )
 
     return binary_df.select("doc_id", "payload").mapInPandas(run, TONE_SCHEMA)
+
+
+PEAK_SCHEMA = "doc_id long, fi long, peak_bin int, peak_power long"
+
+
+def audio_frame_peaks_q15(binary_df: DataFrame) -> DataFrame:
+    """(doc_id, fi, peak_bin, peak_power): per-FRAME dominant probe bin
+    over real decoded PCM — the spectral-peak stream a constellation
+    fingerprint is built from (audio_tone_power_q15 sums the same Q15
+    powers across frames; fingerprinting needs them per frame). Same
+    exact-int64 DFT (shared twiddle literals, arithmetic >>15 = floor),
+    argmax per frame packed as power*8 + (7-bin) so ties break to the
+    LOWEST bin on any engine. Zero-shuffle: one Arrow-batched pass,
+    emitting nf rows per payload."""
+    import numpy as np
+
+    tbl = _tone_table()
+    C = np.array(
+        [[c for (k, n, c, s) in tbl if k == kk] for kk in TONE_BINS], np.int64
+    )
+    S = np.array(
+        [[s for (k, n, c, s) in tbl if k == kk] for kk in TONE_BINS], np.int64
+    )
+    binval = np.array([7 - kk for kk in TONE_BINS], np.int64)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    off, size = _wav_data_span(bytes(payload))
+                except ValueError:
+                    continue
+                v = np.frombuffer(
+                    bytes(payload)[off : off + size - size % 2], "<i2"
+                ).astype(np.int64)
+                nf = len(v) // TONE_FRAME
+                if nf == 0:
+                    continue
+                frames = v[: nf * TONE_FRAME].reshape(nf, TONE_FRAME)
+                req = (frames @ C.T) >> 15
+                imq = (frames @ S.T) >> 15
+                pw = req * req + imq * imq  # (nf, n_bins)
+                enc = (pw * 8 + binval[None, :]).max(axis=1)
+                for fi in range(nf):
+                    e = int(enc[fi])
+                    rows.append((doc_id, fi, 7 - e % 8, e // 8))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "fi", "peak_bin", "peak_power"]
+            )
+
+    return binary_df.select("doc_id", "payload").mapInPandas(run, PEAK_SCHEMA)
+
+
+def audio_landmarks(peaks: DataFrame) -> DataFrame:
+    """(doc_id, fi, l): constellation landmarks from a per-frame peak
+    stream — each anchor frame hashed with the NEXT TWO peaks plus the
+    bit-length of its own peak power: l = ((p0*8 + p1)*8 + p2)*64 +
+    min(bitlen(power0), 63). The triple-peak trajectory is the classic
+    landmark construction (pairs of spectral peaks + their time gap);
+    the bit-length term is a coarse loudness octave that widens the hash
+    space without any float. One per-doc window (LEAD x2) — zero
+    shuffle beyond the doc partition."""
+    w = Window.partitionBy("doc_id").orderBy("fi")
+    lm = peaks.select(
+        "doc_id",
+        "fi",
+        F.col("peak_bin").alias("p0"),
+        F.lead("peak_bin", 1).over(w).alias("p1"),
+        F.lead("peak_bin", 2).over(w).alias("p2"),
+        F.least(F.length(F.expr("bin(peak_power)")), F.lit(63)).alias("oct"),
+    )
+    return lm.filter(F.col("p2").isNotNull()).select(
+        "doc_id",
+        "fi",
+        (
+            ((F.col("p0") * 8 + F.col("p1")) * 8 + F.col("p2")) * 64
+            + F.col("oct")
+        ).cast("long").alias("l"),
+    )
+
+
+def audio_fingerprint_match(
+    corpus_landmarks: DataFrame,
+    probe_landmarks: DataFrame,
+    top_k: int = 3,
+    max_docs_per_landmark: int = 64,
+) -> DataFrame:
+    """(probe_doc, matched_doc, offset, votes, rank): Shazam-style
+    constellation matching — probes join the corpus landmark INDEX on
+    the landmark hash, votes accumulate per (probe, candidate, time
+    offset), and a genuine match shows as a vote spike at ONE offset
+    (random collisions smear across offsets). The landmark-frequency cap
+    drops stop-landmarks appearing in more than ``max_docs_per_landmark``
+    distinct docs — the same bounded-bucket discipline as every LSH join
+    here: a degenerate common landmark cannot explode the candidate
+    join, and dropped mass only costs votes a true match has in excess.
+
+    Shuffles: the cap count (one groupBy on l), the hash join on l, the
+    vote groupBy, the per-probe top-k window — all keyed; nothing
+    all-pairs.
+    """
+    freq = corpus_landmarks.groupBy("l").agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    idx = corpus_landmarks.join(
+        freq.filter(F.col("nd") <= max_docs_per_landmark).select("l"), "l"
+    )
+    votes = (
+        probe_landmarks.select(
+            F.col("doc_id").alias("probe_doc"),
+            F.col("fi").alias("pfi"),
+            "l",
+        )
+        .join(
+            idx.select(
+                F.col("doc_id").alias("matched_doc"),
+                F.col("fi").alias("cfi"),
+                "l",
+            ),
+            "l",
+        )
+        .groupBy(
+            "probe_doc",
+            "matched_doc",
+            (F.col("cfi") - F.col("pfi")).alias("offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = Window.partitionBy("probe_doc").orderBy(
+        F.desc("votes"), F.asc("matched_doc"), F.asc("offset")
+    )
+    return (
+        votes.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top_k)
+        .select("probe_doc", "matched_doc", "offset", "votes", "rank")
+    )

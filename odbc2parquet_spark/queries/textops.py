@@ -3858,3 +3858,115 @@ def tx_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n") * 1.0 / F.sum("n").over(Window.partitionBy("lang")), 6
         ).alias("row_frac"),
     )
+
+
+_FP_LM_CTE = f"""
+    p AS (
+        SELECT doc_id, text, length(text) AS n,
+               (length(text) % 2 + 1) AS channels,
+               (length(text) % 500 + 1) AS frames
+        FROM documents
+    ),
+    tw(k, wn, c, sn) AS (
+        VALUES {_TONE_VALUES}
+    ),
+    v AS (
+        SELECT doc_id, t.j AS j,
+               CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS v,
+               (frames * channels) // 64 AS nf
+        FROM (
+            SELECT doc_id, frames, channels, t.j,
+                   ascii(substring(text, ((2 * t.j) % n) + 1, 1))
+                   + 256 * ascii(substring(text, ((2 * t.j + 1) % n) + 1, 1))
+                       AS u
+            FROM p, UNNEST(generate_series(0, frames * channels - 1)) AS t(j)
+        ) t
+    ),
+    pre AS (
+        SELECT x.doc_id, tw.k, x.j // 64 AS fi,
+               SUM(x.v * tw.c) AS re, SUM(x.v * tw.sn) AS im
+        FROM v x JOIN tw ON tw.wn = x.j % 64
+        WHERE x.j < 64 * x.nf
+        GROUP BY x.doc_id, tw.k, x.j // 64
+    ),
+    pw AS (
+        SELECT doc_id, fi, k,
+               CAST(FLOOR(CAST(re AS DOUBLE) / 32768.0) AS BIGINT)
+               * CAST(FLOOR(CAST(re AS DOUBLE) / 32768.0) AS BIGINT)
+               + CAST(FLOOR(CAST(im AS DOUBLE) / 32768.0) AS BIGINT)
+               * CAST(FLOOR(CAST(im AS DOUBLE) / 32768.0) AS BIGINT) AS power
+        FROM pre
+    ),
+    peaks AS (
+        SELECT doc_id, fi,
+               CAST(7 - MAX(power * 8 + (7 - k)) % 8 AS BIGINT) AS pk,
+               MAX(power * 8 + (7 - k)) // 8 AS ppow
+        FROM pw GROUP BY doc_id, fi
+    ),
+    lm0 AS (
+        SELECT doc_id, fi, pk,
+               LEAD(pk, 1) OVER (PARTITION BY doc_id ORDER BY fi) AS p1,
+               LEAD(pk, 2) OVER (PARTITION BY doc_id ORDER BY fi) AS p2,
+               LEAST(LENGTH(bin(ppow)), 63) AS oct
+        FROM peaks
+    ),
+    lm AS (
+        SELECT doc_id, fi,
+               CAST(((pk * 8 + p1) * 8 + p2) * 64 + oct AS BIGINT) AS l
+        FROM lm0 WHERE p2 IS NOT NULL
+    )"""
+
+
+@query(
+    "mm_audio_fingerprint",
+    oracle=f"""
+    WITH {_FP_LM_CTE},
+    freq AS (
+        SELECT l FROM (
+            SELECT l, COUNT(DISTINCT doc_id) AS nd FROM lm GROUP BY l
+        ) WHERE nd <= 64
+    ),
+    idx AS (SELECT lm.doc_id, lm.fi, lm.l FROM lm JOIN freq USING (l)),
+    probe AS (
+        SELECT doc_id AS probe_doc, fi - 1 AS pfi, l
+        FROM lm WHERE doc_id % 10 = 3 AND fi >= 1
+    ),
+    votes AS (
+        SELECT p.probe_doc, c.doc_id AS matched_doc,
+               c.fi - p.pfi AS "offset",
+               CAST(COUNT(*) AS BIGINT) AS votes
+        FROM probe p JOIN idx c ON c.l = p.l
+        GROUP BY 1, 2, 3
+    )
+    SELECT probe_doc, matched_doc, "offset", votes, rank FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (
+                   PARTITION BY probe_doc
+                   ORDER BY votes DESC, matched_doc ASC, "offset" ASC
+               ) AS BIGINT) AS rank
+        FROM votes
+    ) WHERE rank <= 3
+    """,
+)
+def mm_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shazam-style constellation fingerprint matching over REAL decoded
+    PCM (operators/multimodal: audio_frame_peaks_q15 -> audio_landmarks
+    -> audio_fingerprint_match) — the snippet-to-catalog audio
+    identification / dedup shape: per-frame dominant spectral peaks
+    (the exact Q15 fixed-point DFT, shared twiddle literals) become
+    triple-peak landmarks with a bit-length loudness octave; probe
+    streams — each probe is a corpus clip with its FIRST FRAME CUT, the
+    snippet case — join the landmark index and VOTE per (candidate, time
+    offset). Every probe's top match is itself at offset exactly 1 with
+    a vote spike no collision can smear, which the hash certifies
+    end-to-end. Stop-landmarks (>64 docs) are dropped — the bounded-
+    bucket discipline every LSH join here follows — so a degenerate
+    common landmark cannot explode the candidate join at corpus scale.
+    All arithmetic is exact int64 on both engines: DFT, packed argmax,
+    landmark hash, votes."""
+    docs = load_table(spark, sf_dir, "documents")
+    peaks = M.audio_frame_peaks_q15(M.encode_wav(docs))
+    lms = M.audio_landmarks(peaks)
+    probe = lms.filter(
+        (F.col("doc_id") % 10 == 3) & (F.col("fi") >= 1)
+    ).select("doc_id", (F.col("fi") - 1).alias("fi"), "l")
+    return M.audio_fingerprint_match(lms, probe, top_k=3)
