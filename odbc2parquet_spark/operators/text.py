@@ -1431,3 +1431,116 @@ def kneser_ney_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
             "avg_logprob_kn"
         ),
     )
+
+
+def bleu2_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id_a, id_b, len_ref, len_hyp, p1_6, p2_6, bleu2_6): BLEU-2 between
+    candidate near-duplicate pairs — the MT-style overlap score that
+    answers what Jaccard cannot: Jaccard sees shingle SETS, BLEU's
+    clipped n-gram precisions see repetition and length (a doc that
+    copies one paragraph five times scores high Jaccard but its clipped
+    counts cap at the reference's). The lower id is the reference, the
+    higher the hypothesis; bleu2 = BP * sqrt(p1 * p2) with the standard
+    brevity penalty min(1, e^(1 - r/c)).
+
+    Determinism: clipped counts sum(min(c_hyp, c_ref)) and lengths are
+    exact int64; every float step after is scalar per pair (two exact
+    IEEE divisions, one multiply, sqrt — correctly rounded by IEEE —
+    and EXP only inside the ROUND(...,6) guard the repo's LN usage
+    already accepts). No order-sensitive float reduction anywhere.
+
+    Scale shape: n-gram counts collapse per (doc, n, gram) map-side;
+    the scoring join fans each CANDIDATE pair (LSH-bounded upstream,
+    never all-pairs) out by its shared grams only — two keyed joins, one
+    groupBy, all narrow rows.
+    """
+    ws = docs.select(
+        F.col(id_col).alias("id"),
+        F.filter(F.split(F.col(text_col), " "), lambda x: x != "").alias("ws"),
+    )
+    uni = ws.select(
+        "id", F.lit(1).alias("n"), F.explode("ws").alias("g")
+    )
+    bi = ws.filter(F.size("ws") >= 2).select(
+        "id",
+        F.lit(2).alias("n"),
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ws) - 1), "
+                "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"
+            )
+        ).alias("g"),
+    )
+    cnts = uni.unionAll(bi).groupBy("id", "n", "g").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    lens = cnts.groupBy("id", "n").agg(F.sum("c").alias("len"))
+    cd = pairs.select("id_a", "id_b")
+    ov = (
+        cd.join(
+            cnts.select(
+                F.col("id").alias("id_a"), "n", "g", F.col("c").alias("ca")
+            ),
+            "id_a",
+        )
+        .join(
+            cnts.select(
+                F.col("id").alias("id_b"), "n", "g", F.col("c").alias("cb")
+            ),
+            ["id_b", "n", "g"],
+        )
+        .groupBy("id_a", "id_b", "n")
+        .agg(F.sum(F.least("ca", "cb")).alias("num"))
+    )
+
+    def lenf(side: str, n: int, out: str) -> DataFrame:
+        return lens.filter(F.col("n") == n).select(
+            F.col("id").alias(side), F.col("len").alias(out)
+        )
+
+    def ovf(n: int, out: str) -> DataFrame:
+        return ov.filter(F.col("n") == n).select(
+            "id_a", "id_b", F.col("num").alias(out)
+        )
+
+    base = (
+        cd.join(lenf("id_a", 1, "len_ref"), "id_a")
+        .join(lenf("id_b", 1, "len_hyp"), "id_b")
+        .join(lenf("id_b", 2, "len2_hyp"), "id_b", "left")
+        .join(ovf(1, "num1"), ["id_a", "id_b"], "left")
+        .join(ovf(2, "num2"), ["id_a", "id_b"], "left")
+        .select(
+            "id_a",
+            "id_b",
+            "len_ref",
+            "len_hyp",
+            F.coalesce("num1", F.lit(0)).alias("num1"),
+            F.coalesce("num2", F.lit(0)).alias("num2"),
+            F.coalesce("len2_hyp", F.lit(0)).alias("len2_hyp"),
+        )
+    )
+    p1 = F.col("num1") / F.col("len_hyp")
+    p2 = F.when(F.col("len2_hyp") == 0, F.lit(0.0)).otherwise(
+        F.col("num2") / F.col("len2_hyp")
+    )
+    bp = F.when(F.col("len_hyp") >= F.col("len_ref"), F.lit(1.0)).otherwise(
+        F.exp(F.lit(1.0) - F.col("len_ref").cast("double") / F.col("len_hyp"))
+    )
+    bleu = F.when(
+        (F.col("num1") == 0) | (F.col("num2") == 0) | (F.col("len2_hyp") == 0),
+        F.lit(0.0),
+    ).otherwise(bp * F.sqrt(p1 * p2))
+    return base.select(
+        "id_a",
+        "id_b",
+        "len_ref",
+        "len_hyp",
+        F.round(p1, 6).alias("p1_6"),
+        F.round(p2, 6).alias("p2_6"),
+        F.round(bleu, 6).alias("bleu2_6"),
+    )

@@ -1418,3 +1418,100 @@ def dd_band_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_found") * 1.0 / F.greatest(F.col("n_true"), F.lit(1)), 4
         ).alias("recall4"),
     )
+
+
+_CAND_CTE = (
+    _SHINGLES_CTE.format(where="")
+    + f""",
+    sig AS (
+        SELECT id, {', '.join(_minhash_min(j) for j in range(8))}
+        FROM sh GROUP BY id
+    ),
+    bands AS (
+        SELECT id, 0 AS band, mh0 || '_' || mh1 AS key FROM sig
+        UNION ALL SELECT id, 1, mh2 || '_' || mh3 FROM sig
+        UNION ALL SELECT id, 2, mh4 || '_' || mh5 FROM sig
+        UNION ALL SELECT id, 3, mh6 || '_' || mh7 FROM sig
+    ),
+    bands_capped AS (
+        SELECT id, band, key FROM bands
+        QUALIFY COUNT(*) OVER (PARTITION BY band, key) <= 1000
+    ),
+    cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM bands_capped a
+        JOIN bands_capped b
+            ON a.band = b.band AND a.key = b.key AND a.id < b.id
+    )"""
+)
+
+
+@query(
+    "dd_bleu_pairs",
+    oracle="WITH "
+    + _CAND_CTE
+    + """,
+    w2 AS (
+        SELECT doc_id AS id,
+               list_filter(string_split(text, ' '), x -> x != '') AS ws
+        FROM documents
+    ),
+    grams AS (
+        SELECT id, 1 AS n, u AS g FROM w2, UNNEST(ws) AS t(u)
+        UNION ALL
+        SELECT id, 2, ws[i] || ' ' || ws[i+1]
+        FROM w2, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
+        WHERE len(ws) >= 2
+    ),
+    cnts AS (SELECT id, n, g, COUNT(*) AS c FROM grams GROUP BY 1, 2, 3),
+    lens AS (SELECT id, n, CAST(SUM(c) AS BIGINT) AS len FROM cnts GROUP BY 1, 2),
+    ov AS (
+        SELECT cd.id_a, cd.id_b, ca.n, SUM(LEAST(ca.c, cb.c)) AS num
+        FROM cand cd
+        JOIN cnts ca ON ca.id = cd.id_a
+        JOIN cnts cb ON cb.id = cd.id_b AND cb.n = ca.n AND cb.g = ca.g
+        GROUP BY 1, 2, 3
+    ),
+    base AS (
+        SELECT cd.id_a, cd.id_b,
+               l1a.len AS len_ref, l1b.len AS len_hyp,
+               COALESCE(n1.num, 0) AS num1, COALESCE(n2.num, 0) AS num2,
+               COALESCE(l2b.len, 0) AS len2_hyp
+        FROM cand cd
+        JOIN lens l1a ON l1a.id = cd.id_a AND l1a.n = 1
+        JOIN lens l1b ON l1b.id = cd.id_b AND l1b.n = 1
+        LEFT JOIN lens l2b ON l2b.id = cd.id_b AND l2b.n = 2
+        LEFT JOIN ov n1 ON n1.id_a = cd.id_a AND n1.id_b = cd.id_b AND n1.n = 1
+        LEFT JOIN ov n2 ON n2.id_a = cd.id_a AND n2.id_b = cd.id_b AND n2.n = 2
+    )
+    SELECT id_a, id_b, len_ref, len_hyp,
+           ROUND(CAST(num1 AS DOUBLE) / len_hyp, 6) AS p1_6,
+           ROUND(CASE WHEN len2_hyp = 0 THEN 0.0
+                      ELSE CAST(num2 AS DOUBLE) / len2_hyp END, 6) AS p2_6,
+           ROUND(CASE WHEN num1 = 0 OR num2 = 0 OR len2_hyp = 0 THEN 0.0
+                      ELSE (CASE WHEN len_hyp >= len_ref THEN 1.0
+                                 ELSE EXP(1.0 - CAST(len_ref AS DOUBLE)
+                                                / len_hyp) END)
+                           * SQRT((CAST(num1 AS DOUBLE) / len_hyp)
+                                  * (CAST(num2 AS DOUBLE) / len2_hyp)) END,
+                 6) AS bleu2_6
+    FROM base
+    """,
+)
+def dd_bleu_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLEU-2 scoring of LSH near-dup candidate pairs (operators/text.
+    bleu2_pairs over operators/dedup.lsh_candidate_pairs): the MT-metric
+    complement to Jaccard verification — clipped n-gram precisions see
+    REPETITION (a doc that copies one paragraph five times caps at the
+    reference's counts) and the brevity penalty sees length, so a
+    "high-Jaccard but structurally different" pair is separable. Clipped
+    counts and lengths are exact int64; the per-pair scalar float chain
+    (two exact divisions, sqrt, the EXP the repo's LN convention covers)
+    is rounded to 6. Candidates come from the same capped 4x2 MinHash
+    banding as dd_minhash_lsh — bounded, never all-pairs."""
+    from odbc2parquet_spark.operators.text import bleu2_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = D.minhash_signatures(D.word_shingle_stream(docs, 3), num_hashes=8)
+    cand = D.lsh_candidate_pairs(sig, bands=4, rows_per_band=2, max_bucket=1000)
+    return bleu2_pairs(docs, cand)

@@ -1875,3 +1875,60 @@ def q_join_card_est(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rel_err"),
         )
     )
+
+
+@query(
+    "q_dp_histogram",
+    oracle="""
+    WITH c AS (
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_true
+        FROM orders GROUP BY 1
+    )
+    SELECT o_orderpriority, n_true,
+           CAST(bit_count(CAST('0x' || substring(
+                md5('dp-hist-1|' || o_orderpriority), 1, 15) AS BIGINT))
+                - 30 AS BIGINT) AS noise,
+           n_true
+           + CAST(bit_count(CAST('0x' || substring(
+                md5('dp-hist-1|' || o_orderpriority), 1, 15) AS BIGINT))
+                - 30 AS BIGINT) AS n_noisy
+    FROM c
+    """,
+)
+def q_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private histogram release via the BINOMIAL mechanism
+    (Dwork et al.): each cell's true count is perturbed by
+    popcount(60 md5-derived bits) - 30 ~ Binomial(60, 1/2) - 30 (sigma
+    ~3.9) — the discrete noise distribution DP deployments use when
+    floating Laplace samplers are unsafe. Noise here is SEEDED (salt
+    'dp-hist-1') so the release is reproducible and oracle-checkable —
+    the k-anonymity / l-diversity audits (q_k_anonymity, q_l_diversity)
+    say what's risky to release; this is the released artifact's shape.
+    One groupBy with map-side partials; noise is a per-cell scalar
+    expression, exact int64 on both engines (popcount of the same 60
+    bits). A production pipeline swaps the salt for a per-release secret
+    and drops n_true/noise from the output; they are kept here because
+    this IS the verification surface."""
+    orders = load_table(spark, sf_dir, "orders")
+    c = orders.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_true"))
+    noise = (
+        F.bit_count(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("dp-hist-1|"), F.col("o_orderpriority"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+        )
+        - 30
+    ).cast("long")
+    return c.select(
+        "o_orderpriority",
+        "n_true",
+        noise.alias("noise"),
+        (F.col("n_true") + noise).alias("n_noisy"),
+    )
