@@ -1,0 +1,179 @@
+"""Round tests: HITS, label propagation, ACF, Theil-Sen, Markov removal
+effect, audio constellation fingerprint, BLEU-2, DP histogram."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_hits_int_hand_computed(spark):
+    from odbc2parquet_spark.operators.graph import hits_int
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 5)], ["id"])
+    edges = spark.createDataFrame(
+        [(1, 2), (3, 2), (2, 4)], ["src", "dst"]
+    )
+    rows = {r.id: r for r in hits_int(nodes, edges, rounds=2).collect()}
+    # a0=1; h1=(1,1,1,0); a1=(0,2,0,1); h2=(2,1,2,0); a2=(0,4,0,1)
+    assert (rows[1].hub, rows[1].auth) == (2, 0)
+    assert (rows[2].hub, rows[2].auth) == (1, 4)
+    assert (rows[3].hub, rows[3].auth) == (2, 0)
+    assert (rows[4].hub, rows[4].auth) == (0, 1)
+
+
+def test_label_propagation_tiebreak_and_isolated(spark):
+    from odbc2parquet_spark.operators.graph import label_propagation_int
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 5)], ["id"])
+    tri = [(1, 2), (2, 1), (1, 3), (3, 1), (2, 3), (3, 2)]
+    edges = spark.createDataFrame(tri, ["src", "dst"])
+    rows = {
+        r.id: r.label
+        for r in label_propagation_int(nodes, edges, rounds=3).collect()
+    }
+    # round1: (2,1,1) via min tie-break; round2: (1,1,1); stable after
+    assert rows == {1: 1, 2: 1, 3: 1, 4: 4}
+
+
+def test_acf_daily_hand_computed(spark):
+    from odbc2parquet_spark.operators.drift import acf_daily
+
+    rows = []
+    eid = 0
+    for day, c in [(1, 1), (2, 2), (3, 3), (4, 4)]:
+        for _ in range(c):
+            rows.append((eid, f"2024-01-0{day} 10:00:00", "a"))
+            eid += 1
+    ev = spark.createDataFrame(rows, ["event_id", "ts", "event_type"]).select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "event_type"
+    )
+    out = {
+        r.lag: r
+        for r in acf_daily(ev, "ts", "event_type", max_lag=2).collect()
+    }
+    # n=4, T=10: dev=(-6,-2,2,6), den=80, num1=20, num2=-24
+    assert out[1].n_days == 4
+    assert out[1].acf6 == pytest.approx(0.25)
+    assert out[2].acf6 == pytest.approx(-0.3)
+
+
+def test_theil_sen_lower_median(spark):
+    from odbc2parquet_spark.operators.drift import theil_sen_daily
+
+    rows = []
+    eid = 0
+    for day, c in [(1, 1), (2, 2), (3, 4)]:
+        for _ in range(c):
+            rows.append((eid, f"2024-01-0{day} 10:00:00", "a"))
+            eid += 1
+    ev = spark.createDataFrame(rows, ["event_id", "ts", "event_type"]).select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "event_type"
+    )
+    r = theil_sen_daily(ev, "ts", "event_type").collect()[0]
+    # slopes {1, 1.5, 2}: lower median at rank 2 -> 1.5
+    assert r.n_days == 3 and r.n_pairs == 3
+    assert r.slope_med == pytest.approx(1.5)
+
+
+def test_markov_removal_effect_hand_computed(spark):
+    from odbc2parquet_spark.operators.attribution import (
+        journey_transitions,
+        markov_removal_effect,
+    )
+
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", 100, "click"),
+            (2, "2024-01-01 11:00:00", 100, "purchase"),
+            (3, "2024-01-01 10:00:00", 200, "view"),
+        ],
+        ["event_id", "ts", "user_id", "event_type"],
+    ).select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"),
+        "user_id", "event_type",
+    )
+    tr = {
+        (r.src, r.dst): r.cnt for r in journey_transitions(ev).collect()
+    }
+    assert tr == {
+        ("start", "click"): 1,
+        ("click", "conv"): 1,
+        ("start", "view"): 1,
+        ("view", "null"): 1,
+    }
+    out = {r.removed: r for r in markov_removal_effect(ev).collect()}
+    # start splits 1/2 to click (converts) and view (dies)
+    assert out["none"].p_start_micro == 500_000_000_000
+    assert out["click"].p_start_micro == 0
+    assert out["click"].removal_effect6 == pytest.approx(1.0)
+    assert out["view"].p_start_micro == 500_000_000_000
+    assert out["view"].removal_effect6 == pytest.approx(0.0)
+    assert out["signup"].removal_effect6 == pytest.approx(0.0)
+
+
+def test_audio_landmark_hash_hand_computed(spark):
+    from odbc2parquet_spark.operators.multimodal import audio_landmarks
+
+    peaks = spark.createDataFrame(
+        [(1, 0, 1, 1), (1, 1, 2, 3), (1, 2, 3, 0), (1, 3, 5, 7)],
+        ["doc_id", "fi", "peak_bin", "peak_power"],
+    )
+    rows = {r.fi: r.l for r in audio_landmarks(peaks).collect()}
+    # fi0: ((1*8+2)*8+3)*64 + bitlen(1)=1 -> 5313
+    # fi1: ((2*8+3)*8+5)*64 + bitlen(3)=2 -> 10050
+    assert rows == {0: 5313, 1: 10050}
+
+
+def test_audio_fingerprint_probe_self_match(spark, sf_dir):
+    from odbc2parquet_spark.queries import QUERIES
+
+    df = QUERIES["mm_audio_fingerprint"](spark, sf_dir)
+    r1 = df.filter("rank = 1")
+    n = r1.count()
+    good = r1.filter("matched_doc = probe_doc AND offset = 1").count()
+    assert n > 0
+    # most probes identify themselves at the cut offset; the rank-1
+    # mismatches are low-vote collisions on very short clips — a genuine
+    # match concentrates votes at one offset, collisions cannot
+    assert good >= n * 0.7
+    assert r1.filter("matched_doc != probe_doc AND votes > 2").count() == 0
+
+
+def test_bleu2_hand_computed(spark):
+    from odbc2parquet_spark.operators.text import bleu2_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "a b a b")], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+    r = bleu2_pairs(docs, pairs).collect()[0]
+    assert (r.len_ref, r.len_hyp) == (3, 4)
+    assert r.p1_6 == pytest.approx(0.75)
+    assert r.p2_6 == pytest.approx(round(2 / 3, 6))
+    assert r.bleu2_6 == pytest.approx(round(math.sqrt(0.5), 6))
+
+
+def test_bleu2_brevity_penalty_and_zero_overlap(spark):
+    from odbc2parquet_spark.operators.text import bleu2_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b"), (3, "x y")], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], ["id_a", "id_b"])
+    rows = {r.id_b: r for r in bleu2_pairs(docs, pairs).collect()}
+    # hyp "a b" vs ref "a b c d": p1=1, p2=1, bp=e^(1-2)=e^-1
+    assert rows[2].bleu2_6 == pytest.approx(round(math.exp(-1.0), 6))
+    # zero n-gram overlap -> 0 (no log-domain blowup)
+    assert rows[3].bleu2_6 == 0.0
+
+
+def test_dp_histogram_noise_bounds_and_reproducibility(spark, sf_dir):
+    from odbc2parquet_spark.queries import QUERIES
+
+    a = QUERIES["q_dp_histogram"](spark, sf_dir).collect()
+    b = QUERIES["q_dp_histogram"](spark, sf_dir).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    for r in a:
+        assert -30 <= r.noise <= 30
+        assert r.n_noisy == r.n_true + r.noise
