@@ -254,6 +254,14 @@ HEADLINE = [
     "tx_nb_confusion",
     "dd_band_curve",
     "ev_stickiness",
+    "sim_hits",
+    "sim_lpa_communities",
+    "ev_acf",
+    "ev_theilsen",
+    "ev_removal_effect",
+    "mm_audio_fingerprint",
+    "dd_bleu_pairs",
+    "q_dp_histogram",
 ]
 
 

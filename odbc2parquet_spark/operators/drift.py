@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from odbc2parquet_spark.operators.bucketing import release_local_checkpoint
+
 #: rounded per-term contributions are summed exactly in this decimal type
 _DEC = "decimal(24,6)"
 
@@ -1049,3 +1051,85 @@ def theil_sen_daily(
     )
     n_days = daily.groupBy("g").agg(F.count("*").alias("n_days"))
     return n_days.join(picked, "g").select("g", "n_days", "n_pairs", "slope_med")
+
+
+def pca_top_component(
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    iterations: int = 8,
+) -> DataFrame:
+    """(i, pc1_milli, lambda6): leading principal component of an
+    embedding column by POWER ITERATION on the exact-integer covariance
+    matrix — the embedding-QA decomposition (how much variance one
+    direction explains; whitening and drift diagnostics start here).
+
+    The covariance entries quantize to ×10⁶ int64 (the already-certified
+    :func:`covariance_matrix` contract); the iterate v lives in ×10³
+    milli-units. Each round is one exact-int64 matvec r = A₆·v (|r| ≤
+    d·10⁶·10³ < 2⁵³) followed by renormalization v' = FLOOR(r·10³ / max|r|)
+    — the division happens on exact doubles below 2⁵³, so both engines
+    floor the SAME IEEE quotient: not a rational floor, but a bit-
+    identical spec. Rayleigh quotient λ = (v·r)/(v·v)/10⁶ from the last
+    round's exact integers, rounded to 6 — the explained variance along
+    pc1. Covariance is PSD so the iterate cannot oscillate in sign;
+    components are reported in the deterministic all-ones-seeded frame.
+
+    Scale shape: the corpus collapses to the d²-row covariance via the
+    Arrow partial-Gram pass (statistic-sized shuffle); every round after
+    runs on d-row frames with a 1-row max broadcast — fixed rounds, no
+    data-dependent driver logic.
+    """
+    cov = covariance_matrix(vectors, vec_col, dim=dim, decimals=6)
+    c6 = F.expr("CAST(CAST(cov AS DECIMAL(18,6)) * 1000000 AS BIGINT)")
+    upper = cov.select("i", "j", c6.alias("c6"))
+    afull = upper.unionAll(
+        upper.filter(F.col("i") != F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "c6"
+        )
+    ).localCheckpoint(eager=True)
+    v = afull.select(F.col("i")).distinct().select(
+        "i", F.lit(1000).cast("long").alias("v")
+    )
+    r = None
+    prev_v = None  # v_{k-1}: the Rayleigh step reads it, so its blocks
+    # are released one generation LATE (never the final one)
+    for _ in range(iterations):
+        new_r = (
+            afull.join(
+                v.select(F.col("i").alias("j"), F.col("v").alias("vj")), "j"
+            )
+            .groupBy("i")
+            .agg(F.sum(F.col("c6") * F.col("vj")).alias("r"))
+            .localCheckpoint(eager=True)
+        )
+        if r is not None:
+            release_local_checkpoint(r)
+        r = new_r
+        m = r.agg(F.max(F.abs(F.col("r"))).alias("m"))
+        new_v = (
+            r.crossJoin(F.broadcast(m))
+            .select(
+                "i",
+                F.floor(F.col("r") * 1000.0 / F.col("m")).cast("long").alias("v"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if prev_v is not None:
+            release_local_checkpoint(prev_v)
+        prev_v, v = v, new_v
+    ray = (
+        prev_v.join(r.select(F.col("i"), F.col("r")), "i")
+        .agg(
+            F.sum(F.col("v") * F.col("r")).alias("num"),
+            F.sum(F.col("v") * F.col("v")).alias("den"),
+        )
+        .select(
+            F.round(
+                F.col("num") / F.col("den") / F.lit(1000000.0), 6
+            ).alias("lambda6")
+        )
+    )
+    return v.crossJoin(F.broadcast(ray)).select(
+        F.col("i"), F.col("v").alias("pc1_milli"), "lambda6"
+    )

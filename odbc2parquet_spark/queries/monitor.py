@@ -815,3 +815,95 @@ def ev_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return theil_sen_daily(ev, "ts", "event_type").withColumnRenamed(
         "g", "event_type"
     )
+
+
+_COV_CTE = """
+    cx AS (
+        SELECT vec_id, i - 1 AS dim,
+               CAST(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,6))
+                    * 1000000 AS BIGINT) AS x6
+        FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+    ),
+    sums AS (
+        SELECT dim, SUM(x6) AS sx FROM cx GROUP BY 1
+    ),
+    prs AS (
+        SELECT a.dim AS i, b.dim AS j,
+               SUM(a.x6 * b.x6) AS sxy,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM cx a JOIN cx b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+        GROUP BY 1, 2
+    ),
+    covq AS (
+        SELECT CAST(p.i AS BIGINT) AS i, CAST(p.j AS BIGINT) AS j,
+               ROUND((CAST(p.sxy AS DOUBLE)
+                      - CAST(si.sx AS DOUBLE) * CAST(sj.sx AS DOUBLE)
+                          / CAST(p.n AS DOUBLE))
+                     / 1000000000000.0
+                     / CAST(p.n - 1 AS DOUBLE),
+                     6) + 0.0 AS cov
+        FROM prs p
+        JOIN sums si ON si.dim = p.i
+        JOIN sums sj ON sj.dim = p.j
+    )"""
+
+
+def _pca_iter_sql(k: int) -> str:
+    # every CTE is MATERIALIZED and references its predecessor ONCE (the
+    # max-normalizer is a window, not a second CTE reference): DuckDB
+    # inlines CTEs per reference, and a doubly-referenced round would
+    # re-expand the whole upstream chain 2^k times
+    prev = f"v{k - 1}"
+    return f"""
+    r{k} AS MATERIALIZED (
+        SELECT a.i, SUM(a.c6 * v.v) AS r
+        FROM af a JOIN {prev} v ON v.i = a.j GROUP BY a.i
+    ),
+    v{k} AS MATERIALIZED (
+        SELECT i, CAST(FLOOR(r * 1000.0 / MAX(ABS(r)) OVER ()) AS BIGINT) AS v
+        FROM r{k}
+    )"""
+
+
+@query(
+    "sim_pca_power",
+    oracle=f"""
+    WITH {_COV_CTE},
+    a6 AS (
+        SELECT i, j,
+               CAST(CAST(cov AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS c6
+        FROM covq
+    ),
+    af AS MATERIALIZED (
+        SELECT i, j, c6 FROM a6
+        UNION ALL
+        SELECT j, i, c6 FROM a6 WHERE i != j
+    ),
+    v0 AS (SELECT DISTINCT i, CAST(1000 AS BIGINT) AS v FROM af),
+    {",".join(_pca_iter_sql(k) for k in range(1, 9)).lstrip(",")},
+    ray AS (
+        SELECT ROUND(CAST(SUM(v.v * r.r) AS DOUBLE)
+                     / CAST(SUM(v.v * v.v) AS DOUBLE) / 1000000.0,
+                     6) AS lambda6
+        FROM v7 v JOIN r8 r ON r.i = v.i
+    )
+    SELECT v8.i, v8.v AS pc1_milli, ray.lambda6
+    FROM v8 CROSS JOIN ray
+    """,
+)
+def sim_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading principal component of the embedding corpus by POWER
+    ITERATION on the exact-integer covariance (operators/drift.
+    pca_top_component) — the embedding-QA decomposition: pc1's direction
+    and its Rayleigh eigenvalue say how anisotropic the space is
+    (whitening decisions, encoder-drift diagnostics, and the "is low ANN
+    recall a routing or a geometry problem?" triage all start here).
+    Covariance entries are the already-certified ×10⁶ int64 quantities
+    (sim_covariance); the iterate renormalizes through FLOOR on exact
+    sub-2⁵³ doubles, so all 8 unrolled oracle rounds land on Spark's
+    integers bit-for-bit. Corpus → d²-row statistic via the Arrow Gram
+    pass; rounds are d-row frames with 1-row max broadcasts."""
+    from odbc2parquet_spark.operators.drift import pca_top_component
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pca_top_component(emb, "embedding", dim=64, iterations=8)

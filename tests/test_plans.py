@@ -145,6 +145,15 @@ BOUNDED_CROSS_OK = {
     # Jaccard GROUND TRUTH (bounded verification side) under 4 bandings
     # of one signature + 1-row truth-count broadcast
     "dd_band_curve",
+    # round 10: Markov removal effect — the 1-row full-chain absorption
+    # probability broadcast crossed onto the 4-row scenario frame; all
+    # chain algebra upstream is keyed joins over the <=25-row transition
+    # table
+    "ev_removal_effect",
+    # round 10: PCA power iteration — 1-row max-normalizer and 1-row
+    # Rayleigh-quotient broadcasts onto d-row iterate frames; the
+    # corpus-sized work is the (equi-keyed) Arrow Gram pass upstream
+    "sim_pca_power",
 }
 ALL_PAIRS_OK |= BOUNDED_CROSS_OK
 

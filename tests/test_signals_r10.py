@@ -177,3 +177,24 @@ def test_dp_histogram_noise_bounds_and_reproducibility(spark, sf_dir):
     for r in a:
         assert -30 <= r.noise <= 30
         assert r.n_noisy == r.n_true + r.noise
+
+
+def test_pca_power_axis_aligned(spark):
+    from odbc2parquet_spark.operators.drift import pca_top_component
+
+    # variance only along dim 0: pc1 = e0, lambda = var = 1.0
+    rows = [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [2.0, 0.0])]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r.i: r for r in pca_top_component(emb, "embedding", dim=2).collect()}
+    assert out[0].pc1_milli == 1000 and out[1].pc1_milli == 0
+    assert out[0].lambda6 == pytest.approx(1.0)
+
+
+def test_pca_power_unit_scale_and_registry(spark, sf_dir):
+    from odbc2parquet_spark.queries import QUERIES
+
+    rows = QUERIES["sim_pca_power"](spark, sf_dir).collect()
+    assert len(rows) == 64
+    assert max(abs(r.pc1_milli) for r in rows) == 1000
+    lam = {r.lambda6 for r in rows}
+    assert len(lam) == 1 and lam.pop() > 0
