@@ -658,3 +658,37 @@ def label_propagation_int(
         return labels
     finally:
         sym.unpersist()
+
+
+def clustering_coefficient(edges: DataFrame) -> DataFrame:
+    """(id, degree, n_triangles, coeff6): local clustering coefficient
+    over an undirected edge list (id_a < id_b canonical) — closed wedges
+    / possible wedges per node, the density score that separates a
+    genuine near-dup COMMUNITY (neighbors know each other, coeff -> 1)
+    from a hub-and-spoke LSH false-positive bucket (star around one doc,
+    coeff -> 0). Nodes of degree >= 2 are reported; triangle credits
+    come from :func:`triangle_count` (two equi-joins, sum(deg^2) wedge
+    budget), degrees from one symmetric count — the coefficient itself
+    is a scalar per node, ROUND(2t / d(d-1), 6)."""
+    deg = (
+        edges.select(F.col("id_a").alias("id"))
+        .unionAll(edges.select(F.col("id_b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .filter(F.col("degree") >= 2)
+    )
+    tri = triangle_count(edges)
+    return (
+        deg.join(tri, "id", "left")
+        .select(
+            "id",
+            "degree",
+            F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+            F.round(
+                2.0
+                * F.coalesce("n_triangles", F.lit(0))
+                / (F.col("degree") * (F.col("degree") - 1)),
+                6,
+            ).alias("coeff6"),
+        )
+    )

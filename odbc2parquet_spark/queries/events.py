@@ -2479,3 +2479,89 @@ def ev_removal_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return markov_removal_effect(ev, iterations=8)
+
+
+@query(
+    "ev_cohort_ltv",
+    oracle="""
+    WITH f AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 FROM events GROUP BY 1
+    ),
+    c AS (
+        SELECT user_id, CAST(DATE_TRUNC('week', d0) AS DATE) AS cw FROM f
+    ),
+    r AS (
+        SELECT user_id, CAST(ts AS DATE) AS d,
+               CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(18,6)))
+                    * 1000000 AS BIGINT) AS x6
+        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    ),
+    a AS (
+        SELECT c.cw, CAST(DATEDIFF('day', c.cw, r.d) // 7 AS BIGINT) AS age,
+               CAST(SUM(r.x6) AS BIGINT) AS rev6
+        FROM r JOIN c USING (user_id) GROUP BY 1, 2
+    ),
+    n AS (SELECT cw, CAST(COUNT(*) AS BIGINT) AS n_users FROM c GROUP BY 1),
+    cum AS (
+        SELECT a.cw, a.age, n.n_users,
+               CAST(SUM(a.rev6) OVER (PARTITION BY a.cw ORDER BY a.age)
+                    AS BIGINT) AS cum_rev6
+        FROM a JOIN n ON n.cw = a.cw
+    )
+    SELECT cw AS cohort_week, age AS age_week, n_users, cum_rev6,
+           ROUND(CAST(cum_rev6 AS DOUBLE) / 1000000.0 / n_users, 6) AS ltv6
+    FROM cum
+    """,
+)
+def ev_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV triangle — the growth-analytics staple: users cohorted
+    by the week of their FIRST event, purchase revenue accumulated per
+    cohort x age-week, reported as cumulative lifetime value per user.
+    Revenue totals are 6-decimal DECIMAL sums scaled to x10^6 int64 (the
+    ev_cusum convention) so the cumulative window and the per-user
+    division stay order-independent; the corpus collapses to (cohort,
+    age) rows map-side — the triangle is calendar^2-bounded regardless
+    of event volume. Two user-keyed aggregations (first-event, daily
+    revenue) + one calendar-sized window."""
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("d0"))
+    cohort = first.select(
+        "user_id", F.date_trunc("week", F.col("d0")).cast("date").alias("cw")
+    )
+    rev = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.to_date("ts").alias("d"))
+        .agg(
+            (
+                F.sum(F.round(F.col("value"), 6).cast("decimal(18,6)"))
+                * 1000000
+            )
+            .cast("long")
+            .alias("x6")
+        )
+    )
+    aged = (
+        rev.join(cohort, "user_id")
+        .groupBy(
+            "cw",
+            F.expr("datediff(d, cw) div 7").cast("long").alias("age"),
+        )
+        .agg(F.sum("x6").cast("long").alias("rev6"))
+    )
+    n = cohort.groupBy("cw").agg(F.count(F.lit(1)).alias("n_users"))
+    w = Window.partitionBy("cw").orderBy("age")
+    return (
+        aged.join(n, "cw")
+        .select(
+            F.col("cw").alias("cohort_week"),
+            F.col("age").alias("age_week"),
+            "n_users",
+            F.sum("rev6").over(w).cast("long").alias("cum_rev6"),
+        )
+        .withColumn(
+            "ltv6",
+            F.round(
+                F.col("cum_rev6") / F.lit(1000000.0) / F.col("n_users"), 6
+            ),
+        )
+    )

@@ -2438,3 +2438,58 @@ def sim_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nodes = emb.select(F.col("vec_id").alias("id"))
     return label_propagation_int(nodes, sym, rounds=3)
+
+
+@query(
+    "sim_clustering_coeff",
+    oracle=f"""
+    WITH sig AS (
+        SELECT vec_id, CAST({{sig}} AS BIGINT) AS sig FROM embeddings
+    ),
+    b AS (
+        SELECT vec_id, sig & 255 AS bucket FROM sig
+        QUALIFY COUNT(*) OVER (PARTITION BY sig & 255) <= 100000
+    ),
+    edges AS MATERIALIZED (
+        SELECT x.vec_id AS id_a, y.vec_id AS id_b
+        FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+    ),
+    deg AS (
+        SELECT id, CAST(COUNT(*) AS BIGINT) AS degree
+        FROM (SELECT id_a AS id FROM edges
+              UNION ALL SELECT id_b FROM edges)
+        GROUP BY id HAVING COUNT(*) >= 2
+    ),
+    tri AS (
+        SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+        FROM edges e1
+        JOIN edges e2 ON e1.id_b = e2.id_a
+        JOIN edges e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+    ),
+    tcnt AS (
+        SELECT id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM (SELECT unnest([a, b, c]) AS id FROM tri)
+        GROUP BY id
+    )
+    SELECT d.id, d.degree,
+           CAST(COALESCE(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+           ROUND(2.0 * COALESCE(t.n_triangles, 0)
+                 / (d.degree * (d.degree - 1)), 6) AS coeff6
+    FROM deg d LEFT JOIN tcnt t ON t.id = d.id
+    """.replace("{sig}", _sig_sql()),
+)
+def sim_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient over the LSH bucket graph (operators/
+    graph.clustering_coefficient): the wedge-closure density that
+    separates genuine near-dup COMMUNITIES (neighbors know each other,
+    coeff -> 1) from hub-and-spoke false-positive buckets (coeff -> 0) —
+    the QA readout on top of sim_triangle_count's raw counts, and the
+    per-node complement to sim_lpa_communities' labels. Same canonical
+    a<b<c triangle join (two equi-joins, sum(deg^2) wedge budget) plus
+    one symmetric degree count; the coefficient is a per-node scalar."""
+    from odbc2parquet_spark.operators.graph import clustering_coefficient
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sig = S.lsh_signatures(emb, _N_PLANES, _DIM)
+    pairs = S.lsh_bucket_pairs(sig, prefix_bits=8).select("id_a", "id_b")
+    return clustering_coefficient(pairs)

@@ -3970,3 +3970,89 @@ def mm_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 10 == 3) & (F.col("fi") >= 1)
     ).select("doc_id", (F.col("fi") - 1).alias("fi"), "l")
     return M.audio_fingerprint_match(lms, probe, top_k=3)
+
+
+@query(
+    "mm_video_align",
+    oracle="""
+    WITH p AS (
+        SELECT doc_id, text, length(text) AS n,
+               length(text) % 24 + 1 AS ns
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, text, n, t.i AS i, (t.i % 7) + 1 AS size_i,
+               28 * (t.i // 7) + ((t.i % 7) * ((t.i % 7) + 1)) // 2 AS p0
+        FROM p, UNNEST(generate_series(0, ns - 1)) AS t(i)
+    ),
+    b AS (
+        SELECT doc_id, i, size_i, p0 + u.j AS off,
+               ascii(substring(text, ((p0 + u.j) % n) + 1, 1)) AS byte
+        FROM s, UNNEST(generate_series(0, size_i - 1)) AS u(j)
+    ),
+    d AS (
+        SELECT doc_id, i,
+               md5(string_agg(CAST(byte AS VARCHAR), ',' ORDER BY off)) AS g
+        FROM b GROUP BY doc_id, i
+    ),
+    lm AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS fi,
+               CAST('0x' || substring(md5(g), 1, 15) AS BIGINT) AS l
+        FROM d
+    ),
+    freq AS (
+        SELECT l FROM (
+            SELECT l, COUNT(DISTINCT doc_id) AS nd FROM lm GROUP BY l
+        ) WHERE nd <= 64
+    ),
+    idx AS (SELECT lm.doc_id, lm.fi, lm.l FROM lm JOIN freq USING (l)),
+    probe AS (
+        SELECT doc_id AS probe_doc, fi - 1 AS pfi, l
+        FROM lm WHERE doc_id % 10 = 7 AND fi >= 1
+    ),
+    votes AS (
+        SELECT p.probe_doc, c.doc_id AS matched_doc,
+               c.fi - p.pfi AS "offset",
+               CAST(COUNT(*) AS BIGINT) AS votes
+        FROM probe p JOIN idx c ON c.l = p.l
+        GROUP BY 1, 2, 3
+    )
+    SELECT probe_doc, matched_doc, "offset", votes, rank FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (
+                   PARTITION BY probe_doc
+                   ORDER BY votes DESC, matched_doc ASC, "offset" ASC
+               ) AS BIGINT) AS rank
+        FROM votes
+    ) WHERE rank <= 3
+    """,
+)
+def mm_video_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal ALIGNMENT of video pairs by frame-digest offset voting —
+    the video twin of mm_audio_fingerprint, over the real ISO-BMFF
+    demux: every sample's digest (operators/multimodal.video_frame_index,
+    stsz/stco-located bytes) becomes a position-stamped landmark, probe
+    clips (each a corpus video with its FIRST SAMPLE CUT — the re-edited
+    /trimmed-upload case) join the landmark index and vote per
+    (candidate, sample offset). A real match is a vote SPIKE at one
+    offset (the probes recover offset exactly 1); random digest
+    collisions cannot concentrate. Reuses the generic constellation
+    matcher (audio_fingerprint_match — the landmark stream is the
+    interface, the modality is not), including the >64-doc stop-landmark
+    cap that bounds the join under degenerate shared content. Digests
+    are the only thing leaving the demux pass — longs, never video
+    bytes."""
+    docs = load_table(spark, sf_dir, "documents")
+    idx = M.video_frame_index(M.encode_mp4_samples(docs), every_k=1).filter(
+        F.col("sample_idx").isNotNull()
+    )
+    lm = idx.select(
+        "doc_id",
+        F.col("sample_idx").cast("long").alias("fi"),
+        F.conv(F.substring(F.md5(F.col("digest")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("l"),
+    )
+    probe = lm.filter(
+        (F.col("doc_id") % 10 == 7) & (F.col("fi") >= 1)
+    ).select("doc_id", (F.col("fi") - 1).alias("fi"), "l")
+    return M.audio_fingerprint_match(lm, probe, top_k=3)
