@@ -1686,3 +1686,97 @@ def audio_fingerprint_match(
         .filter(F.col("rank") <= top_k)
         .select("probe_doc", "matched_doc", "offset", "votes", "rank")
     )
+
+
+def _dct8_table() -> list[tuple[int, int, int]]:
+    """(u, x, q15) DCT-II basis literals: round(cos(pi*(2x+1)*u/16) *
+    32768) — shared verbatim between the numpy kernel and the SQL
+    oracle, the same fixed-point-literal convention as _tone_table."""
+    import math
+
+    return [
+        (u, x, round(math.cos(math.pi * (2 * x + 1) * u / 16) * 32768))
+        for u in range(8)
+        for x in range(8)
+    ]
+
+
+PHASH_SCHEMA = "doc_id long, phash long, n_above int"
+
+
+def phash_dct_bmp(binary_df: DataFrame) -> DataFrame:
+    """(doc_id, phash, n_above): DCT perceptual hash (pHash) on TRUE BMP
+    pixels, exact int64 end to end — the re-encode/resize-robust image
+    fingerprint one notch stronger than dHash (dhash_bmp compares
+    neighbor luma; pHash thresholds the image's own low-frequency
+    SPECTRUM, so global gradients and local noise wash out).
+
+    Pipeline per image, all integer: decode the padded 24-bit grid
+    (top-down like dhash_bmp), per-pixel gray = (B+G+R)//3, block-average
+    onto an 8x8 grid (cell = sum // count; images narrower/shorter than
+    8 leave empty cells at 0), then the 2D DCT-II as TWO exact integer
+    matmuls with the Q15 basis literals of :func:`_dct8_table` — NO
+    intermediate shift: |T·P·Tᵀ| <= 8·32768·8·32768·255 ~ 1.8e13, far
+    inside int64, so the coefficients are exact scaled integers both
+    engines reproduce. The hash sets bit u*8+v-1 when AC coefficient
+    (u,v) exceeds the lower median of all 63 AC coefficients (DC
+    excluded, the classic construction) — 63 bits, below the sign bit.
+
+    Arrow-batched mapInPandas; one long per image leaves the pass, so
+    downstream banding joins shuffle 8 bytes per image at any
+    resolution. Corrupt payloads quarantine as NULL.
+    """
+    import numpy as np
+
+    tbl = _dct8_table()
+    T = np.zeros((8, 8), np.int64)
+    for u, x, q in tbl:
+        T[u, x] = q
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                p = bytes(payload)
+                try:
+                    if len(p) < 54 or p[:2] != b"BM":
+                        raise ValueError("not a BMP")
+                    off = int.from_bytes(p[10:14], "little")
+                    w = int.from_bytes(p[18:22], "little", signed=True)
+                    h = int.from_bytes(p[22:26], "little", signed=True)
+                    if int.from_bytes(p[28:30], "little") != 24 or w <= 0 or h <= 0:
+                        raise ValueError("not an uncompressed 24-bit BMP")
+                    stride = w * 3 + (4 - (w * 3) % 4) % 4
+                    data = np.frombuffer(p[off : off + stride * h], np.uint8)
+                    if len(data) < stride * h:
+                        raise ValueError("truncated pixel array")
+                    px = data.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+                    px = px[::-1]  # bottom-up scanlines -> image order
+                    gray = px.astype(np.int64).sum(axis=2) // 3
+                    ys = (np.arange(h) * 8) // h
+                    xs = (np.arange(w) * 8) // w
+                    cells = np.zeros((8, 8), np.int64)
+                    sums = np.zeros((8, 8), np.int64)
+                    cnts = np.zeros((8, 8), np.int64)
+                    np.add.at(sums, (ys[:, None], xs[None, :]), gray)
+                    np.add.at(
+                        cnts,
+                        (ys[:, None], xs[None, :]),
+                        np.ones_like(gray),
+                    )
+                    nz = cnts > 0
+                    cells[nz] = sums[nz] // cnts[nz]
+                    C = T @ cells @ T.T  # exact int64
+                    ac = np.delete(C.reshape(-1), 0)  # drop DC
+                    med = np.sort(ac)[31]  # lower median of 63
+                    bits = ac > med
+                    val = 0
+                    for k in range(63):
+                        if bits[k]:
+                            val |= 1 << k
+                    out.append((doc_id, val, int(bits.sum())))
+                except ValueError:
+                    out.append((doc_id, None, None))
+            yield pd.DataFrame(out, columns=["doc_id", "phash", "n_above"])
+
+    return binary_df.select("doc_id", "payload").mapInPandas(run, PHASH_SCHEMA)

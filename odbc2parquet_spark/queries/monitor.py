@@ -907,3 +907,140 @@ def sim_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return pca_top_component(emb, "embedding", dim=64, iterations=8)
+
+
+@query(
+    "ev_sprt",
+    oracle="""
+    WITH assigned AS (
+        SELECT CASE WHEN CAST('0x' || substring(md5('exp:' ||
+                    CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) % 2 = 0
+                    THEN 'A' ELSE 'B' END AS variant,
+               CAST(ts AS DATE) AS day, event_type
+        FROM events WHERE event_type IN ('view', 'purchase')
+    ),
+    daily AS (
+        SELECT variant, day,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS k,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM assigned GROUP BY 1, 2
+    ),
+    walk AS (
+        SELECT variant, day, k, n,
+               SUM(k * 405465 + (n - k) * (-133531))
+                   OVER (PARTITION BY variant ORDER BY day) AS llr
+        FROM daily
+    ),
+    crossings AS (
+        SELECT variant, day, llr,
+               ROW_NUMBER() OVER (PARTITION BY variant ORDER BY day) AS rk
+        FROM walk WHERE llr >= 2944439 OR llr <= -2944439
+    ),
+    finals AS (
+        SELECT variant, MAX(day) AS last_day,
+               CAST(COUNT(*) AS BIGINT) AS n_days
+        FROM walk GROUP BY variant
+    ),
+    lastllr AS (
+        SELECT w.variant, w.llr AS final_llr
+        FROM walk w JOIN finals f ON f.variant = w.variant AND w.day = f.last_day
+    )
+    SELECT f.variant, f.n_days,
+           c.day AS decision_day,
+           CASE WHEN c.llr >= 2944439 THEN 'accept_h1'
+                WHEN c.llr <= -2944439 THEN 'accept_h0'
+                ELSE 'continue' END AS decision,
+           CAST(COALESCE(c.llr, l.final_llr) AS BIGINT) AS llr_micro
+    FROM finals f
+    JOIN lastllr l ON l.variant = f.variant
+    LEFT JOIN crossings c ON c.variant = f.variant AND c.rk = 1
+    """,
+)
+def ev_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's Sequential Probability Ratio Test on the daily purchase-per-
+    view rate, per hash-assigned experiment variant — the always-valid
+    sequential complement to the fixed-horizon ev_ab_test: the
+    log-likelihood random walk llr += k·ln(p1/p0) + (n-k)·ln(q1/q0)
+    (H0: p=0.2 vs H1: p=0.3, alpha=beta=0.05) crosses ±ln(19) at the
+    earliest day a decision is statistically safe, and an experimenter
+    peeking daily inflates NO error rate. The ln constants are x10^6
+    integer LITERALS shared verbatim by both engines (the Q15 twiddle
+    convention for DSP, applied to sequential statistics) — the whole
+    walk, thresholds and first-crossing argmin are exact int64. The
+    corpus collapses to (variant, day) counts map-side; the walk is a
+    calendar-sized per-variant window."""
+    ev = load_table(spark, sf_dir, "events")
+    assigned = ev.filter(F.col("event_type").isin("view", "purchase")).select(
+        F.when(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("exp:"), F.col("user_id").cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2
+            == 0,
+            F.lit("A"),
+        )
+        .otherwise(F.lit("B"))
+        .alias("variant"),
+        F.to_date("ts").alias("day"),
+        "event_type",
+    )
+    daily = assigned.groupBy("variant", "day").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("k"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    from pyspark.sql import Window as W
+
+    walk = daily.withColumn(
+        "llr",
+        F.sum(
+            F.col("k") * 405465 + (F.col("n") - F.col("k")) * (-133531)
+        ).over(W.partitionBy("variant").orderBy("day")),
+    )
+    crossings = (
+        walk.filter((F.col("llr") >= 2944439) | (F.col("llr") <= -2944439))
+        .withColumn(
+            "rk",
+            F.row_number().over(W.partitionBy("variant").orderBy("day")),
+        )
+        .filter(F.col("rk") == 1)
+        .select(
+            "variant",
+            F.col("day").alias("decision_day"),
+            F.col("llr").alias("cllr"),
+        )
+    )
+    finals = walk.groupBy("variant").agg(
+        F.max("day").alias("last_day"), F.count(F.lit(1)).alias("n_days")
+    )
+    wk = walk.alias("wk")
+    fn = finals.select("variant", "last_day").alias("fn")
+    lastllr = wk.join(
+        fn,
+        (F.col("wk.variant") == F.col("fn.variant"))
+        & (F.col("wk.day") == F.col("fn.last_day")),
+    ).select(
+        F.col("wk.variant").alias("variant"), F.col("wk.llr").alias("final_llr")
+    )
+    return (
+        finals.join(lastllr, "variant")
+        .join(crossings, "variant", "left")
+        .select(
+            "variant",
+            "n_days",
+            "decision_day",
+            F.when(F.col("cllr") >= 2944439, F.lit("accept_h1"))
+            .when(F.col("cllr") <= -2944439, F.lit("accept_h0"))
+            .otherwise(F.lit("continue"))
+            .alias("decision"),
+            F.coalesce("cllr", "final_llr").alias("llr_micro"),
+        )
+    )

@@ -4056,3 +4056,193 @@ def mm_video_align(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 10 == 7) & (F.col("fi") >= 1)
     ).select("doc_id", (F.col("fi") - 1).alias("fi"), "l")
     return M.audio_fingerprint_match(lm, probe, top_k=3)
+
+
+@query(
+    "tx_ht_estimate",
+    oracle="""
+    WITH keyed AS (
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+               CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) AS h,
+               CAST(len(list_filter(string_split(text, ' '), x -> x != ''))
+                    AS BIGINT) AS y
+        FROM documents
+    ),
+    tot AS (
+        SELECT CAST(SUM(w) AS BIGINT) AS tw,
+               CAST(SUM(y) AS BIGINT) AS exact_words
+        FROM keyed
+    ),
+    cums AS (
+        SELECT doc_id, w, y, SUM(w) OVER (ORDER BY h, doc_id) AS cum
+        FROM keyed
+    ),
+    hits AS (
+        SELECT doc_id, w, y,
+               CAST(LEAST(500, GREATEST(0, (2 * 500 * cum + tw - 1) // (2 * tw)))
+                  - LEAST(500, GREATEST(0,
+                        (2 * 500 * (cum - w) + tw - 1) // (2 * tw)))
+                  AS BIGINT) AS n_hits,
+               tw
+        FROM cums CROSS JOIN tot
+    ),
+    est AS (
+        SELECT CAST(SUM(CAST(ROUND(n_hits * y * tw / (500.0 * w), 6)
+                             AS DECIMAL(24,6))) AS DOUBLE) AS ht_words
+        FROM hits WHERE n_hits > 0
+    )
+    SELECT 500 AS k, e.ht_words, t.exact_words,
+           ROUND((e.ht_words - t.exact_words) / t.exact_words, 6) AS rel_err6
+    FROM est e CROSS JOIN tot t
+    """,
+)
+def tx_ht_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horvitz-Thompson total estimator over the certified systematic PPS
+    sample (tx_pps_sample's exact-integer hit arithmetic): estimate the
+    corpus TOKEN total from 500 length-weighted draws — sum over sampled
+    docs of n_hits * y * W / (k * w) — with the exact total and the
+    measured relative error alongside. This is the certificate that the
+    sample is USABLE for downstream estimation, not just drawable: PPS
+    on characters makes token totals nearly self-weighting, so the
+    reported |rel_err| is small by design and the row pins it. Per-doc
+    terms are single exact-double expressions rounded to 6 and summed as
+    DECIMAL (order-independent); everything upstream is the pps prefix
+    sum — two passes, no global funnel."""
+    from odbc2parquet_spark.operators.sampling import pps_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    y = docs.select(
+        "doc_id",
+        F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != ""))
+        .cast("long")
+        .alias("y"),
+    )
+    tot = docs.select(
+        F.sum(F.col("n_chars").cast("long")).alias("tw"),
+        F.lit(None).alias("_drop"),
+    ).select("tw")
+    exact = y.agg(F.sum("y").alias("exact_words"))
+    sample = pps_sample(docs, "n_chars", k=500, id_col="doc_id")
+    est = (
+        sample.join(y, "doc_id")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.round(
+                F.col("n_hits")
+                * F.col("y")
+                * F.col("tw")
+                / (F.lit(500.0) * F.col("weight")),
+                6,
+            )
+            .cast("decimal(24,6)")
+            .alias("term")
+        )
+        .agg(F.sum("term").cast("double").alias("ht_words"))
+    )
+    return (
+        est.crossJoin(F.broadcast(exact))
+        .select(
+            F.lit(500).alias("k"),
+            "ht_words",
+            "exact_words",
+            F.round(
+                (F.col("ht_words") - F.col("exact_words"))
+                / F.col("exact_words"),
+                6,
+            ).alias("rel_err6"),
+        )
+    )
+
+
+_DCT_VALUES = ",\n               ".join(
+    f"({u}, {x}, {q})" for (u, x, q) in M._dct8_table()
+)
+
+
+@query(
+    "mm_phash_dct",
+    oracle=f"""
+    WITH p AS (
+        SELECT doc_id, text, length(text) AS n,
+               length(text) % 64 + 1 AS w,
+               length(text) % 48 + 1 AS h
+        FROM documents
+    ),
+    geo AS (
+        SELECT doc_id, text, n, w, h,
+               w * 3 + (4 - (w * 3) % 4) % 4 AS stride
+        FROM p
+    ),
+    gray AS (
+        SELECT doc_id, w, h, t.j // w AS y, t.j % w AS x,
+               (ascii(substring(text,
+                    (((h - 1 - t.j // w) * stride + (t.j % w) * 3 + 0) % n) + 1, 1))
+                + ascii(substring(text,
+                    (((h - 1 - t.j // w) * stride + (t.j % w) * 3 + 1) % n) + 1, 1))
+                + ascii(substring(text,
+                    (((h - 1 - t.j // w) * stride + (t.j % w) * 3 + 2) % n) + 1, 1))
+               ) // 3 AS g
+        FROM geo, UNNEST(generate_series(0, h * w - 1)) AS t(j)
+    ),
+    cells0 AS (
+        SELECT doc_id, (y * 8) // h AS cy, (x * 8) // w AS cx,
+               SUM(g) // COUNT(*) AS cell
+        FROM gray GROUP BY 1, 2, 3
+    ),
+    grid AS (
+        SELECT d.doc_id, gy.a AS cy, gx.b AS cx, COALESCE(c.cell, 0) AS cell
+        FROM (SELECT DISTINCT doc_id FROM p) d
+        CROSS JOIN UNNEST(generate_series(0, 7)) AS gy(a)
+        CROSS JOIN UNNEST(generate_series(0, 7)) AS gx(b)
+        LEFT JOIN cells0 c
+            ON c.doc_id = d.doc_id AND c.cy = gy.a AND c.cx = gx.b
+    ),
+    tdct(u, x, q) AS (
+        VALUES {_DCT_VALUES}
+    ),
+    m1 AS (
+        SELECT g.doc_id, t.u, g.cx, SUM(t.q * g.cell) AS v
+        FROM grid g JOIN tdct t ON t.x = g.cy
+        GROUP BY 1, 2, 3
+    ),
+    coef AS MATERIALIZED (
+        SELECT m.doc_id, m.u, t.u AS vv, SUM(m.v * t.q) AS c
+        FROM m1 m JOIN tdct t ON t.x = m.cx
+        GROUP BY 1, 2, 3
+    ),
+    ac AS MATERIALIZED (
+        SELECT doc_id, u * 8 + vv AS idx, c FROM coef
+        WHERE NOT (u = 0 AND vv = 0)
+    ),
+    med AS (
+        SELECT doc_id, c AS med FROM (
+            SELECT doc_id, c,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c ASC) AS rk
+            FROM ac
+        ) WHERE rk = 32
+    )
+    SELECT a.doc_id,
+           CAST(SUM(CASE WHEN a.c > m.med
+                         THEN CAST(1 AS BIGINT) << (a.idx - 1)
+                         ELSE 0 END) AS BIGINT) AS phash,
+           CAST(SUM(CASE WHEN a.c > m.med THEN 1 ELSE 0 END) AS INTEGER)
+               AS n_above
+    FROM ac a JOIN med m ON m.doc_id = a.doc_id
+    GROUP BY a.doc_id
+    """,
+)
+def mm_phash_dct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DCT perceptual hash (pHash) over REAL decoded BMP pixels
+    (operators/multimodal.phash_dct_bmp) — the spectral image
+    fingerprint one notch stronger than mm_dhash: block-averaged 8x8
+    luma through a 2D DCT-II in Q15 FIXED POINT (the basis cosines are
+    integer literals shared verbatim with the oracle — the mm_audio_tone
+    twiddle convention applied to images), AC coefficients thresholded
+    at their own lower median. Two exact int64 matmuls, no intermediate
+    shift, no libm anywhere — the oracle replays pixel decode, block
+    averaging, both matmuls, the median pick and the bit packing, and
+    the hash match certifies all of it. One long per image leaves the
+    Arrow pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    return M.phash_dct_bmp(M.encode_bmp(docs))

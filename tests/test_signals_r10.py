@@ -253,3 +253,52 @@ def test_clustering_coeff_triangle_vs_star(spark):
     assert rows[1].coeff6 == 1.0 and rows[1].n_triangles == 1
     assert rows[10].coeff6 == 0.0 and rows[10].degree == 3
     assert 11 not in rows  # degree-1 leaves have no defined coefficient
+
+
+def test_sprt_decision_consistent_with_walk(spark, sf_dir):
+    from odbc2parquet_spark.queries import QUERIES
+
+    A = 2944439
+    rows = QUERIES["ev_sprt"](spark, sf_dir).collect()
+    assert {r.variant for r in rows} == {"A", "B"}
+    for r in rows:
+        if r.decision == "accept_h1":
+            assert r.llr_micro >= A and r.decision_day is not None
+        elif r.decision == "accept_h0":
+            assert r.llr_micro <= -A and r.decision_day is not None
+        else:
+            assert -A < r.llr_micro < A and r.decision_day is None
+
+
+def test_ht_estimate_close_to_exact(spark, sf_dir):
+    from odbc2parquet_spark.queries import QUERIES
+
+    r = QUERIES["tx_ht_estimate"](spark, sf_dir).collect()[0]
+    assert r.k == 500 and r.exact_words > 0
+    # chars-weighted PPS is nearly self-weighting for token totals
+    assert abs(r.rel_err6) < 0.05
+    assert r.rel_err6 == pytest.approx(
+        round((r.ht_words - r.exact_words) / r.exact_words, 6)
+    )
+
+
+def test_phash_duplicate_and_bounds(spark, sf_dir):
+    from odbc2parquet_spark.operators import multimodal as M
+    from odbc2parquet_spark.queries import QUERIES
+
+    # identical text -> identical BMP -> identical pHash; a different
+    # text -> (generically) different spectrum
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta " * 8),
+         (2, "alpha beta gamma delta " * 8),
+         (3, "zzz qqq " * 30)],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in
+            M.phash_dct_bmp(M.encode_bmp(docs)).collect()}
+    assert rows[1].phash == rows[2].phash
+    assert rows[1].phash != rows[3].phash
+    # registry output: 63 AC bits, strictly-above-lower-median <= 31
+    for r in QUERIES["mm_phash_dct"](spark, sf_dir).collect():
+        assert 0 <= r.n_above <= 31
+        assert 0 <= r.phash < (1 << 63)
