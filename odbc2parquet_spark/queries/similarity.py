@@ -2493,3 +2493,90 @@ def sim_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = S.lsh_signatures(emb, _N_PLANES, _DIM)
     pairs = S.lsh_bucket_pairs(sig, prefix_bits=8).select("id_a", "id_b")
     return clustering_coefficient(pairs)
+
+
+@query(
+    "sim_cell_medoids",
+    oracle="WITH "
+    + _CENT_CTE
+    + """,
+    mem AS MATERIALIZED (
+        SELECT a.vec_id, a.centroid_id, e.embedding
+        FROM assign a JOIN embeddings e ON e.vec_id = a.vec_id
+    ),
+    pd AS (
+        SELECT x.centroid_id, x.vec_id,
+               CAST(ROUND(list_sum(list_transform(
+                        list_zip(x.embedding, y.embedding),
+                        p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                             * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                    )), 4) AS DECIMAL(20,4)) AS d2
+        FROM mem x JOIN mem y ON x.centroid_id = y.centroid_id
+    ),
+    sums AS (
+        SELECT centroid_id, vec_id,
+               CAST(SUM(d2) AS DOUBLE) AS sum_d2,
+               CAST(COUNT(*) AS BIGINT) AS n_members
+        FROM pd GROUP BY 1, 2
+    )
+    SELECT centroid_id, vec_id AS medoid_id, n_members, sum_d2 FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY centroid_id
+                                     ORDER BY sum_d2 ASC, vec_id ASC) AS rk
+        FROM sums
+    ) WHERE rk = 1
+    """,
+)
+def sim_cell_medoids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-IVF-cell MEDOID — the robust exemplar (member minimizing the
+    summed squared distance to its cell-mates) that labels a semantic
+    cell with a real document instead of sim_label_centroids' synthetic
+    mean: the representative-pick step of SemDeDup-style keep-one-per-
+    cluster and of human-readable cluster audits, outlier-proof where a
+    mean is not. Distances quantize to 4 decimals and sum as
+    DECIMAL(20,4) (order-independent), argmin ties break to the lowest
+    id. The pairwise pass is per-CELL (an equi-join on the cell id,
+    never corpus x corpus) — bounded by cell occupancy; at 100 TB the
+    production shape computes the medoid of a fixed-size per-cell hash
+    sample, the standard O(n) medoid approximation."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cell = S.ivf_assign(emb, S.ivf_seed_centroids(emb, _K_CELLS)).select(
+        "vec_id", "centroid_id"
+    )
+    mem = emb.select("vec_id", "embedding").join(cell, "vec_id")
+    x = mem.select(
+        F.col("centroid_id"),
+        F.col("vec_id"),
+        F.col("embedding").alias("va"),
+    ).alias("x")
+    y = mem.select(
+        F.col("centroid_id").alias("cy"),
+        F.col("embedding").alias("vb"),
+    ).alias("y")
+    diff = F.zip_with(
+        F.col("va"),
+        F.col("vb"),
+        lambda a, b: (a.cast("double") - b.cast("double"))
+        * (a.cast("double") - b.cast("double")),
+    )
+    pd_ = x.join(y, F.col("centroid_id") == F.col("cy")).select(
+        "centroid_id",
+        "vec_id",
+        F.round(S._fold_sum(diff), 4).cast("decimal(20,4)").alias("d2"),
+    )
+    sums = pd_.groupBy("centroid_id", "vec_id").agg(
+        F.sum("d2").cast("double").alias("sum_d2"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+    w = Window.partitionBy("centroid_id").orderBy(
+        F.asc("sum_d2"), F.asc("vec_id")
+    )
+    return (
+        sums.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "centroid_id",
+            F.col("vec_id").alias("medoid_id"),
+            "n_members",
+            "sum_d2",
+        )
+    )

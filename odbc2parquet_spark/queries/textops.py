@@ -4160,10 +4160,8 @@ _DCT_VALUES = ",\n               ".join(
 )
 
 
-@query(
-    "mm_phash_dct",
-    oracle=f"""
-    WITH p AS (
+_PHASH_CTE = f"""
+    p AS (
         SELECT doc_id, text, length(text) AS n,
                length(text) % 64 + 1 AS w,
                length(text) % 48 + 1 AS h
@@ -4221,15 +4219,23 @@ _DCT_VALUES = ",\n               ".join(
                    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c ASC) AS rk
             FROM ac
         ) WHERE rk = 32
-    )
-    SELECT a.doc_id,
-           CAST(SUM(CASE WHEN a.c > m.med
-                         THEN CAST(1 AS BIGINT) << (a.idx - 1)
-                         ELSE 0 END) AS BIGINT) AS phash,
-           CAST(SUM(CASE WHEN a.c > m.med THEN 1 ELSE 0 END) AS INTEGER)
-               AS n_above
-    FROM ac a JOIN med m ON m.doc_id = a.doc_id
-    GROUP BY a.doc_id
+    ),
+    ph AS MATERIALIZED (
+        SELECT a.doc_id,
+               CAST(SUM(CASE WHEN a.c > m.med
+                             THEN CAST(1 AS BIGINT) << (a.idx - 1)
+                             ELSE 0 END) AS BIGINT) AS phash,
+               CAST(SUM(CASE WHEN a.c > m.med THEN 1 ELSE 0 END)
+                    AS INTEGER) AS n_above
+        FROM ac a JOIN med m ON m.doc_id = a.doc_id
+        GROUP BY a.doc_id
+    )"""
+
+
+@query(
+    "mm_phash_dct",
+    oracle="WITH " + _PHASH_CTE + """
+    SELECT doc_id, phash, n_above FROM ph
     """,
 )
 def mm_phash_dct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4246,3 +4252,41 @@ def mm_phash_dct(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow pass."""
     docs = load_table(spark, sf_dir, "documents")
     return M.phash_dct_bmp(M.encode_bmp(docs))
+
+
+@query(
+    "mm_phash_pairs",
+    oracle="WITH " + _PHASH_CTE + """,
+    bands AS (
+        SELECT doc_id, phash, t.b AS band,
+               (phash >> (t.b * 9)) & 511 AS key
+        FROM ph, UNNEST(generate_series(0, 6)) AS t(b)
+    ),
+    capped AS (
+        SELECT doc_id, phash, band, key FROM bands
+        QUALIFY COUNT(*) OVER (PARTITION BY band, key) <= 1000
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.phash AS ha, b.phash AS hb
+        FROM capped a JOIN capped b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+    FROM cand WHERE bit_count(xor(ha, hb)) <= 6
+    """,
+)
+def mm_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral image near-duplicate pairs: banded pigeonhole over the
+    63-bit DCT pHash (7 x 9-bit bands — any pair within Hamming 6 < 7
+    bands must collide on one band), capped buckets, exact
+    bit_count(xor) verify. The spectral twin of mm_dhash_pairs: pHash
+    survives global brightness/gradient edits dHash's neighbor compare
+    does not, so the two banded joins catch different edit families —
+    the reason image dedup pipelines run both. Candidate generation is
+    7 equi-join buckets, never all-pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    hashes = M.phash_dct_bmp(M.encode_bmp(docs)).withColumnRenamed(
+        "phash", "dhash"
+    )
+    return M.dhash_near_pairs(hashes, bands=7, band_bits=9, max_hamming=6)

@@ -302,3 +302,70 @@ def test_phash_duplicate_and_bounds(spark, sf_dir):
     for r in QUERIES["mm_phash_dct"](spark, sf_dir).collect():
         assert 0 <= r.n_above <= 31
         assert 0 <= r.phash < (1 << 63)
+
+
+def test_phash_pairs_pigeonhole_complete(spark, sf_dir):
+    from odbc2parquet_spark.operators import multimodal as M
+    from odbc2parquet_spark.catalog import load_table
+    from odbc2parquet_spark.queries import QUERIES
+
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in QUERIES["mm_phash_pairs"](spark, sf_dir).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents")
+    h = {
+        r.doc_id: r.phash
+        for r in M.phash_dct_bmp(M.encode_bmp(docs)).collect()
+    }
+    # exhaustive truth at this sf: banding with 7 bands recalls EVERY
+    # pair within hamming 6 (pigeonhole), and reported distances match
+    ids = sorted(h)
+    truth = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            d = bin(h[a] ^ h[b]).count("1")
+            if d <= 6:
+                truth[(a, b)] = d
+    assert pairs == truth
+
+
+def test_cell_medoid_is_true_argmin(spark, sf_dir):
+    from odbc2parquet_spark.queries import QUERIES
+    from odbc2parquet_spark.catalog import load_table
+    from odbc2parquet_spark.operators import similarity as S
+
+    med = {
+        r.centroid_id: r
+        for r in QUERIES["sim_cell_medoids"](spark, sf_dir).collect()
+    }
+    emb = load_table(spark, sf_dir, "embeddings")
+    cell = S.ivf_assign(emb, S.ivf_seed_centroids(emb, 16))
+    vecs, cells = {}, {}
+    for r in emb.join(cell.select("vec_id", "centroid_id"), "vec_id").collect():
+        vecs[r.vec_id] = [float(x) for x in r.embedding]
+        cells.setdefault(r.centroid_id, []).append(r.vec_id)
+    from decimal import Decimal
+
+    for cid, members in cells.items():
+        best = None
+        for a in members:
+            s = sum(
+                Decimal(
+                    str(
+                        round(
+                            sum(
+                                (x - y) * (x - y)
+                                for x, y in zip(vecs[a], vecs[b])
+                            ),
+                            4,
+                        )
+                    )
+                )
+                for b in members
+            )
+            key = (s, a)
+            if best is None or key < best:
+                best = key
+        assert med[cid].medoid_id == best[1]
+        assert med[cid].n_members == len(members)
