@@ -2580,3 +2580,55 @@ def sim_cell_medoids(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_d2",
         )
     )
+
+
+@query(
+    "sim_ivf_delta_assign",
+    oracle=f"""
+    WITH cent AS (
+        SELECT vec_id AS centroid_id, embedding AS centroid
+        FROM embeddings WHERE vec_id < 400 ORDER BY vec_id LIMIT {{k}}
+    ),
+    nc AS (
+        SELECT centroid_id, centroid,
+               list_sum(list_transform(centroid,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS csq
+        FROM cent
+    ),
+    delta AS (
+        SELECT vec_id, embedding,
+               list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nsq
+        FROM embeddings WHERE vec_id >= 400
+    ),
+    scored AS (
+        SELECT v.vec_id, c.centroid_id,
+               ROUND(list_sum(list_transform(
+                        list_zip(v.embedding, c.centroid),
+                        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                     / SQRT(v.nsq * c.csq), 4) AS cos4
+        FROM delta v CROSS JOIN nc c
+    )
+    SELECT vec_id, centroid_id, cos4 FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY cos4 DESC, centroid_id) AS rnk
+        FROM scored
+    ) WHERE rnk = 1
+    """.replace("{k}", str(_K_CELLS)),
+)
+def sim_ivf_delta_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF index MAINTENANCE: a new ingest batch (vec_id >=
+    400 — the delta) is routed to the EXISTING index's centroids (seeded
+    from the old corpus only, vec_id < 400) without touching the old
+    codes — the update path that makes an ANN index operable at 100 TB,
+    where "re-run the build" is not an option. Because ivf_assign is a
+    pure per-vector function of the centroid set, the delta assignment
+    is bit-identical to what a full rebuild over old+new would give
+    those vectors (same broadcast-map pass, same packed argmax) — the
+    property that makes the incremental path SAFE, pinned by test. One
+    broadcast join over the delta only; the old corpus is never read."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    old = emb.filter(F.col("vec_id") < 400)
+    delta = emb.filter(F.col("vec_id") >= 400)
+    cents = S.ivf_seed_centroids(old, _K_CELLS)
+    return S.ivf_assign(delta, cents)

@@ -369,3 +369,26 @@ def test_cell_medoid_is_true_argmin(spark, sf_dir):
                 best = key
         assert med[cid].medoid_id == best[1]
         assert med[cid].n_members == len(members)
+
+
+def test_ivf_delta_assign_equals_rebuild(spark, sf_dir):
+    from odbc2parquet_spark.catalog import load_table
+    from odbc2parquet_spark.operators import similarity as S
+    from odbc2parquet_spark.queries import QUERIES
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    old = emb.filter(F.col("vec_id") < 400)
+    cents = S.ivf_seed_centroids(old, 16)
+    # full rebuild over old+new, restricted to the delta rows, must be
+    # bit-identical to the incremental path (same centroid set)
+    rebuild = {
+        r.vec_id: (r.centroid_id, r.cos4)
+        for r in S.ivf_assign(emb, cents)
+        .filter(F.col("vec_id") >= 400)
+        .collect()
+    }
+    delta = {
+        r.vec_id: (r.centroid_id, r.cos4)
+        for r in QUERIES["sim_ivf_delta_assign"](spark, sf_dir).collect()
+    }
+    assert delta == rebuild and len(delta) > 0
