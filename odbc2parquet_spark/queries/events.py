@@ -2565,3 +2565,84 @@ def ev_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "ev_bot_regularity",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, CAST(epoch_us(ts) // 1000000 AS BIGINT) AS t,
+               event_id
+        FROM events
+    ),
+    gaps AS (
+        SELECT user_id,
+               t - LAG(t) OVER (PARTITION BY user_id
+                                ORDER BY t, event_id) AS g
+        FROM e
+    ),
+    s AS (
+        SELECT user_id,
+               CAST(COUNT(g) AS BIGINT) AS n_gaps,
+               CAST(SUM(g) AS BIGINT) AS sg,
+               CAST(SUM(g * g) AS BIGINT) AS sg2
+        FROM gaps WHERE g IS NOT NULL GROUP BY user_id
+    )
+    SELECT user_id, n_gaps,
+           n_gaps * sg2 - sg * sg AS var_num,
+           ROUND(CAST(sg AS DOUBLE) / n_gaps, 6) AS mean_gap6,
+           CAST(CASE WHEN n_gaps >= 5
+                     AND n_gaps * sg2 - sg * sg
+                         < n_gaps * n_gaps * 3600
+                     THEN 1 ELSE 0 END AS INTEGER) AS is_regular
+    FROM s WHERE n_gaps >= 1
+    """,
+)
+def ev_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot/scraper detection by inter-event TIMING regularity — the
+    traffic-quality gate a training pipeline runs before user events
+    feed anything downstream: organic humans have bursty inter-arrival
+    gaps, schedulers and scrapers tick. Per user, the gap variance is
+    computed EXACTLY as the integer n*sum(g^2) - (sum g)^2 (epoch-second
+    gaps; no float accumulation anywhere — the variance ships as the
+    exact integer numerator, never a rounded wide double), and a user with >= 5 gaps
+    whose variance falls below (60s)^2 is flagged regular — both the
+    statistic and the verdict are pure int64 comparisons, so the flag
+    itself is engine-exact, not a rounded score. One user-keyed window
+    (the sessionize shape) + one aggregation; output is user-sized with
+    map-side partials."""
+    ev = load_table(spark, sf_dir, "events")
+    uw = Window.partitionBy("user_id").orderBy("t", "event_id")
+    gaps = ev.select(
+        "user_id",
+        F.unix_timestamp("ts").alias("t"),
+        "event_id",
+    ).select(
+        "user_id", (F.col("t") - F.lag("t").over(uw)).alias("g")
+    )
+    s = (
+        gaps.filter(F.col("g").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("g").alias("n_gaps"),
+            F.sum("g").alias("sg"),
+            F.sum(F.col("g") * F.col("g")).alias("sg2"),
+        )
+    )
+    var_num = F.col("n_gaps") * F.col("sg2") - F.col("sg") * F.col("sg")
+    return s.select(
+        "user_id",
+        "n_gaps",
+        var_num.alias("var_num"),
+        F.round(F.col("sg").cast("double") / F.col("n_gaps"), 6).alias(
+            "mean_gap6"
+        ),
+        F.when(
+            (F.col("n_gaps") >= 5)
+            & (var_num < F.col("n_gaps") * F.col("n_gaps") * 3600),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("is_regular"),
+    )

@@ -392,3 +392,46 @@ def test_ivf_delta_assign_equals_rebuild(spark, sf_dir):
         for r in QUERIES["sim_ivf_delta_assign"](spark, sf_dir).collect()
     }
     assert delta == rebuild and len(delta) > 0
+
+
+def test_bot_regularity_flags_ticking_user(spark):
+    rows = []
+    eid = 0
+    # user 1: perfect 60s ticker (bot); user 2: bursty human
+    for i in range(8):
+        rows.append((eid, f"2024-01-01 10:{i:02d}:00", 1, "view")); eid += 1
+    for sec in [0, 3, 9, 400, 405, 2000, 2004, 9000]:
+        rows.append((eid, f"2024-01-01 {10 + sec // 3600}:{(sec % 3600) // 60:02d}:{sec % 60:02d}", 2, "view")); eid += 1
+    ev = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type"]
+    ).select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"),
+        "user_id", "event_type",
+    )
+    from pyspark.sql import Window
+
+    # the exact-integer variance construction the registered query uses
+    uw = Window.partitionBy("user_id").orderBy("t", "event_id")
+    gaps = ev.select(
+        "user_id", F.unix_timestamp("ts").alias("t"), "event_id"
+    ).select("user_id", (F.col("t") - F.lag("t").over(uw)).alias("g"))
+    s = (
+        gaps.filter(F.col("g").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("g").alias("n_gaps"),
+            F.sum("g").alias("sg"),
+            F.sum(F.col("g") * F.col("g")).alias("sg2"),
+        )
+    )
+    out = {
+        r.user_id: r
+        for r in s.select(
+            "user_id",
+            "n_gaps",
+            (F.col("n_gaps") * F.col("sg2") - F.col("sg") * F.col("sg")).alias("v"),
+        ).collect()
+    }
+    # ticker: all gaps 60 -> variance numerator exactly 0
+    assert out[1].v == 0 and out[1].n_gaps == 7
+    assert out[2].v > out[2].n_gaps ** 2 * 3600  # bursty: not regular
