@@ -83,6 +83,26 @@ _PRIORITY = [
     "ev_sliding_window",
     "tm_variant_json",
     "mm_png_stats",
+    # round-10 additions: score their first driver row promptly
+    "sim_hits",
+    "sim_lpa_communities",
+    "ev_acf",
+    "ev_theilsen",
+    "ev_removal_effect",
+    "mm_audio_fingerprint",
+    "dd_bleu_pairs",
+    "q_dp_histogram",
+    "sim_pca_power",
+    "ev_cohort_ltv",
+    "mm_video_align",
+    "sim_clustering_coeff",
+    "ev_sprt",
+    "tx_ht_estimate",
+    "mm_phash_dct",
+    "mm_phash_pairs",
+    "sim_cell_medoids",
+    "sim_ivf_delta_assign",
+    "ev_bot_regularity",
 ]
 
 
