@@ -295,3 +295,43 @@ def streaming_upsert(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_fingerprint_votes(
+    probe_landmarks: DataFrame, index: DataFrame
+) -> DataFrame:
+    """STREAM-STATIC constellation matching: a stream of probe landmarks
+    (doc_id, fi, l — e.g. live audio/video snippets fingerprinted at the
+    edge) joins the STATIC landmark index (the catalog built by
+    operators/multimodal.audio_landmarks and capped like
+    audio_fingerprint_match) and accumulates identification votes per
+    (probe, candidate, time offset).
+
+    The join is Structured Streaming's stream-static shape: the static
+    side broadcasts (it is index-sized, not corpus-sized) and each
+    micro-batch of probe landmarks maps through it without any stateful
+    shuffle; only the vote aggregation keeps state, keyed on the
+    (probe, candidate, offset) triple — exactly the running-count state
+    a streaming groupBy maintains. Update/complete output surfaces the
+    current vote totals; the batch dual (one groupBy over the same
+    join) is pytest-pinned equal after an availableNow drain.
+    """
+    probes = probe_landmarks.select(
+        F.col("doc_id").alias("probe_doc"),
+        F.col("fi").alias("pfi"),
+        "l",
+    )
+    idx = index.select(
+        F.col("doc_id").alias("matched_doc"),
+        F.col("fi").alias("cfi"),
+        "l",
+    )
+    return (
+        probes.join(F.broadcast(idx), "l")
+        .groupBy(
+            "probe_doc",
+            "matched_doc",
+            (F.col("cfi") - F.col("pfi")).alias("offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )

@@ -649,3 +649,47 @@ def test_streaming_kmv_quantile_matches_batch_sample(spark, tmp_path):
     samp = sorted(pairs)[:63]
     by_val = sorted(samp, key=lambda p: (p[1], p[0]))
     assert final.est_median == by_val[(63 + 1) // 2 - 1][1]
+
+
+@pytest.mark.slow
+def test_streaming_fingerprint_votes_matches_batch(spark, tmp_path, sf_dir):
+    """Stream-static constellation matching: draining the probe landmark
+    stream through the static index must reproduce the batch vote table
+    exactly (the stream-static join is stateless per row; only the vote
+    count aggregates)."""
+    from odbc2parquet_spark.catalog import load_table
+    from odbc2parquet_spark.operators import multimodal as M
+    from odbc2parquet_spark.streaming.transfer import streaming_fingerprint_votes
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    peaks = M.audio_frame_peaks_q15(M.encode_wav(docs))
+    lms = M.audio_landmarks(peaks)
+    freq = lms.groupBy("l").agg(F.countDistinct("doc_id").alias("nd"))
+    idx = lms.join(freq.filter(F.col("nd") <= 64).select("l"), "l")
+    probe = lms.filter(
+        (F.col("doc_id") % 10 == 3) & (F.col("fi") >= 1)
+    ).select("doc_id", (F.col("fi") - 1).alias("fi"), "l")
+
+    src = str(tmp_path / "probes")
+    probe.write.parquet(src)
+    stream = spark.readStream.schema(probe.schema).parquet(src)
+    static_idx = idx.localCheckpoint(eager=True)
+    q = (
+        streaming_fingerprint_votes(stream, static_idx)
+        .writeStream.format("memory")
+        .queryName("fp_votes")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.probe_doc, r.matched_doc, r.offset): r.votes
+        for r in spark.sql("select * from fp_votes").collect()
+    }
+    want = {
+        (r.probe_doc, r.matched_doc, r.offset): r.votes
+        for r in streaming_fingerprint_votes(probe, static_idx).collect()
+    }
+    assert got == want and len(want) > 0
