@@ -4290,3 +4290,115 @@ def mm_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "phash", "dhash"
     )
     return M.dhash_near_pairs(hashes, bands=7, band_bits=9, max_hamming=6)
+
+
+import re as _re
+
+_DHASH_NS = _DHASH_CTE
+for _a, _b in [
+    ("geo", "dgeo2"),
+    ("cellbytes", "dcb2"),
+    ("gray", "dgray2"),
+    ("bits", "dbits2"),
+    ("dh", "dh2"),
+]:
+    _DHASH_NS = _re.sub(rf"\b{_a}\b", _b, _DHASH_NS)
+
+
+@query(
+    "mm_hash_agreement",
+    oracle="WITH "
+    + _PHASH_CTE
+    + ","
+    + _DHASH_NS
+    + """,
+    pbands AS (
+        SELECT doc_id, phash, t.b AS band,
+               (phash >> (t.b * 9)) & 511 AS key
+        FROM ph, UNNEST(generate_series(0, 6)) AS t(b)
+    ),
+    pcapped AS (
+        SELECT doc_id, phash, band, key FROM pbands
+        QUALIFY COUNT(*) OVER (PARTITION BY band, key) <= 1000
+    ),
+    ppairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM pcapped a JOIN pcapped b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.phash, b.phash)) <= 6
+    ),
+    dbands AS (
+        SELECT doc_id, dhash, t.b AS band,
+               (dhash >> (t.b * 14)) & 16383 AS key
+        FROM dh2, UNNEST(generate_series(0, 3)) AS t(b)
+    ),
+    dcapped AS (
+        SELECT doc_id, dhash, band, key FROM dbands
+        QUALIFY COUNT(*) OVER (PARTITION BY band, key) <= 1000
+    ),
+    dpairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM dcapped a JOIN dcapped b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.dhash, b.dhash)) <= 6
+    ),
+    u AS (
+        SELECT COALESCE(p.id_a, d.id_a) AS id_a,
+               COALESCE(p.id_b, d.id_b) AS id_b,
+               (p.id_a IS NOT NULL) AS in_p,
+               (d.id_a IS NOT NULL) AS in_d
+        FROM ppairs p FULL OUTER JOIN dpairs d
+          ON p.id_a = d.id_a AND p.id_b = d.id_b
+    )
+    SELECT CAST(SUM(CASE WHEN in_p AND in_d THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_both,
+           CAST(SUM(CASE WHEN in_d AND NOT in_p THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dhash_only,
+           CAST(SUM(CASE WHEN in_p AND NOT in_d THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_phash_only
+    FROM u
+    """,
+)
+def mm_hash_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Method-agreement audit between the two certified image near-dup
+    pipelines at their operating thresholds (dHash 4x14 banding vs DCT
+    pHash 7x9 banding, both Hamming <= 6): how many pairs BOTH hashes
+    flag, and how many each catches alone — the cross-check an image
+    dedup deployment reads before choosing one hash or unioning both
+    (the dd_band_curve philosophy applied across METHODS instead of
+    across banding points). Composes two already-certified pipelines;
+    one full-outer join of two bounded pair sets, three counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    bmps = M.encode_bmp(docs)
+    dp = M.dhash_near_pairs(
+        M.dhash_bmp(bmps), bands=4, band_bits=14, max_hamming=6
+    ).select("id_a", "id_b")
+    pp = M.dhash_near_pairs(
+        M.phash_dct_bmp(bmps).withColumnRenamed("phash", "dhash"),
+        bands=7,
+        band_bits=9,
+        max_hamming=6,
+    ).select("id_a", "id_b")
+    u = pp.withColumn("in_p", F.lit(True)).join(
+        dp.withColumn("in_d", F.lit(True)), ["id_a", "id_b"], "full_outer"
+    )
+    return u.agg(
+        F.sum(
+            F.when(F.col("in_p").isNotNull() & F.col("in_d").isNotNull(), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_both"),
+        F.sum(
+            F.when(F.col("in_d").isNotNull() & F.col("in_p").isNull(), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_dhash_only"),
+        F.sum(
+            F.when(F.col("in_p").isNotNull() & F.col("in_d").isNull(), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_phash_only"),
+    )
