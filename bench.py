@@ -262,6 +262,17 @@ HEADLINE = [
     "mm_audio_fingerprint",
     "dd_bleu_pairs",
     "q_dp_histogram",
+    "ev_cohort_ltv",
+    "mm_video_align",
+    "sim_clustering_coeff",
+    "ev_sprt",
+    "tx_ht_estimate",
+    "mm_phash_dct",
+    "mm_phash_pairs",
+    "sim_cell_medoids",
+    "sim_ivf_delta_assign",
+    "ev_bot_regularity",
+    "mm_hash_agreement",
 ]
 
 
