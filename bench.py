@@ -273,6 +273,8 @@ HEADLINE = [
     "sim_ivf_delta_assign",
     "ev_bot_regularity",
     "mm_hash_agreement",
+    "tx_keyness",
+    "sim_cluster_purity",
 ]
 
 

@@ -2665,3 +2665,100 @@ def sim_ivf_delta_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta = emb.filter(F.col("vec_id") >= 400)
     cents = S.ivf_seed_centroids(old, _K_CELLS)
     return S.ivf_assign(delta, cents)
+
+
+@query(
+    "sim_cluster_purity",
+    oracle="WITH "
+    + _CENT_CTE
+    + """,
+    lab AS (
+        SELECT a.centroid_id, e.label
+        FROM assign a JOIN embeddings e ON e.vec_id = a.vec_id
+    ),
+    cl AS (
+        SELECT centroid_id, label, CAST(COUNT(*) AS BIGINT) AS c
+        FROM lab GROUP BY 1, 2
+    ),
+    nm AS (SELECT centroid_id, CAST(SUM(c) AS BIGINT) AS n FROM cl GROUP BY 1),
+    top AS (
+        SELECT centroid_id, label AS majority_label, c AS majority_n
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY centroid_id
+                                         ORDER BY c DESC, label ASC) AS rk
+            FROM cl
+        ) WHERE rk = 1
+    ),
+    ent AS (
+        SELECT cl.centroid_id,
+               CAST(SUM(CAST(ROUND(-(cl.c * 1.0 / nm.n)
+                                   * LN(cl.c * 1.0 / nm.n), 6)
+                             AS DECIMAL(18,6))) AS DOUBLE) AS entropy6
+        FROM cl JOIN nm ON nm.centroid_id = cl.centroid_id
+        GROUP BY cl.centroid_id
+    )
+    SELECT t.centroid_id, nm.n AS n_members, t.majority_label, t.majority_n,
+           ROUND(t.majority_n * 1.0 / nm.n, 6) AS purity6, e.entropy6
+    FROM top t
+    JOIN nm ON nm.centroid_id = t.centroid_id
+    JOIN ent e ON e.centroid_id = t.centroid_id
+    """,
+)
+def sim_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label PURITY and entropy per IVF cell — the semantic half of the
+    clustering-QA pair (sim_silhouette measures geometry; purity measures
+    whether cells align with the labels downstream sampling/eval will
+    stratify on): majority-label fraction + label entropy per cell, the
+    readout that decides if cell-level dedup caps (dd_semantic_cells) or
+    cell-stratified eval splits are safe. Two bounded aggregations over
+    (cell, label) counts; entropy terms round to 6 then sum as DECIMAL
+    (order-independent); majority argmax ties break to the lowest
+    label."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cell = S.ivf_assign(emb, S.ivf_seed_centroids(emb, _K_CELLS)).select(
+        "vec_id", "centroid_id"
+    )
+    lab = emb.select("vec_id", "label").join(cell, "vec_id")
+    cl = lab.groupBy("centroid_id", "label").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    nm = cl.groupBy("centroid_id").agg(F.sum("c").alias("n"))
+    w = Window.partitionBy("centroid_id").orderBy(F.desc("c"), F.asc("label"))
+    top = (
+        cl.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "centroid_id",
+            F.col("label").alias("majority_label"),
+            F.col("c").alias("majority_n"),
+        )
+    )
+    ent = (
+        cl.join(nm, "centroid_id")
+        .select(
+            "centroid_id",
+            F.round(
+                -(F.col("c") * 1.0 / F.col("n"))
+                * F.log(F.col("c") * 1.0 / F.col("n")),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("term"),
+        )
+        .groupBy("centroid_id")
+        .agg(F.sum("term").cast("double").alias("entropy6"))
+    )
+    return (
+        top.join(nm, "centroid_id")
+        .join(ent, "centroid_id")
+        .select(
+            "centroid_id",
+            F.col("n").alias("n_members"),
+            "majority_label",
+            "majority_n",
+            F.round(F.col("majority_n") * 1.0 / F.col("n"), 6).alias(
+                "purity6"
+            ),
+            "entropy6",
+        )
+    )

@@ -4402,3 +4402,109 @@ def mm_hash_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_phash_only"),
     )
+
+
+@query(
+    "tx_keyness",
+    oracle="""
+    WITH w AS (
+        SELECT source, u AS word
+        FROM documents,
+             UNNEST(list_filter(string_split(text, ' '), x -> x != '')) AS t(u)
+    ),
+    cnt AS (
+        SELECT source, word, CAST(COUNT(*) AS BIGINT) AS y
+        FROM w GROUP BY 1, 2
+    ),
+    tot AS (SELECT source, CAST(SUM(y) AS BIGINT) AS n FROM cnt GROUP BY 1),
+    wtot AS (
+        SELECT word, CAST(SUM(y) AS BIGINT) AS yw FROM cnt GROUP BY 1
+    ),
+    gt AS (SELECT CAST(SUM(y) AS BIGINT) AS ng FROM cnt),
+    scored AS (
+        SELECT c.source, c.word, c.y, t.n, wt.yw, g.ng,
+               ROUND(
+                   (LN((c.y + 0.01 * wt.yw) * 1.0
+                       / (t.n + 0.01 * g.ng - c.y - 0.01 * wt.yw))
+                    - LN((wt.yw - c.y + 0.01 * wt.yw) * 1.0
+                         / (g.ng - t.n + 0.01 * g.ng
+                            - (wt.yw - c.y) - 0.01 * wt.yw)))
+                   / SQRT(1.0 / (c.y + 0.01 * wt.yw)
+                          + 1.0 / (wt.yw - c.y + 0.01 * wt.yw)),
+                   6) AS z6
+        FROM cnt c
+        JOIN tot t ON t.source = c.source
+        JOIN wtot wt ON wt.word = c.word
+        CROSS JOIN gt g
+    )
+    SELECT source, word, y, z6, rank FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY z6 DESC, word ASC) AS BIGINT) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def tx_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinctive terms per source by LOG-ODDS KEYNESS with an
+    informative Dirichlet prior (Monroe et al.'s "Fightin' Words") — the
+    corpus-comparison readout curation uses to answer "what is source X
+    actually about, relative to everything else?" where raw frequency
+    lists just repeat stopwords. Each (source, word) gets the z-scored
+    log-odds difference against the rest of the corpus, with the
+    corpus-wide word rate (scaled by 0.01) as the prior that shrinks
+    rare-word noise. Counts collapse map-side to vocab x sources rows;
+    the score is a per-row scalar chain (two LN, one SQRT — the repo's
+    rounded-libm convention) over exact integer counts; top-5 per source
+    via one bounded window."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "source",
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+        ).alias("word"),
+    )
+    cnt = w.groupBy("source", "word").agg(F.count(F.lit(1)).alias("y"))
+    tot = cnt.groupBy("source").agg(F.sum("y").alias("n"))
+    wtot = cnt.groupBy("word").agg(F.sum("y").alias("yw"))
+    gt = cnt.agg(F.sum("y").alias("ng"))
+    a = 0.01
+    yp = F.col("y") + a * F.col("yw")
+    yrest = F.col("yw") - F.col("y") + a * F.col("yw")
+    scored = (
+        cnt.join(tot, "source")
+        .join(wtot, "word")
+        .crossJoin(F.broadcast(gt))
+        .select(
+            "source",
+            "word",
+            "y",
+            F.round(
+                (
+                    F.log(
+                        yp
+                        * 1.0
+                        / (F.col("n") + a * F.col("ng") - yp)
+                    )
+                    - F.log(
+                        yrest
+                        * 1.0
+                        / (
+                            F.col("ng")
+                            - F.col("n")
+                            + a * F.col("ng")
+                            - yrest
+                        )
+                    )
+                )
+                / F.sqrt(1.0 / yp + 1.0 / yrest),
+                6,
+            ).alias("z6"),
+        )
+    )
+    w_ = Window.partitionBy("source").orderBy(F.desc("z6"), F.asc("word"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w_).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("source", "word", "y", "z6", "rank")
+    )

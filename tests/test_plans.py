@@ -154,6 +154,18 @@ BOUNDED_CROSS_OK = {
     # Rayleigh-quotient broadcasts onto d-row iterate frames; the
     # corpus-sized work is the (equi-keyed) Arrow Gram pass upstream
     "sim_pca_power",
+    # round 10: HT estimator — 1-row total-weight and 1-row exact-total
+    # broadcasts onto the 500-draw sample
+    "tx_ht_estimate",
+    # round 10: delta assign — the delta batch x 16 frozen centroids
+    # (sim_ivf_assign's shape on the ingest increment)
+    "sim_ivf_delta_assign",
+    # round 10: keyness — 1-row grand-total broadcast onto the
+    # vocab x sources count table
+    "tx_keyness",
+    # round 10: cluster purity — the corpus x 16 centroid assign cross
+    # (sim_ivf_assign's shape) under two bounded label aggregations
+    "sim_cluster_purity",
 }
 ALL_PAIRS_OK |= BOUNDED_CROSS_OK
 
