@@ -166,6 +166,14 @@ BOUNDED_CROSS_OK = {
     # round 10: cluster purity — the corpus x 16 centroid assign cross
     # (sim_ivf_assign's shape) under two bounded label aggregations
     "sim_cluster_purity",
+    # round 10: cell medoids — the same corpus x 16 assign cross; the
+    # pairwise pass itself is an equi-join on the cell id, 128-capped
+    "sim_cell_medoids",
+    # round-9 close additions (landed in that round's final commit,
+    # after its plan-test run): both are 1-row scalar broadcasts —
+    # km_survival's censoring horizon (max ts), rfm's recency anchor
+    "ev_km_survival",
+    "ev_rfm_segments",
 }
 ALL_PAIRS_OK |= BOUNDED_CROSS_OK
 
