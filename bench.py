@@ -275,6 +275,7 @@ HEADLINE = [
     "mm_hash_agreement",
     "tx_keyness",
     "sim_cluster_purity",
+    "ev_holt_winters",
 ]
 
 

@@ -2646,3 +2646,94 @@ def ev_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("is_regular"),
     )
+
+
+_HW_S_BASE = ", ".join(f"CAST(0.0 AS DOUBLE)" for _ in range(7))
+_HW_S_STEP = ",\n               ".join(
+    f"CASE WHEN (s.i - 1) % 7 = {k} THEN ((s.x - "
+    "((s.x - (CASE (s.i - 1) % 7 "
+    + " ".join(f"WHEN {j} THEN r.s{j}" for j in range(7))
+    + " END) + (r.l + r.b)) / 2.0)"
+    f") + r.s{k}) / 2.0 ELSE r.s{k} END AS s{k}"
+    for k in range(7)
+)
+
+
+@query(
+    "ev_holt_winters",
+    oracle=f"""
+    WITH RECURSIVE ev AS (
+        SELECT event_type, CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day,
+               CAST(value AS DECIMAL(18,6)) AS vd
+        FROM events
+    ),
+    daily AS (
+        SELECT event_type, day,
+               ROUND(CAST(SUM(vd) AS DOUBLE) / COUNT(*), 6) AS x
+        FROM ev GROUP BY 1, 2
+    ),
+    seqd AS (
+        SELECT event_type, day, x,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i
+        FROM daily
+    ),
+    rec(event_type, i, l, b, s0, s1, s2, s3, s4, s5, s6) AS (
+        SELECT event_type, i, CAST(x AS DOUBLE), CAST(0.0 AS DOUBLE),
+               {_HW_S_BASE}
+        FROM seqd WHERE i = 1
+        UNION ALL
+        SELECT s.event_type, s.i,
+               ((s.x - (CASE (s.i - 1) % 7
+                        {" ".join(f"WHEN {j} THEN r.s{j}" for j in range(7))}
+                        END)) + (r.l + r.b)) / 2.0,
+               ((((s.x - (CASE (s.i - 1) % 7
+                          {" ".join(f"WHEN {j} THEN r.s{j}" for j in range(7))}
+                          END)) + (r.l + r.b)) / 2.0 - r.l) + r.b) / 2.0,
+               {_HW_S_STEP}
+        FROM rec r
+        JOIN seqd s ON s.event_type = r.event_type AND s.i = r.i + 1
+    ),
+    fin AS (SELECT event_type, MAX(i) AS n FROM rec GROUP BY 1)
+    SELECT r.event_type, CAST(fin.n AS BIGINT) AS n_days,
+           ROUND(r.l, 6) AS level, ROUND(r.b, 6) AS trend,
+           ROUND(r.l + 1.0 * r.b
+                 + (CASE fin.n % 7
+                    {" ".join(f"WHEN {j} THEN r.s{j}" for j in range(7))}
+                    END), 6) AS f1,
+           ROUND(r.l + 7.0 * r.b
+                 + (CASE (fin.n + 6) % 7
+                    {" ".join(f"WHEN {j} THEN r.s{j}" for j in range(7))}
+                    END), 6) AS f7
+    FROM rec r JOIN fin ON fin.event_type = r.event_type AND r.i = fin.n
+    """,
+)
+def ev_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters additive SEASONAL forecast per event type (operators/
+    rollup.holt_winters_forecast, alpha = beta = gamma = 1/2, period 7)
+    — the top of the classical smoothing ladder over ev_ewma_decay and
+    ev_holt_forecast: weekday rhythm (which ev_acf detects and
+    ev_stl_decompose describes) now lives INSIDE the forecaster's state,
+    so f1/f7 carry the right day-of-week correction instead of smearing
+    it into the trend. Every update is adds and exact IEEE halvings in a
+    pinned order — the whole 3-state-plus-7-slot recursion folds in ONE
+    Catalyst aggregate per type, and the oracle replays it in a
+    recursive CTE carrying the seven seasonal columns; hash equality
+    certifies the entire fold."""
+    from odbc2parquet_spark.operators.rollup import holt_winters_forecast
+
+    ev = load_table(spark, sf_dir, "events")
+    day = F.floor(F.unix_seconds(F.col("ts").cast("timestamp")) / 86400).cast(
+        "long"
+    )
+    dec = F.col("value").cast("decimal(18,6)")
+    daily = (
+        ev.select(
+            F.col("event_type").alias("key"), day.alias("day"), dec.alias("vd")
+        )
+        .groupBy("key", "day")
+        .agg(F.round(F.sum("vd").cast("double") / F.count("*"), 6).alias("x"))
+    )
+    out = holt_winters_forecast(daily, "key", "day", "x", period=7, horizons=(1, 7))
+    return out.select(
+        F.col("key").alias("event_type"), "n_days", "level", "trend", "f1", "f7"
+    )

@@ -435,3 +435,29 @@ def test_bot_regularity_flags_ticking_user(spark):
     # ticker: all gaps 60 -> variance numerator exactly 0
     assert out[1].v == 0 and out[1].n_gaps == 7
     assert out[2].v > out[2].n_gaps ** 2 * 3600  # bursty: not regular
+
+
+def test_holt_winters_matches_python_recursion(spark):
+    from odbc2parquet_spark.operators.rollup import holt_winters_forecast
+
+    xs = [10.0, 12.0, 8.0, 11.0, 13.0, 9.0, 14.0, 10.5, 12.5, 8.5, 15.0]
+    daily = spark.createDataFrame(
+        [("a", d, x) for d, x in enumerate(xs)], ["key", "day", "x"]
+    )
+    r = holt_winters_forecast(daily, period=7, horizons=(1, 7)).collect()[0]
+    l, b, s = None, 0.0, [0.0] * 7
+    for t, x in enumerate(xs):
+        idx = t % 7
+        if l is None:
+            l_new, b_new = x, 0.0
+        else:
+            l_new = ((x - s[idx]) + (l + b)) / 2.0
+            b_new = ((l_new - l) + b) / 2.0
+        s[idx] = ((x - l_new) + s[idx]) / 2.0
+        l = l_new
+        b = b_new
+    n = len(xs)
+    assert r.n_days == n
+    assert r.level == round(l, 6) and r.trend == round(b, 6)
+    assert r.f1 == round(l + 1.0 * b + s[n % 7], 6)
+    assert r.f7 == round(l + 7.0 * b + s[(n + 6) % 7], 6)
