@@ -103,6 +103,10 @@ _PRIORITY = [
     "sim_cell_medoids",
     "sim_ivf_delta_assign",
     "ev_bot_regularity",
+    "mm_hash_agreement",
+    "tx_keyness",
+    "sim_cluster_purity",
+    "ev_holt_winters",
 ]
 
 
