@@ -107,6 +107,7 @@ _PRIORITY = [
     "tx_keyness",
     "sim_cluster_purity",
     "ev_holt_winters",
+    "dd_method_agreement",
 ]
 
 

@@ -276,6 +276,7 @@ HEADLINE = [
     "tx_keyness",
     "sim_cluster_purity",
     "ev_holt_winters",
+    "dd_method_agreement",
 ]
 
 

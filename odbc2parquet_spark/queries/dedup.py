@@ -1515,3 +1515,93 @@ def dd_bleu_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = D.minhash_signatures(D.word_shingle_stream(docs, 3), num_hashes=8)
     cand = D.lsh_candidate_pairs(sig, bands=4, rows_per_band=2, max_bucket=1000)
     return bleu2_pairs(docs, cand)
+
+
+import re as _re
+
+_SIMHASH_NS = _SIMHASH_CTE
+for _a, _b in [("words", "zwords"), ("hashed", "zhashed"),
+               ("sums", "zsums"), ("sig", "zsig")]:
+    _SIMHASH_NS = _re.sub(rf"\b{_a}\b", _b, _SIMHASH_NS)
+
+
+@query(
+    "dd_method_agreement",
+    oracle="WITH "
+    + _CAND_CTE
+    + ","
+    + _SIMHASH_NS
+    + """,
+    msizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+    mcommon AS (
+        SELECT c.id_a, c.id_b, COUNT(*) AS common
+        FROM cand c
+        JOIN sh a ON a.id = c.id_a
+        JOIN sh b ON b.id = c.id_b AND b.g = a.g
+        GROUP BY c.id_a, c.id_b
+    ),
+    mh_pairs AS (
+        SELECT id_a, id_b FROM mcommon
+        JOIN msizes sa ON sa.id = id_a
+        JOIN msizes sb ON sb.id = id_b
+        WHERE common / (sa.n + sb.n - common) >= 0.5
+    ),
+    sh_pairs AS (
+        SELECT a.id AS id_a, b.id AS id_b
+        FROM zsig a JOIN zsig b ON a.id < b.id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    ),
+    u AS (
+        SELECT COALESCE(m.id_a, s.id_a) AS id_a,
+               COALESCE(m.id_b, s.id_b) AS id_b,
+               (m.id_a IS NOT NULL) AS in_m,
+               (s.id_a IS NOT NULL) AS in_s
+        FROM mh_pairs m FULL OUTER JOIN sh_pairs s
+          ON m.id_a = s.id_a AND m.id_b = s.id_b
+    )
+    SELECT CAST(SUM(CASE WHEN in_m AND in_s THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_both,
+           CAST(SUM(CASE WHEN in_m AND NOT in_s THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_minhash_only,
+           CAST(SUM(CASE WHEN in_s AND NOT in_m THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_simhash_only
+    FROM u
+    """,
+)
+def dd_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Method-agreement audit between the two certified TEXT near-dup
+    pipelines at their operating points (MinHash-LSH at Jaccard >= 0.5
+    vs banded SimHash at Hamming <= 3) — the text twin of
+    mm_hash_agreement: MinHash sees shingle-SET overlap, SimHash sees
+    weighted token profiles, so their disagreement set is precisely the
+    "reordered/lightly-edited vs re-worded" boundary a dedup deployment
+    tunes on. Composes two already-certified pipelines; one full-outer
+    join of two bounded pair sets, three counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    mh = D.minhash_near_duplicates(docs, threshold=0.5).select("id_a", "id_b")
+    sh = D.simhash_banded_pairs(
+        D.simhash(docs), max_hamming=3, bits=32, bands=4
+    ).select("id_a", "id_b")
+    u = mh.withColumn("in_m", F.lit(True)).join(
+        sh.withColumn("in_s", F.lit(True)), ["id_a", "id_b"], "full_outer"
+    )
+    return u.agg(
+        F.sum(
+            F.when(F.col("in_m").isNotNull() & F.col("in_s").isNotNull(), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_both"),
+        F.sum(
+            F.when(F.col("in_m").isNotNull() & F.col("in_s").isNull(), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_minhash_only"),
+        F.sum(
+            F.when(F.col("in_s").isNotNull() & F.col("in_m").isNull(), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_simhash_only"),
+    )
