@@ -108,6 +108,7 @@ _PRIORITY = [
     "sim_cluster_purity",
     "ev_holt_winters",
     "dd_method_agreement",
+    "dd_rouge_pairs",
 ]
 
 

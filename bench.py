@@ -277,6 +277,7 @@ HEADLINE = [
     "sim_cluster_purity",
     "ev_holt_winters",
     "dd_method_agreement",
+    "dd_rouge_pairs",
 ]
 
 

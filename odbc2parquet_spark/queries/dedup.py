@@ -1605,3 +1605,99 @@ def dd_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_simhash_only"),
     )
+
+
+@query(
+    "dd_rouge_pairs",
+    oracle="WITH "
+    + _CAND_CTE
+    + """,
+    w2 AS (
+        SELECT doc_id AS id,
+               list_filter(string_split(text, ' '), x -> x != '') AS ws
+        FROM documents
+    ),
+    cnts AS (
+        SELECT id, u AS g, COUNT(*) AS c
+        FROM w2, UNNEST(ws) AS t(u) GROUP BY 1, 2
+    ),
+    lens AS (SELECT id, CAST(SUM(c) AS BIGINT) AS len FROM cnts GROUP BY 1),
+    ov AS (
+        SELECT cd.id_a, cd.id_b, SUM(LEAST(ca.c, cb.c)) AS num
+        FROM cand cd
+        JOIN cnts ca ON ca.id = cd.id_a
+        JOIN cnts cb ON cb.id = cd.id_b AND cb.g = ca.g
+        GROUP BY 1, 2
+    )
+    SELECT cd.id_a, cd.id_b,
+           la.len AS len_ref, lb.len AS len_hyp,
+           CAST(COALESCE(ov.num, 0) AS BIGINT) AS n_overlap,
+           ROUND(COALESCE(ov.num, 0) * 1.0 / la.len, 6) AS rouge1_recall6,
+           ROUND(COALESCE(ov.num, 0) * 1.0 / lb.len, 6) AS rouge1_prec6,
+           ROUND(CASE WHEN COALESCE(ov.num, 0) = 0 THEN 0.0
+                      ELSE 2.0 * (COALESCE(ov.num, 0) * 1.0 / la.len)
+                           * (COALESCE(ov.num, 0) * 1.0 / lb.len)
+                           / ((COALESCE(ov.num, 0) * 1.0 / la.len)
+                              + (COALESCE(ov.num, 0) * 1.0 / lb.len)) END,
+                 6) AS rouge1_f6
+    FROM cand cd
+    JOIN lens la ON la.id = cd.id_a
+    JOIN lens lb ON lb.id = cd.id_b
+    LEFT JOIN ov ON ov.id_a = cd.id_a AND ov.id_b = cd.id_b
+    """,
+)
+def dd_rouge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-1 precision/recall/F1 over the LSH candidate pairs — the
+    RECALL-oriented third pair metric beside exact Jaccard (sets) and
+    BLEU-2 (clipped precision + brevity): ROUGE-1 recall answers "how
+    much of the reference's content does the candidate reproduce?",
+    which is the right question for superset/expansion duplicates that
+    Jaccard under-scores and BLEU's hypothesis-side precision misses.
+    Clipped counts and lengths are exact int64; the three scores are
+    per-pair scalar divisions rounded to 6. Same capped MinHash banding
+    candidates as dd_minhash_lsh / dd_bleu_pairs — bounded, never
+    all-pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = D.minhash_signatures(D.word_shingle_stream(docs, 3), num_hashes=8)
+    cand = D.lsh_candidate_pairs(sig, bands=4, rows_per_band=2, max_bucket=1000)
+    ws = docs.select(
+        F.col("doc_id").alias("id"),
+        F.filter(F.split(F.col("text"), " "), lambda x: x != "").alias("ws"),
+    )
+    cnts = ws.select("id", F.explode("ws").alias("g")).groupBy("id", "g").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    lens = cnts.groupBy("id").agg(F.sum("c").alias("len"))
+    cd = cand.select("id_a", "id_b")
+    ov = (
+        cd.join(
+            cnts.select(F.col("id").alias("id_a"), "g", F.col("c").alias("ca")),
+            "id_a",
+        )
+        .join(
+            cnts.select(F.col("id").alias("id_b"), "g", F.col("c").alias("cb")),
+            ["id_b", "g"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.least("ca", "cb")).alias("num"))
+    )
+    base = (
+        cd.join(lens.select(F.col("id").alias("id_a"), F.col("len").alias("len_ref")), "id_a")
+        .join(lens.select(F.col("id").alias("id_b"), F.col("len").alias("len_hyp")), "id_b")
+        .join(ov, ["id_a", "id_b"], "left")
+        .select(
+            "id_a", "id_b", "len_ref", "len_hyp",
+            F.coalesce("num", F.lit(0)).cast("long").alias("n_overlap"),
+        )
+    )
+    rec = F.col("n_overlap") * 1.0 / F.col("len_ref")
+    prec = F.col("n_overlap") * 1.0 / F.col("len_hyp")
+    f1 = F.when(F.col("n_overlap") == 0, F.lit(0.0)).otherwise(
+        2.0 * rec * prec / (rec + prec)
+    )
+    return base.select(
+        "id_a", "id_b", "len_ref", "len_hyp", "n_overlap",
+        F.round(rec, 6).alias("rouge1_recall6"),
+        F.round(prec, 6).alias("rouge1_prec6"),
+        F.round(f1, 6).alias("rouge1_f6"),
+    )
