@@ -461,3 +461,81 @@ def test_holt_winters_matches_python_recursion(spark):
     assert r.level == round(l, 6) and r.trend == round(b, 6)
     assert r.f1 == round(l + 1.0 * b + s[n % 7], 6)
     assert r.f7 == round(l + 7.0 * b + s[(n + 6) % 7], 6)
+
+
+def test_round10_property_batch(spark):
+    """Seeded reference-batch property sweep (one Spark pass per operator,
+    many random cases per pass — the hypothesis-style bounds without a
+    job per example)."""
+    import random
+
+    rng = random.Random(1041)
+
+    # BLEU-2 bounds + identity: scores in [0,1]; a doc paired with
+    # itself scores exactly 1 in every component
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 30))))
+        for i in range(40)
+    ]
+    ddf = spark.createDataFrame(docs, ["doc_id", "text"])
+    pairs = [(i, i + 20) for i in range(20)]
+    from odbc2parquet_spark.operators.text import bleu2_pairs
+
+    for r in bleu2_pairs(ddf, spark.createDataFrame(pairs, ["id_a", "id_b"])).collect():
+        assert 0.0 <= r.p1_6 <= 1.0 and 0.0 <= r.p2_6 <= 1.0
+        assert 0.0 <= r.bleu2_6 <= 1.0
+    dup = ddf.selectExpr("doc_id + 100 AS doc_id", "text")
+    both = ddf.union(dup)
+    self_pairs = spark.createDataFrame(
+        [(i, i + 100) for i in range(40)], ["id_a", "id_b"]
+    )
+    for r in bleu2_pairs(both, self_pairs).collect():
+        assert (r.p1_6, r.p2_6, r.bleu2_6) == (1.0, 1.0, 1.0)
+
+    # ACF bounds (Cauchy-Schwarz: every lag's |acf| <= 1) and Theil-Sen
+    # median-between-extremes on the same random daily series
+    rows, eid = [], 0
+    for g in range(4):
+        for d in range(1, 21):
+            for _ in range(rng.randint(1, 9)):
+                rows.append(
+                    (eid, f"2024-01-{d:02d} 12:00:00", f"t{g}")
+                )
+                eid += 1
+    ev = spark.createDataFrame(
+        rows, ["event_id", "ts", "event_type"]
+    ).selectExpr("event_id", "CAST(ts AS TIMESTAMP) AS ts", "event_type")
+    from odbc2parquet_spark.operators.drift import acf_daily, theil_sen_daily
+
+    for r in acf_daily(ev, "ts", "event_type", max_lag=5).collect():
+        assert abs(r.acf6) <= 1.0
+    for r in theil_sen_daily(ev, "ts", "event_type").collect():
+        # counts in [1,9]: every pairwise slope lies in [-8, 8]
+        assert -8.0 <= r.slope_med <= 8.0
+        assert r.n_pairs == r.n_days * (r.n_days - 1) // 2
+
+    # Markov removal effect: probabilities and effects stay in range on
+    # random journeys
+    rows2, eid2 = [], 0
+    types = ["click", "view", "signup", "purchase"]
+    for u in range(30):
+        for k in range(rng.randint(1, 8)):
+            rows2.append(
+                (eid2, f"2024-01-01 10:{k:02d}:00", u, rng.choice(types))
+            )
+            eid2 += 1
+    ev2 = spark.createDataFrame(
+        rows2, ["event_id", "ts", "user_id", "event_type"]
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id", "event_type"
+    )
+    from odbc2parquet_spark.operators.attribution import markov_removal_effect
+
+    out = {r.removed: r for r in markov_removal_effect(ev2).collect()}
+    assert out["none"].removal_effect6 == 0.0
+    for r in out.values():
+        assert 0 <= r.p_start_micro <= 10**12
+        assert 0.0 <= r.removal_effect6 <= 1.0
+        # removing a channel can never HELP conversion
+        assert r.p_start_micro <= out["none"].p_start_micro
