@@ -109,6 +109,7 @@ _PRIORITY = [
     "ev_holt_winters",
     "dd_method_agreement",
     "dd_rouge_pairs",
+    "ev_occupancy",
 ]
 
 

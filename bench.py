@@ -278,6 +278,7 @@ HEADLINE = [
     "ev_holt_winters",
     "dd_method_agreement",
     "dd_rouge_pairs",
+    "ev_occupancy",
 ]
 
 

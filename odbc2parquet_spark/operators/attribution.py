@@ -410,3 +410,78 @@ def markov_removal_effect(
             ).alias("removal_effect6"),
         )
     )
+
+
+def journey_occupancy(
+    events: DataFrame,
+    channels: tuple[str, ...] = ("click", "view", "signup"),
+    conv_type: str = "purchase",
+    iterations: int = 8,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """(state, visits_micro): expected VISITS per journey state under the
+    first-order chain — the fundamental-matrix row for 'start' that
+    completes the Markov attribution pair: removal effect prices what is
+    LOST without a channel; occupancy says how much traffic flows
+    THROUGH it (media planners read both). Truncated at ``iterations``
+    steps: v_0 = e_start, v_{k+1}(s') = sum_s v_k(s) * P(s -> s') over
+    transient states, occupancy = sum_k v_k — all in the exact integer
+    micro-units of :func:`markov_removal_effect` (weights cnt*10^6 div
+    out, state in 10^12 units), so both engines agree bit-for-bit.
+
+    The occupancy accumulator rides IN the iterated frame (state, v, o),
+    so each round references only its predecessor — the linear-chain
+    form an unrolled SQL oracle can replay without exponential CTE
+    re-expansion. Scale shape: identical to the removal-effect chain —
+    the corpus collapses to the <= (channels+1)^2-row transition table
+    before any algebra."""
+    trans = journey_transitions(
+        events, channels, conv_type, user_col, ts_col, type_col, id_col
+    )
+    out = trans.groupBy("src").agg(F.sum("cnt").alias("out_n"))
+    w = (
+        trans.filter(~F.col("dst").isin("conv", "null"))
+        .join(out, "src")
+        .select("src", "dst", F.expr("cnt * 1000000 div out_n").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    states = (
+        w.select(F.col("src").alias("state"))
+        .unionAll(w.select(F.col("dst").alias("state")))
+        .distinct()
+    )
+    cur = states.select(
+        "state",
+        F.when(F.col("state") == "start", F.lit(10**12))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("v"),
+    ).withColumn("o", F.col("v"))
+    for _ in range(iterations):
+        stepped = (
+            w.join(
+                cur.select(F.col("state").alias("src"), F.col("v").alias("vs")),
+                "src",
+            )
+            .select(
+                F.col("dst").alias("state"),
+                F.expr("vs * w div 1000000").alias("t"),
+            )
+            .groupBy("state")
+            .agg(F.sum("t").cast("long").alias("nv"))
+        )
+        prev = cur
+        cur = (
+            cur.join(stepped, "state", "left")
+            .select(
+                "state",
+                F.coalesce("nv", F.lit(0)).cast("long").alias("v"),
+                (F.col("o") + F.coalesce("nv", F.lit(0))).cast("long").alias("o"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        release_local_checkpoint(prev)
+    return cur.select("state", F.col("o").alias("visits_micro"))

@@ -2737,3 +2737,96 @@ def ev_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("key").alias("event_type"), "n_days", "level", "trend", "f1", "f7"
     )
+
+
+def _occ_iter_sql(k: int) -> str:
+    prev = f"st{k - 1}"
+    return f"""
+    st{k} AS MATERIALIZED (
+        SELECT p.state,
+               CAST(COALESCE(s.nv, 0) AS BIGINT) AS v,
+               CAST(p.o + COALESCE(s.nv, 0) AS BIGINT) AS o
+        FROM {prev} p LEFT JOIN (
+            SELECT w2.dst AS state, SUM(q.v * w2.w // 1000000) AS nv
+            FROM w2 JOIN {prev} q ON q.state = w2.src GROUP BY w2.dst
+        ) s ON s.state = p.state
+    )"""
+
+
+@query(
+    "ev_occupancy",
+    oracle=f"""
+    WITH ev AS (
+        SELECT user_id AS u, ts, event_id AS eid, event_type AS et
+        FROM events
+        WHERE event_type IN ('click', 'view', 'signup', 'purchase')
+    ),
+    j AS (
+        SELECT u, ts, eid, et,
+               COALESCE(SUM(CASE WHEN et = 'purchase' THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY u ORDER BY ts, eid
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING), 0) AS jid
+        FROM ev
+    ),
+    jp AS (
+        SELECT u, jid,
+               MAX(CASE WHEN et = 'purchase' THEN 1 ELSE 0 END) AS has_conv
+        FROM j GROUP BY 1, 2
+    ),
+    seq AS (
+        SELECT u, jid, et,
+               ROW_NUMBER() OVER (PARTITION BY u, jid ORDER BY ts, eid) AS rn,
+               LEAD(et, 1) OVER (PARTITION BY u, jid ORDER BY ts, eid) AS nxt
+        FROM j WHERE et != 'purchase'
+    ),
+    alltr AS (
+        SELECT et AS src, nxt AS dst FROM seq WHERE nxt IS NOT NULL
+        UNION ALL
+        SELECT 'start', et FROM seq WHERE rn = 1
+        UNION ALL
+        SELECT s.et, CASE WHEN jp.has_conv = 1 THEN 'conv' ELSE 'null' END
+        FROM seq s JOIN jp ON jp.u = s.u AND jp.jid = s.jid
+        WHERE s.nxt IS NULL
+        UNION ALL
+        SELECT 'start', 'conv' FROM jp
+        WHERE has_conv = 1 AND NOT EXISTS (
+            SELECT 1 FROM seq WHERE seq.u = jp.u AND seq.jid = jp.jid
+        )
+    ),
+    trans AS (SELECT src, dst, COUNT(*) AS cnt FROM alltr GROUP BY 1, 2),
+    o AS (SELECT src, SUM(cnt) AS out_n FROM trans GROUP BY 1),
+    w2 AS MATERIALIZED (
+        SELECT t.src, t.dst, t.cnt * 1000000 // o.out_n AS w
+        FROM trans t JOIN o ON o.src = t.src
+        WHERE t.dst NOT IN ('conv', 'null')
+    ),
+    st0 AS MATERIALIZED (
+        SELECT state,
+               CAST(CASE WHEN state = 'start' THEN 1000000000000
+                         ELSE 0 END AS BIGINT) AS v,
+               CAST(CASE WHEN state = 'start' THEN 1000000000000
+                         ELSE 0 END AS BIGINT) AS o
+        FROM (SELECT src AS state FROM w2 UNION SELECT dst FROM w2)
+    ),
+    {",".join(_occ_iter_sql(k) for k in range(1, 9)).lstrip(",")}
+    SELECT state, o AS visits_micro FROM st8
+    """,
+)
+def ev_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected journey VISITS per state (operators/attribution.
+    journey_occupancy) — the fundamental-matrix row that completes the
+    Markov attribution pair: ev_removal_effect prices what is LOST
+    without a channel, occupancy says how much of a journey flows
+    THROUGH it (the pair media planning reads together: a high-traffic
+    channel with near-zero removal effect is a pass-through, a
+    low-traffic one with high removal effect is a bottleneck). Same
+    exact integer micro-unit chain (weights cnt*10^6 div out, state in
+    10^12 units, 8-step truncation); the occupancy accumulator rides in
+    the iterated frame so the unrolled oracle stays a linear CTE chain.
+    The corpus collapses to the <=25-row transition table before any
+    algebra."""
+    from odbc2parquet_spark.operators.attribution import journey_occupancy
+
+    ev = load_table(spark, sf_dir, "events")
+    return journey_occupancy(ev, iterations=8)

@@ -539,3 +539,25 @@ def test_round10_property_batch(spark):
         assert 0.0 <= r.removal_effect6 <= 1.0
         # removing a channel can never HELP conversion
         assert r.p_start_micro <= out["none"].p_start_micro
+
+
+def test_occupancy_hand_computed(spark):
+    from odbc2parquet_spark.operators.attribution import journey_occupancy
+
+    # user 100: click -> purchase; user 200: view -> (end).
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", 100, "click"),
+            (2, "2024-01-01 11:00:00", 100, "purchase"),
+            (3, "2024-01-01 10:00:00", 200, "view"),
+        ],
+        ["event_id", "ts", "user_id", "event_type"],
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id", "event_type"
+    )
+    out = {r.state: r.visits_micro for r in journey_occupancy(ev).collect()}
+    # start visited once; start splits half to click, half to view;
+    # neither channel has onward transient edges
+    assert out["start"] == 10**12
+    assert out["click"] == 5 * 10**11
+    assert out["view"] == 5 * 10**11
