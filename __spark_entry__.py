@@ -110,6 +110,7 @@ _PRIORITY = [
     "dd_method_agreement",
     "dd_rouge_pairs",
     "ev_occupancy",
+    "dd_template_groups",
 ]
 
 

@@ -279,6 +279,7 @@ HEADLINE = [
     "dd_method_agreement",
     "dd_rouge_pairs",
     "ev_occupancy",
+    "dd_template_groups",
 ]
 
 

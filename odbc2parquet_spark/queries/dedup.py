@@ -1701,3 +1701,53 @@ def dd_rouge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(prec, 6).alias("rouge1_prec6"),
         F.round(f1, 6).alias("rouge1_f6"),
     )
+
+
+@query(
+    "dd_template_groups",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               md5(array_to_string(
+                   list_transform(
+                       list_filter(string_split(text, ' '), x -> x != ''),
+                       w -> CAST(length(w) AS VARCHAR)),
+                   ',')) AS template_hash
+        FROM documents
+    )
+    SELECT template_hash,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(doc_id) AS min_doc
+    FROM t GROUP BY template_hash HAVING COUNT(*) > 1
+    """,
+)
+def dd_template_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPLATE detection: documents sharing an identical word-length
+    SKELETON (the md5 of their token-length sequence) — the
+    mail-merge/boilerplate generator signature that exact dedup misses
+    (every instance differs in the substituted values) and MinHash
+    under-scores (low shingle overlap when the slots dominate). Grouping
+    on the skeleton hash is ONE map-side-combining shuffle — the
+    dd_exact shape applied to structure instead of content; groups >1
+    are template families, min_doc the canonical exemplar. At 100 TB
+    this is the cheapest first pass of a template-aware dedup cascade:
+    skeleton groups feed slot-level diffing only WITHIN groups."""
+    docs = load_table(spark, sf_dir, "documents")
+    skel = F.md5(
+        F.array_join(
+            F.transform(
+                F.filter(F.split(F.col("text"), " "), lambda x: x != ""),
+                lambda w: F.length(w).cast("string"),
+            ),
+            ",",
+        )
+    )
+    return (
+        docs.select("doc_id", skel.alias("template_hash"))
+        .groupBy("template_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )

@@ -561,3 +561,39 @@ def test_occupancy_hand_computed(spark):
     assert out["start"] == 10**12
     assert out["click"] == 5 * 10**11
     assert out["view"] == 5 * 10**11
+
+
+def test_template_groups_detects_slot_substitution(spark):
+    from odbc2parquet_spark.queries.dedup import dd_template_groups  # noqa: F401
+    from odbc2parquet_spark.queries import QUERIES as _Q  # noqa: F401
+    from odbc2parquet_spark.operators import dedup as D  # noqa: F401
+    from pyspark.sql import functions as F2
+
+    # same skeleton, different substituted values -> one family;
+    # a structurally different doc stays out
+    docs = spark.createDataFrame(
+        [
+            (1, "name alice age 31 city rome"),
+            (2, "name carol age 57 city oslo"),
+            (3, "title bb pages 7"),
+        ],
+        ["doc_id", "text"],
+    )
+    skel = F2.md5(
+        F2.array_join(
+            F2.transform(
+                F2.filter(F2.split(F2.col("text"), " "), lambda x: x != ""),
+                lambda w: F2.length(w).cast("string"),
+            ),
+            ",",
+        )
+    )
+    groups = (
+        docs.select("doc_id", skel.alias("h"))
+        .groupBy("h")
+        .agg(F2.count(F2.lit(1)).alias("n"), F2.min("doc_id").alias("m"))
+        .filter(F2.col("n") > 1)
+        .collect()
+    )
+    assert len(groups) == 1
+    assert groups[0].n == 2 and groups[0].m == 1
