@@ -387,3 +387,96 @@ def streaming_kmv_quantile(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+HW_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("n_days", T.LongType()),
+        T.StructField("level", T.DoubleType()),
+        T.StructField("trend", T.DoubleType()),
+        T.StructField("f1", T.DoubleType()),
+        T.StructField("f7", T.DoubleType()),
+    ]
+)
+
+
+def streaming_holt_winters(
+    daily: DataFrame,
+    key_col: str = "key",
+    day_col: str = "day",
+    value_col: str = "x",
+    period: int = 7,
+) -> DataFrame:
+    """Online Holt-Winters additive smoothing per key (alpha = beta =
+    gamma = 1/2, period 7): the streaming twin of operators/rollup.
+    holt_winters_forecast, carrying (level, trend, the seasonal slots,
+    t) in the state store and emitting the current fit + 1/7-step
+    forecasts each micro-batch — the live forecaster a monitoring
+    pipeline runs where the batch fold runs nightly. The dyadic
+    recursion is the SAME pinned add/halve sequence, so after an
+    availableNow drain over in-order days the emitted row is
+    bit-identical to the batch operator (pytest-pinned, state carried
+    across restarts). In-batch order sorts the concatenated chunks by
+    day; cross-batch order is the source's append order, as for every
+    recursive monitor here.
+    """
+
+    def update(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            st = state.get
+            l, b, t = st[0], st[1], st[2]
+            s = list(st[3])
+        else:
+            l, b, t, s = None, 0.0, 0, [0.0] * period
+        chunks = list(pdfs)
+        whole = (
+            pd.concat(chunks, ignore_index=True)
+            if chunks
+            else pd.DataFrame({day_col: [], value_col: []})
+        )
+        whole = whole.sort_values(day_col, kind="stable")
+        for x in whole[value_col]:
+            x = float(x)
+            idx = t % period
+            if l is None:
+                l_new, b_new = x, 0.0
+            else:
+                l_new = ((x - s[idx]) + (l + b)) / 2.0
+                b_new = ((l_new - l) + b) / 2.0
+            s[idx] = ((x - l_new) + s[idx]) / 2.0
+            l, b = l_new, b_new
+            t += 1
+        state.update((l, b, t, s))
+        yield pd.DataFrame(
+            {
+                "key": [key[0]],
+                "n_days": [t],
+                "level": [None if l is None else round(l, 6)],
+                "trend": [round(b, 6)],
+                "f1": [
+                    None
+                    if l is None
+                    else round(l + 1.0 * b + s[t % period], 6)
+                ],
+                "f7": [
+                    None
+                    if l is None
+                    else round(
+                        l + 7.0 * b + s[(t - 1 + 7) % period], 6
+                    )
+                ],
+            }
+        )
+
+    return daily.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=HW_SCHEMA,
+        stateStructType=(
+            "l DOUBLE, b DOUBLE, t LONG, s ARRAY<DOUBLE>"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -693,3 +693,60 @@ def test_streaming_fingerprint_votes_matches_batch(spark, tmp_path, sf_dir):
         for r in streaming_fingerprint_votes(probe, static_idx).collect()
     }
     assert got == want and len(want) > 0
+
+
+@pytest.mark.slow
+def test_streaming_holt_winters_matches_batch_across_restart(spark, tmp_path):
+    """The streaming HW fold must carry (level, trend, seasonal, t) across
+    availableNow restarts and land bit-identical to the batch operator
+    over the concatenated series."""
+    from odbc2parquet_spark.operators.rollup import holt_winters_forecast
+    from odbc2parquet_spark.streaming.monitors import streaming_holt_winters
+
+    from pyspark.sql import types as T2
+
+    xs = [10.0, 12.0, 8.0, 11.0, 13.0, 9.0, 14.0, 10.5, 12.5, 8.5, 15.0, 7.5]
+    rows = [("a", d, x) for d, x in enumerate(xs)]
+    src = tmp_path / "src"
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+    schema = T2.StructType(
+        [
+            T2.StructField("key", T2.StringType()),
+            T2.StructField("day", T2.LongType()),
+            T2.StructField("x", T2.DoubleType()),
+        ]
+    )
+
+    def drain(batch_rows, subdir):
+        spark.createDataFrame(batch_rows, schema).coalesce(1).write.parquet(
+            str(src / subdir)
+        )
+        stream = spark.readStream.schema(schema).option(
+            "recursiveFileLookup", "true"
+        ).parquet(str(src))
+        q = (
+            streaming_holt_winters(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    drain(rows[:7], "b1")
+    drain(rows[7:], "b2")
+    res = spark.read.parquet(out)
+    final = max(res.collect(), key=lambda r: r.n_days)
+    batch = holt_winters_forecast(
+        spark.createDataFrame(rows, ["key", "day", "x"]),
+        period=7,
+        horizons=(1, 7),
+    ).collect()[0]
+    assert final.level == batch.level
+    assert final.trend == batch.trend
+    assert final.f1 == batch.f1
+    assert final.f7 == batch.f7
