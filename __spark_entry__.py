@@ -111,6 +111,7 @@ _PRIORITY = [
     "dd_rouge_pairs",
     "ev_occupancy",
     "dd_template_groups",
+    "ev_hw_backtest",
 ]
 
 

@@ -280,6 +280,7 @@ HEADLINE = [
     "dd_rouge_pairs",
     "ev_occupancy",
     "dd_template_groups",
+    "ev_hw_backtest",
 ]
 
 

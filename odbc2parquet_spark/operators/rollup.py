@@ -481,3 +481,92 @@ def holt_winters_forecast(
             ).alias(f"f{h}")
         )
     return fitted.select(*cols)
+
+
+def hw_backtest(
+    daily: DataFrame,
+    group_col: str = "key",
+    day_col: str = "day",
+    value_col: str = "x",
+    period: int = 7,
+    n_origins: int = 3,
+) -> DataFrame:
+    """(group, origin, f1_6, actual, abs_err6, naive_err6): ROLLING-ORIGIN
+    backtest of the Holt-Winters fold — the measurement that turns "we
+    fit a forecaster" into "we know its skill": for each of the last
+    ``n_origins`` days, fit on everything STRICTLY BEFORE it (the same
+    dyadic fold as :func:`holt_winters_forecast`, on the sliced prefix),
+    forecast one step, and report the absolute error next to the
+    seasonal-naive-1 baseline (yesterday's value) — the skill ratio a
+    deployment reads before trusting f1/f7.
+
+    Because the fold is incremental, each origin is one Catalyst
+    ``aggregate`` over a ``slice`` of the SAME collected series (three
+    tiny folds per group, no re-shuffle); the oracle reads the SAME
+    numbers off its single recursive CTE at rows n-3..n-1. Exactness:
+    the forecast is the dyadic state plus one add; errors subtract exact
+    inputs — no new float risk beyond the certified fold.
+    """
+    arr = daily.groupBy(group_col).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col(day_col).alias("d"), F.col(value_col).alias("x"))
+            )
+        ).alias("series")
+    )
+    zero = F.struct(
+        F.lit(None).cast("double").alias("l"),
+        F.lit(0.0).alias("b"),
+        F.array_repeat(F.lit(0.0), period).alias("s"),
+        F.lit(0).alias("t"),
+    )
+
+    def step(acc: F.Column, e: F.Column) -> F.Column:
+        x = e.getField("x").cast("double")
+        t = acc.getField("t")
+        idx = t % period
+        sp = F.element_at(acc.getField("s"), idx + 1)
+        first = acc.getField("l").isNull()
+        l_prev, b_prev = acc.getField("l"), acc.getField("b")
+        l_new = F.when(first, x).otherwise(
+            ((x - sp) + (l_prev + b_prev)) / F.lit(2.0)
+        )
+        b_new = F.when(first, F.lit(0.0)).otherwise(
+            ((l_new - l_prev) + b_prev) / F.lit(2.0)
+        )
+        s_new = F.transform(
+            acc.getField("s"),
+            lambda v, i: F.when(
+                i == idx, ((x - l_new) + v) / F.lit(2.0)
+            ).otherwise(v),
+        )
+        return F.struct(
+            l_new.alias("l"), b_new.alias("b"), s_new.alias("s"),
+            (t + 1).alias("t"),
+        )
+
+    n = F.size("series")
+    origins = F.sequence(
+        F.greatest(n - n_origins + 1, F.lit(2)), n
+    )  # 1-based target indexes, needing >= 1 prior day
+    ex = arr.select(
+        group_col, "series", F.explode(origins).alias("tgt")
+    ).filter(F.col("tgt") >= 2)
+    st = F.aggregate(
+        F.slice(F.col("series"), 1, F.col("tgt") - 1), zero, step
+    )
+    f1 = (
+        st.getField("l")
+        + F.lit(1.0) * st.getField("b")
+        + F.element_at(st.getField("s"), (st.getField("t") % period) + 1)
+    )
+    actual = F.element_at(F.col("series"), F.col("tgt")).getField("x")
+    naive = F.element_at(F.col("series"), F.col("tgt") - 1).getField("x")
+    return ex.select(
+        group_col,
+        F.col("tgt").cast("long").alias("origin"),
+        F.round(f1, 6).alias("f1_6"),
+        actual.cast("double").alias("actual"),
+        F.round(F.abs(f1 - actual), 6).alias("abs_err6"),
+        F.round(F.abs(naive - actual), 6).alias("naive_err6"),
+    )

@@ -2830,3 +2830,93 @@ def ev_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return journey_occupancy(ev, iterations=8)
+
+
+@query(
+    "ev_hw_backtest",
+    oracle=f"""
+    WITH RECURSIVE ev AS (
+        SELECT event_type, CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day,
+               CAST(value AS DECIMAL(18,6)) AS vd
+        FROM events
+    ),
+    daily AS (
+        SELECT event_type, day,
+               ROUND(CAST(SUM(vd) AS DOUBLE) / COUNT(*), 6) AS x
+        FROM ev GROUP BY 1, 2
+    ),
+    seqd AS (
+        SELECT event_type, day, x,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i
+        FROM daily
+    ),
+    rec(event_type, i, l, b, s0, s1, s2, s3, s4, s5, s6) AS (
+        SELECT event_type, i, CAST(x AS DOUBLE), CAST(0.0 AS DOUBLE),
+               {_HW_S_BASE}
+        FROM seqd WHERE i = 1
+        UNION ALL
+        SELECT s.event_type, s.i,
+               ((s.x - (CASE (s.i - 1) % 7
+                        {" ".join(f"WHEN {j} THEN r.s{j}" for j in range(7))}
+                        END)) + (r.l + r.b)) / 2.0,
+               ((((s.x - (CASE (s.i - 1) % 7
+                          {" ".join(f"WHEN {j} THEN r.s{j}" for j in range(7))}
+                          END)) + (r.l + r.b)) / 2.0 - r.l) + r.b) / 2.0,
+               {_HW_S_STEP}
+        FROM rec r
+        JOIN seqd s ON s.event_type = r.event_type AND s.i = r.i + 1
+    ),
+    fin AS (SELECT event_type, MAX(i) AS n FROM rec GROUP BY 1),
+    picks AS (
+        SELECT r.event_type, r.i, r.l, r.b,
+               (CASE r.i % 7
+                {" ".join(f"WHEN {j} THEN r.s{j}" for j in range(7))}
+                END) AS snext
+        FROM rec r JOIN fin ON fin.event_type = r.event_type
+        WHERE r.i >= GREATEST(fin.n - 3, 1) AND r.i <= fin.n - 1
+    )
+    SELECT p.event_type, CAST(t.i AS BIGINT) AS origin,
+           ROUND(p.l + 1.0 * p.b + p.snext, 6) AS f1_6,
+           CAST(t.x AS DOUBLE) AS actual,
+           ROUND(ABS((p.l + 1.0 * p.b + p.snext) - t.x), 6) AS abs_err6,
+           ROUND(ABS(y.x - t.x), 6) AS naive_err6
+    FROM picks p
+    JOIN seqd t ON t.event_type = p.event_type AND t.i = p.i + 1
+    JOIN seqd y ON y.event_type = p.event_type AND y.i = p.i
+    """,
+)
+def ev_hw_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin BACKTEST of the Holt-Winters forecaster (operators/
+    rollup.hw_backtest): the last 3 days each get a one-step-ahead
+    forecast fit on strictly-prior data, reported with the absolute
+    error AND the seasonal-naive-1 baseline — the skill measurement that
+    decides whether ev_holt_winters' f1 is trustworthy, closing the
+    forecasting family the way dd_lsh_recall closes dedup and
+    sim_*_recall close ANN (every estimator ships with its measured
+    quality). Spark folds three sliced prefixes of the same collected
+    series; the oracle reads identical numbers off its ONE incremental
+    recursion at rows n-3..n-1 — agreement certifies that the fold
+    really is incremental."""
+    from odbc2parquet_spark.operators.rollup import hw_backtest
+
+    ev = load_table(spark, sf_dir, "events")
+    day = F.floor(F.unix_seconds(F.col("ts").cast("timestamp")) / 86400).cast(
+        "long"
+    )
+    dec = F.col("value").cast("decimal(18,6)")
+    daily = (
+        ev.select(
+            F.col("event_type").alias("key"), day.alias("day"), dec.alias("vd")
+        )
+        .groupBy("key", "day")
+        .agg(F.round(F.sum("vd").cast("double") / F.count("*"), 6).alias("x"))
+    )
+    out = hw_backtest(daily, "key", "day", "x", period=7, n_origins=3)
+    return out.select(
+        F.col("key").alias("event_type"),
+        "origin",
+        "f1_6",
+        "actual",
+        "abs_err6",
+        "naive_err6",
+    )

@@ -597,3 +597,27 @@ def test_template_groups_detects_slot_substitution(spark):
     )
     assert len(groups) == 1
     assert groups[0].n == 2 and groups[0].m == 1
+
+
+def test_hw_backtest_prefix_fit_excludes_target(spark):
+    from odbc2parquet_spark.operators.rollup import (
+        holt_winters_forecast,
+        hw_backtest,
+    )
+
+    xs = [10.0, 12.0, 8.0, 11.0, 13.0, 9.0, 14.0, 10.5]
+    daily = spark.createDataFrame(
+        [("a", d, x) for d, x in enumerate(xs)], ["key", "day", "x"]
+    )
+    rows = {r.origin: r for r in hw_backtest(daily, n_origins=3).collect()}
+    assert sorted(rows) == [6, 7, 8]
+    # each origin's forecast equals the batch fit on the strict prefix
+    for tgt, r in rows.items():
+        prefix = spark.createDataFrame(
+            [("a", d, x) for d, x in enumerate(xs[: tgt - 1])],
+            ["key", "day", "x"],
+        )
+        fit = holt_winters_forecast(prefix, horizons=(1,)).collect()[0]
+        assert r.f1_6 == fit.f1
+        assert r.actual == xs[tgt - 1]
+        assert r.naive_err6 == round(abs(xs[tgt - 2] - xs[tgt - 1]), 6)
