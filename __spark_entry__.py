@@ -112,6 +112,8 @@ _PRIORITY = [
     "ev_occupancy",
     "dd_template_groups",
     "ev_hw_backtest",
+    "sim_embedding_profile",
+    "tx_char_entropy",
 ]
 
 

@@ -281,6 +281,8 @@ HEADLINE = [
     "ev_occupancy",
     "dd_template_groups",
     "ev_hw_backtest",
+    "sim_embedding_profile",
+    "tx_char_entropy",
 ]
 
 

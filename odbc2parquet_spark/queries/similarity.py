@@ -2762,3 +2762,62 @@ def sim_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "entropy6",
         )
     )
+
+
+@query(
+    "sim_embedding_profile",
+    oracle="""
+    WITH n AS (
+        SELECT vec_id,
+               CAST(len(embedding) AS INTEGER) AS dim,
+               ROUND(SQRT(list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6)
+                   AS norm6,
+               CAST(len(list_filter(embedding, x -> x = 0.0)) AS BIGINT)
+                   AS n_zero_comp
+        FROM embeddings
+    )
+    SELECT dim,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           MIN(norm6) AS min_norm6,
+           MAX(norm6) AS max_norm6,
+           ROUND(CAST(SUM(CAST(norm6 AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_norm6,
+           CAST(SUM(CASE WHEN norm6 = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zero_vecs,
+           CAST(SUM(n_zero_comp) AS BIGINT) AS n_zero_components
+    FROM n GROUP BY dim
+    """,
+)
+def sim_embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-column QA PROFILE — the ingest gate an ANN/semantic
+    pipeline runs before building any index: per dimensionality (a mixed
+    dim is itself a defect every downstream kernel here would raise on),
+    the vector count, norm range and mean, zero-vector count (dead
+    encoder outputs that poison cosine math) and zero-component mass
+    (dimension collapse). Norms round to 6 then sum as DECIMAL — the one
+    scan, one bounded groupBy shape of q_profile_lineitem applied to
+    vectors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm6 = F.round(F.sqrt(S.norm_sq(F.col("embedding"))), 6)
+    n = emb.select(
+        F.size("embedding").alias("dim"),
+        norm6.alias("norm6"),
+        F.size(F.filter(F.col("embedding"), lambda x: x == 0.0))
+        .cast("long")
+        .alias("n_zero_comp"),
+    )
+    return n.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.min("norm6").alias("min_norm6"),
+        F.max("norm6").alias("max_norm6"),
+        F.round(
+            F.sum(F.col("norm6").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_norm6"),
+        F.sum(F.when(F.col("norm6") == 0.0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_zero_vecs"),
+        F.sum("n_zero_comp").cast("long").alias("n_zero_components"),
+    )

@@ -4508,3 +4508,61 @@ def tx_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("source", "word", "y", "z6", "rank")
     )
+
+
+@query(
+    "tx_char_entropy",
+    oracle="""
+    WITH ch AS (
+        SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents
+    ),
+    cc AS (
+        SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) AS k
+        FROM ch GROUP BY 1, 2
+    ),
+    nt AS (SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n FROM cc GROUP BY 1)
+    SELECT cc.doc_id, nt.n AS n_chars,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(SUM(CAST(ROUND(-(cc.k * 1.0 / nt.n)
+                               * LN(cc.k * 1.0 / nt.n) / LN(2.0), 6)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS entropy_bits6
+    FROM cc JOIN nt ON nt.doc_id = cc.doc_id
+    GROUP BY cc.doc_id, nt.n
+    """,
+)
+def tx_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document (bits/char over the
+    char distribution) — the cheapest garbage detector in the curation
+    stack: padding runs, base64 blobs and single-char spam sit at the
+    entropy extremes where token-level filters (tx_quality_scores,
+    tx_repetition) can be blind. Per-(doc, char) counts collapse
+    map-side; entropy terms round to 6 then sum as DECIMAL
+    (order-independent, the sim_cluster_purity convention); the whole
+    query is two keyed aggregations that ride the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    cc = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.col("text"), "")).alias("c")
+        )
+        .filter(F.col("c") != "")
+        .groupBy("doc_id", "c")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    nt = cc.groupBy("doc_id").agg(F.sum("k").alias("n"))
+    p = F.col("k") * 1.0 / F.col("n")
+    return (
+        cc.join(nt, "doc_id")
+        .select(
+            "doc_id",
+            "n",
+            F.round(-p * F.log(p) / F.log(F.lit(2.0)), 6)
+            .cast("decimal(18,6)")
+            .alias("term"),
+        )
+        .groupBy("doc_id", F.col("n").alias("n_chars"))
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum("term").cast("double").alias("entropy_bits6"),
+        )
+        .select("doc_id", "n_chars", "n_distinct", "entropy_bits6")
+    )
