@@ -114,6 +114,7 @@ _PRIORITY = [
     "ev_hw_backtest",
     "sim_embedding_profile",
     "tx_char_entropy",
+    "dd_winnowing_pairs",
 ]
 
 

@@ -283,6 +283,7 @@ HEADLINE = [
     "ev_hw_backtest",
     "sim_embedding_profile",
     "tx_char_entropy",
+    "dd_winnowing_pairs",
 ]
 
 

@@ -911,3 +911,87 @@ def prefix_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def winnowing_fingerprints(
+    docs: DataFrame,
+    n: int = 3,
+    window: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, pos, h): WINNOWING fingerprints (Schleimer, Wilkerson &
+    Aiken, SIGMOD'03 — the MOSS algorithm): per position the n-word
+    gram's 48-bit md5 hash, then in every sliding window of ``window``
+    consecutive positions select the MINIMUM hash, ties to the RIGHTMOST
+    occurrence (the "robust winnowing" rule that makes selections stable
+    under local edits). The guarantee: any shared substring of at least
+    window + n - 1 words yields at least one shared fingerprint, while
+    only ~2/(window+1) of positions are kept — the storage/recall dial
+    plagiarism and code-clone detection run on.
+
+    Exactness: the (hash asc, pos desc) argmin packs into one int64
+    (h * 1024 + (1023 - pos); 48-bit hash keeps the product far inside
+    the range, documents beyond 1023 grams would wrap the tiebreak and
+    raise), so the window MIN hash-aggregates on both engines. One
+    per-doc sliding window over gram rows — zero shuffle beyond the doc
+    partition; output is the DISTINCT selected (pos, h) set per doc.
+    """
+    w_ = Window.partitionBy("id").orderBy("pos").rowsBetween(1 - window, 0)
+    grams = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.expr(
+                f"CASE WHEN size(split({text_col}, ' ')) >= {n} THEN "
+                f"transform(sequence(1, size(split({text_col}, ' ')) - {n - 1}), "
+                f"i -> concat_ws(' ', slice(split({text_col}, ' '), i, {n}))) "
+                "ELSE array() END"
+            )
+        ).alias("pos", "g"),
+    )
+    h = F.conv(F.substring(F.md5(F.col("g")), 1, 12), 16, 10).cast("long")
+    guard = F.when(
+        F.col("pos") > 1023,
+        F.expr("raise_error('winnowing: document exceeds 1024 grams')"),
+    ).otherwise(F.lit(0))
+    packed = grams.select(
+        "id",
+        "pos",
+        (h * 1024 + (1023 - F.col("pos")) + guard).alias("pk"),
+    )
+    sel = packed.select(
+        "id", F.min("pk").over(w_).alias("mpk")
+    ).filter(F.col("mpk").isNotNull())
+    return sel.select(
+        "id",
+        (1023 - F.col("mpk") % 1024).cast("long").alias("pos"),
+        F.expr("mpk div 1024").alias("h"),
+    ).distinct()
+
+
+def winnowing_pairs(
+    fingerprints: DataFrame,
+    min_shared: int = 2,
+    max_docs_per_fp: int = 64,
+) -> DataFrame:
+    """(id_a, id_b, n_shared): document pairs sharing at least
+    ``min_shared`` distinct winnowing fingerprint hashes — the MOSS
+    match stage: the fingerprint index is joined to itself on the hash
+    with the standard stop-fingerprint cap (hashes in more than
+    ``max_docs_per_fp`` docs are template/boilerplate mass and dropped,
+    the same bounded-bucket rule as every LSH join here). Keyed
+    equi-joins only, never all-pairs."""
+    fp = fingerprints.select("id", "h").distinct()
+    freq = fp.groupBy("h").agg(F.count(F.lit(1)).alias("nd"))
+    idx = fp.join(
+        freq.filter(F.col("nd") <= max_docs_per_fp).select("h"), "h"
+    )
+    a = idx.select(F.col("id").alias("id_a"), "h")
+    b = idx.select(F.col("id").alias("id_b"), "h")
+    return (
+        a.join(b, "h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -1751,3 +1751,57 @@ def dd_template_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+@query(
+    "dd_winnowing_pairs",
+    oracle="""
+    WITH ws AS (
+        SELECT doc_id AS id, string_split(text, ' ') AS ws FROM documents
+    ),
+    grams AS (
+        SELECT id, t.i - 1 AS pos,
+               ws[t.i] || ' ' || ws[t.i + 1] || ' ' || ws[t.i + 2] AS g
+        FROM ws, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)
+        WHERE len(ws) >= 3
+    ),
+    packed AS (
+        SELECT id, pos,
+               CAST('0x' || substring(md5(g), 1, 12) AS BIGINT) * 1024
+               + (1023 - pos) AS pk
+        FROM grams
+    ),
+    sel AS (
+        SELECT id, MIN(pk) OVER (PARTITION BY id ORDER BY pos
+                                 ROWS BETWEEN 3 PRECEDING
+                                          AND CURRENT ROW) AS mpk
+        FROM packed
+    ),
+    fp AS (SELECT DISTINCT id, mpk // 1024 AS h FROM sel),
+    freq AS (
+        SELECT h FROM (SELECT h, COUNT(*) AS nd FROM fp GROUP BY h)
+        WHERE nd <= 64
+    ),
+    idx AS (SELECT fp.id, fp.h FROM fp JOIN freq USING (h))
+    SELECT a.id AS id_a, b.id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM idx a JOIN idx b ON a.h = b.h AND a.id < b.id
+    GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    """,
+)
+def dd_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINNOWING document-similarity pairs (Schleimer/Wilkerson/Aiken's
+    MOSS, SIGMOD'03 — operators/dedup.winnowing_fingerprints +
+    winnowing_pairs): per-position 3-word-gram hashes, a 4-gram sliding
+    window selecting the minimum (ties rightmost, the robust rule), and
+    pairs sharing >= 2 distinct selected hashes. The guarantee the other
+    near-dup operators don't give: ANY shared run of >= 6 words yields a
+    shared fingerprint while only ~2/5 of positions are stored — the
+    plagiarism/code-clone detector's storage-recall dial, complementing
+    MinHash (whole-doc sets) and span_scrub (exact substring table).
+    Packed (hash asc, pos desc) argmin keeps the window MIN a primitive
+    hash-aggregate; leading partial windows are included by both engines
+    (a superset of strict winnowing — the guarantee is preserved). Cap +
+    keyed joins, never all-pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = D.winnowing_fingerprints(docs, n=3, window=4)
+    return D.winnowing_pairs(fp, min_shared=2, max_docs_per_fp=64)

@@ -621,3 +621,38 @@ def test_hw_backtest_prefix_fit_excludes_target(spark):
         assert r.f1_6 == fit.f1
         assert r.actual == xs[tgt - 1]
         assert r.naive_err6 == round(abs(xs[tgt - 2] - xs[tgt - 1]), 6)
+
+
+def test_winnowing_guarantee_and_density(spark):
+    from odbc2parquet_spark.operators.dedup import (
+        winnowing_fingerprints,
+        winnowing_pairs,
+    )
+
+    # docs 1 and 2 share a 7-word run (>= window + n - 1 = 6) inside
+    # otherwise different text -> the guarantee forces >= 1 shared
+    # fingerprint; doc 3 shares nothing
+    shared = "one two three four five six seven"
+    docs = spark.createDataFrame(
+        [
+            (1, "aa bb " + shared + " cc dd"),
+            (2, "xx yy zz " + shared + " qq"),
+            (3, "p q r s t u v w"),
+        ],
+        ["doc_id", "text"],
+    )
+    fp = winnowing_fingerprints(docs, n=3, window=4)
+    rows = fp.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.id, set()).add(r.h)
+    assert by_doc[1] & by_doc[2]          # guarantee: shared run detected
+    assert not (by_doc[1] & by_doc[3])    # no false sharing
+    # density: far fewer selections than grams
+    n_grams_1 = len("aa bb ".split() + shared.split() + " cc dd".split()) - 2
+    assert len(by_doc[1]) < n_grams_1
+    pairs = {
+        (r.id_a, r.id_b): r.n_shared
+        for r in winnowing_pairs(fp, min_shared=1).collect()
+    }
+    assert (1, 2) in pairs and (1, 3) not in pairs
