@@ -115,6 +115,7 @@ _PRIORITY = [
     "sim_embedding_profile",
     "tx_char_entropy",
     "dd_winnowing_pairs",
+    "tx_decontaminate_13gram",
 ]
 
 

@@ -284,6 +284,7 @@ HEADLINE = [
     "sim_embedding_profile",
     "tx_char_entropy",
     "dd_winnowing_pairs",
+    "tx_decontaminate_13gram",
 ]
 
 

@@ -4566,3 +4566,101 @@ def tx_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "n_chars", "n_distinct", "entropy_bits6")
     )
+
+
+@query(
+    "tx_decontaminate_13gram",
+    oracle="""
+    WITH ws AS (
+        SELECT doc_id, source,
+               list_filter(string_split(text, ' '), x -> x != '') AS ws
+        FROM documents
+    ),
+    eg AS (
+        SELECT DISTINCT CAST('0x' || substring(md5(
+                   array_to_string(list_slice(ws, i, i + 12), ' ')
+               ), 1, 15) AS BIGINT) AS h
+        FROM ws, UNNEST(generate_series(1, len(ws) - 12)) AS t(i)
+        WHERE doc_id % 97 = 0 AND len(ws) >= 13
+    ),
+    dg AS (
+        SELECT DISTINCT doc_id,
+               CAST('0x' || substring(md5(
+                   array_to_string(list_slice(ws, i, i + 12), ' ')
+               ), 1, 15) AS BIGINT) AS h
+        FROM ws, UNNEST(generate_series(1, len(ws) - 12)) AS t(i)
+        WHERE doc_id % 97 != 0 AND len(ws) >= 13
+    ),
+    hits AS (
+        SELECT dg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+        FROM dg JOIN eg ON eg.h = dg.h
+        GROUP BY dg.doc_id
+    )
+    SELECT w.doc_id,
+           CAST(GREATEST(len(w.ws) - 12, 0) AS BIGINT) AS n_grams,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(CASE WHEN COALESCE(h.n_hits, 0) > 0 THEN 0 ELSE 1 END
+                AS INTEGER) AS keep_doc
+    FROM ws w LEFT JOIN hits h ON h.doc_id = w.doc_id
+    WHERE w.doc_id % 97 != 0
+    """,
+)
+def tx_decontaminate_13gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT 13-GRAM decontamination — the published standard (the GPT-3
+    appendix / PaLM convention: a training document is contaminated if
+    it shares any exact 13-token run with the evaluation set; one hit
+    drops the doc). The eval stand-in is the deterministic doc_id%97
+    slice; every other document is scored by distinct 13-gram hash
+    overlap against the eval index and verdicted keep/drop. This is the
+    NAMED-threshold gate beside tx_contamination's cross-source trigram
+    matrix (which measures leakage structure; this one enforces the
+    actual filter). Distinct gram hashes collapse map-side; the probe is
+    one hash-keyed join against the eval index (eval-sized, broadcast at
+    any corpus scale); docs shorter than 13 tokens have nothing to leak
+    and pass. 15-hex md5 hashes — the MinHash family convention."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = docs.select(
+        "doc_id",
+        F.filter(F.split(F.col("text"), " "), lambda x: x != "").alias("ws"),
+    )
+    gram = F.explode(
+        F.expr(
+            "CASE WHEN size(ws) >= 13 THEN "
+            "transform(sequence(1, size(ws) - 12), "
+            "i -> concat_ws(' ', slice(ws, i, 13))) "
+            "ELSE array() END"
+        )
+    ).alias("g")
+    h = F.conv(F.substring(F.md5(F.col("g")), 1, 15), 16, 10).cast("long")
+    eg = (
+        ws.filter(F.col("doc_id") % 97 == 0)
+        .select(gram)
+        .select(h.alias("h"))
+        .distinct()
+    )
+    dg = (
+        ws.filter(F.col("doc_id") % 97 != 0)
+        .select("doc_id", gram)
+        .select("doc_id", h.alias("h"))
+        .distinct()
+    )
+    hits = dg.join(eg, "h").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return (
+        ws.filter(F.col("doc_id") % 97 != 0)
+        .select(
+            "doc_id",
+            F.greatest(F.size("ws") - 12, F.lit(0)).cast("long").alias("n_grams"),
+        )
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.when(F.coalesce("n_hits", F.lit(0)) > 0, F.lit(0))
+            .otherwise(F.lit(1))
+            .cast("int")
+            .alias("keep_doc"),
+        )
+    )

@@ -656,3 +656,39 @@ def test_winnowing_guarantee_and_density(spark):
         for r in winnowing_pairs(fp, min_shared=1).collect()
     }
     assert (1, 2) in pairs and (1, 3) not in pairs
+
+
+def test_decontaminate_13gram_gate(spark):
+    from pyspark.sql import functions as F2
+    from odbc2parquet_spark.queries.textops import tx_decontaminate_13gram  # noqa: F401
+
+    run = " ".join(f"w{i}" for i in range(13))
+    # doc 0 is the eval doc (0 % 97 == 0); doc 1 embeds its 13-gram;
+    # doc 2 shares only 12 consecutive words -> clean
+    docs = spark.createDataFrame(
+        [
+            (0, run),
+            (1, "pre " + run + " post"),
+            (2, "x " + " ".join(f"w{i}" for i in range(12)) + " y"),
+        ],
+        ["doc_id", "text"],
+    )
+    ws = docs.select(
+        "doc_id",
+        F2.filter(F2.split(F2.col("text"), " "), lambda x: x != "").alias("ws"),
+    )
+    gram = F2.explode(
+        F2.expr(
+            "CASE WHEN size(ws) >= 13 THEN transform(sequence(1, size(ws) - 12), "
+            "i -> concat_ws(' ', slice(ws, i, 13))) ELSE array() END"
+        )
+    ).alias("g")
+    h = F2.conv(F2.substring(F2.md5(F2.col("g")), 1, 15), 16, 10).cast("long")
+    eg = ws.filter(F2.col("doc_id") % 97 == 0).select(gram).select(h.alias("h")).distinct()
+    dg = ws.filter(F2.col("doc_id") % 97 != 0).select("doc_id", gram).select(
+        "doc_id", h.alias("h")
+    ).distinct()
+    hits = {r.doc_id: r.n for r in dg.join(eg, "h").groupBy("doc_id").agg(
+        F2.count(F2.lit(1)).alias("n")).collect()}
+    assert hits.get(1, 0) >= 1   # contaminated: the full run leaked
+    assert hits.get(2, 0) == 0   # 12 shared words are not enough
