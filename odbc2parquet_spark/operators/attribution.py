@@ -403,11 +403,18 @@ def markov_removal_effect(
         .select(
             "removed",
             "p_start_micro",
-            F.round(
-                (F.col("p_full") - F.col("p_start_micro"))
-                / F.col("p_full"),
-                6,
-            ).alias("removal_effect6"),
+            # Zero-conversion corpus (p_full = 0): Spark's Divide yields
+            # NULL but DuckDB's IEEE double division yields NaN/inf —
+            # pin NULL explicitly on both engines for the degenerate case.
+            F.when(F.col("p_full") == 0, F.lit(None).cast("double"))
+            .otherwise(
+                F.round(
+                    (F.col("p_full") - F.col("p_start_micro"))
+                    / F.col("p_full"),
+                    6,
+                )
+            )
+            .alias("removal_effect6"),
         )
     )
 

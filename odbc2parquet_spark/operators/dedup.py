@@ -932,8 +932,9 @@ def winnowing_fingerprints(
 
     Exactness: the (hash asc, pos desc) argmin packs into one int64
     (h * 1024 + (1023 - pos); 48-bit hash keeps the product far inside
-    the range, documents beyond 1023 grams would wrap the tiebreak and
-    raise), so the window MIN hash-aggregates on both engines. One
+    the range; grams beyond position 1023 are truncated on BOTH engines
+    so the tiebreak never wraps), so the window MIN hash-aggregates on
+    both engines. One
     per-doc sliding window over gram rows — zero shuffle beyond the doc
     partition; output is the DISTINCT selected (pos, h) set per doc.
     """
@@ -950,14 +951,16 @@ def winnowing_fingerprints(
         ).alias("pos", "g"),
     )
     h = F.conv(F.substring(F.md5(F.col("g")), 1, 12), 16, 10).cast("long")
-    guard = F.when(
-        F.col("pos") > 1023,
-        F.expr("raise_error('winnowing: document exceeds 1024 grams')"),
-    ).otherwise(F.lit(0))
-    packed = grams.select(
+    # Documents are fingerprinted over their first 1024 grams only: the
+    # packed argmin reserves 10 bits for the position tiebreak, and a
+    # wrapped (negative) tiebreak would silently corrupt the window MIN.
+    # Truncating (not failing) keeps one over-long document from killing
+    # a corpus-scale job; the DuckDB oracle applies the same pos <= 1023
+    # cap so both engines encode the identical bounded spec.
+    packed = grams.filter(F.col("pos") <= 1023).select(
         "id",
         "pos",
-        (h * 1024 + (1023 - F.col("pos")) + guard).alias("pk"),
+        (h * 1024 + (1023 - F.col("pos"))).alias("pk"),
     )
     sel = packed.select(
         "id", F.min("pk").over(w_).alias("mpk")

@@ -549,9 +549,13 @@ def hw_backtest(
     origins = F.sequence(
         F.greatest(n - n_origins + 1, F.lit(2)), n
     )  # 1-based target indexes, needing >= 1 prior day
+    # Guard n == 1: sequence(2, 1) is DESCENDING in Spark ([2, 1]), which
+    # would emit a spurious origin=2 row with NULL actual (element_at past
+    # the array end) while the DuckDB oracle emits nothing. Requiring
+    # tgt <= size(series) alongside tgt >= 2 makes both engines agree.
     ex = arr.select(
         group_col, "series", F.explode(origins).alias("tgt")
-    ).filter(F.col("tgt") >= 2)
+    ).filter((F.col("tgt") >= 2) & (F.col("tgt") <= F.size("series")))
     st = F.aggregate(
         F.slice(F.col("series"), 1, F.col("tgt") - 1), zero, step
     )

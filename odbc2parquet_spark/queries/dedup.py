@@ -1546,9 +1546,18 @@ for _a, _b in [("words", "zwords"), ("hashed", "zhashed"),
         JOIN msizes sb ON sb.id = id_b
         WHERE common / (sa.n + sb.n - common) >= 0.5
     ),
+    sh_bands AS (
+        SELECT id, simhash, t.band, (simhash >> (t.band * 8)) & 255 AS key
+        FROM zsig, UNNEST([0, 1, 2, 3]) AS t(band)
+    ),
+    sh_bounded AS (
+        SELECT * FROM sh_bands
+        QUALIFY COUNT(*) OVER (PARTITION BY band, key) <= 10000
+    ),
     sh_pairs AS (
-        SELECT a.id AS id_a, b.id AS id_b
-        FROM zsig a JOIN zsig b ON a.id < b.id
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM sh_bounded a JOIN sh_bounded b
+          ON a.band = b.band AND a.key = b.key AND a.id < b.id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
     ),
     u AS (
@@ -1769,7 +1778,7 @@ def dd_template_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT id, pos,
                CAST('0x' || substring(md5(g), 1, 12) AS BIGINT) * 1024
                + (1023 - pos) AS pk
-        FROM grams
+        FROM grams WHERE pos <= 1023
     ),
     sel AS (
         SELECT id, MIN(pk) OVER (PARTITION BY id ORDER BY pos

@@ -2458,8 +2458,10 @@ def _markov_iter_sql(i: int) -> str:
     ),
     fp AS (SELECT p_start_micro AS p_full FROM st WHERE removed = 'none')
     SELECT s.removed, s.p_start_micro,
-           ROUND(CAST(f.p_full - s.p_start_micro AS DOUBLE)
-                 / CAST(f.p_full AS DOUBLE), 6) AS removal_effect6
+           CASE WHEN f.p_full = 0 THEN NULL
+                ELSE ROUND(CAST(f.p_full - s.p_start_micro AS DOUBLE)
+                           / CAST(f.p_full AS DOUBLE), 6)
+           END AS removal_effect6
     FROM st s CROSS JOIN fp f
     """,
 )

@@ -2325,7 +2325,10 @@ _SYM_CTE = """
     sig AS (
         SELECT vec_id, CAST({sig} AS BIGINT) AS sig FROM embeddings
     ),
-    b AS (SELECT vec_id, sig & 255 AS bucket FROM sig),
+    b AS (
+        SELECT vec_id, sig & 255 AS bucket FROM sig
+        QUALIFY COUNT(*) OVER (PARTITION BY sig & 255) <= 100000
+    ),
     pairs AS (
         SELECT x.vec_id AS id_a, y.vec_id AS id_b
         FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
