@@ -276,9 +276,14 @@ def pagerank_int(
     The edge list (possibly a whole LSH pipeline upstream) materializes
     ONCE with its out-degrees attached (per-src window on the persisted
     pass); each iteration is then one join + one groupBy(dst) shuffle
-    over it. Ranks (2 longs/node) localCheckpoint between rounds so the
-    lineage stays flat. Rounds are fixed (not convergence-tested), so the
-    plan is static and the driver never inspects data.
+    over it. Rounds are fixed (not convergence-tested), so the plan is
+    static and the driver never inspects data. Lineage control: ranks
+    localCheckpoint every ``checkpoint_every`` rounds (lineage growth is
+    linear in rounds — one join per round — so a short run compiles into
+    ONE plan with zero intermediate jobs, where checkpointing every round
+    paid 1 extra full job per round of pure scheduler overhead on small
+    graphs); the final ranks are always checkpointed eagerly so the
+    persisted edge list can be released before returning.
     """
     n_nodes = nodes.count()
     base = (10**12) // n_nodes
@@ -292,8 +297,10 @@ def pagerank_int(
     ids = nodes.select(F.col(node_col).alias("id"))
     ranks = ids.select("id", F.lit(base).alias("rank"))
     floor_term = (15 * base) // 100
+    checkpoint_every = 8
+    checkpointed: list[DataFrame] = []
     try:
-        for _ in range(iterations):
+        for it in range(iterations):
             contrib = (
                 weighted.join(ranks, weighted.src == ranks.id)
                 .select(
@@ -303,19 +310,19 @@ def pagerank_int(
                 .groupBy("id")
                 .agg(F.sum("c").alias("s"))
             )
-            prev = ranks
-            ranks = (
-                ids.join(contrib, "id", "left_outer")
-                .select(
-                    "id",
-                    (
-                        F.lit(floor_term)
-                        + F.expr("(85 * coalesce(s, 0)) div 100")
-                    ).cast("long").alias("rank"),
-                )
-                .localCheckpoint(eager=True)
+            ranks = ids.join(contrib, "id", "left_outer").select(
+                "id",
+                (
+                    F.lit(floor_term)
+                    + F.expr("(85 * coalesce(s, 0)) div 100")
+                ).cast("long").alias("rank"),
             )
-            release_local_checkpoint(prev)  # superseded round
+            last = it == iterations - 1
+            if last or (it + 1) % checkpoint_every == 0:
+                ranks = ranks.localCheckpoint(eager=True)
+                for prev in checkpointed:
+                    release_local_checkpoint(prev)  # superseded rounds
+                checkpointed = [ranks]
     finally:
         weighted.unpersist()
     return ranks
@@ -343,7 +350,11 @@ def personalized_pagerank_int(
     exactly 0, so the result is naturally sparse — at 100 TB the rank
     frontier (not the corpus) is what each iteration shuffles, and the
     per-iteration cost tracks the seed neighborhood size. Edge list +
-    out-degrees materialize once; ranks localCheckpoint per round.
+    out-degrees materialize once; ranks localCheckpoint every
+    ``checkpoint_every`` rounds (same bounded-lineage rationale as
+    :func:`pagerank_int` — linear growth, so a short fixed run is one
+    plan with zero intermediate jobs) and always on the final round so
+    the persisted edge list can be released before returning.
     """
     base = (10**12) // seeds.count()
     weighted = (
@@ -354,8 +365,10 @@ def personalized_pagerank_int(
     seed_ids = seeds.select(F.col(node_col).alias("id")).distinct()
     ranks = seed_ids.select("id", F.lit(base).cast("long").alias("rank"))
     floor_term = (15 * base) // 100
+    checkpoint_every = 8
+    checkpointed: list[DataFrame] = []
     try:
-        for _ in range(iterations):
+        for it in range(iterations):
             contrib = (
                 weighted.join(ranks, weighted.src == ranks.id)
                 .select(
@@ -365,7 +378,6 @@ def personalized_pagerank_int(
                 .groupBy("id")
                 .agg(F.sum("c").alias("s"))
             )
-            prev = ranks
             # full outer of (teleport floor on seeds) and (walk mass):
             # only rows touched by either term exist — the frontier stays
             # sparse instead of densifying to every node in the graph.
@@ -380,9 +392,13 @@ def personalized_pagerank_int(
                     ).cast("long").alias("rank"),
                 )
                 .filter(F.col("rank") > 0)
-                .localCheckpoint(eager=True)
             )
-            release_local_checkpoint(prev)  # superseded round
+            last = it == iterations - 1
+            if last or (it + 1) % checkpoint_every == 0:
+                ranks = ranks.localCheckpoint(eager=True)
+                for prev in checkpointed:
+                    release_local_checkpoint(prev)  # superseded rounds
+                checkpointed = [ranks]
     finally:
         weighted.unpersist()
     return ranks
@@ -557,7 +573,13 @@ def hits_int(
     list, which materializes once (persist) because all four
     half-rounds reference it; score frames are 2-long rows per node.
     Rounds are fixed, so the plan is static — no data-dependent driver
-    logic (same contract as :func:`pagerank_int`).
+    logic (same contract as :func:`pagerank_int`). Lineage control:
+    each half-round frame is LAZILY persisted (a hub frame is read by
+    the same round's auth update AND the next hub update, so an
+    unpersisted chain would recompute subtrees exponentially), and the
+    FINAL pair is checkpointed in one eager job — the per-round eager
+    checkpoint this replaces paid 2*rounds scheduler round-trips of
+    pure overhead on small graphs.
     """
     ids = nodes.select(F.col(node_col).alias("id"))
     sym = edges.select(
@@ -565,37 +587,41 @@ def hits_int(
     ).persist()
     auth = ids.select("id", F.lit(1).cast("long").alias("score"))
     hub = None
+    inters: list[DataFrame] = []
     try:
-        for _ in range(rounds):
+        for it in range(rounds):
             hub_sum = (
                 sym.join(auth, sym.dst == auth.id)
                 .groupBy("src")
                 .agg(F.sum("score").alias("s"))
             )
-            prev_hub = hub
-            hub = ids.join(
-                hub_sum, ids.id == hub_sum.src, "left"
-            ).select("id", F.coalesce("s", F.lit(0)).cast("long").alias("score"))
-            hub = hub.localCheckpoint(eager=True)
-            if prev_hub is not None:
-                release_local_checkpoint(prev_hub)
+            hub = (
+                ids.join(hub_sum, ids.id == hub_sum.src, "left")
+                .select("id", F.coalesce("s", F.lit(0)).cast("long").alias("score"))
+                .persist()
+            )
+            inters.append(hub)
             auth_sum = (
                 sym.join(hub, sym.src == hub.id)
                 .groupBy("dst")
                 .agg(F.sum("score").alias("s"))
             )
-            prev = auth
-            auth = ids.join(
-                auth_sum, ids.id == auth_sum.dst, "left"
-            ).select("id", F.coalesce("s", F.lit(0)).cast("long").alias("score"))
-            auth = auth.localCheckpoint(eager=True)
-            release_local_checkpoint(prev)
-        return (
+            auth = (
+                ids.join(auth_sum, ids.id == auth_sum.dst, "left")
+                .select("id", F.coalesce("s", F.lit(0)).cast("long").alias("score"))
+                .persist()
+            )
+            inters.append(auth)
+        out = (
             hub.withColumnRenamed("score", "hub")
             .join(auth.withColumnRenamed("score", "auth"), "id")
             .select("id", "hub", "auth")
+            .localCheckpoint(eager=True)
         )
+        return out
     finally:
+        for df in inters:
+            df.unpersist()
         sym.unpersist()
 
 
@@ -624,14 +650,20 @@ def label_propagation_int(
 
     Per round: one join (edges x labels) + one (dst, label) count + one
     per-dst argmax window — all keyed shuffles over the EDGE list;
-    label frames are 2-long rows per node, localCheckpoint'd so the
-    fixpoint lineage stays flat. Fixed rounds keep the plan static.
+    label frames are 2-long rows per node, LAZILY persisted per round (a
+    label frame is read twice — by the neighbor count and by the update
+    join — so an unpersisted chain would recompute subtrees
+    exponentially) with one eager checkpoint of the final frame; the
+    per-round eager checkpoint this replaces paid one scheduler
+    round-trip per round of pure overhead on small graphs. Fixed rounds
+    keep the plan static.
     """
     ids = nodes.select(F.col(node_col).alias("id"))
     sym = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).persist()
     labels = ids.select("id", F.col("id").alias("label"))
+    inters: list[DataFrame] = []
     try:
         for _ in range(rounds):
             counts = (
@@ -647,16 +679,17 @@ def label_propagation_int(
                 .filter(F.col("rk") == 1)
                 .select(F.col("dst").alias("id"), F.col("label").alias("nlab"))
             )
-            prev = labels
             labels = (
                 ids.join(labels, "id")
                 .join(winner, "id", "left")
                 .select("id", F.coalesce("nlab", "label").alias("label"))
-                .localCheckpoint(eager=True)
+                .persist()
             )
-            release_local_checkpoint(prev)
-        return labels
+            inters.append(labels)
+        return labels.localCheckpoint(eager=True)
     finally:
+        for df in inters:
+            df.unpersist()
         sym.unpersist()
 
 
