@@ -311,6 +311,27 @@ def compact_summary(summary_base: dict, timings: dict[str, float]) -> str:
     return json.dumps({**summary_base, "queries": inline})
 
 
+def select_movers(
+    timings: dict[str, float],
+    prior: dict[str, float],
+    ratio: float = 1.5,
+    cap: int = 10,
+) -> list[str]:
+    """Queries whose suite median moved >ratio x in either direction vs the
+    previous round's full-suite medians — the candidates for a standalone
+    confirmation run. Largest absolute movers first, capped. Sub-50ms prior
+    medians are noise-floor and never flagged."""
+    movers = [
+        name
+        for name, sec in timings.items()
+        if name in prior
+        and prior[name] > 0.05
+        and (sec / prior[name] > ratio or prior[name] / max(sec, 1e-9) > ratio)
+    ]
+    movers.sort(key=lambda n: -abs(timings[n] - prior[n]))
+    return movers[:cap]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -426,6 +447,42 @@ def main() -> None:
     timings = {name: round(statistics.median(v), 3) for name, v in samples.items()}
     total = round(sum(timings.values()), 3)
 
+    # Self-defense against suite pressure: a query's suite median can move
+    # 1.5x+ round-over-round from JVM codegen-cache/GC pressure alone (three
+    # of round 8's four "regressions" dissolved under idle re-measurement).
+    # Any query whose median moved >1.5x vs the previous round's full-suite
+    # medians is re-run ONCE standalone (cold caches, quiet JVM) and both
+    # numbers are emitted, so a reader can tell plan regressions from suite
+    # artifacts without re-measuring by hand. Skipped on subset runs (no
+    # stable prior to compare against).
+    standalone_confirm: dict[str, dict[str, float]] = {}
+    prior_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    if not only and os.path.exists(prior_path):
+        try:
+            with open(prior_path) as fh:
+                prior = json.load(fh).get("queries", {})
+        except Exception:  # noqa: BLE001 - a corrupt prior must not kill the bench
+            prior = {}
+        movers = [
+            n
+            for n in select_movers(timings, prior)
+            if n in QUERIES  # transfer/bpe pseudo-entries re-run via QUERIES only
+        ]
+        for name in movers:
+            spark.catalog.clearCache()
+            spark._jvm.System.gc()
+            t0 = time.time()
+            QUERIES[name](spark, sf_dir).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            standalone_confirm[name] = {
+                "suite": timings[name],
+                "prev": prior[name],
+                "standalone": round(time.time() - t0, 3),
+            }
+
     # Full per-query medians go to a side file; stdout gets ONE compact JSON
     # line guaranteed to fit in the driver's 2000-char output tail (round-4
     # BENCH artifact lost its head to tail truncation when the queries dict
@@ -448,6 +505,8 @@ def main() -> None:
         "transfer_rows_per_sec": round(transfer_rows / timings["transfer_lineitem"]),
         "queries_detail": detail_path,
     }
+    if standalone_confirm:
+        summary_base["standalone_confirm"] = standalone_confirm
     with open(detail_path, "w") as fh:
         json.dump({**summary_base, "queries": timings}, fh)
 

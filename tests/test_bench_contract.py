@@ -52,3 +52,30 @@ def test_headline_has_no_duplicates_or_unknown_queries():
 
     missing = [q for q in HEADLINE if q not in QUERIES]
     assert missing == []
+
+
+def test_select_movers_flags_only_real_ratio_movers():
+    from bench import select_movers
+
+    prior = {"a": 1.0, "b": 1.0, "c": 0.01, "d": 2.0, "new": None}
+    timings = {
+        "a": 1.6,   # 1.6x slower -> flagged
+        "b": 1.4,   # within 1.5x -> not flagged
+        "c": 5.0,   # prior below noise floor -> not flagged
+        "d": 1.0,   # 2x faster -> flagged (both directions confirm)
+        "e": 9.0,   # no prior -> not flagged
+    }
+    movers = select_movers(timings, {k: v for k, v in prior.items() if v is not None})
+    assert set(movers) == {"a", "d"}
+    # largest absolute delta first
+    assert movers == ["d", "a"]
+
+
+def test_select_movers_caps_rerun_budget():
+    from bench import select_movers
+
+    prior = {f"q{i}": 1.0 for i in range(40)}
+    timings = {f"q{i}": 2.0 + i * 0.01 for i in range(40)}
+    movers = select_movers(timings, prior)
+    assert len(movers) == 10
+    assert movers[0] == "q39"  # biggest absolute mover first
