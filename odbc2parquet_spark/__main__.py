@@ -82,11 +82,15 @@ def _resolve_connection(args: argparse.Namespace) -> None:
 
 
 def _add_sink_args(p: argparse.ArgumentParser) -> None:
+    from odbc2parquet_spark.sinks.parquet_sink import parse_bytesize
+
     # flag names follow the reference CLI (src/main.rs); defaults match.
+    # Byte-valued flags take the reference's SI-unit strings ('2GiB',
+    # '600Mb' — main.rs:97-105, 134-139) as well as plain byte counts.
     p.add_argument("--batch-size-row", type=int, default=None)
-    p.add_argument("--batch-size-memory", type=int, default=None)
+    p.add_argument("--batch-size-memory", type=parse_bytesize, default=None)
     p.add_argument("--row-groups-per-file", type=int, default=0)
-    p.add_argument("--file-size-threshold", type=int, default=0)
+    p.add_argument("--file-size-threshold", type=parse_bytesize, default=0)
     p.add_argument("--suffix-length", type=int, default=2)
     p.add_argument("--no-empty-file", action="store_true")
     p.add_argument("--single-file", action="store_true")

@@ -121,12 +121,65 @@ def _compression_options(opts: SinkOptions) -> dict[str, str]:
     return out
 
 
+def parse_bytesize(value: int | str) -> int:
+    """``2GiB`` / ``600Mb`` / ``1048576`` -> bytes.
+
+    The reference's ``--batch-size-memory`` takes SI-unit strings via the
+    bytesize crate (main.rs:97-105): binary units (KiB/MiB/GiB/TiB, powers
+    of 1024) and decimal units (kB/MB/GB/TB, powers of 1000), unit
+    case-insensitive, optional whitespace, fractional numbers allowed.
+    A bare integer means bytes.
+    """
+    if isinstance(value, int):
+        return value
+    import re as _re
+
+    m = _re.fullmatch(
+        r"\s*([0-9]+(?:\.[0-9]+)?)\s*([a-zA-Z]*)\s*", str(value)
+    )
+    if not m:
+        raise ValueError(f"cannot parse byte size {value!r}")
+    num, unit = float(m.group(1)), m.group(2).lower()
+    scale = {
+        "": 1, "b": 1,
+        "kb": 1000, "mb": 1000**2, "gb": 1000**3, "tb": 1000**4,
+        "kib": 1024, "mib": 1024**2, "gib": 1024**3, "tib": 1024**4,
+    }.get(unit)
+    if scale is None:
+        raise ValueError(f"cannot parse byte size {value!r}: unknown unit {unit!r}")
+    return int(num * scale)
+
+
 def rows_per_batch(opts: SinkOptions, bytes_per_row: int) -> int:
-    """min(row cap, memory cap / bytes-per-row) — batch_size_limit.rs:59-109."""
-    row_cap = opts.batch_size_rows or DEFAULT_BATCH_SIZE_ROWS
-    mem = opts.batch_memory_bytes or DEFAULT_BATCH_MEMORY_BYTES
-    mem_cap = max(1, mem // max(bytes_per_row, 1))
-    return max(1, min(row_cap, mem_cap))
+    """Rows per batch under the reference's limit matrix
+    (batch_size_limit.rs:66-107):
+
+    - only ``batch_size_rows``  -> that row cap, NO memory limit
+    - only ``batch_memory_bytes`` -> memory // bytes-per-row, NO row cap
+      (the 65,535-row default applies ONLY when neither limit is given)
+    - neither -> both defaults (65,535 rows AND 2 GiB)
+    - both -> min of the two
+
+    A memory limit smaller than one row is an error with the reference's
+    actionable guidance (batch_size_limit.rs:83-97), not a silent
+    1-row batch.
+    """
+    rows, mem = opts.batch_size_rows, opts.batch_memory_bytes
+    if rows is not None and mem is None:
+        return max(1, rows)
+    if rows is None and mem is None:
+        rows, mem = DEFAULT_BATCH_SIZE_ROWS, DEFAULT_BATCH_MEMORY_BYTES
+    mem_cap = mem // max(bytes_per_row, 1)
+    if mem_cap == 0:
+        raise ValueError(
+            f"Memory required to hold a single row is larger than the "
+            f"limit. Memory Limit: {mem} bytes, Memory per row: "
+            f"{bytes_per_row} bytes.\nYou can use either '--batch-size-row' "
+            f"or '--batch-size-memory' to raise the limit. You may also "
+            f"apply an upper size limit to expected values in variadic "
+            f"columns using '--column-length-limit'."
+        )
+    return mem_cap if rows is None else max(1, min(rows, mem_cap))
 
 
 def path_with_suffix(path: str, index: int, suffix_length: int) -> str:

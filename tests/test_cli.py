@@ -291,3 +291,28 @@ def test_cli_prompt_parity_errors(tmp_path):
         main(["query", "--prompt", "--dsn", "x", "out.par", "SELECT 1"])
     with pytest.raises(SystemExit, match="--dsn NAME .* or --jdbc-url"):
         main(["query", "--prompt", "out.par", "SELECT 1"])
+
+
+def test_cli_batch_size_memory_si_units(spark, sf_dir, tmp_path, capsys):
+    """--batch-size-memory takes the reference's SI-unit strings
+    (main.rs:97-105) and, when given alone, drops the 65,535-row default
+    (main.rs:86-91): with a tiny memory cap each batch holds few rows, so
+    splitting by row groups produces multiple files."""
+    out = str(tmp_path / "o.par")
+    rc = main(
+        [
+            "query",
+            "--tables-dir", sf_dir,
+            "--batch-size-memory", "16KiB",
+            "--row-groups-per-file", "1",
+            out,
+            "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+        ]
+    )
+    assert rc == 0
+    written = json.loads(capsys.readouterr().out)["written"]
+    # 5 rows at ~4 KiB estimated bytes/row -> ~3 rows per batch -> >1 file;
+    # the memory-only path must NOT clamp to the 65,535-row default
+    assert len(written) > 1
+    total = sum(pq.read_table(p).num_rows for p in written)
+    assert total == 5

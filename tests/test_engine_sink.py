@@ -85,11 +85,41 @@ def test_directory_mode_default(engine, tmp_path):
 
 
 def test_rows_per_batch_memory_cap():
-    # min(rows, bytes/bytes-per-row) — batch_size_limit.rs:59-109
+    # the reference's limit matrix — batch_size_limit.rs:66-107
     opts = SinkOptions(batch_size_rows=100_000, batch_memory_bytes=1000)
-    assert rows_per_batch(opts, bytes_per_row=100) == 10
-    opts = SinkOptions()  # defaults: 65535 rows / 2 GiB
+    assert rows_per_batch(opts, bytes_per_row=100) == 10  # both -> min
+    opts = SinkOptions()  # neither -> both defaults (65535 rows / 2 GiB)
     assert rows_per_batch(opts, bytes_per_row=100) == 65_535
+    # memory-only: NO 65,535-row default (main.rs:86-91)
+    opts = SinkOptions(batch_memory_bytes=100_000_000)
+    assert rows_per_batch(opts, bytes_per_row=100) == 1_000_000
+    # rows-only: NO memory default (main.rs:92-99)
+    opts = SinkOptions(batch_size_rows=100_000)
+    assert rows_per_batch(opts, bytes_per_row=10**9) == 100_000
+    # memory limit below one row errors with guidance, not a 1-row batch
+    # (batch_size_limit.rs:83-97)
+    import pytest
+
+    with pytest.raises(ValueError, match="single row is larger"):
+        rows_per_batch(SinkOptions(batch_memory_bytes=10), bytes_per_row=100)
+
+
+def test_parse_bytesize_si_units():
+    # the reference's ByteSize strings (main.rs:97-105): '2Gib', '600Mb'
+    from odbc2parquet_spark.sinks.parquet_sink import parse_bytesize
+
+    assert parse_bytesize("2GiB") == 2 * 1024**3
+    assert parse_bytesize("2Gib") == 2 * 1024**3  # case-insensitive unit
+    assert parse_bytesize("600Mb") == 600 * 1000**2
+    assert parse_bytesize("1.5 KiB") == 1536
+    assert parse_bytesize("1048576") == 1048576
+    assert parse_bytesize(4096) == 4096
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown unit"):
+        parse_bytesize("2parsecs")
+    with pytest.raises(ValueError, match="cannot parse"):
+        parse_bytesize("GiB2")
 
 
 def test_path_with_suffix():
