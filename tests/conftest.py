@@ -1,8 +1,16 @@
+import os
 import sys
 
 import pytest
 
 sys.path.insert(0, "/root/repo")
+
+# Tests run on sf0.001 (KB-scale tables); measured per-action latency on
+# this box is ~0.22s under local[8] vs ~0.55s under local[32] — stage
+# scheduling over 32 threads dominates tiny queries. 8 threads keep every
+# code path multi-partition while roughly halving the ~300-test fast
+# gate. CI can override by exporting SPARK_GRAFT_CPUS before pytest.
+os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
 
 SF_DIR = "/root/testdata/sf0.001"
 
