@@ -285,6 +285,8 @@ HEADLINE = [
     "tx_char_entropy",
     "dd_winnowing_pairs",
     "tx_decontaminate_13gram",
+    # round-9: the frozen production ANN operating point (recall >= 0.6 gate)
+    "sim_recall_floor",
 ]
 
 

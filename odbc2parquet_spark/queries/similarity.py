@@ -927,6 +927,94 @@ def sim_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sim_recall_floor",
+    oracle="WITH "
+    + _IVF_PQ_CTES
+    + f""",
+    n AS (
+        SELECT vec_id, embedding,
+               list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nsq
+        FROM embeddings
+    ),
+    exact_scored AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               ROUND({_DOT} / SQRT(a.nsq * b.nsq), 4) AS cos4
+        FROM n a JOIN n b ON a.vec_id < 10 AND a.vec_id != b.vec_id
+    ),
+    exact_top AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY cos4 DESC, neighbor_id) AS rnk
+            FROM exact_scored
+        ) WHERE rnk <= 10
+    ),
+    adc_top AS (
+        SELECT query_id, vec_id AS neighbor_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY adc_dec, vec_id) AS rnk
+            FROM adc
+        ) WHERE rnk <= 10
+    ),
+    hits AS (
+        SELECT a.query_id, COUNT(*) AS n_hits
+        FROM adc_top a
+        JOIN exact_top e ON e.query_id = a.query_id
+                        AND e.neighbor_id = a.neighbor_id
+        GROUP BY a.query_id
+    ),
+    per_q AS (
+        SELECT q.query_id, COALESCE(h.n_hits, 0) AS n_hits
+        FROM (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 10) q
+        LEFT JOIN hits h ON h.query_id = q.query_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           ROUND(SUM(n_hits) / (10.0 * COUNT(*)), 6) AS mean_recall10,
+           CAST(0.6 AS DOUBLE) AS floor,
+           ROUND(SUM(n_hits) / (10.0 * COUNT(*)), 6) >= 0.6 AS passed
+    FROM per_q
+    """,
+)
+def sim_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION ANN operating point, frozen as a gate: mean
+    recall@10 of the raw-encoding IVF-PQ index (nprobe=4 of 16 cells,
+    m=32, k=256 — the config the round-8 head-to-head measured at 0.70
+    sf0.01 / 0.78 sf0.1, beating residual encoding's 0.59/0.74) against
+    the exact brute-force ground truth, with the 0.6 floor evaluated
+    IN-QUERY. A future codebook/routing/centroid change that silently
+    regresses retrieval flips ``passed`` to false and the driver's hash
+    gate goes red — retrieval quality is under the same contract as
+    correctness. One extra aggregate over sim_ivf_pq_recall's per-query
+    rows; same keyed-join scale shape."""
+    from odbc2parquet_spark.operators.similarity import ivf_pq_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    approx = ivf_pq_search(
+        emb, probes, nprobe=_NPROBE, k_cells=_K_CELLS, m=_PQ_M,
+        k_centroids=_PQ_K, dim=64, top_k=10,
+    ).select("query_id", "neighbor_id")
+    exact = S.brute_force_topk(emb, probes, k=10).select("query_id", "neighbor_id")
+    hits = (
+        approx.join(exact, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+    per_q = (
+        probes.select(F.col("vec_id").alias("query_id"))
+        .join(hits, "query_id", "left")
+        .select(F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"))
+    )
+    mean_recall = F.round(F.sum("n_hits") / (10.0 * F.count(F.lit(1))), 6)
+    return per_q.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        mean_recall.alias("mean_recall10"),
+        F.lit(0.6).cast("double").alias("floor"),
+        (mean_recall >= 0.6).alias("passed"),
+    )
+
+
 # shared oracle CTE: the approximate k-NN graph (k=5) — used by
 # sim_knn_graph and sim_jaccard_links so a hash match on the latter
 # certifies the same graph construction end-to-end
