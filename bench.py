@@ -287,6 +287,11 @@ HEADLINE = [
     "tx_decontaminate_13gram",
     # round-9: the frozen production ANN operating point (recall >= 0.6 gate)
     "sim_recall_floor",
+    # round-9: the four r8 additions that had no bench/scaling row yet
+    "ev_km_survival",
+    "ev_rfm_segments",
+    "ev_shapley_attribution",
+    "sim_pca_power",
 ]
 
 
