@@ -692,3 +692,75 @@ def test_decontaminate_13gram_gate(spark):
         F2.count(F2.lit(1)).alias("n")).collect()}
     assert hits.get(1, 0) >= 1   # contaminated: the full run leaked
     assert hits.get(2, 0) == 0   # 12 shared words are not enough
+
+
+def test_hw_backtest_single_day_group_emits_nothing(spark):
+    # n=1 regression (round-9 advice): Spark's sequence(2, 1) is
+    # DESCENDING, so an unguarded explode produced a phantom origin=2
+    # row with NULL actual while the oracle emitted none
+    from odbc2parquet_spark.operators.rollup import hw_backtest
+
+    daily = spark.createDataFrame(
+        [("solo", 0, 42.0), ("pair", 0, 1.0), ("pair", 1, 2.0)],
+        ["key", "day", "x"],
+    )
+    rows = hw_backtest(daily, n_origins=3).collect()
+    keys = {r.key for r in rows}
+    assert "solo" not in keys            # 1-day group: no backtestable origin
+    assert [r.origin for r in rows if r.key == "pair"] == [2]
+
+
+def test_winnowing_truncates_overlong_docs_instead_of_failing(spark):
+    # >1024-gram documents are fingerprinted over their first 1024 grams
+    # (round-9 advice: the old raise_error killed the whole corpus job)
+    from odbc2parquet_spark.operators.dedup import winnowing_fingerprints
+
+    long_text = " ".join(f"w{i}" for i in range(1100))  # 1098 grams at n=3
+    docs = spark.createDataFrame(
+        [(1, long_text), (2, "a b c d e f")], ["doc_id", "text"]
+    )
+    fp = winnowing_fingerprints(docs, n=3, window=4)
+    rows = fp.collect()  # must not raise
+    assert max(r.pos for r in rows if r.id == 1) <= 1023
+    # the truncated doc still yields the same selections for pos <= 1023
+    # as a doc cut at exactly 1024 grams (the window only looks back)
+    cut = " ".join(f"w{i}" for i in range(1026))
+    docs2 = spark.createDataFrame([(1, cut)], ["doc_id", "text"])
+    want = {(r.pos, r.h) for r in winnowing_fingerprints(docs2, n=3, window=4).collect()}
+    got = {(r.pos, r.h) for r in rows if r.id == 1}
+    assert got == want
+
+
+def test_markov_removal_effect_zero_conversion_corpus(spark):
+    # p_full = 0 (no conversions anywhere): both engines must agree on
+    # NULL, not Spark-NULL vs DuckDB inf (round-9 advice)
+    from pyspark.sql import functions as F2
+
+    from odbc2parquet_spark.operators.attribution import markov_removal_effect
+
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 100, "click")],
+        ["event_id", "ts", "user_id", "event_type"],
+    ).select(
+        "event_id", F2.col("ts").cast("timestamp").alias("ts"),
+        "user_id", "event_type",
+    )
+    out = {r.removed: r for r in markov_removal_effect(ev).collect()}
+    assert out["none"].p_start_micro == 0
+    assert all(r.removal_effect6 is None for r in out.values())
+
+
+def test_pagerank_intermediate_checkpoint_branch(spark):
+    # iterations > checkpoint_every exercises the every-8-rounds
+    # checkpoint path added in round 9; invariants: one row per node,
+    # total rank mass never exceeds the teleport-complete 10^12
+    from odbc2parquet_spark.operators.graph import pagerank_int
+
+    nodes = spark.createDataFrame([(i,) for i in range(6)], ["id"])
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (3, 4)], ["src", "dst"]
+    )
+    out = pagerank_int(nodes, edges, iterations=9).collect()
+    assert len(out) == 6
+    assert sum(r["rank"] for r in out) <= 10**12
+    assert all(r["rank"] >= (15 * (10**12 // 6)) // 100 for r in out)
