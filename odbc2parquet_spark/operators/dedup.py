@@ -711,20 +711,26 @@ def span_scrub(
         f"transform(sequence(1, size(ws) - {n - 1}), "
         f"i -> substring(md5(concat_ws(' ', {', '.join(parts)})), 1, 16)) END"
     )
-    grams = docs.select(
-        F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("ws")
-    ).select("doc_id", F.posexplode(F.expr(gram_expr)).alias("pos", "g"))
+    grams = (
+        docs.select(
+            F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("ws")
+        )
+        .select("doc_id", F.posexplode(F.expr(gram_expr)).alias("pos", "g"))
+        # duplicate-gram detection scans the FIRST 2^21 tokens of each
+        # document: the packed argmin below reserves 21 bits for the
+        # position, and one pathological >2M-token document must not kill
+        # a corpus-scale job (same quarantine-not-fail policy as
+        # winnowing_fingerprints); the oracle applies the identical cap.
+        .filter(F.col("pos") < F.lit(1 << 21))
+    )
     # global-first occurrence as min over a PACKED long (doc_id << 21 |
     # pos): a min(struct) is a non-primitive aggregate Spark can only
     # SortAggregate — sorting the gram table, this query's largest
     # intermediate — while a primitive long min hash-aggregates with
     # map-side partials. Packing preserves the lexicographic (doc_id,
-    # pos) order exactly for non-negative ids; the raise_error guard
-    # keeps the 2^21-tokens-per-document packing bound honest.
-    enc = F.when(
-        F.col("pos") >= F.lit(1 << 21),
-        F.expr("raise_error('span_scrub: document exceeds 2^21 tokens')").cast("long"),
-    ).otherwise(F.col("doc_id").cast("long") * F.lit(1 << 21) + F.col("pos"))
+    # pos) order exactly for non-negative ids; the pos cap above keeps
+    # the 2^21-tokens-per-document packing bound honest.
+    enc = F.col("doc_id").cast("long") * F.lit(1 << 21) + F.col("pos")
     dup = (
         grams.groupBy("g")
         .agg(

@@ -40,7 +40,13 @@ def range_join(
     if how not in ("inner", "left"):
         raise ValueError(f"range_join supports inner/left, got {how!r}")
     bw = F.lit(bin_width)
-    binned_intervals = intervals.withColumn(
+    # Empty/inverted intervals (end <= start) can never match a point under
+    # the half-open predicate, but Spark's sequence(a, b) is DESCENDING for
+    # a > b — a single badly malformed row (end << start) would otherwise
+    # explode into |start-end|/bin_width candidate bins. Drop them first.
+    binned_intervals = intervals.filter(
+        F.col(end_col) > F.col(start_col)
+    ).withColumn(
         "__bin",
         F.explode(
             F.sequence(

@@ -749,6 +749,7 @@ def dd_containment_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                substring(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
                              || ws[i+3] || ' ' || ws[i+4]), 1, 16) AS g
         FROM w, UNNEST(generate_series(1, len(ws) - 4)) AS t(i)
+        WHERE i - 1 < 2097152
     ),
     occ AS (
         SELECT doc_id, pos, g,

@@ -204,7 +204,7 @@ def ev_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     ms AS (
         SELECT event_type, s1 / n AS mean,
-               SQRT((s2 - s1 * s1 / n) / (n - 1)) AS sd
+               SQRT(GREATEST(s2 - s1 * s1 / n, 0) / (n - 1)) AS sd
         FROM stats WHERE n > 1
     )
     SELECT event_id, e.event_type, value,
@@ -226,10 +226,20 @@ def ev_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(d(F.col("value") * F.col("value"))).cast("double").alias("s2"),
         F.count("*").alias("n"),
     ).filter(F.col("n") > 1)
+    # GREATEST(., 0): a constant-valued group can cancel s2 - s1^2/n to a
+    # tiny NEGATIVE double — DuckDB's SQRT then ERRORS while Spark yields
+    # NaN (and Spark orders NaN above every double, so `sd > 0` would
+    # pass it). Clamping on both engines pins the degenerate case to
+    # sd = 0 -> filtered.
     ms = stats.select(
         "s_type",
         (F.col("s1") / F.col("n")).alias("mean"),
-        F.sqrt((F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)).alias("sd"),
+        F.sqrt(
+            F.greatest(
+                F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"), F.lit(0.0)
+            )
+            / (F.col("n") - 1)
+        ).alias("sd"),
     )
     z = (F.col("value") - F.col("mean")) / F.col("sd")
     return (
@@ -573,8 +583,8 @@ def ev_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(s1_a / n_a, 6) AS mean_a,
            ROUND(s1_b / n_b, 6) AS mean_b,
            ROUND((s1_a / n_a - s1_b / n_b)
-                 / SQRT(((s2_a - s1_a * s1_a / n_a) / (n_a - 1)) / n_a
-                        + ((s2_b - s1_b * s1_b / n_b) / (n_b - 1)) / n_b), 6)
+                 / SQRT((GREATEST(s2_a - s1_a * s1_a / n_a, 0) / (n_a - 1)) / n_a
+                        + (GREATEST(s2_b - s1_b * s1_b / n_b, 0) / (n_b - 1)) / n_b), 6)
                AS z_stat
     FROM agg
     """,
@@ -645,11 +655,15 @@ def ev_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_b",
         F.round(s1_a / n_a, 6).alias("mean_a"),
         F.round(s1_b / n_b, 6).alias("mean_b"),
+        # GREATEST(., 0) on each Welch variance term: a constant-spend arm
+        # cancels its s2 - s1^2/n to a tiny negative double — DuckDB's
+        # SQRT errors while Spark yields NaN (same clamp as
+        # ev_value_anomalies; identical on every non-degenerate arm).
         F.round(
             (s1_a / n_a - s1_b / n_b)
             / F.sqrt(
-                ((s2_a - s1_a * s1_a / n_a) / (n_a - F.lit(1))) / n_a
-                + ((s2_b - s1_b * s1_b / n_b) / (n_b - F.lit(1))) / n_b
+                (F.greatest(s2_a - s1_a * s1_a / n_a, F.lit(0.0)) / (n_a - F.lit(1))) / n_a
+                + (F.greatest(s2_b - s1_b * s1_b / n_b, F.lit(0.0)) / (n_b - F.lit(1))) / n_b
             ),
             6,
         ).alias("z_stat"),

@@ -764,3 +764,26 @@ def test_pagerank_intermediate_checkpoint_branch(spark):
     assert len(out) == 6
     assert sum(r["rank"] for r in out) <= 10**12
     assert all(r["rank"] >= (15 * (10**12 // 6)) // 100 for r in out)
+
+
+def test_value_anomalies_constant_group_no_nan_rows(spark):
+    # a constant-valued group cancels s2 - s1^2/n to +-epsilon; the
+    # GREATEST clamp must pin sd to 0 (filtered) instead of Spark's NaN
+    # (which sorts ABOVE every double, so `sd > 0` would pass it)
+    import pyspark.sql.functions as F2
+
+    from odbc2parquet_spark.queries import QUERIES
+    import tempfile, os
+    # value 1.21 x 7 rows: s2 - s1^2/n = -1.78e-15 in doubles (verified) —
+    # the sign that made unclamped DuckDB SQRT error and Spark emit NaN
+    rows = [(i, "2024-01-01 10:00:00", i, "flat", 1.21) for i in range(7)]
+    ev = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value"]
+    ).select(
+        "event_id", F2.col("ts").cast("timestamp").alias("ts"),
+        "user_id", "event_type", "value",
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        ev.write.parquet(os.path.join(tmp, "events.parquet"))
+        out = QUERIES["ev_value_anomalies"](spark, tmp).collect()
+    assert out == []  # no NaN-z rows from the degenerate group
