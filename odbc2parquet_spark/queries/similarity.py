@@ -1022,7 +1022,10 @@ _KNN_CTE = f"""
     sig AS (
         SELECT vec_id, CAST({{sig}} AS BIGINT) AS sig FROM embeddings
     ),
-    b AS (SELECT vec_id, sig & 255 AS bucket FROM sig),
+    b AS (
+        SELECT vec_id, sig & 255 AS bucket FROM sig
+        QUALIFY COUNT(*) OVER (PARTITION BY sig & 255) <= 100000
+    ),
     pairs AS (
         SELECT x.vec_id AS id_a, y.vec_id AS id_b
         FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
@@ -1229,11 +1232,15 @@ def sim_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH sig AS (
         SELECT vec_id, CAST({{sig}} AS BIGINT) AS sig FROM embeddings
     ),
-    b AS (
+    b0 AS (
         SELECT vec_id, unnest([sig & 255,
                                xor(sig & 255, 1),
                                xor(sig & 255, 2)]) AS bucket
         FROM sig
+    ),
+    b AS (
+        SELECT vec_id, bucket FROM b0
+        QUALIFY COUNT(*) OVER (PARTITION BY bucket) <= 100000
     )
     SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
     FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
@@ -1255,7 +1262,10 @@ def sim_multiprobe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH sig AS (
         SELECT vec_id, CAST({{sig}} AS BIGINT) AS sig FROM embeddings
     ),
-    b AS (SELECT vec_id, sig & 255 AS bucket FROM sig),
+    b AS (
+        SELECT vec_id, sig & 255 AS bucket FROM sig
+        QUALIFY COUNT(*) OVER (PARTITION BY sig & 255) <= 100000
+    ),
     near AS (
         SELECT x.vec_id AS anchor, y.vec_id AS neighbor
         FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id != y.vec_id
@@ -1335,16 +1345,23 @@ def sim_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE ROUND({_DOT} / SQRT(a.nsq * b.nsq), 4) >= 0.4
     ),
     sig AS (SELECT vec_id, CAST({{sig}} AS BIGINT) AS sig FROM embeddings),
-    b AS (SELECT vec_id, sig & 255 AS bucket FROM sig),
+    b AS (
+        SELECT vec_id, sig & 255 AS bucket FROM sig
+        QUALIFY COUNT(*) OVER (PARTITION BY sig & 255) <= 100000
+    ),
     single AS (
         SELECT x.vec_id AS id_a, y.vec_id AS id_b
         FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
     ),
-    mp AS (
+    mp0 AS (
         SELECT vec_id, unnest([sig & 255,
                                xor(sig & 255, 1),
                                xor(sig & 255, 2)]) AS bucket
         FROM sig
+    ),
+    mp AS (
+        SELECT vec_id, bucket FROM mp0
+        QUALIFY COUNT(*) OVER (PARTITION BY bucket) <= 100000
     ),
     multi AS (
         SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
@@ -1353,6 +1370,8 @@ def sim_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     bd AS (
         SELECT vec_id, t.j AS band, (sig >> (4 * t.j)) & 15 AS key
         FROM sig, UNNEST(generate_series(0, 3)) AS t(j)
+        QUALIFY COUNT(*) OVER (PARTITION BY t.j, (sig >> (4 * t.j)) & 15)
+            <= 100000
     ),
     banded AS (
         SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
@@ -1435,6 +1454,8 @@ def sim_candidate_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT vec_id, t.j AS band,
                (sig >> (b.bits * t.j)) & ((1 << b.bits) - 1) AS key
         FROM sig, bb b, UNNEST(generate_series(0, 3)) AS t(j)
+        QUALIFY COUNT(*) OVER (PARTITION BY t.j,
+                   (sig >> (b.bits * t.j)) & ((1 << b.bits) - 1)) <= 100000
     )
     SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
     FROM bd x JOIN bd y ON x.band = y.band AND x.key = y.key
