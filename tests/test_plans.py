@@ -23,6 +23,9 @@ ALL_PAIRS_OK = {
     "sim_nprobe_curve",      # the same recall evaluation at 4 nprobe points
                              # (exact ground truth + centroid-cross routing)
     "sim_ivf_pq_res_recall", # same ground truth, residual-encoded index
+    "sim_recall_floor",      # the frozen operating-point gate: same
+                             # brute-force ground-truth arm as
+                             # sim_ivf_pq_recall, folded to one row
     "sim_bruteforce_topk",   # exactness baseline: broadcast probes BY DESIGN
     "q_scalar_functions",    # no join at all; harmless
     "dd_dup_clusters",       # edges come from dd_embedding_cosine (above);
