@@ -384,14 +384,17 @@ def markov_removal_effect(
                 "ELSE coalesce(pd, 0) END) div 1000000"
             ).alias("t"),
         )
-        prev = p
         p = (
             term.groupBy("removed", "src")
             .agg(F.sum("t").cast("long").alias("p"))
             .withColumnRenamed("src", "state")
-            .localCheckpoint(eager=True)
         )
-        release_local_checkpoint(prev)
+    # one eager checkpoint of the FINAL frame (referenced twice below)
+    # instead of one per round: the 8-round lineage is linear over the
+    # already-checkpointed scenario table, and per-round checkpoints on a
+    # <=25-row frame were pure scheduler overhead (same cadence rationale
+    # as operators/graph.pagerank_int).
+    p = p.localCheckpoint(eager=True)
     start = p.filter(F.col("state") == "start").select(
         "removed", F.col("p").alias("p_start_micro")
     )
@@ -467,7 +470,9 @@ def journey_occupancy(
         .cast("long")
         .alias("v"),
     ).withColumn("o", F.col("v"))
-    for _ in range(iterations):
+    inters: list[DataFrame] = []
+    checkpoint_every = 4
+    for it in range(iterations):
         stepped = (
             w.join(
                 cur.select(F.col("state").alias("src"), F.col("v").alias("vs")),
@@ -480,15 +485,20 @@ def journey_occupancy(
             .groupBy("state")
             .agg(F.sum("t").cast("long").alias("nv"))
         )
-        prev = cur
-        cur = (
-            cur.join(stepped, "state", "left")
-            .select(
-                "state",
-                F.coalesce("nv", F.lit(0)).cast("long").alias("v"),
-                (F.col("o") + F.coalesce("nv", F.lit(0))).cast("long").alias("o"),
-            )
-            .localCheckpoint(eager=True)
+        # cur is read twice per round (the step join and the accumulator
+        # join), so the LOGICAL plan doubles per un-truncated round —
+        # Catalyst re-analysis explodes long before data does (measured
+        # 15s+ at 8 lazy rounds vs ~3s checkpointed). Eager-checkpoint
+        # every 4 rounds: plan growth bounded at 2^4 copies of a tiny
+        # subtree, 2 scheduler round-trips instead of 8.
+        cur = cur.join(stepped, "state", "left").select(
+            "state",
+            F.coalesce("nv", F.lit(0)).cast("long").alias("v"),
+            (F.col("o") + F.coalesce("nv", F.lit(0))).cast("long").alias("o"),
         )
-        release_local_checkpoint(prev)
+        if (it + 1) % checkpoint_every == 0 or it == iterations - 1:
+            cur = cur.localCheckpoint(eager=True)
+            for df in inters:
+                release_local_checkpoint(df)
+            inters = [cur]
     return cur.select("state", F.col("o").alias("visits_micro"))

@@ -988,18 +988,18 @@ def winnowing_pairs(
     match stage: the fingerprint index is joined to itself on the hash
     with the standard stop-fingerprint cap (hashes in more than
     ``max_docs_per_fp`` docs are template/boilerplate mass and dropped,
-    the same bounded-bucket rule as every LSH join here). Keyed
-    equi-joins only, never all-pairs."""
-    fp = fingerprints.select("id", "h").distinct()
-    freq = fp.groupBy("h").agg(F.count(F.lit(1)).alias("nd"))
-    idx = fp.join(
-        freq.filter(F.col("nd") <= max_docs_per_fp).select("h"), "h"
-    )
-    a = idx.select(F.col("id").alias("id_a"), "h")
-    b = idx.select(F.col("id").alias("id_b"), "h")
+    the same bounded-bucket rule as every LSH join here). Rides the
+    shared single-shuffle capped expansion (similarity.capped_bucket_pairs
+    — window cap then collect_list + double-explode on ONE partitioning):
+    the old index self-join shuffled twice and re-evaluated the whole
+    fingerprint pipeline once per join branch (~4x at sf0.1). The window
+    count per hash over the distinct (id, h) rows IS the per-fingerprint
+    doc frequency, so the cap semantics are unchanged."""
+    from odbc2parquet_spark.operators.similarity import capped_bucket_pairs
+
+    fp = fingerprints.select(F.col("id").alias("vec_id"), "h").distinct()
     return (
-        a.join(b, "h")
-        .filter(F.col("id_a") < F.col("id_b"))
+        capped_bucket_pairs(fp, ["h"], max_docs_per_fp)
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)

@@ -663,9 +663,12 @@ def label_propagation_int(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).persist()
     labels = ids.select("id", F.col("id").alias("label"))
-    inters: list[DataFrame] = []
+    persisted: list[DataFrame] = []
+    checkpointed: list[DataFrame] = []
+    checkpoint_every = 4  # double-referenced frames: logical plan doubles
+    # per lazy round, so truncate every 4 rounds (2^4-bounded growth)
     try:
-        for _ in range(rounds):
+        for it in range(rounds):
             counts = (
                 sym.join(labels, sym.src == labels.id)
                 .groupBy("dst", "label")
@@ -683,13 +686,25 @@ def label_propagation_int(
                 ids.join(labels, "id")
                 .join(winner, "id", "left")
                 .select("id", F.coalesce("nlab", "label").alias("label"))
-                .persist()
             )
-            inters.append(labels)
-        return labels.localCheckpoint(eager=True)
+            if (it + 1) % checkpoint_every == 0 and it != rounds - 1:
+                labels = labels.localCheckpoint(eager=True)
+                for df in persisted:
+                    df.unpersist()
+                persisted = []
+                for df in checkpointed:
+                    release_local_checkpoint(df)
+                checkpointed = [labels]
+            else:
+                labels = labels.persist()
+                persisted.append(labels)
+        out = labels.localCheckpoint(eager=True)
+        return out
     finally:
-        for df in inters:
+        for df in persisted:
             df.unpersist()
+        for df in checkpointed:
+            release_local_checkpoint(df)
         sym.unpersist()
 
 

@@ -1405,7 +1405,10 @@ def dd_band_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     sh = D.word_shingles(docs, 3)
-    truth = D.jaccard_pairs(sh, threshold=0.5).select("id_a", "id_b")
+    # the all-pairs truth subtree is the dominant cost and is referenced
+    # FIVE times (four left-semi probes + the n_true count) — persist it
+    # so it evaluates once (measured 6.8s -> its recompute share at sf0.1)
+    truth = D.jaccard_pairs(sh, threshold=0.5).select("id_a", "id_b").persist()
     sig = D.minhash_signatures(D.word_shingle_stream(docs, 3), num_hashes=8).persist()
     out = None
     n_true = truth.agg(F.count("*").cast("long").alias("n_true"))
