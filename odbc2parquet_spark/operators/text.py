@@ -1079,7 +1079,16 @@ def neg_sample_table(
     broadcasts (total weight, slot deficit) + one vocab-bounded sort for
     the remainder ranking — the table is vocabulary-sized, never
     corpus-sized, and at 100 TB the vocab fits the same Zipf truncation
-    as every LM table here."""
+    as every LM table here.
+
+    int64 headroom (audited round 9): the largest intermediate is
+    table_size * w_micro = 1000 * c^0.75 * 1e6, which stays inside int64
+    for any token with c <= 4.6e13 occurrences — above the total token
+    count of a 100 TB corpus (~2e13), and reached only by a degenerate
+    single-token corpus. Note Spark would WRAP silently past that bound
+    while DuckDB promotes SUM to int128 / errors on multiply overflow —
+    if table_size is ever raised past ~10^5, move w_micro to
+    DECIMAL(38,0) on both engines first."""
     counts = (
         docs.select(F.explode(words(F.col(text_col))).alias("w"))
         .groupBy("w")
