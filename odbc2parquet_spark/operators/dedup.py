@@ -226,8 +226,19 @@ def minhash_near_duplicates(
 
     Signatures aggregate the NON-distinct shingle stream (multiset min =
     set min) so the only distinct-shuffle of the corpus shingle set is
-    the one the Jaccard verification genuinely needs."""
-    sh = word_shingles(docs, shingle_words, text_col, id_col)
+    the one the Jaccard verification genuinely needs.
+
+    The distinct shingle table is persisted: it feeds both verify sides
+    AND the size table (itself joined twice), so an unpersisted plan
+    re-runs the corpus-wide distinct four times (measured ~35% of this
+    pipeline's wall at sf0.1). ContextCleaner reclaims the blocks once
+    the returned plan is unreferenced — the same convention as
+    graph.triangle_count."""
+    from pyspark import StorageLevel
+
+    sh = word_shingles(docs, shingle_words, text_col, id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sig = minhash_signatures(
         word_shingle_stream(docs, shingle_words, text_col, id_col), num_hashes
     )
