@@ -245,8 +245,14 @@ def l_diversity_audit(
         .agg(
             F.max("n_rows").alias("n_rows"),
             F.count(F.lit(1)).alias("distinct_sensitive"),
-            F.round(
-                (-F.sum(term).cast("double")) / F.max("n_rows"), 6
+            # + 0.0 normalizes IEEE negative zero: a single-tier group has
+            # sum(term) = 0, and -0/n is -0.0 on DuckDB but 0.0 on Spark —
+            # the repo's standard signed-zero pin (see monitor's corr)
+            (
+                F.round(
+                    (-F.sum(term).cast("double")) / F.max("n_rows"), 6
+                )
+                + F.lit(0.0)
             ).alias("entropy"),
         )
         .filter(F.col("distinct_sensitive") < l)

@@ -104,7 +104,13 @@ def brute_force_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.col("cos4").alias("cosine4"), "rank")
+        .select(
+            "query_id",
+            "neighbor_id",
+            # + 0.0 pins IEEE signed zero (see knn_graph)
+            (F.col("cos4") + F.lit(0.0)).alias("cosine4"),
+            "rank",
+        )
     )
 
 
@@ -457,7 +463,13 @@ def ivf_search(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.col("cos4").alias("cosine4"), "rank")
+        .select(
+            "query_id",
+            "neighbor_id",
+            # + 0.0 pins IEEE signed zero (see knn_graph)
+            (F.col("cos4") + F.lit(0.0)).alias("cosine4"),
+            "rank",
+        )
     )
 
 
@@ -1197,7 +1209,15 @@ def knn_graph(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("vec_id", "neighbor_id", F.col("cos4").alias("cosine4"), "rank")
+        # + 0.0 pins IEEE signed zero: a near-orthogonal pair rounds to
+        # -0.0 on DuckDB but 0.0 on Spark (ordering is unaffected — the
+        # zeros compare equal — but the displayed cell diverges)
+        .select(
+            "vec_id",
+            "neighbor_id",
+            (F.col("cos4") + F.lit(0.0)).alias("cosine4"),
+            "rank",
+        )
     )
 
 

@@ -1731,7 +1731,7 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS distinct_sensitive,
            ROUND(-CAST(SUM(p.c * CAST(ROUND(LN(p.c / t.n_rows), 6)
                                       AS DECIMAL(18,6))) AS DOUBLE)
-                 / MAX(t.n_rows), 6) AS entropy
+                 / MAX(t.n_rows), 6) + 0.0 AS entropy
     FROM p JOIN t USING (c_nationkey, c_mktsegment)
     GROUP BY p.c_nationkey, p.c_mktsegment
     HAVING COUNT(*) < 3

@@ -1912,7 +1912,13 @@ def tx_bpe_learn50(spark: SparkSession, sf_dir: str) -> DataFrame:
     constant — any drift in tokenize/count/tie-break logic flips the
     hash. (The pin is SF-specific by construction; other SFs are
     covered by the pytest equivalence properties.)
-    Emits the learned merge table (merge_rank, a, b)."""
+    Emits the learned merge table (merge_rank, a, b).
+
+    NOTE: the oracle pins constants measured on the sf0.01 corpus (the
+    driver's correctness gate); running this pair at another SF
+    mismatches BY DESIGN — the algorithm itself is SF-independent and
+    pytest-pinned.
+    """
     from odbc2parquet_spark.operators.text import bpe_learn_batched
 
     docs = load_table(spark, sf_dir, "documents")
@@ -2177,7 +2183,13 @@ def tx_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     the full per-source report as literal VALUES — any drift in
     learn/encode/count logic flips the hash. (SF-specific pin by
     construction; cross-SF behavior is covered by the bpe pytest
-    properties.)"""
+    properties.)
+
+    NOTE: the oracle pins constants measured on the sf0.01 corpus (the
+    driver's correctness gate); running this pair at another SF
+    mismatches BY DESIGN — the algorithm itself is SF-independent and
+    pytest-pinned.
+    """
     docs = load_table(spark, sf_dir, "documents")
     merges = X.bpe_learn_batched(docs, n_merges=20, batch=10)
     vocab = X.bpe_vocab_token_counts(docs, merges)
