@@ -1237,10 +1237,24 @@ def stupid_backoff_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.sum((F.col("o") == 3).cast("long")).alias("n_order3"),
         F.sum((F.col("o") == 2).cast("long")).alias("n_order2"),
         F.sum((F.col("o") == 1).cast("long")).alias("n_order1"),
-        F.round(F.sum("term").cast("double") / F.count("*"), 6).alias(
-            "avg_logscore"
-        ),
-    )
+        # avg in EXACT integer micro-units with explicit half-up: the sum
+        # is an exact decimal(18,6), but ROUND(sum/count, 6) on the double
+        # quotient diverges between engines when the quotient's shortest
+        # decimal repr lands on a .5e-6 tie (Spark rounds the decimal
+        # repr HALF_UP; DuckDB rounds the binary value) — observed on 2 of
+        # 2500 docs at sf0.1. (sign * ((2|S| + n) div 2n)) / 1e6 is pure
+        # int64 on both engines; the final division is exact in double
+        # (|micro| << 2^53).
+        (
+            F.when(F.sum("term") < 0, F.lit(-1)).otherwise(F.lit(1))
+            * F.expr(
+                "(2 * abs(CAST(sum(term) * 1000000 AS BIGINT)) + count(*))"
+                " div (2 * count(*))"
+            )
+        ).cast("double").alias("_avg_micro"),
+    ).withColumn(
+        "avg_logscore", F.col("_avg_micro") / F.lit(1e6)
+    ).drop("_avg_micro")
 
 
 def naive_bayes_lang(

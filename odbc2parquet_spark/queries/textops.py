@@ -3456,7 +3456,9 @@ def mm_audio_tone(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CASE WHEN o = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_order3,
            CAST(SUM(CASE WHEN o = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_order2,
            CAST(SUM(CASE WHEN o = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_order1,
-           ROUND(CAST(SUM(term) AS DOUBLE) / COUNT(*), 6) AS avg_logscore
+           CAST((CASE WHEN SUM(term) < 0 THEN -1 ELSE 1 END)
+                * ((2 * ABS(CAST(SUM(term) * 1000000 AS BIGINT)) + COUNT(*))
+                   // (2 * COUNT(*))) AS DOUBLE) / 1e6 AS avg_logscore
     FROM s GROUP BY doc_id
     """,
 )
