@@ -1448,11 +1448,22 @@ def kneser_ney_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .join(F.broadcast(t))
         .withColumn("term", term)
     )
-    return scored.groupBy("doc_id").agg(
-        F.count("*").alias("n_bigrams"),
-        F.round(F.sum("term").cast("double") / F.count("*"), 6).alias(
-            "avg_logprob_kn"
-        ),
+    # integer-exact half-up average (same .5e-6 ROUND-tie rationale as
+    # stupid_backoff_scores: the double quotient's decimal repr can tie)
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            (
+                F.when(F.sum("term") < 0, F.lit(-1)).otherwise(F.lit(1))
+                * F.expr(
+                    "(2 * abs(CAST(sum(term) * 1000000 AS BIGINT)) + count(*))"
+                    " div (2 * count(*))"
+                )
+            ).cast("double").alias("_avg_micro"),
+        )
+        .withColumn("avg_logprob_kn", F.col("_avg_micro") / F.lit(1e6))
+        .drop("_avg_micro")
     )
 
 

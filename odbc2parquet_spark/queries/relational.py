@@ -942,7 +942,10 @@ def q_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH updates AS (
         SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
-               ROUND(o_totalprice * 1.1, 2) AS o_totalprice
+               -- integer-exact half-up on cents: ROUND(x * 1.1, 2) on the
+               -- double diverges between engines at .5-cent repr ties
+               CAST((CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) * 11 + 5)
+                    // 10 AS DOUBLE) / 100 AS o_totalprice
         FROM orders WHERE o_orderkey % 10 = 3
     ),
     unioned AS (
@@ -968,11 +971,18 @@ def q_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
     )
+    # integer-exact half-up on cents (mirrored in the oracle): the double
+    # ROUND(x * 1.1, 2) diverges between engines at .5-cent repr ties
     updates = o.filter(F.col("o_orderkey") % 10 == 3).select(
         "o_orderkey",
         "o_custkey",
         F.lit("U").alias("o_orderstatus"),
-        F.round(F.col("o_totalprice") * 1.1, 2).alias("o_totalprice"),
+        (
+            F.expr(
+                "(CAST(round(o_totalprice * 100, 0) AS BIGINT) * 11 + 5) div 10"
+            ).cast("double")
+            / 100
+        ).alias("o_totalprice"),
     )
     unioned = updates.withColumn("src", F.lit(1)).unionByName(
         o.withColumn("src", F.lit(0))

@@ -2880,7 +2880,9 @@ def mm_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
         CROSS JOIN tt
     )
     SELECT doc_id, COUNT(*) AS n_bigrams,
-           ROUND(CAST(SUM(term) AS DOUBLE) / COUNT(*), 6) AS avg_logprob_kn
+           CAST((CASE WHEN SUM(term) < 0 THEN -1 ELSE 1 END)
+                * ((2 * ABS(CAST(SUM(term) * 1000000 AS BIGINT)) + COUNT(*))
+                   // (2 * COUNT(*))) AS DOUBLE) / 1e6 AS avg_logprob_kn
     FROM terms GROUP BY doc_id
     """,
 )
