@@ -570,21 +570,29 @@ def hits_int(
     scale (deg 200 -> 1.6e9).
 
     Each half-round is one join + one groupBy shuffle over the edge
-    list, which materializes once (persist) because all four
-    half-rounds reference it; score frames are 2-long rows per node.
-    Rounds are fixed, so the plan is static — no data-dependent driver
-    logic (same contract as :func:`pagerank_int`). Lineage control:
-    each half-round frame is LAZILY persisted (a hub frame is read by
-    the same round's auth update AND the next hub update, so an
-    unpersisted chain would recompute subtrees exponentially), and the
-    FINAL pair is checkpointed in one eager job — the per-round eager
-    checkpoint this replaces paid 2*rounds scheduler round-trips of
-    pure overhead on small graphs.
+    list, which materializes once because all four half-rounds
+    reference it; score frames are 2-long rows per node. Rounds are
+    fixed, so the plan is static — no data-dependent driver logic
+    (same contract as :func:`pagerank_int`). Lineage control: the edge
+    list is EAGERLY checkpointed at entry — its upstream plan (LSH
+    signatures + bucket pairs in the similarity-graph family) is the
+    dominant logical subtree, and a lazy persist caches runtime blocks
+    but NOT the analyzed plan, so every one of the 2*rounds references
+    would re-embed it and Catalyst re-analysis would dominate wall time
+    (measured: sim_hits 2.1s -> 5.6s when round 9 swapped the per-round
+    eager checkpoints for lazy persist without truncating the edge-list
+    plan). With the edge plan truncated to a LogicalRDD leaf, the
+    half-round frames themselves are LAZILY persisted (a hub frame is
+    read by the same round's auth update AND the next hub update, so an
+    unpersisted chain would recompute subtrees exponentially) and the
+    FINAL pair is checkpointed in one eager job — one scheduler
+    round-trip for the edges plus one for the result, instead of
+    2*rounds of them.
     """
     ids = nodes.select(F.col(node_col).alias("id"))
     sym = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).persist()
+    ).localCheckpoint(eager=True)
     auth = ids.select("id", F.lit(1).cast("long").alias("score"))
     hub = None
     inters: list[DataFrame] = []
@@ -622,7 +630,7 @@ def hits_int(
     finally:
         for df in inters:
             df.unpersist()
-        sym.unpersist()
+        release_local_checkpoint(sym)
 
 
 def label_propagation_int(
@@ -649,19 +657,26 @@ def label_propagation_int(
     visit order.
 
     Per round: one join (edges x labels) + one (dst, label) count + one
-    per-dst argmax window — all keyed shuffles over the EDGE list;
-    label frames are 2-long rows per node, LAZILY persisted per round (a
+    per-dst struct-max argmax — all keyed shuffles over the EDGE list;
+    label frames are 2-long rows per node. Lineage control: the edge
+    list is EAGERLY checkpointed at entry — its upstream plan (LSH
+    signatures + bucket pairs) is the dominant logical subtree, and a
+    lazy persist caches blocks but not the analyzed plan, so each
+    round's two references would re-embed it and the doubled-per-round
+    label lineage would multiply it further (measured:
+    sim_lpa_communities 2.1s -> 6.1s when round 9 dropped the per-round
+    eager checkpoints without truncating the edge-list plan). With the
+    edge plan truncated, label frames are LAZILY persisted per round (a
     label frame is read twice — by the neighbor count and by the update
     join — so an unpersisted chain would recompute subtrees
-    exponentially) with one eager checkpoint of the final frame; the
-    per-round eager checkpoint this replaces paid one scheduler
-    round-trip per round of pure overhead on small graphs. Fixed rounds
-    keep the plan static.
+    exponentially), the plan is re-truncated every ``checkpoint_every``
+    rounds to bound the 2^rounds logical growth, and the final frame is
+    checkpointed in one eager job. Fixed rounds keep the plan static.
     """
     ids = nodes.select(F.col(node_col).alias("id"))
     sym = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).persist()
+    ).localCheckpoint(eager=True)
     labels = ids.select("id", F.col("id").alias("label"))
     persisted: list[DataFrame] = []
     checkpointed: list[DataFrame] = []
@@ -674,18 +689,30 @@ def label_propagation_int(
                 .groupBy("dst", "label")
                 .agg(F.count("*").alias("cnt"))
             )
-            w = Window.partitionBy("dst").orderBy(
-                F.desc("cnt"), F.asc("label")
-            )
+            # argmax by (cnt desc, label asc) as a struct-max aggregation:
+            # max(struct(cnt, -label)) picks the largest count, then the
+            # largest negated label = the SMALLEST label — the same
+            # deterministic tie-break as a row_number window, but
+            # map-side-combinable and sort-free (one hash agg keyed by dst
+            # instead of a full partition sort)
             winner = (
-                counts.withColumn("rk", F.row_number().over(w))
-                .filter(F.col("rk") == 1)
-                .select(F.col("dst").alias("id"), F.col("label").alias("nlab"))
+                counts.groupBy("dst")
+                .agg(
+                    F.max(
+                        F.struct(
+                            F.col("cnt"), (-F.col("label")).alias("neg_label")
+                        )
+                    ).alias("m")
+                )
+                .select(
+                    F.col("dst").alias("id"), (-F.col("m.neg_label")).alias("nlab")
+                )
             )
-            labels = (
-                ids.join(labels, "id")
-                .join(winner, "id", "left")
-                .select("id", F.coalesce("nlab", "label").alias("label"))
+            # labels is ids-complete by construction (seeded from ids and
+            # rebuilt ids-sized every round), so the update left-joins the
+            # winners straight onto the previous labels — no ids re-join
+            labels = labels.join(winner, "id", "left").select(
+                "id", F.coalesce("nlab", "label").alias("label")
             )
             if (it + 1) % checkpoint_every == 0 and it != rounds - 1:
                 labels = labels.localCheckpoint(eager=True)
@@ -705,7 +732,7 @@ def label_propagation_int(
             df.unpersist()
         for df in checkpointed:
             release_local_checkpoint(df)
-        sym.unpersist()
+        release_local_checkpoint(sym)
 
 
 def clustering_coefficient(edges: DataFrame) -> DataFrame:
