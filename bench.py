@@ -7,6 +7,12 @@ Query set: the scale-path operators (no all-pairs quadratics — those are
 verification operators, exercised at sf0.01 by the correctness gate).
 Each query is fully materialized through the noop sink (no driver collect),
 so the measured time is plan execution, not result transfer.
+
+Round-close protocol: copy BENCH_DETAIL.json to BENCH_DETAIL_r{N}.json when
+a round ends. The mover self-defense diffs suite medians against the
+HIGHEST-numbered frozen artifact — never the live file, which mid-round
+runs overwrite (a query that drifted early in a round would otherwise
+compare against its own drifted value and escape confirmation).
 """
 
 from __future__ import annotations
@@ -292,6 +298,11 @@ HEADLINE = [
     "ev_rfm_segments",
     "ev_shapley_attribution",
     "sim_pca_power",
+    # round-10: the composed end-to-end curation pipeline (ANN recall gate +
+    # CCNet terciles + 13-gram decontamination + shard packing) — the
+    # closest local proxy for the 100 TB composed workload; surfaces
+    # cross-operator checkpoint/persist interference per-query entries hide
+    "tx_curation_pipeline",
 ]
 
 
@@ -321,22 +332,43 @@ def compact_summary(summary_base: dict, timings: dict[str, float]) -> str:
 def select_movers(
     timings: dict[str, float],
     prior: dict[str, float],
+    candidates: set[str] | None = None,
     ratio: float = 1.5,
     cap: int = 10,
 ) -> list[str]:
     """Queries whose suite median moved >ratio x in either direction vs the
-    previous round's full-suite medians — the candidates for a standalone
-    confirmation run. Largest absolute movers first, capped. Sub-50ms prior
-    medians are noise-floor and never flagged."""
+    FROZEN previous-round medians — the candidates for a standalone
+    confirmation run. Largest absolute movers first, capped AFTER
+    restricting to ``candidates`` (the re-runnable QUERIES entries), so a
+    pseudo-entry like transfer_lineitem can never consume a confirm slot.
+    Sub-50ms prior medians are noise-floor and never flagged."""
     movers = [
         name
         for name, sec in timings.items()
         if name in prior
+        and (candidates is None or name in candidates)
         and prior[name] > 0.05
         and (sec / prior[name] > ratio or prior[name] / max(sec, 1e-9) > ratio)
     ]
     movers.sort(key=lambda n: -abs(timings[n] - prior[n]))
     return movers[:cap]
+
+
+def frozen_prior_path(repo_dir: str) -> str | None:
+    """The mover baseline: the highest-numbered ``BENCH_DETAIL_r{N}.json``
+    frozen at a round close. NEVER the live BENCH_DETAIL.json — mid-round
+    runs overwrite it, so a query that drifted earlier in the same round
+    would compare against its own drifted value and escape standalone
+    confirmation (exactly how the round-9 sim_lpa_communities/sim_hits
+    regressions sailed past the gate)."""
+    best: tuple[int, str] | None = None
+    for fn in os.listdir(repo_dir):
+        m = re.fullmatch(r"BENCH_DETAIL_r(\d+)\.json", fn)
+        if m:
+            n = int(m.group(1))
+            if best is None or n > best[0]:
+                best = (n, os.path.join(repo_dir, fn))
+    return best[1] if best else None
 
 
 def main() -> None:
@@ -463,31 +495,36 @@ def main() -> None:
     # artifacts without re-measuring by hand. Skipped on subset runs (no
     # stable prior to compare against).
     standalone_confirm: dict[str, dict[str, float]] = {}
-    prior_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-    )
-    if not only and os.path.exists(prior_path):
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    prior_path = frozen_prior_path(repo_dir)
+    if not only and prior_path:
         try:
             with open(prior_path) as fh:
                 prior = json.load(fh).get("queries", {})
         except Exception:  # noqa: BLE001 - a corrupt prior must not kill the bench
             prior = {}
-        movers = [
-            n
-            for n in select_movers(timings, prior)
-            if n in QUERIES  # transfer/bpe pseudo-entries re-run via QUERIES only
-        ]
+        # candidates restricted to QUERIES BEFORE the cap: transfer/bpe
+        # pseudo-entries can only re-run through the suite, and must not
+        # consume a confirm slot a real query needs
+        movers = select_movers(timings, prior, candidates=set(QUERIES))
         for name in movers:
-            spark.catalog.clearCache()
-            spark._jvm.System.gc()
-            t0 = time.time()
-            QUERIES[name](spark, sf_dir).write.mode("overwrite").format(
-                "noop"
-            ).save()
+            # a flaky confirm run must not discard the whole suite's
+            # measurements — record the failure and keep going
+            try:
+                spark.catalog.clearCache()
+                spark._jvm.System.gc()
+                t0 = time.time()
+                QUERIES[name](spark, sf_dir).write.mode("overwrite").format(
+                    "noop"
+                ).save()
+                standalone = round(time.time() - t0, 3)
+            except Exception as exc:  # noqa: BLE001
+                standalone = -1.0
+                print(f"standalone confirm failed for {name}: {exc}", file=sys.stderr)
             standalone_confirm[name] = {
                 "suite": timings[name],
                 "prev": prior[name],
-                "standalone": round(time.time() - t0, 3),
+                "standalone": standalone,
             }
 
     # Full per-query medians go to a side file; stdout gets ONE compact JSON
@@ -503,6 +540,9 @@ def main() -> None:
         os.path.dirname(os.path.abspath(__file__)), detail_name
     )
     summary_base = {
+        # bump when the detail-file layout changes, so archived per-round
+        # BENCH_DETAIL_r{N}.json files stay machine-comparable
+        "schema_version": 2,
         "metric": "headline_suite_total",
         "value": total,
         "unit": "sec",

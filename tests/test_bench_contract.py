@@ -79,3 +79,31 @@ def test_select_movers_caps_rerun_budget():
     movers = select_movers(timings, prior)
     assert len(movers) == 10
     assert movers[0] == "q39"  # biggest absolute mover first
+
+
+def test_select_movers_filters_candidates_before_cap():
+    # a pseudo-entry (transfer_lineitem) that moved the most must not eat a
+    # confirm slot: with 11 movers and a 10-slot cap, all 10 slots go to
+    # re-runnable queries once the pseudo-entry is excluded up front
+    from bench import select_movers
+
+    prior = {f"q{i}": 1.0 for i in range(10)}
+    prior["transfer_lineitem"] = 1.0
+    timings = {f"q{i}": 2.0 + i * 0.01 for i in range(10)}
+    timings["transfer_lineitem"] = 99.0  # biggest absolute mover
+    movers = select_movers(timings, prior, candidates={f"q{i}" for i in range(10)})
+    assert len(movers) == 10
+    assert "transfer_lineitem" not in movers
+
+
+def test_frozen_prior_path_picks_highest_round(tmp_path):
+    # the mover baseline is the frozen round-close artifact, never the live
+    # BENCH_DETAIL.json a mid-round run can overwrite
+    from bench import frozen_prior_path
+
+    assert frozen_prior_path(str(tmp_path)) is None
+    (tmp_path / "BENCH_DETAIL.json").write_text("{}")
+    assert frozen_prior_path(str(tmp_path)) is None  # live file is not a baseline
+    (tmp_path / "BENCH_DETAIL_r09.json").write_text("{}")
+    (tmp_path / "BENCH_DETAIL_r10.json").write_text("{}")
+    assert frozen_prior_path(str(tmp_path)).endswith("BENCH_DETAIL_r10.json")
