@@ -116,6 +116,8 @@ _PRIORITY = [
     "tx_char_entropy",
     "dd_winnowing_pairs",
     "tx_decontaminate_13gram",
+    # round-10 (cont.): the composed curation pipeline — score promptly
+    "tx_curation_pipeline",
 ]
 
 

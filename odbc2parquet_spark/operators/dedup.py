@@ -732,6 +732,8 @@ def span_scrub(
         # position, and one pathological >2M-token document must not kill
         # a corpus-scale job (same quarantine-not-fail policy as
         # winnowing_fingerprints); the oracle applies the identical cap.
+        # dd_truncation_audit reports per-source how many documents
+        # exceed it, so the partial scan is observable, never silent.
         .filter(F.col("pos") < F.lit(1 << 21))
     )
     # global-first occurrence as min over a PACKED long (doc_id << 21 |
@@ -973,7 +975,11 @@ def winnowing_fingerprints(
     # wrapped (negative) tiebreak would silently corrupt the window MIN.
     # Truncating (not failing) keeps one over-long document from killing
     # a corpus-scale job; the DuckDB oracle applies the same pos <= 1023
-    # cap so both engines encode the identical bounded spec.
+    # cap so both engines encode the identical bounded spec. The bound is
+    # OBSERVABLE, not silent: dd_truncation_audit reports per-source how
+    # many documents exceed this cap (recall on longer docs is partial —
+    # segment those into 1024-gram blocks upstream if the count is
+    # nonzero).
     packed = grams.filter(F.col("pos") <= 1023).select(
         "id",
         "pos",

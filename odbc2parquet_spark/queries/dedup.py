@@ -1831,3 +1831,53 @@ def dd_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     fp = D.winnowing_fingerprints(docs, n=3, window=4)
     return D.winnowing_pairs(fp, min_shared=2, max_docs_per_fp=64)
+
+
+@query(
+    "dd_truncation_audit",
+    oracle="""
+    WITH t AS (
+        SELECT source,
+               GREATEST(len(string_split(text, ' ')) - 2, 0) AS n_grams3,
+               GREATEST(len(string_split(text, ' ')) - 4, 0) AS n_grams5
+        FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_grams3 > 1024 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_winnow_truncated,
+           CAST(SUM(CASE WHEN n_grams5 > 2097152 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_scrub_truncated,
+           CAST(MAX(n_grams3) AS BIGINT) AS max_grams3
+    FROM t GROUP BY source
+    """,
+)
+def dd_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OBSERVABILITY for the quarantine-not-fail truncation policy: both
+    winnowing_fingerprints (first 1024 grams — the 10-bit packed-argmin
+    tiebreak budget) and span_scrub (first 2^21 tokens — the 21-bit
+    position packing) silently bound over-long documents instead of
+    failing the job. This audit makes that bound VISIBLE: per source, how
+    many documents exceed each cap (i.e. were partially fingerprinted /
+    scanned) and the corpus's maximum gram count — the number an operator
+    reads before trusting near-dup recall on long documents. A nonzero
+    truncation count is the signal to segment those documents into
+    1024-gram blocks upstream. Pure map-side arithmetic over one corpus
+    scan + a |sources|-row aggregate — runs at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_words = F.size(F.split(F.col("text"), " "))
+    t = docs.select(
+        "source",
+        F.greatest(n_words - 2, F.lit(0)).alias("n_grams3"),
+        F.greatest(n_words - 4, F.lit(0)).alias("n_grams5"),
+    )
+    return t.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("n_grams3") > 1024, 1).otherwise(0))
+        .cast("long")
+        .alias("n_winnow_truncated"),
+        F.sum(F.when(F.col("n_grams5") > (1 << 21), 1).otherwise(0))
+        .cast("long")
+        .alias("n_scrub_truncated"),
+        F.max("n_grams3").cast("long").alias("max_grams3"),
+    )

@@ -4680,3 +4680,151 @@ def tx_decontaminate_13gram(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("keep_doc"),
         )
     )
+
+
+def _curation_pipeline_oracle() -> str:
+    """The composed end-to-end curation oracle: the frozen ANN recall gate
+    (sim_recall_floor's IVF-PQ vs brute-force arm), CCNet terciles
+    (tx_ccnet_buckets' LM CTEs), 13-gram decontamination
+    (tx_decontaminate_13gram's gram hashing), and the 500-token shard
+    prefix sum (tx_pack_shards' window form) — stitched from the SAME CTE
+    fragments the component oracles use, so a hash match certifies the
+    composed row flow, not a re-derivation."""
+    from odbc2parquet_spark.queries.similarity import _DOT, _IVF_PQ_CTES
+
+    gram13 = (
+        "CAST('0x' || substring(md5("
+        "array_to_string(list_slice(ws, i, i + 12), ' ')"
+        "), 1, 15) AS BIGINT)"
+    )
+    return f"""
+    WITH {_IVF_PQ_CTES},
+    n AS (
+        SELECT vec_id, embedding,
+               list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nsq
+        FROM embeddings
+    ),
+    exact_scored AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               ROUND({_DOT} / SQRT(a.nsq * b.nsq), 4) AS cos4
+        FROM n a JOIN n b ON a.vec_id < 10 AND a.vec_id != b.vec_id
+    ),
+    exact_top AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY cos4 DESC, neighbor_id) AS rnk
+            FROM exact_scored
+        ) WHERE rnk <= 10
+    ),
+    adc_top AS (
+        SELECT query_id, vec_id AS neighbor_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY adc_dec, vec_id) AS rnk
+            FROM adc
+        ) WHERE rnk <= 10
+    ),
+    ghits AS (
+        SELECT a.query_id, COUNT(*) AS n_hits
+        FROM adc_top a
+        JOIN exact_top e ON e.query_id = a.query_id
+                        AND e.neighbor_id = a.neighbor_id
+        GROUP BY a.query_id
+    ),
+    per_q AS (
+        SELECT q.query_id, COALESCE(h.n_hits, 0) AS n_hits
+        FROM (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 10) q
+        LEFT JOIN ghits h ON h.query_id = q.query_id
+    ),
+    gate AS (
+        SELECT ROUND(SUM(n_hits) / (10.0 * COUNT(*)), 6) >= 0.6
+                   AS index_gate_passed
+        FROM per_q
+    ),{_LM_CTE},
+    buckets AS (
+        SELECT doc_id, avg_logprob,
+               CASE NTILE(3) OVER (ORDER BY avg_logprob DESC, doc_id)
+                    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+               END AS bucket
+        FROM lm
+    ),
+    ceg AS (
+        SELECT DISTINCT {gram13} AS h
+        FROM w, UNNEST(generate_series(1, len(ws) - 12)) AS t(i)
+        WHERE doc_id % 97 = 0 AND len(ws) >= 13
+    ),
+    cdg AS (
+        SELECT DISTINCT doc_id, {gram13} AS h
+        FROM w, UNNEST(generate_series(1, len(ws) - 12)) AS t(i)
+        WHERE doc_id % 97 != 0 AND len(ws) >= 13
+    ),
+    contaminated AS (
+        SELECT DISTINCT cdg.doc_id FROM cdg JOIN ceg ON ceg.h = cdg.h
+    ),
+    surv AS (
+        SELECT b.doc_id, b.bucket, len(w.ws) AS n_tokens
+        FROM buckets b JOIN w ON w.doc_id = b.doc_id
+        WHERE b.bucket != 'tail'
+          AND b.doc_id % 97 != 0
+          AND b.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    )
+    SELECT s.doc_id, s.bucket, CAST(s.n_tokens AS BIGINT) AS n_tokens,
+           CAST(FLOOR(COALESCE(SUM(s.n_tokens) OVER (
+                    ORDER BY s.doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                / 500.0) AS BIGINT) AS shard,
+           g.index_gate_passed
+    FROM surv s CROSS JOIN gate g
+    """
+
+
+@query("tx_curation_pipeline", oracle=_curation_pipeline_oracle())
+def tx_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END curation pipeline at the composition level the
+    per-query bench cannot see: the frozen production ANN operating point
+    (sim_recall_floor: IVF-PQ nprobe=4/m=32/k=256 vs the brute-force
+    ground truth, recall@10 >= 0.6 evaluated in-query) gates the run;
+    documents pass the CCNet head/middle tercile filter
+    (tx_ccnet_buckets — tail dropped), then EXACT 13-gram
+    decontamination against the doc_id%97 eval slice
+    (tx_decontaminate_13gram — eval docs themselves excluded), and the
+    survivors pack into ~500-token shards via the two-pass prefix sum
+    (tx_pack_shards). Composed FROM the registry entries themselves, so
+    the pipeline runs exactly the operators the driver verifies
+    individually; cross-operator interference (checkpoint/persist
+    contention, codegen-cache pressure between the Arrow ANN stages and
+    the token pipelines) shows up here and nowhere else. The gate is a
+    1-row broadcast cross; every corpus-scale stage is keyed. At 100 TB
+    the only global structure is the shard prefix sum's
+    num_partitions-long offset table and the NTILE tercile (documented
+    rank->cutpoint substitution in tx_ccnet_buckets)."""
+    from odbc2parquet_spark.operators.sharding import pack_shards_two_pass
+    from odbc2parquet_spark.queries import QUERIES
+
+    gate = QUERIES["sim_recall_floor"](spark, sf_dir).select(
+        F.col("passed").alias("index_gate_passed")
+    )
+    buckets = (
+        QUERIES["tx_ccnet_buckets"](spark, sf_dir)
+        .filter(F.col("bucket") != "tail")
+        .select("doc_id", "bucket")
+    )
+    keep = (
+        QUERIES["tx_decontaminate_13gram"](spark, sf_dir)
+        .filter(F.col("keep_doc") == 1)
+        .select("doc_id")
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != ""))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    surv = buckets.join(keep, "doc_id").join(toks, "doc_id")
+    shards = pack_shards_two_pass(surv.select("doc_id", "n_tokens"), budget=500)
+    return (
+        shards.join(buckets, "doc_id")
+        .crossJoin(F.broadcast(gate))
+        .select("doc_id", "bucket", "n_tokens", "shard", "index_gate_passed")
+    )

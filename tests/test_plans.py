@@ -26,6 +26,10 @@ ALL_PAIRS_OK = {
     "sim_recall_floor",      # the frozen operating-point gate: same
                              # brute-force ground-truth arm as
                              # sim_ivf_pq_recall, folded to one row
+    "tx_curation_pipeline",  # composes sim_recall_floor's gate (above) —
+                             # the quadratic is its bounded brute-force
+                             # ground-truth arm; every corpus-scale stage
+                             # (terciles, decontamination, sharding) is keyed
     "sim_bruteforce_topk",   # exactness baseline: broadcast probes BY DESIGN
     "q_scalar_functions",    # no join at all; harmless
     "dd_dup_clusters",       # edges come from dd_embedding_cosine (above);
