@@ -47,30 +47,49 @@ def connected_components(
     corpus-sized — per-round joins, checkpoints, and change-detection all
     scale with the duplicate population instead of the full corpus.
     """
-    sym = (
+    # materialize the ONE-directional pair list before symmetrizing: the
+    # union references the edge plan twice, and the upstream pair pipeline
+    # (MinHash signatures + banded join + Jaccard verification) would be
+    # evaluated once per branch inside the sym checkpoint job. Dangling
+    # endpoints (ids absent from the node set) are dropped HERE, so they
+    # can neither receive a label nor donate their id as a component
+    # minimum — the inert-endpoint contract, enforced structurally.
+    node_ids = nodes.select(F.col(node_col).alias("id")).distinct()
+    directed = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
-        .distinct()
+        .join(node_ids.select(F.col("id").alias("src")), "src", "left_semi")
+        .join(node_ids.select(F.col("id").alias("dst")), "dst", "left_semi")
+        # a USING-column join moves the key first ([dst, src] here) and
+        # union aligns by POSITION — re-project the canonical order so the
+        # symmetrization below cannot silently align src with dst
+        .select("src", "dst")
+        .localCheckpoint(eager=True)
     )
-    # seed from edge-incident nodes THAT EXIST in the node set: a dangling
-    # edge endpoint (filtered upstream) must stay inert — it neither gets
-    # a label nor donates its id as a component minimum, matching the
-    # all-nodes seeding this replaced
-    labels = (
-        sym.select(F.col("src").alias("id"))
-        .distinct()
-        .join(
-            nodes.select(F.col(node_col).alias("id")).distinct(),
-            "id",
-            "left_semi",
-        )
-        .withColumn("component", F.col("id"))
-    )
+    sym = directed.unionByName(
+        directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
     # localCheckpoint between rounds: the fixpoint feeds its own output back
     # in, and an un-truncated logical plan doubles per round — Catalyst
     # re-analysis dominates wall time long before data does. On a cluster,
-    # checkpoint() to reliable storage instead.
-    sym = sym.persist()
+    # checkpoint() to reliable storage instead. The EDGE list checkpoints
+    # eagerly too (not a bare persist): its upstream plan — MinHash
+    # signatures + banded candidate join + Jaccard verification in the
+    # dedup pipelines — is the dominant logical subtree, and a persist
+    # caches blocks but re-embeds that analyzed plan at every per-round
+    # join (measured on dd_keep_best_minhash at sf0.1).
+    sym = sym.localCheckpoint(eager=True)
+    # seed with the first propagation half-round folded in:
+    # label(v) = min(v, min over neighbors) — near-dup clusters are mostly
+    # diameter <= 2, so the seed is often already the fixpoint and the
+    # loop exits after ONE confirming round instead of two
+    labels = (
+        sym.groupBy("src")
+        .agg(F.min("dst").alias("nmin"))
+        .select(
+            F.col("src").alias("id"),
+            F.least(F.col("src"), F.col("nmin")).alias("component"),
+        )
+    )
     try:
         labels = labels.localCheckpoint(eager=True)
         for _ in range(max_iterations):
@@ -111,7 +130,8 @@ def connected_components(
             )
         )
     finally:
-        sym.unpersist()
+        release_local_checkpoint(sym)
+        release_local_checkpoint(directed)
 
 
 def connected_components_star(
