@@ -139,6 +139,28 @@ def test_simhash_banded_matches_all_pairs(docs):
     assert band == allp
 
 
+@pytest.mark.slow
+def test_simhash_banded_production_spec_zero_recall_loss(docs):
+    """CORPUS-LEVEL recall proof at dd_simhash_banded's registered
+    operating point (hamming<=3, 4 bands of 8 bits, 10k bucket cap): the
+    query's oracle was moved to a DuckDB re-statement of the banded+capped
+    spec itself, so a spec-level recall bug would pass the hash gate —
+    this test keeps the INDEPENDENT all-pairs ground truth comparison
+    alive on the actual sf0.001 corpus (where no bucket approaches the
+    cap, the pigeonhole guarantee must make banded == all-pairs exactly)."""
+    sig = D.simhash(docs)
+    truth = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in D.simhash_near_pairs(sig, max_hamming=3).collect()
+    }
+    banded = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in D.simhash_banded_pairs(sig, max_hamming=3, bits=32, bands=4).collect()
+    }
+    assert banded == truth
+    assert truth, "degenerate corpus: the recall proof proved nothing"
+
+
 def test_simhash_banded_rejects_too_few_bands(docs):
     with pytest.raises(ValueError):
         D.simhash_banded_pairs(D.simhash(docs), max_hamming=8, bands=8)
