@@ -118,6 +118,9 @@ _PRIORITY = [
     "tx_decontaminate_13gram",
     # round-10 (cont.): the composed curation pipeline — score promptly
     "tx_curation_pipeline",
+    "dd_suffix_lcp",
+    "dd_truncation_audit",
+    "tx_ccnet_crosslm",
 ]
 
 

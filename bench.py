@@ -303,6 +303,11 @@ HEADLINE = [
     # closest local proxy for the 100 TB composed workload; surfaces
     # cross-operator checkpoint/persist interference per-query entries hide
     "tx_curation_pipeline",
+    # round-10: suffix-array duplicated spans + truncation observability
+    "dd_suffix_lcp",
+    "dd_truncation_audit",
+    # round-10: the cross-trained CCNet LM (reference-trained, crawl-scored)
+    "tx_ccnet_crosslm",
 ]
 
 

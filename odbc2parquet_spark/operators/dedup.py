@@ -1021,3 +1021,90 @@ def winnowing_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def suffix_lcp_spans(
+    docs: DataFrame,
+    k_max: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_suffixes_per_bigram: int = 100_000,
+) -> DataFrame:
+    """(doc_id, max_dup_span): per document, the longest token span (capped
+    at ``k_max``) that also occurs in ANOTHER document — the suffix-array
+    method behind exact substring deduplication (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better": build the suffix array of
+    the corpus, take the LCP of lexicographically adjacent suffixes from
+    different documents). The n-gram ops (span_scrub at n=5,
+    tx_decontaminate_13gram at n=13) answer "is there a span of EXACTLY
+    length n"; the suffix sort answers "how LONG is the longest shared
+    span" in one pass, with no per-length rescan.
+
+    Exact distributed shape WITHOUT a global sort funnel: two suffixes
+    share a token-LCP >= 2 only if they share their first TWO tokens, so
+    the suffix order is computed per (token1, token2) group — a keyed
+    window, never a single-partition sort; cross-group adjacencies can
+    only have LCP <= 1 and are irrelevant by construction. Suffixes are
+    truncated to ``k_max`` tokens (reported spans saturate there — the
+    standard bounded-comparison trick; raise k_max to resolve longer
+    spans). Bigram groups holding more than ``max_suffixes_per_bigram``
+    suffixes are boilerplate mass and dropped (the same stop-key rule as
+    winnowing_pairs' max_docs_per_fp), keeping the window skew-bounded.
+
+    Correctness of adjacent-only credit: all suffixes sharing a token
+    prefix of length L form a contiguous block in the (array-lexicographic)
+    order, and any block containing two documents contains an ADJACENT
+    cross-document pair with LCP >= L; per-document maxima are invariant
+    to tie order among equal suffixes (an equal-content block credits
+    every member document its full content length, which dominates any
+    boundary LCP). The argmax is an int comparison; ORDER BY on the token
+    ARRAY (not the joined string) keeps the block property exact even for
+    tokens containing characters below 0x20.
+    """
+    ws = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(F.split(F.col(text_col), " "), lambda x: x != "").alias("ws"),
+    )
+    # NB: Spark's sequence(1, 0) yields DESCENDING [1, 0], not empty —
+    # sub-2-token documents must short-circuit to an empty suffix set
+    suf = ws.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(ws) < 2 THEN array() ELSE "
+                f"transform(sequence(1, size(ws) - 1), "
+                f"i -> slice(ws, i, {k_max})) END"
+            )
+        ).alias("s"),
+    ).select(
+        "doc_id",
+        "s",
+        F.col("s")[0].alias("k1"),
+        F.col("s")[1].alias("k2"),
+    )
+    grp = Window.partitionBy("k1", "k2")
+    bounded = (
+        suf.withColumn("grp_n", F.count(F.lit(1)).over(grp))
+        .filter(F.col("grp_n") <= max_suffixes_per_bigram)
+        .drop("grp_n")
+    )
+    w = Window.partitionBy("k1", "k2").orderBy("s")
+    adj = bounded.select(
+        "doc_id",
+        "s",
+        F.lag("doc_id").over(w).alias("pdoc"),
+        F.lag("s").over(w).alias("ps"),
+    ).filter(F.col("pdoc").isNotNull() & (F.col("pdoc") != F.col("doc_id")))
+    flags = F.zip_with(
+        F.col("s"), F.col("ps"), lambda x, y: F.when(x == y, F.lit(1)).otherwise(F.lit(0))
+    )
+    lcp = (
+        F.array_position(F.concat(flags, F.array(F.lit(0))), 0) - 1
+    ).cast("long")
+    credited = adj.select(
+        F.explode(F.array(F.col("doc_id"), F.col("pdoc"))).alias("doc_id"),
+        lcp.alias("lcp"),
+    ).filter(F.col("lcp") >= 2)
+    return credited.groupBy("doc_id").agg(
+        F.max("lcp").cast("long").alias("max_dup_span")
+    )

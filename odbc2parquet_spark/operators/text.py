@@ -1578,3 +1578,82 @@ def bleu2_pairs(
         F.round(p2, 6).alias("p2_6"),
         F.round(bleu, 6).alias("bleu2_6"),
     )
+
+
+def bigram_lm_scores_cross(
+    train_docs: DataFrame, score_docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Cross-trained conditional bigram LM: counts, contexts and vocabulary
+    come from ``train_docs`` ONLY; every document in ``score_docs`` is
+    scored against that fixed model — the actual CCNet design (Wenzek et
+    al. 2020 train a KenLM on Wikipedia and bucket Common Crawl by its
+    perplexity), where :func:`bigram_lm_scores` is the self-trained
+    approximation. Returns (doc_id, n_bigrams, avg_logprob, oov_rate):
+    unseen bigrams fall back to the add-0.5 smoothing mass
+    (2*0+1)/(2*ctx+|V|), unseen contexts to 1/|V|, and ``oov_rate`` is
+    the fraction of scored bigrams absent from the reference model — the
+    domain-shift readout beside the score itself.
+
+    Same determinism contract as the self-trained LM (exact integer
+    ratios, ONE ln per scored bigram rounded to 6 decimals, decimal sum,
+    single IEEE division per doc). Scale: the model tables are bounded by
+    the REFERENCE corpus (the small, curated side); the scoring joins are
+    bigram-keyed left joins of the crawl stream against them — at 100 TB
+    the reference model broadcasts and the crawl never shuffles twice.
+    """
+    t_prep = train_docs.select(words(F.col(text_col)).alias("ws"))
+    bigram_expr = (
+        "CASE WHEN size(ws) < 2 THEN array() ELSE "
+        "transform(sequence(1, size(ws) - 1), "
+        "i -> struct(ws[i - 1] AS a, ws[i] AS b)) END"
+    )
+    t_bg = t_prep.select(F.explode(F.expr(bigram_expr)).alias("p")).select(
+        F.col("p.a").alias("a"), F.col("p.b").alias("b")
+    )
+    cab = t_bg.groupBy("a", "b").agg(F.count("*").alias("cab"))
+    ctx = t_bg.groupBy("a").agg(F.count("*").alias("ctx"))
+    vocab = t_prep.select(F.explode("ws").alias("w")).agg(
+        F.countDistinct("w").alias("v")
+    )
+    s_bg = (
+        score_docs.select("doc_id", words(F.col(text_col)).alias("ws"))
+        .select("doc_id", F.explode(F.expr(bigram_expr)).alias("p"))
+        .select("doc_id", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    )
+    term = F.round(
+        F.log(
+            (2 * F.coalesce(F.col("cab"), F.lit(0)) + 1)
+            / (2 * F.coalesce(F.col("ctx"), F.lit(0)) + F.col("v"))
+        ),
+        6,
+    ).cast("decimal(18,6)")
+    scored = (
+        s_bg.join(cab, ["a", "b"], "left")
+        .join(ctx, "a", "left")
+        .join(F.broadcast(vocab))
+        .withColumn("term", term)
+        .withColumn("oov", F.when(F.col("cab").isNull(), 1).otherwise(0))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            # integer-exact half-up average (same .5e-6 ROUND-tie rationale
+            # as stupid_backoff_scores — plain ROUND(sum/count, 6) diverged
+            # on 3 of 4750 docs at sf0.1)
+            (
+                F.when(F.sum("term") < 0, F.lit(-1)).otherwise(F.lit(1))
+                * F.expr(
+                    "(2 * abs(CAST(sum(term) * 1000000 AS BIGINT)) + count(*))"
+                    " div (2 * count(*))"
+                )
+            ).cast("double").alias("_avg_micro"),
+            F.round(F.sum("oov") / F.count("*"), 6).alias("oov_rate"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            (F.col("_avg_micro") / F.lit(1e6)).alias("avg_logprob"),
+            "oov_rate",
+        )
+    )

@@ -1881,3 +1881,58 @@ def dd_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_scrub_truncated"),
         F.max("n_grams3").cast("long").alias("max_grams3"),
     )
+
+
+@query(
+    "dd_suffix_lcp",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws
+        FROM documents
+    ),
+    suf AS (
+        SELECT doc_id, list_slice(ws, i, i + 15) AS s
+        FROM w, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
+        WHERE len(ws) >= 2
+    ),
+    b AS (
+        SELECT doc_id, s, s[1] AS k1, s[2] AS k2 FROM suf
+        QUALIFY COUNT(*) OVER (PARTITION BY s[1], s[2]) <= 100000
+    ),
+    adj AS (
+        SELECT doc_id, s,
+               LAG(doc_id) OVER (PARTITION BY k1, k2 ORDER BY s) AS pdoc,
+               LAG(s) OVER (PARTITION BY k1, k2 ORDER BY s) AS ps
+        FROM b
+    ),
+    credited AS (
+        SELECT UNNEST([doc_id, pdoc]) AS doc_id,
+               list_position(
+                   list_transform(list_zip(s, ps),
+                       p -> CASE WHEN p[1] = p[2] THEN 1 ELSE 0 END) || [0],
+                   0) - 1 AS lcp
+        FROM adj
+        WHERE pdoc IS NOT NULL AND pdoc != doc_id
+    )
+    SELECT doc_id, CAST(MAX(lcp) AS BIGINT) AS max_dup_span
+    FROM credited WHERE lcp >= 2
+    GROUP BY doc_id
+    """,
+)
+def dd_suffix_lcp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUFFIX-ARRAY duplicated-span detection (operators/dedup.
+    suffix_lcp_spans): per document, the LONGEST token span (capped at 16)
+    also occurring in another document, via lexicographically adjacent
+    suffix LCPs — the published exact-substring-dedup construction (Lee et
+    al. 2022) whose fixed-n approximations this repo already carries
+    (span_scrub at n=5, tx_decontaminate_13gram at n=13). One suffix
+    explode (linear in corpus tokens), a (token1, token2)-KEYED window
+    sort (never a global funnel — LCP >= 2 forces a shared bigram, so
+    cross-group adjacencies are irrelevant by construction), and a
+    per-doc max; the 100k stop-bigram cap bounds window skew exactly like
+    winnowing's stop-fingerprint rule. ORDER BY the token ARRAY keeps
+    the contiguous-prefix-block property exact (a joined-string key would
+    break it for tokens containing sub-space characters); per-doc maxima
+    are tie-order invariant, so the two engines agree on every row."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.suffix_lcp_spans(docs, k_max=16)

@@ -4828,3 +4828,64 @@ def tx_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(gate))
         .select("doc_id", "bucket", "n_tokens", "shard", "index_gate_passed")
     )
+
+
+@query(
+    "tx_ccnet_crosslm",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, source,
+               list_filter(string_split(text, ' '), x -> x != '') AS ws
+        FROM documents
+    ),
+    tb AS (
+        SELECT ws[i] AS a, ws[i+1] AS b
+        FROM w, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
+        WHERE source = 'src0' AND len(ws) >= 2
+    ),
+    cab AS (SELECT a, b, COUNT(*) AS cab FROM tb GROUP BY 1, 2),
+    ctx AS (SELECT a, COUNT(*) AS ctx FROM tb GROUP BY 1),
+    vocab AS (
+        SELECT COUNT(DISTINCT t.w) AS v
+        FROM (SELECT UNNEST(ws) AS w FROM w WHERE source = 'src0') t
+    ),
+    sb AS (
+        SELECT doc_id, ws[i] AS a, ws[i+1] AS b
+        FROM w, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
+        WHERE source != 'src0' AND len(ws) >= 2
+    ),
+    terms AS (
+        SELECT sb.doc_id,
+               CAST(ROUND(LN((2 * COALESCE(cab.cab, 0) + 1)
+                             / (2 * COALESCE(ctx.ctx, 0) + v.v)), 6)
+                    AS DECIMAL(18,6)) AS term,
+               CASE WHEN cab.cab IS NULL THEN 1 ELSE 0 END AS oov
+        FROM sb
+        LEFT JOIN cab ON cab.a = sb.a AND cab.b = sb.b
+        LEFT JOIN ctx ON ctx.a = sb.a
+        CROSS JOIN vocab v
+    )
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           (CASE WHEN SUM(term) < 0 THEN -1 ELSE 1 END
+            * ((2 * abs(CAST(SUM(term) * 1000000 AS BIGINT)) + COUNT(*))
+               // (2 * COUNT(*)))) / 1e6 AS avg_logprob,
+           ROUND(SUM(oov) / COUNT(*), 6) AS oov_rate
+    FROM terms GROUP BY doc_id
+    """,
+)
+def tx_ccnet_crosslm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-TRAINED CCNet quality model (operators/text.
+    bigram_lm_scores_cross): the add-0.5 bigram LM is trained on the
+    trusted reference slice (source = src0 — the stand-in for CCNet's
+    Wikipedia KenLM) and every OTHER document is scored against that
+    FIXED model, with oov_rate reporting the bigram mass the reference
+    never saw. This is the published design tx_bigram_lm_score
+    approximates by self-training: a junk document can no longer improve
+    its own model, and domain shift is explicit in oov_rate instead of
+    silently deflating scores. Model tables are reference-bounded
+    (broadcastable at any crawl size); scoring is bigram-keyed left
+    joins over the crawl stream."""
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("source") == "src0")
+    score = docs.filter(F.col("source") != "src0")
+    return X.bigram_lm_scores_cross(train, score)

@@ -319,3 +319,26 @@ def test_audio_n_at_peak(spark):
     df = spark.createDataFrame([(1, bytearray(wav))], ["doc_id", "payload"])
     r = decode_audio_samples(df).collect()[0]
     assert r.peak == 32767 and r.n_at_peak == 2
+
+
+def test_cross_lm_oov_and_scores(spark):
+    """Cross-trained LM: train-side bigrams score high, unseen bigrams get
+    the smoothing floor, oov_rate reports them; train docs never scored."""
+    from odbc2parquet_spark.operators.text import bigram_lm_scores_cross
+
+    train = spark.createDataFrame(
+        [(100, "a b a b"), (101, "a b c")], ["doc_id", "text"]
+    )
+    score = spark.createDataFrame(
+        [(1, "a b"), (2, "x y")], ["doc_id", "text"]
+    )
+    got = {r.doc_id: r for r in bigram_lm_scores_cross(train, score).collect()}
+    assert set(got) == {1, 2}
+    # train corpus: bigrams (a,b)x3? no: "a b a b" -> (a,b),(b,a),(a,b); "a b c" -> (a,b),(b,c)
+    # c(a,b)=3, ctx(a)=3, V=3 -> p = (2*3+1)/(2*3+3) = 7/9
+    import math
+    assert got[1].oov_rate == 0.0
+    assert got[1].avg_logprob == round(round(math.log(7 / 9), 6), 6)
+    # (x,y) unseen bigram AND unseen context -> p = 1/V = 1/3
+    assert got[2].oov_rate == 1.0
+    assert got[2].avg_logprob == round(math.log(1 / 3), 6)

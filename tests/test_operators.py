@@ -2548,3 +2548,29 @@ def test_shapley_symmetric_channels_equal(spark):
     ).collect()
     got = {r.channel: r.shapley_num for r in rows}
     assert got["a"] == got["b"] == 2  # (2 convs) * 2! / 2 each, x2!
+
+
+def test_suffix_lcp_spans_known_values(spark):
+    """Cross-doc spans measured exactly; same-doc repetition never counts."""
+    rows = [
+        # docs 1 and 2 share the 4-token run "q w e r" (and nothing longer)
+        (1, "a b q w e r x"),
+        (2, "q w e r z z"),
+        # doc 3 repeats its own trigram but shares nothing cross-doc
+        (3, "m n o m n o"),
+        # doc 4 shares only a single token with doc 1 -> below the floor
+        (4, "a c c c"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r.max_dup_span for r in D.suffix_lcp_spans(docs).collect()}
+    assert got == {1: 4, 2: 4}
+
+
+def test_suffix_lcp_spans_saturates_at_k_max(spark):
+    shared = " ".join(f"t{i}" for i in range(25))
+    docs = spark.createDataFrame(
+        [(1, "x " + shared), (2, shared + " y")], ["doc_id", "text"]
+    )
+    got = {r.doc_id: r.max_dup_span for r in D.suffix_lcp_spans(docs, k_max=16).collect()}
+    # the true shared span is 25 tokens; bounded comparison reports k_max
+    assert got == {1: 16, 2: 16}

@@ -108,6 +108,9 @@ BOUNDED_CROSS_OK = {
     # round 8: conditional bigram LM — 1-row vocabulary-size scalar
     # broadcast crossed onto the bigram stream (bigram_surprisal's shape)
     "tx_bigram_lm_score",
+    # round 10: the cross-trained CCNet LM — the same 1-row vocab scalar
+    # broadcast, now from the reference slice, onto the crawl stream
+    "tx_ccnet_crosslm",
     "tx_ccnet_buckets",      # same LM pipeline under the tercile window
     "tx_curation_verdict",   # same LM pipeline inside the funnel composition
     "tx_kneser_ney_score",   # 1-row bigram-type-count scalar broadcast

@@ -7,6 +7,16 @@ the one-page evidence that the scale contract (SCALE.md) matches what
 Catalyst actually plans. Regenerate after plan-affecting changes:
 
     python tools/plan_audit.py [sf_dir]
+
+Lineage-control transparency: a localCheckpoint truncates a plan to a
+LogicalRDD scan and a lazy persist makes the explain re-print the cached
+subtree at EVERY reference, so a fixpoint query would audit as either zero
+shuffles (checkpointed result) or hundreds (unrolled per-round lineage) —
+both wrong. The audit therefore records the pre-boundary frame of every
+localCheckpoint AND persist taken while a query is constructed, explains
+each recorded segment plus the final frame, truncates every explained tree
+at InMemoryTableScan (each cached subtree is counted exactly once, in its
+own segment — matching what the runtime computes), and sums the statistics.
 """
 
 from __future__ import annotations
@@ -17,6 +27,35 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+
+#: tree-art characters that precede a node name in the formatted explain
+_ART = " :+-*="
+
+
+def _node_depth(line: str) -> int:
+    """Column where the node text starts (tree-art prefix length)."""
+    return len(line) - len(line.lstrip(_ART))
+
+
+def truncate_at_cache(tree: str) -> str:
+    """Drop every line nested under an InMemoryTableScan node: cached
+    subtrees audit once as their own segment; re-printing them at each
+    reference would multiply-count work the runtime computes once."""
+    out: list[str] = []
+    cut_depth: int | None = None
+    for line in tree.splitlines():
+        if not line.strip():
+            out.append(line)
+            continue
+        depth = _node_depth(line)
+        if cut_depth is not None:
+            if depth > cut_depth:
+                continue
+            cut_depth = None
+        out.append(line)
+        if "InMemoryTableScan" in line:
+            cut_depth = depth
+    return "\n".join(out)
 
 
 def main() -> None:
@@ -31,21 +70,28 @@ def main() -> None:
     spark = get_spark("plan_audit")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # A localCheckpoint truncates lineage to a LogicalRDD scan, so a query
-    # that returns (or is built from) checkpointed frames would audit as
-    # zero shuffles — the checkpoint hides the real shuffle/join shape the
-    # audit exists to verify. Intercept every checkpoint taken while the
-    # query is constructed and record the PRE-checkpoint frame; the audit
-    # then sums plan statistics over all recorded segments plus the final
-    # frame, which is exactly the work the query executes end-to-end.
+    # PySpark 4 routes sessions through pyspark.sql.classic.dataframe
+    # (the facade base class's methods are overridden there) — patch the
+    # concrete class actually dispatching the calls
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame as ConcreteDF
+    except ImportError:  # older PySpark: the facade IS the concrete class
+        ConcreteDF = DataFrame
+
     segments: list[DataFrame] = []
-    orig_checkpoint = DataFrame.localCheckpoint
+    orig_checkpoint = ConcreteDF.localCheckpoint
+    orig_persist = ConcreteDF.persist
 
     def recording_checkpoint(self, eager=True):
         segments.append(self)
         return orig_checkpoint(self, eager=eager)
 
-    DataFrame.localCheckpoint = recording_checkpoint
+    def recording_persist(self, *args, **kwargs):
+        segments.append(self)
+        return orig_persist(self, *args, **kwargs)
+
+    ConcreteDF.localCheckpoint = recording_checkpoint
+    ConcreteDF.persist = recording_persist
 
     def explain_stats(df):
         plan = df._jdf.queryExecution().explainString(
@@ -53,7 +99,7 @@ def main() -> None:
                 "formatted"
             )
         )
-        tree = plan.split("\n\n", 1)[0]
+        tree = truncate_at_cache(plan.split("\n\n", 1)[0])
         count = lambda needle: sum(  # noqa: E731
             1 for l in tree.splitlines() if re.search(needle + r"\b.*\(\d+\)$", l.strip())
         )
@@ -86,7 +132,8 @@ def main() -> None:
                 quad = quad or q
             rows.append((name, max(exch - single, 0), single, bhj, smj, pushed, quad))
     finally:
-        DataFrame.localCheckpoint = orig_checkpoint
+        ConcreteDF.localCheckpoint = orig_checkpoint
+        ConcreteDF.persist = orig_persist
 
     with open(os.path.join(REPO, "PLANS.md"), "w") as fh:
         fh.write(
@@ -97,7 +144,10 @@ def main() -> None:
             "broadcast hash joins, sort-merge joins, "
             "filters pushed to a parquet scan, quadratic join shape "
             "present (allowed only for documented verification operators — "
-            "see tests/test_plans.py ALL_PAIRS_OK).\n\n"
+            "see tests/test_plans.py ALL_PAIRS_OK). Queries with lineage "
+            "control (checkpoint/persist between fixpoint rounds) are "
+            "audited as the SUM over their plan segments, each cached "
+            "subtree counted once — see the module docstring.\n\n"
             "| query | shuf | single | BHJ | SMJ | pushed | quadratic |\n"
             "|---|---|---|---|---|---|---|\n"
         )
