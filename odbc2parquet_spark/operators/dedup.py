@@ -950,14 +950,18 @@ def winnowing_fingerprints(
     plagiarism and code-clone detection run on.
 
     Exactness: the (hash asc, pos desc) argmin packs into one int64
-    (h * 1024 + (1023 - pos); 48-bit hash keeps the product far inside
-    the range; grams beyond position 1023 are truncated on BOTH engines
-    so the tiebreak never wraps), so the window MIN hash-aggregates on
-    both engines. One
-    per-doc sliding window over gram rows — zero shuffle beyond the doc
-    partition; output is the DISTINCT selected (pos, h) set per doc.
+    (h * 1024 + (1023 - pos mod 1024); 48-bit hash keeps the product far
+    inside the range; the tiebreak encodes the 1024-gram-BLOCK-local
+    position and the window partitions on (id, block), so it never
+    wraps), so the window MIN hash-aggregates on both engines. One
+    per-doc sliding window over gram rows — zero shuffle beyond the
+    (doc, block) partition; output is the DISTINCT selected (pos, h) set
+    per doc, every gram of arbitrarily long documents covered (see the
+    block-boundary notes inline).
     """
-    w_ = Window.partitionBy("id").orderBy("pos").rowsBetween(1 - window, 0)
+    w_ = Window.partitionBy("id", "block").orderBy("pos").rowsBetween(
+        1 - window, 0
+    )
     grams = docs.select(
         F.col(id_col).alias("id"),
         F.posexplode(
@@ -970,27 +974,32 @@ def winnowing_fingerprints(
         ).alias("pos", "g"),
     )
     h = F.conv(F.substring(F.md5(F.col("g")), 1, 12), 16, 10).cast("long")
-    # Documents are fingerprinted over their first 1024 grams only: the
-    # packed argmin reserves 10 bits for the position tiebreak, and a
-    # wrapped (negative) tiebreak would silently corrupt the window MIN.
-    # Truncating (not failing) keeps one over-long document from killing
-    # a corpus-scale job; the DuckDB oracle applies the same pos <= 1023
-    # cap so both engines encode the identical bounded spec. The bound is
-    # OBSERVABLE, not silent: dd_truncation_audit reports per-source how
-    # many documents exceed this cap (recall on longer docs is partial —
-    # segment those into 1024-gram blocks upstream if the count is
-    # nonzero).
-    packed = grams.filter(F.col("pos") <= 1023).select(
+    # Long documents are winnowed in independent 1024-gram BLOCKS: the
+    # packed argmin reserves 10 bits for the position tiebreak, so the
+    # tiebreak encodes the block-LOCAL position and the window partitions
+    # on (id, block). Docs at or under 1024 grams are bit-identical to the
+    # unsegmented spec (one block); beyond, every gram is still winnowed
+    # (no truncation — the round-9 cap this replaces dropped grams past
+    # 1023 entirely) with two spec-level block-boundary effects, both
+    # toward MORE selections: each block restarts with partial leading
+    # windows (the same superset behavior as the document start), and a
+    # shared run straddling a boundary is guaranteed a shared fingerprint
+    # only from its within-block windows. dd_truncation_audit counts the
+    # multi-block documents so the boundary effect stays observable.
+    packed = grams.select(
         "id",
         "pos",
-        (h * 1024 + (1023 - F.col("pos"))).alias("pk"),
+        F.expr("pos div 1024").alias("block"),
+        (h * 1024 + (1023 - F.col("pos") % 1024)).alias("pk"),
     )
     sel = packed.select(
-        "id", F.min("pk").over(w_).alias("mpk")
+        "id", "block", F.min("pk").over(w_).alias("mpk")
     ).filter(F.col("mpk").isNotNull())
     return sel.select(
         "id",
-        (1023 - F.col("mpk") % 1024).cast("long").alias("pos"),
+        (F.col("block") * 1024 + (1023 - F.col("mpk") % 1024))
+        .cast("long")
+        .alias("pos"),
         F.expr("mpk div 1024").alias("h"),
     ).distinct()
 

@@ -1792,13 +1792,13 @@ def dd_template_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE len(ws) >= 3
     ),
     packed AS (
-        SELECT id, pos,
+        SELECT id, pos, pos // 1024 AS block,
                CAST('0x' || substring(md5(g), 1, 12) AS BIGINT) * 1024
-               + (1023 - pos) AS pk
-        FROM grams WHERE pos <= 1023
+               + (1023 - pos % 1024) AS pk
+        FROM grams
     ),
     sel AS (
-        SELECT id, MIN(pk) OVER (PARTITION BY id ORDER BY pos
+        SELECT id, MIN(pk) OVER (PARTITION BY id, block ORDER BY pos
                                  ROWS BETWEEN 3 PRECEDING
                                           AND CURRENT ROW) AS mpk
         FROM packed
@@ -1845,7 +1845,7 @@ def dd_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(CASE WHEN n_grams3 > 1024 THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_winnow_truncated,
+               AS n_winnow_multiblock,
            CAST(SUM(CASE WHEN n_grams5 > 2097152 THEN 1 ELSE 0 END) AS BIGINT)
                AS n_scrub_truncated,
            CAST(MAX(n_grams3) AS BIGINT) AS max_grams3
@@ -1853,16 +1853,16 @@ def dd_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dd_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """OBSERVABILITY for the quarantine-not-fail truncation policy: both
-    winnowing_fingerprints (first 1024 grams — the 10-bit packed-argmin
-    tiebreak budget) and span_scrub (first 2^21 tokens — the 21-bit
-    position packing) silently bound over-long documents instead of
-    failing the job. This audit makes that bound VISIBLE: per source, how
-    many documents exceed each cap (i.e. were partially fingerprinted /
-    scanned) and the corpus's maximum gram count — the number an operator
-    reads before trusting near-dup recall on long documents. A nonzero
-    truncation count is the signal to segment those documents into
-    1024-gram blocks upstream. Pure map-side arithmetic over one corpus
+    """OBSERVABILITY for the bounded-document policies:
+    winnowing_fingerprints winnows long documents in independent
+    1024-gram BLOCKS (the 10-bit packed-argmin tiebreak budget — full
+    coverage, but block-boundary-straddling runs are only guaranteed
+    from their within-block windows), and span_scrub scans the first
+    2^21 tokens only (the 21-bit position packing). This audit makes
+    both VISIBLE: per source, how many documents are multi-block for
+    winnowing / truncated for span_scrub, and the corpus's maximum gram
+    count — the numbers an operator reads before trusting near-dup
+    recall on long documents. Pure map-side arithmetic over one corpus
     scan + a |sources|-row aggregate — runs at any scale."""
     docs = load_table(spark, sf_dir, "documents")
     n_words = F.size(F.split(F.col("text"), " "))
@@ -1875,7 +1875,7 @@ def dd_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum(F.when(F.col("n_grams3") > 1024, 1).otherwise(0))
         .cast("long")
-        .alias("n_winnow_truncated"),
+        .alias("n_winnow_multiblock"),
         F.sum(F.when(F.col("n_grams5") > (1 << 21), 1).otherwise(0))
         .cast("long")
         .alias("n_scrub_truncated"),

@@ -710,25 +710,38 @@ def test_hw_backtest_single_day_group_emits_nothing(spark):
     assert [r.origin for r in rows if r.key == "pair"] == [2]
 
 
-def test_winnowing_truncates_overlong_docs_instead_of_failing(spark):
-    # >1024-gram documents are fingerprinted over their first 1024 grams
-    # (round-9 advice: the old raise_error killed the whole corpus job)
+def test_winnowing_blocks_cover_overlong_docs(spark):
+    # >1024-gram documents are winnowed in independent 1024-gram blocks
+    # (round-10: replaces the round-9 truncation — every gram is covered,
+    # and each block equals winnowing the corresponding sub-document)
     from odbc2parquet_spark.operators.dedup import winnowing_fingerprints
 
-    long_text = " ".join(f"w{i}" for i in range(1100))  # 1098 grams at n=3
+    words = [f"w{i}" for i in range(1100)]  # 1098 grams at n=3
     docs = spark.createDataFrame(
-        [(1, long_text), (2, "a b c d e f")], ["doc_id", "text"]
+        [(1, " ".join(words)), (2, "a b c d e f")], ["doc_id", "text"]
     )
-    fp = winnowing_fingerprints(docs, n=3, window=4)
-    rows = fp.collect()  # must not raise
-    assert max(r.pos for r in rows if r.id == 1) <= 1023
-    # the truncated doc still yields the same selections for pos <= 1023
-    # as a doc cut at exactly 1024 grams (the window only looks back)
-    cut = " ".join(f"w{i}" for i in range(1026))
-    docs2 = spark.createDataFrame([(1, cut)], ["doc_id", "text"])
-    want = {(r.pos, r.h) for r in winnowing_fingerprints(docs2, n=3, window=4).collect()}
+    rows = winnowing_fingerprints(docs, n=3, window=4).collect()
     got = {(r.pos, r.h) for r in rows if r.id == 1}
-    assert got == want
+    assert max(p for p, _ in got) > 1023  # the tail IS fingerprinted now
+    # block 0 equals winnowing a doc cut at exactly 1024 grams
+    cut = " ".join(words[:1026])
+    want0 = {
+        (r.pos, r.h)
+        for r in winnowing_fingerprints(
+            spark.createDataFrame([(1, cut)], ["doc_id", "text"]), n=3, window=4
+        ).collect()
+    }
+    assert {ph for ph in got if ph[0] <= 1023} == want0
+    # block 1 equals winnowing the sub-document starting at token 1024,
+    # with positions offset by 1024 (blocks are independent by spec)
+    tail = " ".join(words[1024:])
+    want1 = {
+        (r.pos + 1024, r.h)
+        for r in winnowing_fingerprints(
+            spark.createDataFrame([(1, tail)], ["doc_id", "text"]), n=3, window=4
+        ).collect()
+    }
+    assert {ph for ph in got if ph[0] >= 1024} == want1
 
 
 def test_markov_removal_effect_zero_conversion_corpus(spark):
