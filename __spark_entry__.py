@@ -121,6 +121,7 @@ _PRIORITY = [
     "dd_suffix_lcp",
     "dd_truncation_audit",
     "tx_ccnet_crosslm",
+    "tx_ccnet_cutpoints",
 ]
 
 

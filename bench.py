@@ -308,6 +308,8 @@ HEADLINE = [
     "dd_truncation_audit",
     # round-10: the cross-trained CCNet LM (reference-trained, crawl-scored)
     "tx_ccnet_crosslm",
+    # round-10: the implemented rank->cutpoint tercile substitution
+    "tx_ccnet_cutpoints",
 ]
 
 

@@ -4889,3 +4889,95 @@ def tx_ccnet_crosslm(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = docs.filter(F.col("source") == "src0")
     score = docs.filter(F.col("source") != "src0")
     return X.bigram_lm_scores_cross(train, score)
+
+
+@query(
+    "tx_ccnet_cutpoints",
+    oracle="WITH " + _LM_CTE + """,
+    hk AS (
+        SELECT doc_id, avg_logprob,
+               CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) AS hk
+        FROM lm
+    ),
+    samp AS (
+        SELECT doc_id, avg_logprob FROM (
+            SELECT doc_id, avg_logprob,
+                   ROW_NUMBER() OVER (ORDER BY hk, doc_id) AS rn
+            FROM hk
+        ) WHERE rn <= 256
+    ),
+    ranked AS (
+        SELECT doc_id, avg_logprob,
+               ROW_NUMBER() OVER (ORDER BY avg_logprob DESC, doc_id) AS vr,
+               COUNT(*) OVER () AS m
+        FROM samp
+    ),
+    cuts AS (
+        SELECT
+            MAX(CASE WHEN vr = (m + 2) // 3 THEN avg_logprob END) AS c1s,
+            MAX(CASE WHEN vr = (m + 2) // 3 THEN doc_id END) AS c1d,
+            MAX(CASE WHEN vr = (2 * m + 2) // 3 THEN avg_logprob END) AS c2s,
+            MAX(CASE WHEN vr = (2 * m + 2) // 3 THEN doc_id END) AS c2d
+        FROM ranked
+    )
+    SELECT lm.doc_id, lm.avg_logprob,
+           CASE WHEN lm.avg_logprob > c.c1s
+                     OR (lm.avg_logprob = c.c1s AND lm.doc_id <= c.c1d)
+                THEN 'head'
+                WHEN lm.avg_logprob > c.c2s
+                     OR (lm.avg_logprob = c.c2s AND lm.doc_id <= c.c2d)
+                THEN 'middle'
+                ELSE 'tail'
+           END AS bucket
+    FROM lm CROSS JOIN cuts c
+    """,
+)
+def tx_ccnet_cutpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE-PATH CCNet tercile assignment — the rank->cutpoint
+    substitution tx_ccnet_buckets' docstring promises for 10^9+ docs,
+    IMPLEMENTED: tercile boundaries come from the deterministic bottom-256
+    md5(doc_id) hash sample (the KMV convention — engine-reproducible,
+    unlike approx_percentile), and every document is bucketed by ONE
+    broadcast comparison against the two (score, doc_id) cutpoints. No
+    global sort anywhere: the sample is a TakeOrdered top-k (local top-256
+    per partition, merged on the driver side of the limit), the cutpoint
+    extraction is a <=256-row fold, and the bucket pass is map-side. The
+    cutpoint carries the doc_id tiebreak so the comparison is total —
+    both engines agree on every row even at score ties. Buckets are
+    sample-approximate (+-O(1/sqrt(256)) boundary placement) where
+    tx_ccnet_buckets' NTILE is exact — the documented trade the curation
+    pipeline makes when the corpus outgrows a single range partition."""
+    lm = X.bigram_lm_scores(load_table(spark, sf_dir, "documents"))
+    hk = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    samp = (
+        lm.select("doc_id", "avg_logprob", hk.alias("hk"))
+        .orderBy("hk", "doc_id")
+        .limit(256)
+    )
+    w = Window.orderBy(F.desc("avg_logprob"), F.asc("doc_id"))
+    ranked = (
+        samp.withColumn("vr", F.row_number().over(w))
+        .withColumn("m", F.count(F.lit(1)).over(Window.partitionBy(F.lit(1))))
+    )
+    cut_at = lambda r: F.max(  # noqa: E731
+        F.when(F.col("vr") == r, F.struct("avg_logprob", "doc_id"))
+    )
+    cuts = ranked.agg(
+        cut_at(F.expr("(m + 2) div 3")).alias("c1"),
+        cut_at(F.expr("(2 * m + 2) div 3")).alias("c2"),
+    )
+    before = lambda c: (F.col("avg_logprob") > F.col(f"{c}.avg_logprob")) | (  # noqa: E731
+        (F.col("avg_logprob") == F.col(f"{c}.avg_logprob"))
+        & (F.col("doc_id") <= F.col(f"{c}.doc_id"))
+    )
+    return lm.crossJoin(F.broadcast(cuts)).select(
+        "doc_id",
+        "avg_logprob",
+        F.when(before("c1"), F.lit("head"))
+        .when(before("c2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )

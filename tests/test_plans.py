@@ -111,6 +111,9 @@ BOUNDED_CROSS_OK = {
     # round 10: the cross-trained CCNet LM — the same 1-row vocab scalar
     # broadcast, now from the reference slice, onto the crawl stream
     "tx_ccnet_crosslm",
+    # round 10: rank->cutpoint terciles — the LM vocab scalar plus the
+    # 1-row (c1, c2) cutpoint broadcast onto the scored stream
+    "tx_ccnet_cutpoints",
     "tx_ccnet_buckets",      # same LM pipeline under the tercile window
     "tx_curation_verdict",   # same LM pipeline inside the funnel composition
     "tx_kneser_ney_score",   # 1-row bigram-type-count scalar broadcast
