@@ -800,3 +800,18 @@ def test_value_anomalies_constant_group_no_nan_rows(spark):
         ev.write.parquet(os.path.join(tmp, "events.parquet"))
         out = QUERIES["ev_value_anomalies"](spark, tmp).collect()
     assert out == []  # no NaN-z rows from the degenerate group
+
+
+def test_lsh_graph_pairs_memo_keyed_by_sf_dir(spark):
+    # the graph family shares one materialized LSH edge list per
+    # (application, sf_dir); a key bug would silently serve one scale's
+    # edges to another scale's query in the same session
+    import odbc2parquet_spark.queries.similarity as QS
+
+    QS._LSH_GRAPH_CACHE.clear()
+    a = QS._lsh_graph_pairs(spark, "/root/testdata/sf0.001")
+    b = QS._lsh_graph_pairs(spark, "/root/testdata/sf0.01")
+    assert len(QS._LSH_GRAPH_CACHE) == 2
+    assert a.count() != b.count()
+    # same key -> the SAME checkpointed frame, not a rebuild
+    assert QS._lsh_graph_pairs(spark, "/root/testdata/sf0.001") is a
