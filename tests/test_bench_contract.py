@@ -107,3 +107,27 @@ def test_frozen_prior_path_picks_highest_round(tmp_path):
     (tmp_path / "BENCH_DETAIL_r09.json").write_text("{}")
     (tmp_path / "BENCH_DETAIL_r10.json").write_text("{}")
     assert frozen_prior_path(str(tmp_path)).endswith("BENCH_DETAIL_r10.json")
+
+
+def test_plan_audit_truncates_cached_subtrees():
+    # the audit counts each cached subtree once: lines nested under an
+    # InMemoryTableScan node are cut until the tree returns to its depth
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from tools.plan_audit import truncate_at_cache
+
+    tree = "\n".join([
+        "AdaptiveSparkPlan (9)",
+        "+- Project (8)",
+        "   +- InMemoryTableScan (1)",
+        "         +- InMemoryRelation (2)",
+        "               +- Exchange hashpartitioning (7)",
+        "                  +- Scan parquet (6)",
+        "   +- Exchange hashpartitioning (5)",
+        "      +- Scan parquet (4)",
+    ])
+    out = truncate_at_cache(tree)
+    assert "InMemoryTableScan (1)" in out       # the boundary node stays
+    assert "Exchange hashpartitioning (7)" not in out  # cached subtree cut
+    assert "Exchange hashpartitioning (5)" in out      # sibling survives
+    assert "Scan parquet (4)" in out
