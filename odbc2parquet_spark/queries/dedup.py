@@ -1887,7 +1887,11 @@ def dd_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dd_suffix_lcp",
     oracle="""
     WITH w AS (
-        SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws
+        SELECT doc_id,
+               list_transform(
+                   list_filter(string_split(text, ' '), x -> x != ''),
+                   w -> CAST('0x' || substring(md5(w), 1, 15) AS BIGINT)
+               ) AS ws
         FROM documents
     ),
     suf AS (
