@@ -76,26 +76,58 @@ AMPLIFY = {
                event_type, value, props
         FROM src CROSS JOIN reps
     """,
+    # documents: per-replica AFFINE letter permutation i -> (a*i + b) mod 26
+    # (a coprime to 26, from the `perms` side table built per factor).
+    # Rotation alone (a = 1) has only 26 distinct values, so replicas 26+
+    # would clone replica k-26's text verbatim and every doc would gain
+    # exact duplicates — a property of the amplifier, not the corpus. For
+    # k < 26 the affine family reduces to a = 1, b = k: bit-identical to
+    # the original caesar rotation, so factor <= 26 outputs (the sf1 used
+    # by every existing SCALING row) are unchanged. Any letter bijection
+    # preserves lengths, token boundaries and byte geometry exactly.
     "documents": """
         SELECT doc_id + k * 5000 AS doc_id,
                translate(text,
                          'abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ',
-                         substring('abcdefghijklmnopqrstuvwxyz', k + 1)
-                           || substring('abcdefghijklmnopqrstuvwxyz', 1, k)
-                           || substring('ABCDEFGHIJKLMNOPQRSTUVWXYZ', k + 1)
-                           || substring('ABCDEFGHIJKLMNOPQRSTUVWXYZ', 1, k))
-                   AS text,
+                         p.lower_t || p.upper_t) AS text,
                lang, source, n_chars
-        FROM src CROSS JOIN reps
+        FROM src CROSS JOIN reps JOIN perms p USING (k)
     """,
+    # embeddings: circular shift by k mod 64 composed with a sign flip for
+    # k >= 64 (shift alone wraps at the 64-dim width; negation preserves
+    # the norm and component distribution while staying distinct). k < 64
+    # is bit-identical to the original shift-only transform.
     "embeddings": """
         SELECT vec_id + k * 2000 AS vec_id,
-               CASE WHEN k = 0 THEN embedding
-                    ELSE embedding[(k + 1):] || embedding[1:k] END AS embedding,
+               CASE WHEN k >= 64 THEN list_transform(shifted, x -> -x)
+                    ELSE shifted END AS embedding,
                label
-        FROM src CROSS JOIN reps
+        FROM (
+            SELECT vec_id, label, k,
+                   CASE WHEN k % 64 = 0 THEN embedding
+                        ELSE embedding[(k % 64 + 1):]
+                             || embedding[1:(k % 64)] END AS shifted
+            FROM src CROSS JOIN reps
+        )
     """,
 }
+
+#: multipliers coprime to 26 for the affine letter permutation family
+_AFFINE_AS = [1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25]
+
+
+def affine_targets(factor: int) -> list[tuple[int, str, str]]:
+    """(k, lower_target, upper_target) translate targets: letter i maps to
+    (a*i + b) mod 26 with a = _AFFINE_AS[k // 26 % 12], b = k % 26 —
+    312 distinct bijections before any repeat; a = 1 (k < 26) is the
+    original caesar rotation."""
+    rows = []
+    for k in range(factor):
+        a = _AFFINE_AS[(k // 26) % len(_AFFINE_AS)]
+        b = k % 26
+        lower = "".join(chr(ord("a") + (a * i + b) % 26) for i in range(26))
+        rows.append((k, lower, lower.upper()))
+    return rows
 
 
 def main() -> None:
@@ -103,8 +135,15 @@ def main() -> None:
     out = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/.sfdata/sf1"
     factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
     os.makedirs(out, exist_ok=True)
+    if factor > 26 * len(_AFFINE_AS):
+        raise SystemExit(
+            f"factor {factor} exceeds the {26 * len(_AFFINE_AS)} distinct "
+            "affine letter permutations — replica text would repeat"
+        )
     con = duckdb.connect()
     con.execute(f"CREATE VIEW reps AS SELECT unnest(range(0, {factor})) AS k")
+    con.execute("CREATE TABLE perms (k BIGINT, lower_t VARCHAR, upper_t VARCHAR)")
+    con.executemany("INSERT INTO perms VALUES (?, ?, ?)", affine_targets(factor))
     for table, sql in AMPLIFY.items():
         src_path = os.path.join(src, f"{table}.parquet")
         out_path = os.path.join(out, f"{table}.parquet")
