@@ -310,6 +310,13 @@ HEADLINE = [
     "tx_ccnet_crosslm",
     # round-10: the implemented rank->cutpoint tercile substitution
     "tx_ccnet_cutpoints",
+    # round-11: the UNCACHED LSH edge build. The graph family
+    # (sim_pagerank/ppr/hits/lpa/clustering) shares one memoized
+    # checkpointed edge list, so their medians exclude the
+    # signature+bucket build cost on all but the first construction —
+    # this entry keeps that build independently tracked in BENCH_DETAIL
+    # so a regression in lsh_signatures/lsh_bucket_pairs can't hide.
+    "sim_lsh_bucket_pairs",
 ]
 
 
@@ -526,7 +533,9 @@ def main() -> None:
                 ).save()
                 standalone = round(time.time() - t0, 3)
             except Exception as exc:  # noqa: BLE001
-                standalone = -1.0
+                # None, not a numeric sentinel: a -1.0 would read as a huge
+                # speedup in any downstream ratio over this artifact
+                standalone = None
                 print(f"standalone confirm failed for {name}: {exc}", file=sys.stderr)
             standalone_confirm[name] = {
                 "suite": timings[name],

@@ -1620,10 +1620,22 @@ def bigram_lm_scores_cross(
         .select("doc_id", F.explode(F.expr(bigram_expr)).alias("p"))
         .select("doc_id", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
     )
+    # |V|=0 (empty/degenerate train_docs) would make the smoothing
+    # denominator 0 — Spark double division then yields Infinity->null
+    # terms while other engines propagate NULL differently. Fail loudly
+    # instead: raise_error is JVM-side and lazy (no extra driver job).
+    v_checked = F.when(F.col("v") > 0, F.col("v")).otherwise(
+        F.raise_error(
+            F.lit(
+                "bigram_lm_scores_cross: training vocabulary is empty "
+                "(train_docs has no words) — cross-LM scores are undefined"
+            )
+        )
+    )
     term = F.round(
         F.log(
             (2 * F.coalesce(F.col("cab"), F.lit(0)) + 1)
-            / (2 * F.coalesce(F.col("ctx"), F.lit(0)) + F.col("v"))
+            / (2 * F.coalesce(F.col("ctx"), F.lit(0)) + v_checked)
         ),
         6,
     ).cast("decimal(18,6)")

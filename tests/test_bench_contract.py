@@ -112,8 +112,9 @@ def test_frozen_prior_path_picks_highest_round(tmp_path):
 def test_plan_audit_truncates_cached_subtrees():
     # the audit counts each cached subtree once: lines nested under an
     # InMemoryTableScan node are cut until the tree returns to its depth
+    import os
     import sys
-    sys.path.insert(0, "/root/repo")
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from tools.plan_audit import truncate_at_cache
 
     tree = "\n".join([
