@@ -317,6 +317,9 @@ HEADLINE = [
     # this entry keeps that build independently tracked in BENCH_DETAIL
     # so a regression in lsh_signatures/lsh_bucket_pairs can't hide.
     "sim_lsh_bucket_pairs",
+    # round-11: the occupancy-DERIVED bucket width (buckets ~ n/64) — the
+    # measured SCALE.md prefix_bits rule as code rather than documentation
+    "sim_lsh_auto_occupancy",
 ]
 
 

@@ -204,11 +204,51 @@ def capped_bucket_pairs(
     return out.distinct() if dedupe else out
 
 
+def derived_prefix_bits(
+    n_vectors: int,
+    target_occupancy: int = 64,
+    min_bits: int = 4,
+    max_bits: int = 24,
+) -> int:
+    """Occupancy-scaled LSH bucket width: hold expected per-bucket
+    occupancy constant as the corpus grows (buckets ~ n / target_occupancy,
+    so prefix_bits = ceil(log2(n / target_occupancy)), clamped).
+
+    This is the scaling rule SCALE.md measured at the amplified-sf10
+    decade (200k vectors): a FIXED prefix_bits=8 (256 buckets) lets
+    occupancy rise linearly with the corpus and the candidate-pair list
+    quadratically with occupancy (92.9M edges, 51s edge build at sf10);
+    deriving the width from the corpus restores linear edge growth
+    (prefix_bits=12 -> 7.3M edges / 12.9s; 16 -> 0.6M / near-linear vs
+    sf0.1). Exactly like an IVF deployment scales k_cells, a 100 TB
+    deployment sets the bucket count from a cheap corpus count before
+    building the graph — this function is that rule as code.
+
+    The formula is one double-precision ceil(log2(n / occ)) so external
+    engines (the DuckDB oracles) reproduce the derived value bit-for-bit
+    from the same COUNT(*). Callers must give the signature at least
+    ``max_bits`` planes (cap ``max_bits`` at their n_planes).
+    """
+    import math
+
+    if n_vectors < 0:
+        raise ValueError(f"n_vectors must be >= 0, got {n_vectors}")
+    if target_occupancy <= 0:
+        raise ValueError(f"target_occupancy must be > 0, got {target_occupancy}")
+    if n_vectors == 0:
+        return min_bits
+    raw = math.ceil(math.log2(n_vectors / float(target_occupancy)))
+    return min(max_bits, max(min_bits, raw))
+
+
 def lsh_bucket_pairs(
     signatures: DataFrame,
     prefix_bits: int = 8,
     max_bucket: int = 100_000,
     directed: bool = False,
+    target_occupancy: int | None = None,
+    n_vectors: int | None = None,
+    max_prefix_bits: int = 24,
 ) -> DataFrame:
     """Candidate pairs sharing a signature prefix bucket.
 
@@ -229,6 +269,19 @@ def lsh_bucket_pairs(
     join-on-bucket shape shuffled twice and recomputed the signature
     projection per branch.
     """
+    if target_occupancy is not None:
+        # occupancy-scaled width: derive the bucket count from the corpus
+        # size (explicit prefix_bits callers keep their pinned operating
+        # point untouched). n_vectors, when the caller already knows it,
+        # avoids the count job; otherwise one cheap count over the
+        # signature frame (parquet-metadata-cheap when signatures are a
+        # narrow projection of a parquet scan).
+        n = n_vectors if n_vectors is not None else signatures.count()
+        # max_prefix_bits caps at the signature's plane count — a derived
+        # width beyond the available bits would alias buckets silently
+        prefix_bits = derived_prefix_bits(
+            n, target_occupancy, max_bits=max_prefix_bits
+        )
     mask = (1 << prefix_bits) - 1
     bucketed = signatures.select(
         "vec_id", F.col("sig").bitwiseAND(F.lit(mask)).alias("bucket")

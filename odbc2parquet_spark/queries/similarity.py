@@ -325,6 +325,53 @@ def sim_lsh_bucket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sim_lsh_auto_occupancy",
+    oracle=f"""
+    WITH p AS (
+        SELECT LEAST(16, GREATEST(4,
+               CAST(CEIL(LOG2(COUNT(*) / 64.0)) AS INT))) AS bits
+        FROM embeddings
+    ),
+    sig AS (
+        SELECT vec_id, CAST({_sig_sql()} AS BIGINT) AS sig
+        FROM embeddings
+    ),
+    b AS (
+        SELECT vec_id,
+               sig & (CAST(POW(2, (SELECT bits FROM p)) AS BIGINT) - 1) AS bucket
+        FROM sig
+    ),
+    bb AS (
+        SELECT vec_id, bucket FROM b
+        QUALIFY COUNT(*) OVER (PARTITION BY bucket) <= 100000
+    )
+    SELECT x.vec_id AS id_a, y.vec_id AS id_b, x.bucket,
+           (SELECT bits FROM p) AS prefix_bits
+    FROM bb x JOIN bb y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+    """,
+)
+def sim_lsh_auto_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs at the OCCUPANCY-DERIVED bucket width: the
+    prefix_bits knob set from the corpus count (buckets ~ n / 64, the
+    scaling rule SCALE.md measured at sf10) instead of the frozen
+    prefix_bits=8 operating point — sf0.01 derives 4 bits, sf0.1 5,
+    amplified sf1 9, sf10 12 (the measured 7.3M-edge sweet spot). The
+    oracle recomputes the SAME double-precision derivation from COUNT(*),
+    so the emitted ``prefix_bits`` column pins the rule cross-engine at
+    every scale, and the pair list pins its effect."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    pairs = S.lsh_bucket_pairs(
+        S.lsh_signatures(emb, _N_PLANES, _DIM),
+        target_occupancy=64,
+        n_vectors=n,
+        max_prefix_bits=_N_PLANES,
+    )
+    bits = S.derived_prefix_bits(n, target_occupancy=64, max_bits=_N_PLANES)
+    return pairs.withColumn("prefix_bits", F.lit(bits))
+
+
+@query(
     "sim_quantize_int8",
     oracle="""
     WITH m AS (
