@@ -320,6 +320,10 @@ HEADLINE = [
     # round-11: the occupancy-DERIVED bucket width (buckets ~ n/64) — the
     # measured SCALE.md prefix_bits rule as code rather than documentation
     "sim_lsh_auto_occupancy",
+    # round-11: the incremental curation arm — a new crawl batch curated
+    # against persisted corpus state (band-key index, corpus-trained LM +
+    # frozen cutpoint, eval gram index, live IVF centroids)
+    "tx_curation_delta",
 ]
 
 

@@ -4981,3 +4981,277 @@ def tx_ccnet_cutpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("tail"))
         .alias("bucket"),
     )
+
+
+def _curation_delta_oracle() -> str:
+    """The INCREMENTAL curation oracle: a new crawl batch (doc_id >= 250)
+    curated against the EXISTING corpus's persisted state — the MinHash
+    band-key index (dd_incremental_minhash's CTEs verbatim), the corpus-
+    trained bigram LM + its frozen quality cutpoint, the eval 13-gram
+    index, and the live IVF centroids (sim_ivf_delta_assign's CTEs) —
+    stitched from the same fragments the component oracles use."""
+    from odbc2parquet_spark.queries.dedup import _SHINGLES_CTE, _minhash_min
+
+    mins = ", ".join(_minhash_min(j) for j in range(8))
+    gram13 = (
+        "CAST('0x' || substring(md5("
+        "array_to_string(list_slice(ws, i, i + 12), ' ')"
+        "), 1, 15) AS BIGINT)"
+    )
+    return f"""
+    WITH {_SHINGLES_CTE.format(where="")},
+    sig AS (SELECT id, {mins} FROM sh GROUP BY id),
+    bands AS (
+        SELECT id, 0 AS band, mh0 || '_' || mh1 AS key FROM sig
+        UNION ALL SELECT id, 1, mh2 || '_' || mh3 FROM sig
+        UNION ALL SELECT id, 2, mh4 || '_' || mh5 FROM sig
+        UNION ALL SELECT id, 3, mh6 || '_' || mh7 FROM sig
+    ),
+    bands_capped AS (
+        SELECT id, band, key FROM bands
+        QUALIFY COUNT(*) OVER (PARTITION BY band, key) <= 1000
+    ),
+    cand AS (
+        SELECT DISTINCT b.id AS new_id, a.id AS old_id
+        FROM bands_capped a
+        JOIN bands_capped b ON a.band = b.band AND a.key = b.key
+        WHERE a.id < 250 AND b.id >= 250
+    ),
+    sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+    common AS (
+        SELECT c.new_id, c.old_id, COUNT(*) AS common
+        FROM cand c
+        JOIN sh x ON x.id = c.new_id
+        JOIN sh y ON y.id = c.old_id AND y.g = x.g
+        GROUP BY c.new_id, c.old_id
+    ),
+    dropped AS (
+        SELECT DISTINCT common.new_id
+        FROM common
+        JOIN sizes sa ON sa.id = common.new_id
+        JOIN sizes sb ON sb.id = common.old_id
+        WHERE common / (sa.n + sb.n - common) >= 0.5
+    ),
+    dedup_surv AS (
+        SELECT doc_id FROM documents
+        WHERE doc_id >= 250 AND doc_id NOT IN (SELECT new_id FROM dropped)
+    ),
+    wq AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws
+        FROM documents
+    ),
+    tb AS (
+        SELECT ws[i] AS a, ws[i+1] AS b
+        FROM wq, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
+        WHERE doc_id < 250 AND len(ws) >= 2
+    ),
+    cab AS (SELECT a, b, COUNT(*) AS cab FROM tb GROUP BY 1, 2),
+    ctx AS (SELECT a, COUNT(*) AS ctx FROM tb GROUP BY 1),
+    vocab AS (
+        SELECT COUNT(DISTINCT t.w) AS v
+        FROM (SELECT UNNEST(ws) AS w FROM wq WHERE doc_id < 250) t
+    ),
+    sbg AS (
+        SELECT doc_id, ws[i] AS a, ws[i+1] AS b
+        FROM wq, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
+        WHERE len(ws) >= 2
+    ),
+    terms AS (
+        SELECT sbg.doc_id,
+               CAST(ROUND(LN((2 * COALESCE(cab.cab, 0) + 1)
+                             / (2 * COALESCE(ctx.ctx, 0) + v.v)), 6)
+                    AS DECIMAL(18,6)) AS term
+        FROM sbg
+        LEFT JOIN cab ON cab.a = sbg.a AND cab.b = sbg.b
+        LEFT JOIN ctx ON ctx.a = sbg.a
+        CROSS JOIN vocab v
+    ),
+    scores AS (
+        SELECT doc_id,
+               (CASE WHEN SUM(term) < 0 THEN -1 ELSE 1 END
+                * ((2 * abs(CAST(SUM(term) * 1000000 AS BIGINT)) + COUNT(*))
+                   // (2 * COUNT(*)))) / 1e6 AS avg_logprob
+        FROM terms GROUP BY doc_id
+    ),
+    corpus_ranked AS (
+        SELECT doc_id, avg_logprob,
+               ROW_NUMBER() OVER (ORDER BY avg_logprob DESC, doc_id) AS vr,
+               COUNT(*) OVER () AS m
+        FROM scores WHERE doc_id < 250
+    ),
+    cut AS (
+        SELECT MAX(CASE WHEN vr = (2 * m + 2) // 3 THEN avg_logprob END) AS c2s,
+               MAX(CASE WHEN vr = (2 * m + 2) // 3 THEN doc_id END) AS c2d
+        FROM corpus_ranked
+    ),
+    quality AS (
+        SELECT s.doc_id, s.avg_logprob
+        FROM scores s CROSS JOIN cut c
+        WHERE s.doc_id >= 250
+          AND (s.avg_logprob > c.c2s
+               OR (s.avg_logprob = c.c2s AND s.doc_id <= c.c2d))
+    ),
+    ceg AS (
+        SELECT DISTINCT {gram13} AS h
+        FROM wq, UNNEST(generate_series(1, len(ws) - 12)) AS t(i)
+        WHERE doc_id % 97 = 0 AND len(ws) >= 13
+    ),
+    cdg AS (
+        SELECT DISTINCT doc_id, {gram13} AS h
+        FROM wq, UNNEST(generate_series(1, len(ws) - 12)) AS t(i)
+        WHERE doc_id % 97 != 0 AND doc_id >= 250 AND len(ws) >= 13
+    ),
+    contaminated AS (
+        SELECT DISTINCT cdg.doc_id FROM cdg JOIN ceg ON ceg.h = cdg.h
+    ),
+    cent AS (
+        SELECT vec_id AS centroid_id, embedding AS centroid
+        FROM embeddings WHERE vec_id < 400 ORDER BY vec_id LIMIT 16
+    ),
+    nc AS (
+        SELECT centroid_id, centroid,
+               list_sum(list_transform(centroid,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS csq
+        FROM cent
+    ),
+    dv AS (
+        SELECT vec_id, embedding,
+               list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nsq
+        FROM embeddings WHERE vec_id >= 400
+    ),
+    dscored AS (
+        SELECT v.vec_id, c.centroid_id,
+               ROUND(list_sum(list_transform(
+                        list_zip(v.embedding, c.centroid),
+                        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                     / SQRT(v.nsq * c.csq), 4) AS cos4
+        FROM dv v CROSS JOIN nc c
+    ),
+    assigned AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY cos4 DESC, centroid_id) AS rnk
+            FROM dscored
+        ) WHERE rnk = 1
+    ),
+    dstats AS (
+        SELECT COUNT(*) AS delta_vecs,
+               COUNT(DISTINCT centroid_id) AS delta_cells
+        FROM assigned
+    ),
+    surv AS (
+        SELECT q.doc_id, q.avg_logprob, len(wq.ws) AS n_tokens
+        FROM quality q
+        JOIN dedup_surv d ON d.doc_id = q.doc_id
+        JOIN wq ON wq.doc_id = q.doc_id
+        WHERE q.doc_id % 97 != 0
+          AND q.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    )
+    SELECT s.doc_id, s.avg_logprob, CAST(s.n_tokens AS BIGINT) AS n_tokens,
+           CAST(FLOOR(COALESCE(SUM(s.n_tokens) OVER (
+                    ORDER BY s.doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                / 500.0) AS BIGINT) AS shard,
+           g.delta_vecs, g.delta_cells
+    FROM surv s CROSS JOIN dstats g
+    """
+
+
+@query("tx_curation_delta", oracle=_curation_delta_oracle())
+def tx_curation_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL curation: a NEW crawl batch (doc_id >= 250) curated
+    against the EXISTING corpus's state — the 100 TB deployment reality,
+    where crawls arrive continuously and "re-run the pipeline from
+    scratch" is not an option. Composed from the registry's incremental
+    arms, so each stage is one the driver verifies in isolation:
+
+    1. near-dup gate vs the CORPUS (dd_incremental_minhash — at scale
+       the corpus side is a stored band-key index; per-batch cost
+       scales with the batch);
+    2. quality bar FROZEN from corpus state: the bigram LM trains on
+       corpus docs only (bigram_lm_scores_cross — a batch document can
+       never improve its own model), and the cutpoint is the corpus
+       self-score tercile boundary carried as a (score, doc_id) pair so
+       the comparison is total (same rank->cutpoint scheme as
+       tx_ccnet_cutpoints; at 10^9+ corpora the KMV-sampled variant
+       substitutes, and either way the persisted state is two doubles);
+    3. exact 13-gram decontamination of the batch against the eval
+       slice (tx_decontaminate_13gram — the eval gram index persists
+       between batches);
+    4. IVF index maintenance: the batch's embedding delta routes to the
+       EXISTING centroids (sim_ivf_delta_assign), reported as a 1-row
+       broadcast (delta_vecs, delta_cells) audit stat;
+    5. survivors pack into ~500-token shards (two-pass prefix sum).
+
+    Persisted state between batches, with sizes: band-key index
+    (|corpus| x bands rows of (band, key, id) — the only corpus-sized
+    piece, equi-join-keyed), LM tables (reference-bounded,
+    broadcastable), one quality cutpoint struct, the eval gram set
+    (|eval| 13-gram hashes), and k_cells centroid vectors."""
+    from odbc2parquet_spark.operators.sharding import pack_shards_two_pass
+    from odbc2parquet_spark.queries import QUERIES
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < 250)
+    dedup_surv = QUERIES["dd_incremental_minhash"](spark, sf_dir)
+    scores = X.bigram_lm_scores_cross(corpus, docs).select(
+        "doc_id", "avg_logprob"
+    )
+    w = Window.orderBy(F.desc("avg_logprob"), F.asc("doc_id"))
+    corpus_ranked = (
+        scores.filter(F.col("doc_id") < 250)
+        .withColumn("vr", F.row_number().over(w))
+        .withColumn("m", F.count(F.lit(1)).over(Window.partitionBy(F.lit(1))))
+    )
+    cut = corpus_ranked.agg(
+        F.max(
+            F.when(
+                F.col("vr") == F.expr("(2 * m + 2) div 3"),
+                F.struct("avg_logprob", "doc_id"),
+            )
+        ).alias("c2")
+    )
+    quality = (
+        scores.filter(F.col("doc_id") >= 250)
+        .crossJoin(F.broadcast(cut))
+        .filter(
+            (F.col("avg_logprob") > F.col("c2.avg_logprob"))
+            | (
+                (F.col("avg_logprob") == F.col("c2.avg_logprob"))
+                & (F.col("doc_id") <= F.col("c2.doc_id"))
+            )
+        )
+        .select("doc_id", "avg_logprob")
+    )
+    keep = (
+        QUERIES["tx_decontaminate_13gram"](spark, sf_dir)
+        .filter(F.col("keep_doc") == 1)
+        .select("doc_id")
+    )
+    dstats = QUERIES["sim_ivf_delta_assign"](spark, sf_dir).agg(
+        F.count("*").alias("delta_vecs"),
+        F.countDistinct("centroid_id").alias("delta_cells"),
+    )
+    toks = docs.select(
+        "doc_id",
+        F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != ""))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    surv = quality.join(dedup_surv, "doc_id").join(keep, "doc_id").join(
+        toks, "doc_id"
+    )
+    shards = pack_shards_two_pass(surv.select("doc_id", "n_tokens"), budget=500)
+    return (
+        shards.join(surv.select("doc_id", "avg_logprob"), "doc_id")
+        .crossJoin(F.broadcast(dstats))
+        .select(
+            "doc_id",
+            "avg_logprob",
+            "n_tokens",
+            "shard",
+            "delta_vecs",
+            "delta_cells",
+        )
+    )
