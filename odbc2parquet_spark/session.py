@@ -22,6 +22,22 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _jvm_options() -> str:
+    """Driver/executor JVM flags (same reasoning both sides; a real
+    cluster puts these on spark.executor.extraJavaOptions via submit).
+
+    SPARK_GRAFT_CODECACHE_MB optionally sizes the JIT code cache —
+    tools/suite_pressure.py's A/B knob for the suite-inflation carrier."""
+    opts = (
+        "-XX:+UnlockExperimentalVMOptions -XX:G1NewSizePercent=40"
+        " -XX:G1MaxNewSizePercent=70"
+    )
+    cc = os.environ.get("SPARK_GRAFT_CODECACHE_MB")
+    if cc:
+        opts += f" -XX:ReservedCodeCacheSize={int(cc)}m"
+    return opts
+
+
 def get_spark(app_name: str = "odbc2parquet_spark", master: str | None = None) -> SparkSession:
     """Build (or fetch) the session. ``master=None`` -> local[$SPARK_GRAFT_CPUS]."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -47,16 +63,8 @@ def get_spark(app_name: str = "odbc2parquet_spark", master: str | None = None) -
         # G1's better behavior on the scan/write-heavy queries where
         # ParallelGC cost 15-25%). Same flags belong on
         # spark.executor.extraJavaOptions on a real cluster.
-        .config(
-            "spark.driver.extraJavaOptions",
-            "-XX:+UnlockExperimentalVMOptions -XX:G1NewSizePercent=40"
-            " -XX:G1MaxNewSizePercent=70",
-        )
-        .config(
-            "spark.executor.extraJavaOptions",
-            "-XX:+UnlockExperimentalVMOptions -XX:G1NewSizePercent=40"
-            " -XX:G1MaxNewSizePercent=70",
-        )
+        .config("spark.driver.extraJavaOptions", _jvm_options())
+        .config("spark.executor.extraJavaOptions", _jvm_options())
         # default 100 thrashes on multi-query sessions (the bench's ~70
         # workloads evict every compiled stage between repetitions; the
         # big composed plans then pay multi-second recompiles per run —
