@@ -356,13 +356,23 @@ def select_movers(
     candidates: set[str] | None = None,
     ratio: float = 1.5,
     cap: int = 10,
+    mins: dict[str, float] | None = None,
+    noise_ratio: float = 1.2,
 ) -> list[str]:
     """Queries whose suite median moved >ratio x in either direction vs the
     FROZEN previous-round medians — the candidates for a standalone
     confirmation run. Largest absolute movers first, capped AFTER
     restricting to ``candidates`` (the re-runnable QUERIES entries), so a
     pseudo-entry like transfer_lineitem can never consume a confirm slot.
-    Sub-50ms prior medians are noise-floor and never flagged."""
+    Sub-50ms prior medians are noise-floor and never flagged.
+
+    ``mins`` (per-query minimum across the shuffled-position reps) is the
+    measurement-noise filter the round-11 suite_pressure study justified:
+    an UPWARD median mover whose min stayed within ``noise_ratio`` of the
+    frozen prior median had at least one uninterfered rep at the old cost
+    — the plan did not regress, a rep collided with JIT/GC — so it is
+    cleared without spending a standalone-confirm slot. A real regression
+    raises the min too. Downward movers (speedups) always confirm."""
     movers = [
         name
         for name, sec in timings.items()
@@ -370,6 +380,12 @@ def select_movers(
         and (candidates is None or name in candidates)
         and prior[name] > 0.05
         and (sec / prior[name] > ratio or prior[name] / max(sec, 1e-9) > ratio)
+        and not (
+            mins is not None
+            and name in mins
+            and sec > prior[name]  # upward movers only
+            and mins[name] <= noise_ratio * prior[name]
+        )
     ]
     movers.sort(key=lambda n: -abs(timings[n] - prior[n]))
     return movers[:cap]
@@ -506,6 +522,17 @@ def main() -> None:
 
     timings = {name: round(statistics.median(v), 3) for name, v in samples.items()}
     total = round(sum(timings.values()), 3)
+    # Per-query MIN across the shuffled-position reps: the round-11
+    # tools/suite_pressure.py canary study showed suite "inflation" is not
+    # a monotone accumulation (canary first/last ratio 0.88 over a full
+    # 255-query pass; JIT code cache 176 of 240MB, old-gen flat) but
+    # VARIANCE — concurrent JIT/GC activity randomly colliding with a
+    # measurement (isolated 1.5-1.9x spikes). The min is the
+    # least-interfered rep and tracks idle-standalone medians; its sum is
+    # the suite's noise-floor total, published beside the median total so
+    # a reader separates real cost from measurement-time interference.
+    mins = {name: round(min(v), 3) for name, v in samples.items()}
+    total_min = round(sum(mins.values()), 3)
 
     # Self-defense against suite pressure: a query's suite median can move
     # 1.5x+ round-over-round from JVM codegen-cache/GC pressure alone (three
@@ -527,7 +554,7 @@ def main() -> None:
         # candidates restricted to QUERIES BEFORE the cap: transfer/bpe
         # pseudo-entries can only re-run through the suite, and must not
         # consume a confirm slot a real query needs
-        movers = select_movers(timings, prior, candidates=set(QUERIES))
+        movers = select_movers(timings, prior, candidates=set(QUERIES), mins=mins)
         for name in movers:
             # a flaky confirm run must not discard the whole suite's
             # measurements — record the failure and keep going
@@ -565,9 +592,14 @@ def main() -> None:
     summary_base = {
         # bump when the detail-file layout changes, so archived per-round
         # BENCH_DETAIL_r{N}.json files stay machine-comparable
-        "schema_version": 2,
+        # (v3: + sum_of_mins headline and per-query "queries_min" dict)
+        "schema_version": 3,
         "metric": "headline_suite_total",
         "value": total,
+        # noise-floor total: sum of per-query minima across the shuffled
+        # reps — the suite cost with measurement-time JIT/GC collisions
+        # excluded (see tools/suite_pressure.py / SCALE.md round 11)
+        "sum_of_mins": total_min,
         "unit": "sec",
         "sf": sf,
         "reps": reps,
@@ -578,7 +610,7 @@ def main() -> None:
     if standalone_confirm:
         summary_base["standalone_confirm"] = standalone_confirm
     with open(detail_path, "w") as fh:
-        json.dump({**summary_base, "queries": timings}, fh)
+        json.dump({**summary_base, "queries": timings, "queries_min": mins}, fh)
 
     print(compact_summary(summary_base, timings))
 

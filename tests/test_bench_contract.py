@@ -4,9 +4,10 @@ the full queries dict outgrew the tail). These tests pin the contract
 without starting Spark."""
 
 import json
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from bench import HEADLINE, SUMMARY_LINE_BUDGET, compact_summary
 
@@ -132,3 +133,19 @@ def test_plan_audit_truncates_cached_subtrees():
     assert "Exchange hashpartitioning (7)" not in out  # cached subtree cut
     assert "Exchange hashpartitioning (5)" in out      # sibling survives
     assert "Scan parquet (4)" in out
+
+
+def test_select_movers_min_filter_clears_noise_collisions():
+    from bench import select_movers
+
+    prior = {"a": 2.0, "b": 2.0, "c": 2.0}
+    timings = {
+        "a": 3.4,  # 1.7x up, but min back at prior -> JIT/GC collision, cleared
+        "b": 3.4,  # 1.7x up AND min also up -> real regression, flagged
+        "c": 1.0,  # 2x faster -> speedups always confirm, min ignored
+    }
+    mins = {"a": 2.1, "b": 3.1, "c": 0.9}
+    movers = select_movers(timings, prior, mins=mins)
+    assert set(movers) == {"b", "c"}
+    # without mins, all three would have been flagged (the old behavior)
+    assert set(select_movers(timings, prior)) == {"a", "b", "c"}
