@@ -134,17 +134,28 @@ def main() -> None:
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     out = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/.sfdata/sf1"
     factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    # optional 4th arg: comma-separated table subset. Beyond 312 replicas
+    # the affine letter family repeats, so document text would clone —
+    # factor > 312 therefore REQUIRES a subset that excludes `documents`.
+    # (embeddings repeat their 128 distinct transforms beyond factor 128:
+    # fine for per-vector operators like ivf_assign, INVALID for
+    # pair-emitting dedup/ANN queries — clones manufacture quadratic
+    # near-dup structure the real corpus doesn't have.)
+    tables = sys.argv[4].split(",") if len(sys.argv) > 4 else None
     os.makedirs(out, exist_ok=True)
-    if factor > 26 * len(_AFFINE_AS):
+    if factor > 26 * len(_AFFINE_AS) and (tables is None or "documents" in tables):
         raise SystemExit(
             f"factor {factor} exceeds the {26 * len(_AFFINE_AS)} distinct "
-            "affine letter permutations — replica text would repeat"
+            "affine letter permutations — replica text would repeat; pass an "
+            "explicit table subset without `documents` for key-only decades"
         )
     con = duckdb.connect()
     con.execute(f"CREATE VIEW reps AS SELECT unnest(range(0, {factor})) AS k")
     con.execute("CREATE TABLE perms (k BIGINT, lower_t VARCHAR, upper_t VARCHAR)")
     con.executemany("INSERT INTO perms VALUES (?, ?, ?)", affine_targets(factor))
     for table, sql in AMPLIFY.items():
+        if tables is not None and table not in tables:
+            continue
         src_path = os.path.join(src, f"{table}.parquet")
         out_path = os.path.join(out, f"{table}.parquet")
         con.execute(f"CREATE OR REPLACE VIEW src AS SELECT * FROM '{src_path}'")
