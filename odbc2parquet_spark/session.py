@@ -52,7 +52,22 @@ def get_spark(app_name: str = "odbc2parquet_spark", master: str | None = None) -
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Broadcast decisions: the STATIC threshold stays at the stock
+        # 10 MB because static sizeInBytes estimates are only trustworthy
+        # in the file-backed regime (scan size x column pruning) — after
+        # an explode/aggregate/window chain they stay scan-sized while the
+        # true relation grows with the corpus. At amplified sf31 the
+        # 64 MB static threshold used through round 10 broadcast the
+        # corpus-sized distinct-shingle and candidate-pair tables inside
+        # minhash_near_duplicates (estimated <64 MB, actual >1 GiB: the
+        # materialization died on spark.driver.maxResultSize). The
+        # aggressive 64 MB threshold moves to the ADAPTIVE knob, which
+        # decides from MEASURED shuffle sizes at runtime: genuinely small
+        # sides (dims, per-doc count tables) still become broadcasts, a
+        # data-sized intermediate never can. Bench-scale (sf0.1) plans are
+        # unchanged — every side there is both estimated and actually tiny.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # G1 young generation sized for 32 allocation-heavy tasks in one
         # JVM: the decimal-exact aggregation contract allocates per row
         # (sum buffers above precision 18 leave the unsafe fixed-width
