@@ -324,6 +324,9 @@ HEADLINE = [
     # against persisted corpus state (band-key index, corpus-trained LM +
     # frozen cutpoint, eval gram index, live IVF centroids)
     "tx_curation_delta",
+    # round-11: banded SimHash at the occupancy-derived band width (the
+    # sf31 family sweep caught the fixed 8-bit bands going quadratic)
+    "dd_simhash_banded_auto",
 ]
 
 

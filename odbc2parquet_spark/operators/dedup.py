@@ -279,9 +279,10 @@ def simhash(docs: DataFrame, bits: int = 32, text_col: str = "text", id_col: str
     (a dict cache — corpora share vocabulary, so md5 runs ~|vocab| times,
     not |tokens| times), and takes the per-bit majority as a vectorized
     int16 matrix sum. Exact-integer majority counts are order-independent,
-    and the word hash is the repo-standard ``int(md5(w)[:8 hex], 16)`` —
-    the same value the SQL oracles recompute, so signatures stay
-    engine-identical. (History: a packed-mask expression fold was 2.2x
+    and the word hash is the repo-standard truncated md5,
+    ``int(md5(w)[:ceil(bits/4) hex], 16)`` (8 hex chars at the classic
+    bits=32, 15 at the wide bits=60) — the same value the SQL oracles
+    recompute, so signatures stay engine-identical. (History: a packed-mask expression fold was 2.2x
     over per-bit unrolled folds; this kernel is another ~4x on top —
     Spark HOFs don't codegen, and per-word-per-bit interpreted lambdas
     were the remaining floor.)
@@ -294,10 +295,15 @@ def simhash(docs: DataFrame, bits: int = 32, text_col: str = "text", id_col: str
     def sig_batches(batches):
         cache: dict[str, np.ndarray] = {}
 
+        # 4 bits of md5 per hex char: 8 chars for the classic 32-bit
+        # signature (unchanged), 15 for the 60-bit wide variant — the same
+        # truncated-md5 family the SQL oracles recompute.
+        hexchars = (bits + 3) // 4
+
         def word_bits(w: str) -> np.ndarray:
             v = cache.get(w)
             if v is None:
-                h = int(hashlib.md5(w.encode("utf-8")).hexdigest()[:8], 16)
+                h = int(hashlib.md5(w.encode("utf-8")).hexdigest()[:hexchars], 16)
                 v = np.fromiter(
                     ((1 if h & (1 << i) else -1) for i in range(bits)),
                     dtype=np.int16,

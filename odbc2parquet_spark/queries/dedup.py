@@ -139,25 +139,33 @@ def _simhash_bit_sums_sql(bits: int = 32) -> str:
     return ", ".join(terms)
 
 
-_SIMHASH_CTE = (
-    """
+def _simhash_cte(bits: int = 32) -> str:
+    """words -> truncated-md5 word hash -> per-bit majority -> packed sig,
+    parameterized by signature width (ceil(bits/4) hex chars of md5 — the
+    same rule operators.dedup.simhash applies)."""
+    hexchars = (bits + 3) // 4
+    return (
+        f"""
     words AS (
         SELECT DISTINCT doc_id AS id, w
         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
         WHERE w != ''
     ),
     hashed AS (
-        SELECT id, CAST('0x' || substring(md5(w), 1, 8) AS BIGINT) AS h FROM words
+        SELECT id, CAST('0x' || substring(md5(w), 1, {hexchars}) AS BIGINT) AS h FROM words
     ),
     sums AS (SELECT id, """
-    + _simhash_bit_sums_sql()
-    + """ FROM hashed GROUP BY id),
+        + _simhash_bit_sums_sql(bits)
+        + """ FROM hashed GROUP BY id),
     sig AS (
         SELECT id, """
-    + " + ".join(f"(CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(32))
-    + """ AS simhash FROM sums
+        + " + ".join(f"(CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(bits))
+        + """ AS simhash FROM sums
     )"""
-)
+    )
+
+
+_SIMHASH_CTE = _simhash_cte(32)
 
 
 @query(
@@ -224,6 +232,62 @@ def dd_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     output-bound)."""
     docs = load_table(spark, sf_dir, "documents")
     return D.simhash_banded_pairs(D.simhash(docs), max_hamming=3, bits=32, bands=4)
+
+
+@query(
+    "dd_simhash_banded_auto",
+    oracle="WITH "
+    + _simhash_cte(60)
+    + """,
+    p AS (
+        SELECT LEAST(15, GREATEST(4,
+               CAST(CEIL(LOG2(COUNT(*) / 64.0)) AS INT))) AS bb
+        FROM documents
+    ),
+    bands AS (
+        SELECT id, simhash, t.band,
+               (simhash >> (t.band * (SELECT bb FROM p)))
+               & (CAST(POW(2, (SELECT bb FROM p)) AS BIGINT) - 1) AS key
+        FROM sig, UNNEST([0, 1, 2, 3]) AS t(band)
+    ),
+    bounded AS (
+        SELECT * FROM bands
+        QUALIFY COUNT(*) OVER (PARTITION BY band, key) <= 10000
+    )
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming,
+           (SELECT bb FROM p) AS band_bits
+    FROM bounded a JOIN bounded b
+      ON a.band = b.band AND a.key = b.key AND a.id < b.id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def dd_simhash_banded_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded SimHash at the OCCUPANCY-DERIVED band width — the dedup twin
+    of sim_lsh_auto_occupancy, closing the one finding of the round-11
+    sf31 family sweep: dd_simhash_banded's FIXED 8-bit bands (256 buckets)
+    emitted 574M pairs at 1.56M docs (per-band occupancy ~6,100, pairs
+    quadratic in occupancy — the exact failure law SCALE.md measured for
+    fixed prefix_bits). Here the signature is 60 bits (truncated-md5 word
+    hash, 15 hex chars — the repo-standard wide hash) and the per-band key
+    width is derived from the corpus count: bb = ceil(log2(n/64)) clamped
+    [4,15], bands = 4, band keys the low 4*bb bits. The pigeonhole
+    guarantee is width-independent (<=3 differing bits across 4 banded
+    slices leave >=1 slice identical, wherever the other 60-4*bb bits
+    land), so recall within hamming radius 3 stays exact while bucket
+    count scales with the corpus: sf0.01 derives bb=4, sf0.1 7, sf31 15
+    (32k buckets/band, ~48 docs each — linear pair growth restored).
+    Hamming verifies over the full 60-bit signature; the emitted
+    ``band_bits`` column pins the derivation cross-engine."""
+    from odbc2parquet_spark.operators.similarity import derived_prefix_bits
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    bb = derived_prefix_bits(n, target_occupancy=64, min_bits=4, max_bits=15)
+    pairs = D.simhash_banded_pairs(
+        D.simhash(docs, bits=60), max_hamming=3, bits=4 * bb, bands=4
+    )
+    return pairs.withColumn("band_bits", F.lit(bb))
 
 
 @query(

@@ -71,3 +71,58 @@ def test_bigram_lm_cross_empty_vocab_fails_loudly(spark):
     out = bigram_lm_scores_cross(train, score)
     with pytest.raises(Exception, match="vocabulary is empty"):
         out.collect()
+
+
+def test_simhash_width_generalizes_past_32_bits(spark):
+    """The 60-bit signature uses 15 hex chars of md5; bits=32 must stay
+    byte-identical to the classic 8-hex-char signature (oracle-pinned)."""
+    import hashlib
+
+    from odbc2parquet_spark.operators.dedup import simhash
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "delta")],
+        ["doc_id", "text"],
+    )
+    s32 = {r.id: r.simhash for r in simhash(docs, bits=32).collect()}
+    s60 = {r.id: r.simhash for r in simhash(docs, bits=60).collect()}
+    # identical docs agree at every width; distinct docs differ
+    assert s32[1] == s32[2] and s60[1] == s60[2]
+    assert s60[1] != s60[3]
+    # widths nest per the hash family: all signatures fit their width
+    assert 0 <= s32[1] < (1 << 32)
+    assert 0 <= s60[1] < (1 << 60)
+    # the single-word doc's signature IS its word hash (majority of one):
+    h60 = int(hashlib.md5(b"delta").hexdigest()[:15], 16)
+    assert s60[3] == h60
+    h32 = int(hashlib.md5(b"delta").hexdigest()[:8], 16)
+    assert s32[3] == h32
+
+
+def test_banded_auto_recall_is_exact_at_any_band_width(spark):
+    """Pigeonhole recall must not depend on the derived band width: every
+    radius-3 pair found by all-pairs verification appears in the banded
+    result at bb=4 (16 of 60 bits covered) just as at bb=15 (full 60)."""
+    from odbc2parquet_spark.operators.dedup import (
+        simhash,
+        simhash_banded_pairs,
+        simhash_near_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} common shared tokens here") for i in range(40)]
+        + [(100, "x y z q r s"), (101, "x y z q r s t")],
+        ["doc_id", "text"],
+    )
+    sig = simhash(docs, bits=60)
+    truth = {
+        (r.id_a, r.id_b) for r in simhash_near_pairs(sig, max_hamming=3).collect()
+    }
+    for bb in (4, 15):
+        banded = {
+            (r.id_a, r.id_b)
+            for r in simhash_banded_pairs(
+                sig, max_hamming=3, bits=4 * bb, bands=4
+            ).collect()
+        }
+        assert banded == truth, f"bb={bb}: banded != all-pairs truth"
