@@ -4821,10 +4821,24 @@ def tx_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_tokens"),
     )
-    surv = buckets.join(keep, "doc_id").join(toks, "doc_id")
+    # Persist the NARROW survivor table (doc_id, bucket, n_tokens — the
+    # "decision rows", never the text): pack_shards_two_pass evaluates
+    # its input three times (approx-quantile boundary pass, per-bucket
+    # offset pass, final cumsum pass) and the closing join re-read it a
+    # fourth — unpersisted, each evaluation re-ran the ENTIRE upstream
+    # pipeline (CCNet LM + tercile + 13-gram decontamination: 21 parquet
+    # scans / 24 shuffle exchanges across the executed passes, and the
+    # two collect-side passes re-derived the same subtree again during
+    # construction; standalone median 14.4s at sf0.1). Cached once,
+    # every pass is a narrow-row cache scan (17 scans / 19 exchanges,
+    # standalone median 6.8s — plans/r11/). The final join takes
+    # `bucket` from the persisted rows instead of re-deriving the
+    # tercile subtree. ~32 bytes/surviving doc, so at 100 TB the cache
+    # is a few hundred GB cluster-wide — MEMORY_AND_DISK absorbs it.
+    surv = buckets.join(keep, "doc_id").join(toks, "doc_id").persist()
     shards = pack_shards_two_pass(surv.select("doc_id", "n_tokens"), budget=500)
     return (
-        shards.join(buckets, "doc_id")
+        shards.join(surv.select("doc_id", "bucket"), "doc_id")
         .crossJoin(F.broadcast(gate))
         .select("doc_id", "bucket", "n_tokens", "shard", "index_gate_passed")
     )
@@ -5195,8 +5209,14 @@ def tx_curation_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") < 250)
     dedup_surv = QUERIES["dd_incremental_minhash"](spark, sf_dir)
-    scores = X.bigram_lm_scores_cross(corpus, docs).select(
-        "doc_id", "avg_logprob"
+    # Persist the per-doc LM scores (2 narrow columns): the cross-LM
+    # scoring subtree feeds BOTH the corpus-side cutpoint derivation and
+    # the batch-side quality filter — unpersisted it trains and applies
+    # the bigram model twice.
+    scores = (
+        X.bigram_lm_scores_cross(corpus, docs)
+        .select("doc_id", "avg_logprob")
+        .persist()
     )
     w = Window.orderBy(F.desc("avg_logprob"), F.asc("doc_id"))
     corpus_ranked = (
@@ -5239,8 +5259,22 @@ def tx_curation_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_tokens"),
     )
-    surv = quality.join(dedup_surv, "doc_id").join(keep, "doc_id").join(
-        toks, "doc_id"
+    # Persist the NARROW survivor table (doc_id, avg_logprob, n_tokens)
+    # for the same reason as tx_curation_pipeline: pack_shards_two_pass
+    # makes three passes over its input and the closing join a fourth,
+    # and here the input subtree composes the incremental MinHash gate,
+    # the cross-LM quality filter AND the 13-gram decontamination (40
+    # parquet scans / 53 shuffle exchanges in the unpersisted plan;
+    # suite median 20.0s — the suite's slowest entry; standalone median
+    # 15.6s). With `scores` and `surv` cached: 17 scans / 23 exchanges,
+    # standalone median 6.5s (plans/r11/). The cache is ~24 bytes per
+    # surviving batch doc — batch-sized at deployment, never
+    # corpus-sized.
+    surv = (
+        quality.join(dedup_surv, "doc_id")
+        .join(keep, "doc_id")
+        .join(toks, "doc_id")
+        .persist()
     )
     shards = pack_shards_two_pass(surv.select("doc_id", "n_tokens"), budget=500)
     return (
