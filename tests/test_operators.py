@@ -1763,6 +1763,42 @@ def test_bpe_learn_batched_local_equals_distributed(spark):
     assert local == dist and len(local) == 20
 
 
+def test_bpe_local_loop_vectorized_equals_reference():
+    """The round-11 vectorized local loop (weight-grouped mega-strings,
+    one C-level replace per merge per group, incrementally-maintained
+    pair histogram, bounded heap selection) must be bit-identical to the
+    per-symbol reference loop on every input shape: randomized vocab
+    tables with weights, several (n_merges, batch) points, plus the
+    degenerate empty/single-symbol cases. A NUL byte inside a token must
+    route to the reference loop itself."""
+    import random
+
+    from odbc2parquet_spark.operators.text import (
+        _bpe_local_loop,
+        _bpe_local_loop_ref,
+    )
+
+    rng = random.Random(11)
+    for trial in range(25):
+        table = []
+        for _ in range(rng.randint(0, 80)):
+            w = "".join(
+                rng.choice("abcd") for _ in range(rng.randint(1, 10))
+            )
+            table.append((rng.randint(1, 6), list(w)))
+        for nm, b in ((12, 4), (30, 30), (1, 1)):
+            assert _bpe_local_loop(table, nm, b) == _bpe_local_loop_ref(
+                table, nm, b
+            ), (trial, nm, b)
+    assert _bpe_local_loop([], 5, 2) == []
+    assert _bpe_local_loop([(3, ["x"])], 5, 2) == []
+    # NUL-containing token: falls back to (i.e. equals) the reference
+    nul_table = [(1, ["a", "\x00b", "a"]), (2, ["a", "a"])]
+    assert _bpe_local_loop(nul_table, 4, 2) == _bpe_local_loop_ref(
+        nul_table, 4, 2
+    )
+
+
 def test_pps_sample_exact_k_and_proportionality(spark):
     """Systematic PPS: total draws are EXACTLY k, a zero-weight row is
     never drawn, and a row holding half the total weight gets ~half the
