@@ -25,21 +25,58 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 
-def _fold_sum(arr: F.Column) -> F.Column:
-    """Left-fold sum of a double array (deterministic order)."""
-    return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+def _fold_sum(arr: F.Column, dim: int | None = None) -> F.Column:
+    """Left-fold sum of a double array (deterministic order).
+
+    ``dim`` unrolls the fold into a literal chain of ``dim`` additions.
+    Trade-off, measured at sf0.1 (round 11): Catalyst higher-order
+    functions are CodegenFallback — interpreted per element with boxing
+    — so the unrolled chain EXECUTES ~3x faster; but the 64-term tree
+    costs ~1s of driver-side analysis/optimization per action where the
+    HOF form costs ~0.2s. Unrolling therefore wins only where the
+    per-element work dominates (hundreds of thousands of pairs or more
+    behind one action: the medoid pairwise pass, the all-pairs cosine
+    verification arm) and LOSES on small-cardinality expressions
+    (ivf_assign's corpus x 16 scoring measured 0.5s HOF vs 1.1s
+    unrolled, all of it planning). Fold order is the same left fold, so
+    results are bit-identical WHEN the array length equals ``dim`` (a
+    short array yields NULL instead of a partial sum — the louder
+    failure). ``dim=None`` keeps the generic interpreted form."""
+    if dim is None:
+        return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+    acc = F.lit(0.0)
+    for k in range(dim):
+        acc = acc + F.get(arr, F.lit(k))
+    return acc
 
 
-def dot(a: F.Column, b: F.Column) -> F.Column:
-    return _fold_sum(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")))
+def dot(a: F.Column, b: F.Column, dim: int | None = None) -> F.Column:
+    """Dot product; ``dim`` unrolls (see :func:`_fold_sum` trade-off)."""
+    if dim is None:
+        return _fold_sum(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+        )
+    acc = F.lit(0.0)
+    for k in range(dim):
+        acc = acc + F.get(a, F.lit(k)).cast("double") * F.get(b, F.lit(k)).cast(
+            "double"
+        )
+    return acc
 
 
-def norm_sq(a: F.Column) -> F.Column:
-    return _fold_sum(F.transform(a, lambda x: x.cast("double") * x.cast("double")))
+def norm_sq(a: F.Column, dim: int | None = None) -> F.Column:
+    """Squared L2 norm; ``dim`` unrolls (see :func:`_fold_sum`)."""
+    if dim is None:
+        return _fold_sum(F.transform(a, lambda x: x.cast("double") * x.cast("double")))
+    acc = F.lit(0.0)
+    for k in range(dim):
+        x = F.get(a, F.lit(k)).cast("double")
+        acc = acc + x * x
+    return acc
 
 
-def cosine(a: F.Column, b: F.Column) -> F.Column:
-    return dot(a, b) / F.sqrt(norm_sq(a) * norm_sq(b))
+def cosine(a: F.Column, b: F.Column, dim: int | None = None) -> F.Column:
+    return dot(a, b, dim) / F.sqrt(norm_sq(a, dim) * norm_sq(b, dim))
 
 
 def _checked_dim(vec: F.Column, dim: int, where: str) -> F.Column:

@@ -2808,16 +2808,21 @@ def sim_cell_medoids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("centroid_id").alias("cy"),
         F.col("embedding").alias("vb"),
     ).alias("y")
-    diff = F.zip_with(
-        F.col("va"),
-        F.col("vb"),
-        lambda a, b: (a.cast("double") - b.cast("double"))
-        * (a.cast("double") - b.cast("double")),
-    )
+    # unrolled codegen chain (same left-fold order as the zip_with +
+    # _fold_sum it replaces): this is the one expression in the family
+    # hot enough for the unroll trade (239k pairs x 64 dims behind one
+    # action — see operators/similarity._fold_sum for the measured
+    # planning-vs-execution break-even)
+    d2_expr = F.lit(0.0)
+    for _k in range(_DIM):
+        _d = F.get(F.col("va"), F.lit(_k)).cast("double") - F.get(
+            F.col("vb"), F.lit(_k)
+        ).cast("double")
+        d2_expr = d2_expr + _d * _d
     pd_ = x.join(y, F.col("centroid_id") == F.col("cy")).select(
         "centroid_id",
         "vec_id",
-        F.round(S._fold_sum(diff), 4).cast("decimal(20,4)").alias("d2"),
+        F.round(d2_expr, 4).cast("decimal(20,4)").alias("d2"),
     )
     sums = pd_.groupBy("centroid_id", "vec_id").agg(
         F.sum("d2").cast("double").alias("sum_d2"),
