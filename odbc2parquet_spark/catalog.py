@@ -33,6 +33,19 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+#: (applicationId, path, dir mtime) -> lazy DataFrame. PLAN-level memo
+#: only — nothing is computed or pinned in executor storage; execution
+#: always scans the parquet files. ``spark.read.parquet`` costs ~87ms
+#: per call (directory listing + footer/schema inference + analysis),
+#: and a full bench pass calls load_table several hundred times (the
+#: composed queries alone re-load the same tables many times), so the
+#: repeated inference was ~10% of the suite. The mtime in the key drops
+#: the memo when a directory is regenerated (tools/make_sfbig rewriting
+#: .sfdata — the round-10 advisor's stale-cache hazard), and the
+#: applicationId drops it across session restarts.
+_TABLE_MEMO: dict[tuple[str, str, float], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one table; normalizes the ``events`` nanosecond timestamp.
 
@@ -45,11 +58,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     INT64 because the engine's native timestamp is µs).
     """
     path = table_path(sf_dir, name)
+    try:
+        key = (spark.sparkContext.applicationId, path, os.path.getmtime(path))
+    except OSError:
+        key = None
+    if key is not None:
+        hit = _TABLE_MEMO.get(key)
+        if hit is not None:
+            return hit
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = spark.read.parquet(path)
         if dict(raw.dtypes).get("ts") == "bigint":
-            return raw.select(
+            out = raw.select(
                 "event_id",
                 F.expr("CAST(timestamp_micros(ts div 1000) AS timestamp_ntz)").alias("ts"),
                 F.col("ts").alias("ts_ns"),
@@ -58,8 +79,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 "value",
                 "props",
             )
-        return raw
-    return spark.read.parquet(path)
+        else:
+            out = raw
+    else:
+        out = spark.read.parquet(path)
+    if key is not None:
+        _TABLE_MEMO[key] = out
+    return out
 
 
 def register_tables(

@@ -87,3 +87,26 @@ def test_transfer_csv_to_parquet_roundtrip(spark, tmp_path):
     assert sorted(r.id for r in back.collect()) == [1, 2, 3]
     files = [f for f in __import__("glob").glob(out + "/*.parquet")]
     assert files and pq.read_metadata(files[0]).row_group(0).column(0).compression.lower() == "zstd"
+
+
+def test_load_table_memo_hit_and_mtime_invalidation(spark, tmp_path):
+    """The catalog's plan-level memo must return the cached lazy frame
+    for an unchanged table directory (read.parquet costs ~87ms per call
+    in schema inference alone) and must DROP the entry when the
+    directory is regenerated — the stale-file-index hazard of
+    tools/make_sfbig rewriting a scale directory mid-session."""
+    import time
+
+    from odbc2parquet_spark.catalog import load_table
+
+    p = str(tmp_path / "t.parquet")
+    spark.range(5).write.mode("overwrite").parquet(p)
+    d1 = load_table(spark, str(tmp_path), "t")
+    d2 = load_table(spark, str(tmp_path), "t")
+    assert d1 is d2  # memo hit: same lazy DataFrame object
+    assert d1.count() == 5
+    time.sleep(0.02)  # ensure the rewrite lands on a new mtime tick
+    spark.range(9).write.mode("overwrite").parquet(p)
+    d3 = load_table(spark, str(tmp_path), "t")
+    assert d3 is not d1  # regeneration invalidated the memo
+    assert d3.count() == 9
