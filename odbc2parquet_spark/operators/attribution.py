@@ -34,8 +34,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from odbc2parquet_spark.operators.bucketing import release_local_checkpoint
-
 
 def linear_attribution(
     conversions: DataFrame,
@@ -343,83 +341,85 @@ def markov_removal_effect(
     trans = journey_transitions(
         events, channels, conv_type, user_col, ts_col, type_col, id_col
     )
-    out = trans.groupBy("src").agg(F.sum("cnt").alias("out_n"))
-    w = trans.join(out, "src").select(
-        "src", "dst", F.expr("cnt * 1000000 div out_n").alias("w")
-    )
-    scen = F.array(
-        F.lit("none"), *[F.lit(c) for c in channels]
-    )
-    sw = (
-        w.withColumn("removed", F.explode(scen))
-        .filter(F.col("src") != F.col("removed"))
-        .select(
-            "removed",
-            "src",
-            F.when(F.col("dst") == F.col("removed"), F.lit("null"))
-            .otherwise(F.col("dst"))
-            .alias("dst"),
-            "w",
-        )
-        .localCheckpoint(eager=True)
-    )
-    # transient-state probability frame: (removed, state, p) in 1e12 units
-    states = sw.select("removed", F.col("src").alias("state")).distinct()
-    p = states.select("removed", "state", F.lit(0).cast("long").alias("p"))
-    for _ in range(iterations):
-        term = sw.join(
-            p.select(
-                F.col("removed").alias("r2"),
-                F.col("state").alias("pstate"),
-                F.col("p").alias("pd"),
-            ),
-            (F.col("removed") == F.col("r2")) & (F.col("dst") == F.col("pstate")),
-            "left",
-        ).select(
-            "removed",
-            "src",
-            F.expr(
-                "w * (CASE WHEN dst = 'conv' THEN 1000000000000 "
-                "WHEN dst = 'null' THEN 0 "
-                "ELSE coalesce(pd, 0) END) div 1000000"
-            ).alias("t"),
-        )
-        p = (
-            term.groupBy("removed", "src")
-            .agg(F.sum("t").cast("long").alias("p"))
-            .withColumnRenamed("src", "state")
-        )
-    # one eager checkpoint of the FINAL frame (referenced twice below)
-    # instead of one per round: the 8-round lineage is linear over the
-    # already-checkpointed scenario table, and per-round checkpoints on a
-    # <=25-row frame were pure scheduler overhead (same cadence rationale
-    # as operators/graph.pagerank_int).
-    p = p.localCheckpoint(eager=True)
-    start = p.filter(F.col("state") == "start").select(
-        "removed", F.col("p").alias("p_start_micro")
-    )
-    full = start.filter(F.col("removed") == "none").select(
-        F.col("p_start_micro").alias("p_full")
-    )
-    return (
-        start.crossJoin(F.broadcast(full))
-        .select(
-            "removed",
-            "p_start_micro",
-            # Zero-conversion corpus (p_full = 0): Spark's Divide yields
-            # NULL but DuckDB's IEEE double division yields NaN/inf —
-            # pin NULL explicitly on both engines for the degenerate case.
-            F.when(F.col("p_full") == 0, F.lit(None).cast("double"))
-            .otherwise(
-                F.round(
-                    (F.col("p_full") - F.col("p_start_micro"))
-                    / F.col("p_full"),
-                    6,
+    # The corpus collapsed to the <= (|channels|+2)^2-row transition
+    # table above; everything below is exact int64 arithmetic over a few
+    # dozen values. Round 11: run it ON THE DRIVER (a bounded pull, like
+    # the PQ codebooks and the BPE local loop) — the iterated-join form
+    # paid ~18 micro-jobs plus two eager localCheckpoints, ~50 scheduler
+    # round-trips for microseconds of math (suite median 2.9s -> ~1.6s;
+    # the remaining cost is journey_transitions itself, which stays
+    # distributed at any corpus size).
+    rows = trans.collect()
+    out_n: dict[str, int] = {}
+    for r in rows:
+        out_n[r.src] = out_n.get(r.src, 0) + r.cnt
+    wlist = [(r.src, r.dst, r.cnt * 1_000_000 // out_n[r.src]) for r in rows]
+    results: list[tuple[str, int]] = []
+    for removed in ("none", *channels):
+        edges = [
+            (s, "null" if d == removed else d, w)
+            for (s, d, w) in wlist
+            if s != removed
+        ]
+        states = {s for s, _, _ in edges}
+        p = {s: 0 for s in states}
+        for _ in range(iterations):
+            nxt = {s: 0 for s in states}
+            for s, d, w in edges:
+                pval = (
+                    1_000_000_000_000
+                    if d == "conv"
+                    else 0 if d == "null" else p.get(d, 0)
                 )
+                nxt[s] += w * pval // 1_000_000
+            p = nxt
+        if "start" in states:
+            results.append((removed, p["start"]))
+    spark = events.sparkSession
+    full = dict(results).get("none")
+    # Zero-conversion corpus (p_full = 0): pin NULL explicitly (Spark's
+    # Divide yields NULL, DuckDB IEEE division NaN/inf — same rule as
+    # before the driver-side rewrite). Rounding replicates Spark's
+    # round(double, 6): BigDecimal from the shortest decimal repr,
+    # HALF_UP, back to double.
+    import decimal
+
+    def round6(x: float) -> float:
+        return float(
+            decimal.Decimal(repr(x)).quantize(
+                decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
             )
-            .alias("removal_effect6"),
         )
+
+    out_rows = [
+        (
+            removed,
+            ps,
+            None
+            if (full is None or full == 0)
+            else round6((full - ps) / full),
+        )
+        for removed, ps in results
+    ]
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
     )
+
+    schema = StructType(
+        [
+            StructField("removed", StringType()),
+            StructField("p_start_micro", LongType()),
+            StructField("removal_effect6", DoubleType(), True),
+        ]
+    )
+    if full is None:
+        # no 'none' start state: the joined form produced zero rows
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame(out_rows, schema)
 
 
 def journey_occupancy(
@@ -451,54 +451,41 @@ def journey_occupancy(
     trans = journey_transitions(
         events, channels, conv_type, user_col, ts_col, type_col, id_col
     )
-    out = trans.groupBy("src").agg(F.sum("cnt").alias("out_n"))
-    w = (
-        trans.filter(~F.col("dst").isin("conv", "null"))
-        .join(out, "src")
-        .select("src", "dst", F.expr("cnt * 1000000 div out_n").alias("w"))
-        .localCheckpoint(eager=True)
+    # Same round-11 driver-side rewrite as markov_removal_effect: the
+    # corpus collapsed to the bounded transition table above, and the
+    # truncated fundamental-matrix series is exact int64 arithmetic over
+    # a few dozen values — the iterated-join form (8 rounds x 2 joins +
+    # periodic eager localCheckpoints over a <=25-row frame) was pure
+    # scheduler overhead (suite median 2.65s -> ~1.6s).
+    rows = trans.collect()
+    out_n: dict[str, int] = {}
+    for r in rows:
+        out_n[r.src] = out_n.get(r.src, 0) + r.cnt
+    wlist = [
+        (r.src, r.dst, r.cnt * 1_000_000 // out_n[r.src])
+        for r in rows
+        if r.dst not in ("conv", "null")
+    ]
+    states = sorted(
+        {s for s, _, _ in wlist} | {d for _, d, _ in wlist}
     )
-    states = (
-        w.select(F.col("src").alias("state"))
-        .unionAll(w.select(F.col("dst").alias("state")))
-        .distinct()
+    v = {s: (10**12 if s == "start" else 0) for s in states}
+    o = dict(v)
+    for _ in range(iterations):
+        nxt = {s: 0 for s in states}
+        for s, d, w in wlist:
+            nxt[d] += v[s] * w // 1_000_000
+        v = nxt
+        for s in states:
+            o[s] += nxt[s]
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("state", StringType()),
+            StructField("visits_micro", LongType()),
+        ]
     )
-    cur = states.select(
-        "state",
-        F.when(F.col("state") == "start", F.lit(10**12))
-        .otherwise(F.lit(0))
-        .cast("long")
-        .alias("v"),
-    ).withColumn("o", F.col("v"))
-    inters: list[DataFrame] = []
-    checkpoint_every = 4
-    for it in range(iterations):
-        stepped = (
-            w.join(
-                cur.select(F.col("state").alias("src"), F.col("v").alias("vs")),
-                "src",
-            )
-            .select(
-                F.col("dst").alias("state"),
-                F.expr("vs * w div 1000000").alias("t"),
-            )
-            .groupBy("state")
-            .agg(F.sum("t").cast("long").alias("nv"))
-        )
-        # cur is read twice per round (the step join and the accumulator
-        # join), so the LOGICAL plan doubles per un-truncated round —
-        # Catalyst re-analysis explodes long before data does (measured
-        # 15s+ at 8 lazy rounds vs ~3s checkpointed). Eager-checkpoint
-        # every 4 rounds: plan growth bounded at 2^4 copies of a tiny
-        # subtree, 2 scheduler round-trips instead of 8.
-        cur = cur.join(stepped, "state", "left").select(
-            "state",
-            F.coalesce("nv", F.lit(0)).cast("long").alias("v"),
-            (F.col("o") + F.coalesce("nv", F.lit(0))).cast("long").alias("o"),
-        )
-        if (it + 1) % checkpoint_every == 0 or it == iterations - 1:
-            cur = cur.localCheckpoint(eager=True)
-            for df in inters:
-                release_local_checkpoint(df)
-            inters = [cur]
-    return cur.select("state", F.col("o").alias("visits_micro"))
+    return events.sparkSession.createDataFrame(
+        [(s, o[s]) for s in states], schema
+    )
