@@ -31,8 +31,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from odbc2parquet_spark.operators.bucketing import release_local_checkpoint
-
 #: rounded per-term contributions are summed exactly in this decimal type
 _DEC = "decimal(24,6)"
 
@@ -1076,60 +1074,71 @@ def pca_top_component(
     components are reported in the deterministic all-ones-seeded frame.
 
     Scale shape: the corpus collapses to the d²-row covariance via the
-    Arrow partial-Gram pass (statistic-sized shuffle); every round after
-    runs on d-row frames with a 1-row max broadcast — fixed rounds, no
-    data-dependent driver logic.
+    Arrow partial-Gram pass (statistic-sized shuffle); the power
+    iteration then runs ON THE DRIVER over the collected d(d+1)/2-row
+    statistic (a bounded pull of the same class as the PQ codebooks and
+    the Markov transition table, operators/attribution) — the previous
+    iterated-join form paid 2 eager localCheckpoints per round, ~16
+    scheduler round-trips of micro-jobs for microseconds of integer
+    math (sim_pca_power standalone median 3.1s -> ~0.9s; what remains
+    is the Gram pass itself, which stays distributed at any corpus
+    size).
+
+    The replay is bit-identical to the replaced join chain: Python ints
+    ARE the exact int64 matvec; the renormalization converts through
+    float exactly where Spark cast long->double (same IEEE rounding,
+    same FLOOR); the Rayleigh rounding replicates Spark round(double,6)
+    as shortest-repr Decimal HALF_UP. A zero covariance matrix makes
+    the max-normalizer 0 and raises ZeroDivisionError — the same loud
+    failure the ANSI-mode division raised in the distributed form.
     """
-    cov = covariance_matrix(vectors, vec_col, dim=dim, decimals=6)
-    c6 = F.expr("CAST(CAST(cov AS DECIMAL(18,6)) * 1000000 AS BIGINT)")
-    upper = cov.select("i", "j", c6.alias("c6"))
-    afull = upper.unionAll(
-        upper.filter(F.col("i") != F.col("j")).select(
-            F.col("j").alias("i"), F.col("i").alias("j"), "c6"
+    import decimal
+    import math
+
+    cov_rows = covariance_matrix(
+        vectors, vec_col, dim=dim, decimals=6
+    ).collect()
+    spark = vectors.sparkSession
+    schema = "i LONG, pc1_milli LONG, lambda6 DOUBLE"
+    if not cov_rows:
+        return spark.createDataFrame([], schema)
+    # CAST(CAST(cov AS DECIMAL(18,6)) * 1000000 AS BIGINT): cov is a
+    # double with <= 6 decimals, so the quantization is exact; HALF_UP
+    # over the shortest repr mirrors BigDecimal(Double.toString(d)).
+    a6: dict[tuple[int, int], int] = {}
+    for r in cov_rows:
+        c6 = int(
+            decimal.Decimal(repr(r.cov)).quantize(
+                decimal.Decimal("0.000001"),
+                rounding=decimal.ROUND_HALF_UP,
+            )
+            * 1_000_000
         )
-    ).localCheckpoint(eager=True)
-    v = afull.select(F.col("i")).distinct().select(
-        "i", F.lit(1000).cast("long").alias("v")
-    )
-    r = None
-    prev_v = None  # v_{k-1}: the Rayleigh step reads it, so its blocks
-    # are released one generation LATE (never the final one)
+        a6[(r.i, r.j)] = c6
+        if r.i != r.j:
+            a6[(r.j, r.i)] = c6
+    idx = sorted({i for i, _ in a6})
+    v = {i: 1000 for i in idx}
+    prev_v = v  # v_{k-1}: the Rayleigh quotient reads it
+    rvec = {i: 0 for i in idx}
     for _ in range(iterations):
-        new_r = (
-            afull.join(
-                v.select(F.col("i").alias("j"), F.col("v").alias("vj")), "j"
-            )
-            .groupBy("i")
-            .agg(F.sum(F.col("c6") * F.col("vj")).alias("r"))
-            .localCheckpoint(eager=True)
-        )
-        if r is not None:
-            release_local_checkpoint(r)
-        r = new_r
-        m = r.agg(F.max(F.abs(F.col("r"))).alias("m"))
-        new_v = (
-            r.crossJoin(F.broadcast(m))
-            .select(
-                "i",
-                F.floor(F.col("r") * 1000.0 / F.col("m")).cast("long").alias("v"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        if prev_v is not None:
-            release_local_checkpoint(prev_v)
-        prev_v, v = v, new_v
-    ray = (
-        prev_v.join(r.select(F.col("i"), F.col("r")), "i")
-        .agg(
-            F.sum(F.col("v") * F.col("r")).alias("num"),
-            F.sum(F.col("v") * F.col("v")).alias("den"),
-        )
-        .select(
-            F.round(
-                F.col("num") / F.col("den") / F.lit(1000000.0), 6
-            ).alias("lambda6")
+        rvec = {i: 0 for i in idx}
+        for (i, j), c in a6.items():
+            rvec[i] += c * v[j]
+        m = max(abs(x) for x in rvec.values())
+        # v' = FLOOR(r * 1000.0 / m) on doubles: float() is the same
+        # long->double conversion Spark's cast performs
+        prev_v, v = v, {
+            i: math.floor(float(r) * 1000.0 / float(m))
+            for i, r in rvec.items()
+        }
+    num = sum(prev_v[i] * rvec[i] for i in idx)
+    den = sum(prev_v[i] * prev_v[i] for i in idx)
+    lambda6 = float(
+        decimal.Decimal(repr(float(num) / float(den) / 1000000.0)).quantize(
+            decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
         )
     )
-    return v.crossJoin(F.broadcast(ray)).select(
-        F.col("i"), F.col("v").alias("pc1_milli"), "lambda6"
+    return spark.createDataFrame(
+        [(i, v[i], lambda6) for i in idx], schema
     )

@@ -163,10 +163,10 @@ BOUNDED_CROSS_OK = {
     # chain algebra upstream is keyed joins over the <=25-row transition
     # table
     "ev_removal_effect",
-    # round 10: PCA power iteration — 1-row max-normalizer and 1-row
-    # Rayleigh-quotient broadcasts onto d-row iterate frames; the
-    # corpus-sized work is the (equi-keyed) Arrow Gram pass upstream
-    "sim_pca_power",
+    # (round 11: sim_pca_power left this list — the power iteration now
+    # runs on the driver over the collected d^2-row covariance statistic,
+    # so its final plan has no cross joins at all; the corpus-sized Arrow
+    # Gram pass stays distributed and equi-keyed)
     # round 10: HT estimator — 1-row total-weight and 1-row exact-total
     # broadcasts onto the 500-draw sample
     "tx_ht_estimate",

@@ -190,6 +190,33 @@ def test_pca_power_axis_aligned(spark):
     assert out[0].lambda6 == pytest.approx(1.0)
 
 
+def test_pca_power_general_direction_and_rayleigh(spark):
+    from odbc2parquet_spark.operators.drift import pca_top_component
+
+    # non-axis-aligned: variance concentrated along (1, 1)/sqrt(2); the
+    # milli-normalized iterate must land on equal components and the
+    # Rayleigh quotient on the dominant eigenvalue of the 2x2 covariance
+    # [[1, 1], [1, 1]] (within the x10^6 truncation of the iterate)
+    rows = [(1, [1.0, 1.0]), (2, [-1.0, -1.0]), (3, [0.0, 0.0])]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r.i: r for r in pca_top_component(emb, "embedding", dim=2).collect()}
+    assert out[0].pc1_milli == 1000 and out[1].pc1_milli == 1000
+    assert out[0].lambda6 == pytest.approx(2.0, abs=1e-6)
+
+
+def test_pca_power_zero_covariance_fails_loudly(spark):
+    from odbc2parquet_spark.operators.drift import pca_top_component
+
+    # constant embeddings -> all-zero covariance -> the max-normalizer is
+    # 0 and pc1 is undefined. The distributed form died with ANSI
+    # DIVIDE_BY_ZERO; the driver-side replay must keep the loud failure
+    # (never emit a silently arbitrary direction).
+    rows = [(i, [1.5, 2.5]) for i in range(4)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    with pytest.raises(ZeroDivisionError):
+        pca_top_component(emb, "embedding", dim=2).collect()
+
+
 def test_pca_power_unit_scale_and_registry(spark, sf_dir):
     from odbc2parquet_spark.queries import QUERIES
 
