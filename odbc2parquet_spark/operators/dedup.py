@@ -908,6 +908,17 @@ def prefix_jaccard_pairs(
             f"{q} > 1000); pass a value with at most 3 decimal places"
         )
     gh = F.conv(F.substring(F.md5(F.col("g")), 1, 15), 16, 10).cast("long")
+    # The hashed (id, gh) stream is referenced by the df count, both
+    # sides of the prefix self-join and the verification sets — six
+    # evaluations of the input subtree. Persisting this narrow proxy was
+    # A/B'd in round 11 and LOST on all three registered consumers
+    # (dd_prefix_jaccard 2.59s -> 3.24s, mm_video_neardup 1.96 -> 2.37,
+    # mm_audio_neardup 1.36 -> 2.19 standalone medians): the redundant
+    # evaluations overlap across cores while a persist serializes the
+    # DAG behind a materialization barrier and pays the cache write —
+    # the same recompute-beats-persist result as the corpus stages in
+    # queries/pipelines.py. Revisit only if the input subtree becomes
+    # decode-bound (profiled, not assumed) at deployment scale.
     hashed = shingles.select("id", gh.alias("gh")).distinct()
     df_tab = hashed.groupBy("gh").agg(F.count("*").alias("df"))
     ranked = hashed.join(df_tab, "gh")
