@@ -794,6 +794,15 @@ def dd_containment_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = sh.groupBy(F.col("id").alias("s_id")).agg(F.count("*").alias("n"))
     a = sh.select(F.col("id").alias("ca"), F.col("g").alias("g_a"))
     b = sh.select(F.col("id").alias("cb"), F.col("g").alias("g_b"))
+    # The directed union below references `common` twice, so the
+    # signature + banding + double shingle-join subtree is evaluated
+    # once per direction. An eager localCheckpoint of the pair-sized
+    # table was A/B'd in round 11 and LOST (standalone median 2.65s ->
+    # 3.37s): the two branches overlap across cores inside one job,
+    # while the checkpoint serializes subtree-then-union and pays the
+    # materialization. Contrast q_entity_resolution, where the SAME
+    # move won — there the subtree fanned out 5+ ways into a fixpoint
+    # loop; a 2-way union is cheaper recomputed.
     common = (
         cand.join(a, cand.id_a == a.ca)
         .join(b, (cand.id_b == b.cb) & (F.col("g_a") == b.g_b))
