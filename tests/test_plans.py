@@ -163,6 +163,11 @@ BOUNDED_CROSS_OK = {
     # chain algebra upstream is keyed joins over the <=25-row transition
     # table
     "ev_removal_effect",
+    # round 11: incremental curation — every cross in the plan is a
+    # 1-row broadcast (the frozen corpus quality-cutpoint struct, the
+    # delta-stats audit row, and the composed sub-queries' own scalar
+    # gates); the corpus-scale stages are all keyed joins
+    "tx_curation_delta",
     # (round 11: sim_pca_power left this list — the power iteration now
     # runs on the driver over the collected d^2-row covariance statistic,
     # so its final plan has no cross joins at all; the corpus-sized Arrow
