@@ -1518,27 +1518,22 @@ def kneser_ney_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id", F.explode(F.expr(bigram_expr)).alias("p")
     ).select("doc_id", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
     cab = doc_bg.groupBy("a", "b").agg(F.count("*").alias("cab"))
-    # Every remaining statistic derives from the bigram-COUNT table, one
-    # row per distinct bigram (round 11): ctx(a) = sum_b c(ab) equals the
-    # token-stream context count, N1+(a.) / N1+(.b) are its row counts
-    # per a / per b, and T its total row count — identical values by
-    # construction. The old form derived ctx and the distinct-type stats
-    # from doc_bg directly, so the ctx branch shuffled UNAGGREGATED
-    # token-stream rows keyed by `a` (Zipf-hot: one partition per common
-    # context word) and the types branch paid a full distinct over the
-    # stream; every branch now map-side-combines to type-table-sized
-    # rows before its exchange (guide §2.3 aggregate-before-shuffle).
-    # Interleaved A/B at sf0.1 is NEUTRAL within box noise (first pair
-    # 2.00->1.78 median, second 1.56->1.59) — the win is the scale
-    # shape, not the local seconds: the hot-key exposure now rides the
-    # vocabulary, not the corpus. ReuseExchange does NOT fire across these
-    # branches (verified on the executed plan), so the scan+explode
-    # still evaluates per branch — that recompute A/B'd cheaper than a
-    # persist barrier, same result as prefix_jaccard_pairs.
-    ctx = cab.groupBy("a").agg(F.sum("cab").alias("ctx"))
-    n1a = cab.groupBy("a").agg(F.count("*").alias("n1a"))
-    n1b = cab.groupBy("b").agg(F.count("*").alias("n1b"))
-    t = cab.agg(F.count("*").alias("t"))
+    # Round 11 negative result: deriving ctx/N1+/T from the cab COUNT
+    # table (ctx(a) = sum_b c(ab), N1+ = row counts, T = total rows —
+    # identical values) was implemented and A/B'd, then REVERTED.
+    # Rationale for trying it: "the ctx branch shuffles an unaggregated
+    # Zipf-hot token stream". That premise is false — groupBy().count()
+    # partial-aggregates MAP-SIDE, so every branch below already
+    # shuffles at most vocab-sized partial counts per partition. The
+    # derived form added a second exchange level per stat branch and
+    # measured: sf0.1 interleaved standalone NEUTRAL (2.00->1.78 then
+    # 1.56->1.59 medians), amplified sf1 ~8% WORSE (8.71 -> 9.41
+    # median). The direct form below is the certified, measured optimum.
+    ctx = doc_bg.groupBy("a").agg(F.count("*").alias("ctx"))
+    types = doc_bg.select("a", "b").distinct()
+    n1a = types.groupBy("a").agg(F.count("*").alias("n1a"))
+    n1b = types.groupBy("b").agg(F.count("*").alias("n1b"))
+    t = types.agg(F.count("*").alias("t"))
     num = (4 * F.col("cab") - 3) * F.col("t") + 3 * F.col("n1a") * F.col(
         "n1b"
     )
