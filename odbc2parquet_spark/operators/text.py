@@ -665,8 +665,12 @@ def _bpe_local_loop(
     from itertools import chain
 
     # Same sentinel representation the Arrow kernel uses; same fallback
-    # to the per-symbol loop when a token contains a raw NUL.
-    nul_safe = not any("\x00" in t for _, s in table for t in s)
+    # to the per-symbol loop when a token contains a raw NUL — or the
+    # \x01 word separator, which would make mega.split("\x01") split
+    # mid-word and corrupt the pair histogram.
+    nul_safe = not any(
+        "\x00" in t or "\x01" in t for _, s in table for t in s
+    )
 
     if not nul_safe:
         return _bpe_local_loop_ref(table, n_merges, batch)

@@ -2798,7 +2798,15 @@ def sim_cell_medoids(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_mem = mem.groupBy("centroid_id").agg(
         F.count(F.lit(1)).alias("n_members")
     )
-    samp = mem.withColumn("srk", srk).filter(F.col("srk") <= 128)
+    # the unrolled d2 chain below reads fixed positions with F.get, which
+    # yields NULL (not an error) for a short array — and a NULL sum_d2
+    # would sort FIRST under asc and silently become the medoid. Assert
+    # the width up front instead (codegen'd comparison, free when it
+    # holds; raises on a corrupt row).
+    samp = mem.withColumn(
+        "embedding",
+        S._checked_dim(F.col("embedding"), _DIM, "sim_cell_medoids"),
+    ).withColumn("srk", srk).filter(F.col("srk") <= 128)
     x = samp.select(
         F.col("centroid_id"),
         F.col("vec_id"),

@@ -95,9 +95,9 @@ def test_load_table_memo_hit_and_mtime_invalidation(spark, tmp_path):
     in schema inference alone) and must DROP the entry when the
     directory is regenerated — the stale-file-index hazard of
     tools/make_sfbig rewriting a scale directory mid-session."""
-    import time
-
     from odbc2parquet_spark.catalog import load_table
+
+    from odbc2parquet_spark import catalog as cat
 
     p = str(tmp_path / "t.parquet")
     spark.range(5).write.mode("overwrite").parquet(p)
@@ -105,8 +105,16 @@ def test_load_table_memo_hit_and_mtime_invalidation(spark, tmp_path):
     d2 = load_table(spark, str(tmp_path), "t")
     assert d1 is d2  # memo hit: same lazy DataFrame object
     assert d1.count() == 5
-    time.sleep(0.02)  # ensure the rewrite lands on a new mtime tick
+    n_before = len(cat._TABLE_MEMO)
     spark.range(9).write.mode("overwrite").parquet(p)
     d3 = load_table(spark, str(tmp_path), "t")
     assert d3 is not d1  # regeneration invalidated the memo
     assert d3.count() == 9
+    # the regenerated table REPLACES its entry (keyed on (appId, path),
+    # fingerprint in the value): the memo stays bounded by the number of
+    # distinct live paths instead of accumulating stale generations
+    assert len(cat._TABLE_MEMO) == n_before
+    # same-second rewrite with identical file names/sizes but new
+    # content-fingerprint (mtime_ns differs) still invalidates
+    d4 = load_table(spark, str(tmp_path), "t")
+    assert d4 is d3

@@ -1797,6 +1797,15 @@ def test_bpe_local_loop_vectorized_equals_reference():
     assert _bpe_local_loop(nul_table, 4, 2) == _bpe_local_loop_ref(
         nul_table, 4, 2
     )
+    # \x01-containing token (the mega-string word separator): must also
+    # fall back — splitting the mega-string on \x01 would otherwise cut
+    # this word in half and corrupt the pair histogram. The table is
+    # built so the vectorized path WOULD diverge if it didn't fall back
+    # (the \x01 token pairs with its neighbors).
+    sep_table = [(3, ["a", "\x01", "b"]), (1, ["a", "b", "a", "b"])]
+    assert _bpe_local_loop(sep_table, 4, 2) == _bpe_local_loop_ref(
+        sep_table, 4, 2
+    )
 
 
 def test_pps_sample_exact_k_and_proportionality(spark):

@@ -26,6 +26,7 @@ def main() -> None:
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
     from odbc2parquet_spark.queries import QUERIES
+    from odbc2parquet_spark.queries import similarity as QS
     from odbc2parquet_spark.session import get_spark
 
     spark = get_spark("standalone_bench")
@@ -34,12 +35,16 @@ def main() -> None:
     for name in names:
         fn = QUERIES[name]
         spark.catalog.clearCache()
+        QS._LSH_GRAPH_CACHE.clear()
         spark._jvm.System.gc()
         spark.sparkContext.setJobDescription(f"warmup:{name}")
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         vals = []
         for i in range(reps):
+            # match the dump_plans/judge protocol: the memoized LSH graph
+            # must not carry a frame built during warmup into a timed rep
             spark.catalog.clearCache()
+            QS._LSH_GRAPH_CACHE.clear()
             spark._jvm.System.gc()
             spark.sparkContext.setJobDescription(f"rep{i}:{name}")
             t0 = time.time()
