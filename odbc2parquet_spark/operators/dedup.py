@@ -236,8 +236,12 @@ def minhash_near_duplicates(
     graph.triangle_count."""
     from pyspark import StorageLevel
 
-    sh = word_shingles(docs, shingle_words, text_col, id_col).persist(
-        StorageLevel.MEMORY_AND_DISK
+    from odbc2parquet_spark import cachereg
+
+    sh = cachereg.track(
+        word_shingles(docs, shingle_words, text_col, id_col).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
     )
     sig = minhash_signatures(
         word_shingle_stream(docs, shingle_words, text_col, id_col), num_hashes
@@ -501,6 +505,21 @@ def incremental_minhash_dedup(
     candidate ids, so the quadratic step is bounded by LSH recall, and
     batch-vs-corpus work scales with the batch, not the corpus).
     """
+    # Round-12 negative result (do not re-try blind): the executed plan
+    # tokenizes documents 6x here (2 signature streams + sizes/verify
+    # references of each side's distinct shingle set). Persisting the
+    # two shingle tables — with signatures derived from the distinct set
+    # (bit-identical: multiset min == set min, the oracle's own sig CTE
+    # shape) — measured standalone 1.70s -> 2.99s, and the softer form
+    # (persist sh for sizes/verify only, keep stream signatures) 2.39s;
+    # tx_curation_delta moved 5.76 -> 7.34 / 6.44 the same way. Same
+    # mechanism as the prefix_jaccard persist A/B (r11 §8): the
+    # redundant subtrees overlap across cores inside one job, while a
+    # persist serializes the DAG behind a materialization barrier and
+    # pays the cache write. The 6-pass shape IS the fast shape at suite
+    # scale; at deployment the corpus side is a STORED band-key index
+    # (see docstring), which removes the corpus-side passes without any
+    # in-query cache.
     sig_b = minhash_signatures(
         word_shingle_stream(batch, shingle_words, text_col, id_col), num_hashes
     )

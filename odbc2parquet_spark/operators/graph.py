@@ -443,7 +443,9 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     # once the returned plan is unreferenced.
     from pyspark import StorageLevel
 
-    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    from odbc2parquet_spark import cachereg
+
+    edges = cachereg.track(edges.persist(StorageLevel.MEMORY_AND_DISK))
     ab = edges.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
     bc = edges.select(F.col("id_a").alias("b"), F.col("id_b").alias("c"))
     wedges = ab.join(bc, "b")

@@ -443,7 +443,9 @@ def ivf_silhouette(
     enc_col = (ncos_scaled * F.lit(1 << 43) + F.col("centroid_id").cast("long")).alias(
         "enc"
     )
-    encs = scored.select("vec_id", enc_col).persist()
+    from odbc2parquet_spark import cachereg
+
+    encs = cachereg.track(scored.select("vec_id", enc_col).persist())
     best = encs.groupBy("vec_id").agg(F.min("enc").alias("e1"))
     second = (
         encs.join(best, "vec_id")
@@ -1424,7 +1426,9 @@ def semantic_dedup_cells(
     # the pairwise pass.
     from pyspark import StorageLevel
 
-    v = (
+    from odbc2parquet_spark import cachereg
+
+    v = cachereg.track(
         vectors.select(
             F.col(id_col).alias("vec_id"),
             F.col(vec_col).alias("v"),

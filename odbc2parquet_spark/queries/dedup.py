@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from odbc2parquet_spark import cachereg
 from odbc2parquet_spark.catalog import load_table
 from odbc2parquet_spark.operators import dedup as D
 from odbc2parquet_spark.queries import query
@@ -1481,8 +1482,12 @@ def dd_band_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the all-pairs truth subtree is the dominant cost and is referenced
     # FIVE times (four left-semi probes + the n_true count) — persist it
     # so it evaluates once (measured 6.8s -> its recompute share at sf0.1)
-    truth = D.jaccard_pairs(sh, threshold=0.5).select("id_a", "id_b").persist()
-    sig = D.minhash_signatures(D.word_shingle_stream(docs, 3), num_hashes=8).persist()
+    truth = cachereg.track(
+        D.jaccard_pairs(sh, threshold=0.5).select("id_a", "id_b").persist()
+    )
+    sig = cachereg.track(
+        D.minhash_signatures(D.word_shingle_stream(docs, 3), num_hashes=8).persist()
+    )
     out = None
     n_true = truth.agg(F.count("*").cast("long").alias("n_true"))
     for bands, rows in ((8, 1), (4, 2), (2, 4), (1, 8)):

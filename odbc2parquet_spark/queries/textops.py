@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from odbc2parquet_spark import cachereg
 from odbc2parquet_spark.catalog import load_table
 from odbc2parquet_spark.operators import multimodal as M
 from odbc2parquet_spark.operators import text as X
@@ -3178,7 +3179,7 @@ def tx_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # explode+distinct subtree re-evaluates per consumer (measured 19x
     # at the second decade before the persist; ContextCleaner reclaims
     # the narrow cached rows once the plan is unreferenced)
-    g = (
+    g = cachereg.track(
         docs.select("source", ws.alias("ws"))
         .select("source", F.explode(F.expr(gram_expr)).alias("g"))
         .distinct()
@@ -3187,7 +3188,7 @@ def tx_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep = g.groupBy("g").agg(F.count("*").alias("n_src")).filter(
         F.col("n_src") <= 10
     )
-    g2 = g.join(keep.select("g"), "g", "left_semi").persist()
+    g2 = cachereg.track(g.join(keep.select("g"), "g", "left_semi").persist())
     per = g2.groupBy("source").agg(F.count("*").alias("n"))
     # pair expansion WITHOUT a gram self-join: the df cap guarantees at
     # most 10 sources per gram, so collect the (sorted) source list per
@@ -4654,14 +4655,22 @@ def tx_decontaminate_13gram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(h.alias("h"))
         .distinct()
     )
+    # n_hits counts DISTINCT doc grams present in the eval index. Joining
+    # the RAW gram stream against eg first and counting distinct matches
+    # is value-identical to distinct-then-join, and moves the corpus-wide
+    # (doc_id, h) distinct shuffle (every gram of every doc — the
+    # dominant exchange here, measured 1.16s of this query's 2.1s at
+    # sf0.1) to AFTER the eval-index filter, where only contaminated
+    # grams survive (near-zero rows at any scale). guide §2.3: aggregate/
+    # filter before the shuffle; the join itself stays hash-keyed with an
+    # eval-sized build side.
     dg = (
         ws.filter(F.col("doc_id") % 97 != 0)
         .select("doc_id", gram)
         .select("doc_id", h.alias("h"))
-        .distinct()
     )
     hits = dg.join(eg, "h").groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_hits")
+        F.countDistinct("h").alias("n_hits")
     )
     return (
         ws.filter(F.col("doc_id") % 97 != 0)
@@ -4835,7 +4844,11 @@ def tx_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # `bucket` from the persisted rows instead of re-deriving the
     # tercile subtree. ~32 bytes/surviving doc, so at 100 TB the cache
     # is a few hundred GB cluster-wide — MEMORY_AND_DISK absorbs it.
-    surv = buckets.join(keep, "doc_id").join(toks, "doc_id").persist()
+    # Ownership: tracked in cachereg — the session owner releases after
+    # its action (the bench's clearCache-per-rep covers the bench).
+    surv = cachereg.track(
+        buckets.join(keep, "doc_id").join(toks, "doc_id").persist()
+    )
     shards = pack_shards_two_pass(surv.select("doc_id", "n_tokens"), budget=500)
     return (
         shards.join(surv.select("doc_id", "bucket"), "doc_id")
@@ -5213,7 +5226,7 @@ def tx_curation_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scoring subtree feeds BOTH the corpus-side cutpoint derivation and
     # the batch-side quality filter — unpersisted it trains and applies
     # the bigram model twice.
-    scores = (
+    scores = cachereg.track(
         X.bigram_lm_scores_cross(corpus, docs)
         .select("doc_id", "avg_logprob")
         .persist()
@@ -5270,7 +5283,7 @@ def tx_curation_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     # standalone median 6.5s (plans/r11/). The cache is ~24 bytes per
     # surviving batch doc — batch-sized at deployment, never
     # corpus-sized.
-    surv = (
+    surv = cachereg.track(
         quality.join(dedup_surv, "doc_id")
         .join(keep, "doc_id")
         .join(toks, "doc_id")

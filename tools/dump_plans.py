@@ -1,8 +1,8 @@
-"""Dump `.explain("formatted")` for named queries into plans/r11/.
+"""Dump `.explain("formatted")` for named queries into plans/<round>/.
 
     python tools/dump_plans.py <suffix> <query> [query ...]
 
-Writes plans/r11/<query>_<suffix>.txt (suffix = before|after) for each
+Writes plans/$SPARK_GRAFT_PLANS_ROUND/<query>_<suffix>.txt (default r12) (suffix = before|after) for each
 query, at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1). Uses the
 same lineage-control transparency as tools/plan_audit.py: persist/
 localCheckpoint boundaries taken during construction are recorded and
@@ -26,12 +26,15 @@ def main() -> None:
     suffix = sys.argv[1]
     names = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(REPO, "plans", "r11")
+    out_dir = os.path.join(
+        REPO, "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r12")
+    )
     os.makedirs(out_dir, exist_ok=True)
 
     from pyspark.sql import DataFrame
 
     import odbc2parquet_spark.queries.similarity as QS
+    from odbc2parquet_spark import cachereg
     from odbc2parquet_spark.queries import QUERIES
     from odbc2parquet_spark.session import get_spark
 
@@ -106,6 +109,7 @@ def main() -> None:
                 fh.write("".join(parts))
             print(f"wrote {path}")
             spark.catalog.clearCache()
+            cachereg.release_all()
     finally:
         ConcreteDF.localCheckpoint = orig_checkpoint
         ConcreteDF.persist = orig_persist

@@ -27,6 +27,7 @@ def main() -> None:
 
     from odbc2parquet_spark.queries import QUERIES
     from odbc2parquet_spark.queries import similarity as QS
+    from odbc2parquet_spark import cachereg
     from odbc2parquet_spark.session import get_spark
 
     spark = get_spark("standalone_bench")
@@ -36,6 +37,7 @@ def main() -> None:
         fn = QUERIES[name]
         spark.catalog.clearCache()
         QS._LSH_GRAPH_CACHE.clear()
+        cachereg.release_all()
         spark._jvm.System.gc()
         spark.sparkContext.setJobDescription(f"warmup:{name}")
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
@@ -45,6 +47,7 @@ def main() -> None:
             # must not carry a frame built during warmup into a timed rep
             spark.catalog.clearCache()
             QS._LSH_GRAPH_CACHE.clear()
+            cachereg.release_all()
             spark._jvm.System.gc()
             spark.sparkContext.setJobDescription(f"rep{i}:{name}")
             t0 = time.time()
