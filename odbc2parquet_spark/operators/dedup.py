@@ -210,6 +210,60 @@ def lsh_candidate_pairs(
     )
 
 
+def lsh_candidate_pairs_multi(
+    signatures: DataFrame,
+    configs: list[tuple[int, int]],
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Candidate pairs for SEVERAL bandings of one signature in a single
+    shuffle: (cfg, id_a, id_b), cfg = "{bands}x{rows}".
+
+    The per-config :func:`lsh_candidate_pairs` loop evaluates the
+    signature subtree once per config AND shuffles each config's melted
+    rows separately (4 configs = 4 window shuffles + 4 pair expansions);
+    this melts every config's band keys in ONE explode and runs ONE
+    (cfg, band, key) shuffle, after which the window cap + collect_list
+    pair expansion are identical per bucket. Output rows are distinct
+    per (cfg, pair) — exactly the union of the per-config outputs.
+    """
+    entries = []
+    for bands, rows_per_band in configs:
+        cfg = f"{bands}x{rows_per_band}"
+        for b in range(bands):
+            entries.append(
+                F.struct(
+                    F.lit(cfg).alias("cfg"),
+                    F.lit(b).alias("band"),
+                    F.concat_ws(
+                        "_",
+                        *[
+                            f"mh{b * rows_per_band + r}"
+                            for r in range(rows_per_band)
+                        ],
+                    ).alias("key"),
+                )
+            )
+    melted = signatures.select(
+        "id", F.explode(F.array(*entries)).alias("bk")
+    ).select("id", "bk.cfg", "bk.band", "bk.key")
+    w = Window.partitionBy("cfg", "band", "key")
+    bounded = (
+        melted.withColumn("bucket_n", F.count("*").over(w))
+        .filter(F.col("bucket_n") <= max_bucket)
+        .drop("bucket_n")
+    )
+    buckets = bounded.groupBy("cfg", "band", "key").agg(
+        F.collect_list("id").alias("ids")
+    )
+    return (
+        buckets.filter(F.size("ids") >= 2)
+        .select("cfg", F.explode("ids").alias("id_a"), "ids")
+        .select("cfg", "id_a", F.explode("ids").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .distinct()
+    )
+
+
 def minhash_near_duplicates(
     docs: DataFrame,
     threshold: float = 0.5,

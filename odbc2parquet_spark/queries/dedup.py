@@ -1485,23 +1485,29 @@ def dd_band_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = cachereg.track(
         D.jaccard_pairs(sh, threshold=0.5).select("id_a", "id_b").persist()
     )
-    sig = cachereg.track(
-        D.minhash_signatures(D.word_shingle_stream(docs, 3), num_hashes=8).persist()
-    )
-    out = None
+    sig = D.minhash_signatures(D.word_shingle_stream(docs, 3), num_hashes=8)
     n_true = truth.agg(F.count("*").cast("long").alias("n_true"))
-    for bands, rows in ((8, 1), (4, 2), (2, 4), (1, 8)):
-        cand = D.lsh_candidate_pairs(sig, bands=bands, rows_per_band=rows).select(
-            "id_a", "id_b"
+    # Round 12: ONE melt over all four bandings + ONE (cfg, band, key)
+    # shuffle (lsh_candidate_pairs_multi) replaces four per-config
+    # candidate subtrees that were each evaluated TWICE (count + semi
+    # probe) — the before plan carried 37 shuffle exchanges, and the
+    # signature build needed a persist just to stop 8 re-evaluations.
+    # One LEFT join against the persisted truth then yields n_cand and
+    # n_found in a single aggregation pass per cfg (truth pairs are
+    # unique, so count(marker) == the old semi-join count). A cfg with
+    # zero candidates now produces no row — exactly the oracle's GROUP
+    # BY semantics (the old per-config agg emitted an n_cand=0 row that
+    # the oracle never would).
+    cand = D.lsh_candidate_pairs_multi(sig, [(8, 1), (4, 2), (2, 4), (1, 8)])
+    per = (
+        cand.join(truth.withColumn("_t_", F.lit(1)), ["id_a", "id_b"], "left")
+        .groupBy("cfg")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cand"),
+            F.count("_t_").cast("long").alias("n_found"),
         )
-        found = cand.join(truth, ["id_a", "id_b"], "left_semi")
-        row = (
-            cand.agg(F.count("*").cast("long").alias("n_cand"))
-            .crossJoin(found.agg(F.count("*").cast("long").alias("n_found")))
-            .select(F.lit(f"{bands}x{rows}").alias("cfg"), "n_cand", "n_found")
-        )
-        out = row if out is None else out.unionByName(row)
-    return out.crossJoin(F.broadcast(n_true)).select(
+    )
+    return per.crossJoin(F.broadcast(n_true)).select(
         "cfg",
         "n_true",
         "n_cand",

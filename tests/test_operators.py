@@ -2619,3 +2619,32 @@ def test_suffix_lcp_spans_saturates_at_k_max(spark):
     got = {r.doc_id: r.max_dup_span for r in D.suffix_lcp_spans(docs, k_max=16).collect()}
     # the true shared span is 25 tokens; bounded comparison reports k_max
     assert got == {1: 16, 2: 16}
+
+
+def test_lsh_candidate_pairs_multi_equals_per_config_union(spark):
+    """The round-12 single-shuffle multi-banding operator must emit
+    EXACTLY the union of the per-config lsh_candidate_pairs outputs for
+    the same signature table (including the max_bucket cap behavior)."""
+    from odbc2parquet_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        lsh_candidate_pairs_multi,
+        minhash_signatures,
+        word_shingle_stream,
+    )
+
+    rows = [
+        (i, f"alpha beta gamma delta epsilon zeta token{i % 7} eta theta")
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    sig = minhash_signatures(word_shingle_stream(docs, 3), num_hashes=8)
+    configs = [(8, 1), (4, 2), (2, 4), (1, 8)]
+    multi = {
+        (r.cfg, r.id_a, r.id_b)
+        for r in lsh_candidate_pairs_multi(sig, configs, max_bucket=10).collect()
+    }
+    single = set()
+    for bands, rpb in configs:
+        for r in lsh_candidate_pairs(sig, bands, rpb, max_bucket=10).collect():
+            single.add((f"{bands}x{rpb}", r.id_a, r.id_b))
+    assert multi == single and multi  # equal, and non-trivially non-empty
