@@ -46,12 +46,26 @@ def drop_exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str =
 # ------------------------------------------------------------- shingles
 
 
-def word_shingles(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def word_shingles(
+    docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    spread: bool = False,
+) -> DataFrame:
     """Distinct n-word shingles per document: (id, g).
 
     Built-ins only: split + transform over an index sequence + explode.
     The distinct is a shuffle on (id, g) — unavoidable for set semantics,
     partially aggregated map-side.
+
+    ``spread`` routes the input through catalog.spread_scan (round-robin
+    repartition when the file layout under-parallelizes the scan). OPT-IN
+    per call site: the tokenize+md5 stage wins 1.3-1.6x where its one
+    materialization is the critical path (minhash_near_duplicates), but
+    the extra exchange LOSES where many sibling arms already saturate
+    the cores (dd_band_curve 3.11->3.43, tx_curation_delta 6.27->7.12 in
+    the round-12 interleaved A/B).
     """
     ws = F.split(F.col(text_col), " ")
     parts = [f"ws[i - 1 + {k}]" for k in range(n)]
@@ -62,8 +76,11 @@ def word_shingles(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: s
         f"transform(sequence(1, size(ws) - {n - 1}), "
         f"i -> concat_ws(' ', {', '.join(parts)})) END"
     )
+    from odbc2parquet_spark.catalog import spread_scan
+
     return (
-        docs.select(F.col(id_col).alias("id"), ws.alias("ws"))
+        (spread_scan(docs) if spread else docs)
+        .select(F.col(id_col).alias("id"), ws.alias("ws"))
         .select("id", F.explode(F.expr(shingle_expr)).alias("g"))
         .distinct()
     )
@@ -126,7 +143,11 @@ def minhash_signatures(shingles: DataFrame, num_hashes: int = 8) -> DataFrame:
 
 
 def word_shingle_stream(
-    docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    spread: bool = False,
 ) -> DataFrame:
     """Non-distinct n-word shingles per document: (id, g).
 
@@ -149,8 +170,11 @@ def word_shingle_stream(
         f"transform(sequence(1, size(ws) - {n - 1}), "
         f"i -> concat_ws(' ', {', '.join(parts)})) END"
     )
+    from odbc2parquet_spark.catalog import spread_scan
+
     return (
-        docs.select(F.col(id_col).alias("id"), ws.alias("ws"))
+        (spread_scan(docs) if spread else docs)
+        .select(F.col(id_col).alias("id"), ws.alias("ws"))
         .select("id", F.explode(F.expr(shingle_expr)).alias("g"))
     )
 
@@ -293,12 +317,13 @@ def minhash_near_duplicates(
     from odbc2parquet_spark import cachereg
 
     sh = cachereg.track(
-        word_shingles(docs, shingle_words, text_col, id_col).persist(
+        word_shingles(docs, shingle_words, text_col, id_col, spread=True).persist(
             StorageLevel.MEMORY_AND_DISK
         )
     )
     sig = minhash_signatures(
-        word_shingle_stream(docs, shingle_words, text_col, id_col), num_hashes
+        word_shingle_stream(docs, shingle_words, text_col, id_col, spread=True),
+        num_hashes,
     )
     cand = lsh_candidate_pairs(sig, bands, rows_per_band)
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
