@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from odbc2parquet_spark import cachereg
-from odbc2parquet_spark.catalog import load_table
+from odbc2parquet_spark.catalog import load_table, spread_scan
 from odbc2parquet_spark.operators import dedup as D
 from odbc2parquet_spark.queries import query
 
@@ -496,7 +496,10 @@ def dd_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     occurrences shared with at least one OTHER document
     (operators/dedup.repeated_ngram_stats — the Lee et al. repeated-span
     signal that document-level MinHash/SimHash misses)."""
-    docs = load_table(spark, sf_dir, "documents")
+    # spread_scan: the 8-gram explode + md5 stage is scan-task-pinned
+    # JVM CPU; round-12 interleaved A/B (sf0.1): 2.37 -> 1.74s median
+    # (1.37x), min 2.31 -> 1.63. No-op on any multi-split corpus.
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     return D.repeated_ngram_stats(docs, n=8, min_docs=2)
 
 
@@ -1767,7 +1770,11 @@ def dd_rouge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-pair scalar divisions rounded to 6. Same capped MinHash banding
     candidates as dd_minhash_lsh / dd_bleu_pairs — bounded, never
     all-pairs."""
-    docs = load_table(spark, sf_dir, "documents")
+    # spread_scan: both consumers (shingle signatures + token arrays)
+    # hang off the single-file scan; round-12 interleaved A/B (sf0.1):
+    # 2.00 -> 1.75s median, min 1.98 -> 1.66. The otherwise-similar
+    # dd_bleu_pairs LOST the same A/B (2.74 -> 3.21) and stays natural.
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     sig = D.minhash_signatures(D.word_shingle_stream(docs, 3), num_hashes=8)
     cand = D.lsh_candidate_pairs(sig, bands=4, rows_per_band=2, max_bucket=1000)
     ws = docs.select(
@@ -1912,7 +1919,12 @@ def dd_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-aggregate; leading partial windows are included by both engines
     (a superset of strict winnowing — the guarantee is preserved). Cap +
     keyed joins, never all-pairs."""
-    docs = load_table(spark, sf_dir, "documents")
+    # spread_scan: the fingerprint stage (per-position 3-gram md5 + packed
+    # argmin windows) is CPU-dense JVM work pinned to the single-file scan
+    # task; round-12 interleaved A/B (tools/ab_spread.py, sf0.1):
+    # 3.32 -> 1.91s median (1.74x), min 2.94 -> 1.66. No-op on any
+    # multi-split corpus.
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     fp = D.winnowing_fingerprints(docs, n=3, window=4)
     return D.winnowing_pairs(fp, min_shared=2, max_docs_per_fp=64)
 

@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from odbc2parquet_spark import cachereg
-from odbc2parquet_spark.catalog import load_table
+from odbc2parquet_spark.catalog import load_table, spread_scan
 from odbc2parquet_spark.operators import multimodal as M
 from odbc2parquet_spark.operators import text as X
 from odbc2parquet_spark.queries import query
@@ -3167,7 +3167,11 @@ def tx_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     C(df,2) pairs, so df <= 10 pins the worst case), which is what keeps
     this join linear-ish at 100 TB where one viral sentence would
     otherwise cross-product. All counts exact; one division per pair."""
-    docs = load_table(spark, sf_dir, "documents")
+    # spread_scan: the trigram explode feeding the persisted distinct set
+    # is scan-task-pinned; round-12 interleaved A/B (sf0.1):
+    # 2.27 -> 1.78s median (1.27x), min 2.15 -> 1.68. No-op on any
+    # multi-split corpus.
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     ws = X.words(F.col("text"))
     gram_expr = (
         "CASE WHEN size(ws) < 3 THEN array() ELSE "

@@ -87,6 +87,14 @@ def get_spark(app_name: str = "odbc2parquet_spark", master: str | None = None) -
         # bounded: cached entries are generated classes, not data.
         .config("spark.sql.codegen.cache.maxEntries", "2000")
     )
+    # SPARK_GRAFT_EXTRA_CONF="k=v;k2=v2": session-level conf overrides for
+    # measurement studies (e.g. spark.sql.execution.arrow.maxRecordsPerBatch
+    # sweeps, spark.python.worker.reuse A/Bs) without editing code — the
+    # production defaults above stay the committed contract.
+    extra = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    for kv in filter(None, (s.strip() for s in extra.split(";"))):
+        k, _, v = kv.partition("=")
+        builder = builder.config(k.strip(), v.strip())
     if master is None:
         master = f"local[{cpus}]"
     if master.startswith("local"):
