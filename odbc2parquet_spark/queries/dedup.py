@@ -82,8 +82,16 @@ def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dd_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures (k=8, md5 hash family) — one shuffle, k min-aggs."""
-    docs = load_table(spark, sf_dir, "documents")
+    """MinHash signatures (k=8, md5 hash family) — one shuffle, k min-aggs.
+
+    Its r11 suite median (0.14s) was a cross-query cache SUBSIDY: an
+    earlier same-rep query's persisted signature subtree matched this
+    lineage in the CacheManager; the round-12 spread change to
+    minhash_near_duplicates altered the donor's lineage and the true
+    ~1.0s standalone cost surfaced (identical on r11-close code,
+    measured via worktree). spread_scan cuts the real cost instead:
+    interleaved A/B (sf0.1) 0.99 -> 0.70s median, min 0.82 -> 0.62."""
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     sig = D.minhash_signatures(D.word_shingle_stream(docs, 3), num_hashes=8)
     return sig.select(F.col("id").alias("doc_id"), *[f"mh{j}" for j in range(8)])
 
@@ -1355,7 +1363,10 @@ def dd_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the agreement join touches two signature rows per
     candidate (signature table is one row per doc); the exact-Jaccard
     side is the usual candidate-bounded verification join."""
-    docs = load_table(spark, sf_dir, "documents")
+    # spread_scan: four shingle/signature consumers hang off the
+    # single-file scan; round-12 interleaved A/B (sf0.1):
+    # 2.54 -> 2.05s median (1.24x), min 2.25 -> 1.95.
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     sh = D.word_shingles(docs, 3)
     sig = D.minhash_signatures(D.word_shingle_stream(docs, 3), 8)
     cand = D.lsh_candidate_pairs(sig, 4, 2)
