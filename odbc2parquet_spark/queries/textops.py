@@ -1752,7 +1752,9 @@ def tx_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ANN/SemDeDup stack on corpora without embeddings. The oracle
     rebuilds every signed bucket sum and the L2 normalization in SQL;
     the md5 certificate pins all 16 components in order."""
-    docs = load_table(spark, sf_dir, "documents")
+    # spread_scan: round-12 interleaved A/B (sf0.1): 1.28 -> 1.00s
+    # median (1.28x), min 1.05 -> 0.93.
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     return X.hash_embed(docs, dim=16)
 
 
@@ -1807,7 +1809,9 @@ def tx_text_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     Probes broadcast; the corpus never shuffles for the scoring pass."""
     from odbc2parquet_spark.operators.similarity import _fold_sum
 
-    docs = load_table(spark, sf_dir, "documents")
+    # spread_scan: round-12 interleaved A/B (sf0.1): 1.36 -> 1.17s
+    # median, min 1.32 -> 1.06.
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     v = X.hash_embed_vectors(docs, dim=16).select("doc_id", "vec")
     probes = F.broadcast(
         v.filter(F.col("doc_id") < 4).withColumnsRenamed(
@@ -2350,7 +2354,9 @@ def tx_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     curriculum ordering and templated-tail detection. Grams shuffle as
     60-bit hashes (one keyed exchange of (doc_id, long) rows), first
     owner is a MIN window, no self-join."""
-    docs = load_table(spark, sf_dir, "documents")
+    # spread_scan: round-12 interleaved A/B (sf0.1): 1.05 -> 0.87s
+    # median, min 0.97 -> 0.80.
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     return X.novelty_scores(docs, n=2)
 
 
